@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text functions, all built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs in the hot path).
+  *
+  * Tokenizer semantics replicate the reference's `clean_words`
+  * (/root/reference/client.py:16-21), verified by execution (SURVEY.md §2.1
+  * O2): strip newlines, delete exactly Python's `string.punctuation`
+  * (the 32 ASCII chars !-/, :-@, [-`, {-~), split on runs of ASCII spaces
+  * ONLY (tabs are not separators), drop tokens with no non-whitespace char.
+  */
+object TextFunctions {
+
+  /** Exactly Python `string.punctuation` as a regex char class: ASCII
+    * 33-47, 58-64, 91-96, 123-126. Same literal works in Java regex and
+    * RE2 (DuckDB), avoiding locale-dependent `[[:punct:]]`. */
+  val PunctClass: String = "[!-/:-@\\[-`{-~]"
+
+  /** Reference O2 tokenize: `clean_words` semantics (client.py:16-21).
+    * Newlines act as separators (the reference reads line-by-line, so a
+    * `\n` can never be inside a token); punctuation is deleted BEFORE
+    * splitting (`"mid-word"` → `midword`); split on `' +'` only. */
+  def tokenize(text: Column): Column =
+    filter(
+      split(regexp_replace(regexp_replace(text, "\\n", " "), PunctClass, ""), " +"),
+      t => t.rlike("\\S"))
+
+  /** Reference O5 case projection (client.py:63-67): fold case unless
+    * case-sensitive. Applied pre-shuffle (map side) so shuffle keys are
+    * already folded — same result, smaller shuffle (SURVEY.md §7.4.4). */
+  def foldCase(word: Column, caseSensitive: Boolean): Column =
+    if (caseSensitive) word else lower(word)
+
+  /** Whitespace tokens (simple split, for ngram/TF-IDF style analysis on
+    * already-clean text such as `documents.text`). */
+  def simpleTokens(text: Column): Column =
+    filter(split(text, " +"), t => t.rlike("\\S"))
+
+  /** Character n-gram shingles of a string (for MinHash/Jaccard dedup).
+    * Built with sequence+transform (codegen'd higher-order funcs); a
+    * string shorter than n yields itself as its only shingle. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  /** Word n-grams from a token array: zip the array with its own shifts.
+    * ngrams(["a","b","c"], 2) = ["a b", "b c"]. */
+  def wordNgrams(tokens: Column, n: Int): Column = {
+    // slice+transform: for i in 1..(size-n+1) join tokens[i..i+n-1]
+    filter(
+      transform(
+        sequence(lit(1), greatest(size(tokens) - lit(n - 1), lit(0))),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))),
+      x => x.rlike("\\S"))
+  }
+}

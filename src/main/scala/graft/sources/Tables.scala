@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md) plus the
+  * reference-style text-directory source.
+  *
+  * The reference's only source is a directory of `.txt` files scanned as
+  * lines (/root/reference/server.py:168-170, client.py:40-44). Spark's
+  * `read.text` subsumes it: size-aware split packing replaces the
+  * reference's locality-blind round-robin (server.py:121-124).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Reference O1: scan a directory of text files, one row per line.
+    * (/root/reference/server.py:168-170 lists `*.txt`; client.py:44 reads
+    * line-by-line.) Missing-dir tolerance is the caller's concern.
+    */
+  def textDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.textFile(s"$dir/*.txt").toDF("line")
+}
