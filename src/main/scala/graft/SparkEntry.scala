@@ -41,6 +41,21 @@ object SparkEntry {
         .orderBy("word")),
     "wordcount_topk" -> ((s, dir) =>
       WordCount.topK(Tables.documents(s, dir), "text", 50)),
+    // --- relational breadth (SURVEY.md §2.3 absent categories, built new) ---
+    "pricing_summary" -> (Relational.pricingSummary _),
+    "top_revenue_orders" -> (Relational.topRevenueOrders _),
+    "region_revenue" -> (Relational.regionRevenue _),
+    "order_priority" -> (Relational.orderPriority _),
+    "top_orders_per_customer" -> (Relational.topOrdersPerCustomer _),
+    "running_customer_spend" -> (Relational.runningCustomerSpend _),
+    "order_status_stats" -> (Relational.orderStatusStats _),
+    "rollup_revenue" -> (Relational.rollupRevenue _),
+    "modest_customers" -> (Relational.modestCustomers _),
+    "repeat_customers" -> (Relational.repeatCustomers _),
+    "customers_without_orders" -> (Relational.customersWithoutOrders _),
+    "big_spenders" -> (Relational.bigSpenders _),
+    "events_json_stats" -> (Relational.eventsJsonStats _),
+    "events_hourly" -> (Relational.eventsHourly _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -59,5 +74,118 @@ object SparkEntry {
          |FROM ($DuckTokens) t
          |WHERE regexp_matches(word, '\\S')
          |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        |  round(avg(l_quantity),6) AS avg_qty,
+        |  round(avg(l_extendedprice),6) AS avg_price,
+        |  round(avg(l_discount),6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "top_revenue_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1,2 ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+    "region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY rev DESC, n_name""".stripMargin,
+    "order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "running_customer_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2)
+        |    AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "order_status_stats" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice),2) AS total_price,
+        |  round(avg(o_totalprice),4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollup_revenue" ->
+      """SELECT coalesce(r_name,'ALL') AS region_name,
+        |  coalesce(n_name,'ALL') AS nation_name,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS rev
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "modest_customers" ->
+      """SELECT custkey FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_totalprice > 300000.0) t
+        |ORDER BY custkey""".stripMargin,
+    "repeat_customers" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE year(o_orderdate) = 2000) t
+        |ORDER BY custkey""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "big_spenders" ->
+      """SELECT c_custkey, c_name, total_spend, n_orders FROM (
+        |  SELECT o_custkey, round(sum(o_totalprice),2) AS total_spend,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1 HAVING round(sum(o_totalprice),2) > 1000000.0) t
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_spend DESC, c_custkey""".stripMargin,
+    "events_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)),6)
+        |    AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
   )
 }
