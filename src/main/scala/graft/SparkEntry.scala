@@ -56,7 +56,22 @@ object SparkEntry {
     "big_spenders" -> (Relational.bigSpenders _),
     "events_json_stats" -> (Relational.eventsJsonStats _),
     "events_hourly" -> (Relational.eventsHourly _),
+    // --- text analysis (north-star LLM-pipeline operators) ---
+    "token_stats" -> (TextAnalysis.tokenStats _),
+    "quality_score" -> (TextAnalysis.qualityScore _),
+    "lang_id" -> (TextAnalysis.langId _),
+    "fingerprint_md5" -> (TextAnalysis.fingerprintMd5 _),
+    "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
+    "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
+    "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
   )
+
+  /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
+  private val DuckTokList: String =
+    """list_filter(string_split_regex(
+      |  regexp_replace(regexp_replace(text, chr(10), ' ', 'g'),
+      |                 '[!-/:-@\[-`{-~]', '', 'g'),
+      |  ' +'), x -> regexp_matches(x, '\S'))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "wordcount_ci" ->
@@ -187,5 +202,51 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "token_stats" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct,
+         |  length(text) AS n_chars,
+         |  round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+         |        / len(toks), 4) AS avg_token_len
+         |FROM (SELECT doc_id, text, $DuckTokList AS toks FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""SELECT doc_id, n_tokens, stop_ratio, distinct_ratio,
+         |  round(0.4*stop_ratio + 0.6*distinct_ratio, 4) AS quality_score
+         |FROM (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(len(list_filter(toks, x -> list_contains(
+         |      ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
+         |      / len(toks), 4) AS stop_ratio,
+         |    round(len(list_distinct(toks))::DOUBLE / len(toks), 4)
+         |      AS distinct_ratio
+         |  FROM (SELECT doc_id, $DuckTokList AS toks FROM documents) t) q
+         |ORDER BY doc_id""".stripMargin,
+    "fingerprint_md5" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+    "top_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
+         |pairs AS (
+         |  SELECT toks[i] || ' ' || toks[i+1] AS bigram
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g)
+         |SELECT bigram, count(*) AS cnt FROM pairs
+         |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30""".stripMargin,
+    "tfidf_top_terms" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(toks) AS term
+         |  FROM (SELECT doc_id, $DuckTokList AS toks FROM documents) t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1,2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df
+         |       FROM terms GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, tfidf, rn FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) DESC,
+         |               tf.term) AS rn
+         |  FROM tf JOIN df USING(term) CROSS JOIN n) x
+         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
   )
 }

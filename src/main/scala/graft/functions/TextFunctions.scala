@@ -48,14 +48,14 @@ object TextFunctions {
         sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
         i => text.substr(i, lit(n))))
 
-  /** Word n-grams from a token array: zip the array with its own shifts.
-    * ngrams(["a","b","c"], 2) = ["a b", "b c"]. */
-  def wordNgrams(tokens: Column, n: Int): Column = {
-    // slice+transform: for i in 1..(size-n+1) join tokens[i..i+n-1]
-    filter(
-      transform(
-        sequence(lit(1), greatest(size(tokens) - lit(n - 1), lit(0))),
-        i => concat_ws(" ", slice(tokens, i, lit(n)))),
-      x => x.rlike("\\S"))
-  }
+  /** Word n-grams from a token array: ngrams(["a","b","c"], 2) =
+    * ["a b", "b c"]. Guard short arrays explicitly — Spark's
+    * sequence(1, size-n+1) would DESCEND for size < n (default step -1)
+    * and feed slice an illegal start of 0. */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(tokens) - lit(n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n)))))
 }

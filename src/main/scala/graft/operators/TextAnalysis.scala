@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * per-document token statistics, quality scoring, language-ID heuristic,
+  * content fingerprinting, n-gram statistics, TF-IDF.
+  *
+  * Everything is built from codegen'd `functions._` (higher-order array
+  * functions, no UDFs), so per-document metrics stay inside whole-stage
+  * codegen and scale linearly with the corpus — no shuffle at all for the
+  * per-doc operators; one bounded shuffle for corpus-level stats
+  * (vocabulary-sized, not corpus-sized, thanks to partial aggregation).
+  */
+object TextAnalysis {
+
+  /** Small English stopword list (shared with the DuckDB oracle SQL). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "this", "that", "with", "for", "on", "as", "are", "was", "be")
+
+  private def toks = tokenize(col("text"))
+
+  /** Per-document token statistics. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), length(col("text")).as("len"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        col("len").as("n_chars"),
+        round(
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("toks")), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Per-document quality score from length/stopword/diversity ratios —
+    * the classic cheap pre-filters for LLM training corpora. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val sw = array(Stopwords.map(lit): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(size(filter(col("toks"), t => array_contains(sw, t)))
+          .cast("double") / size(col("toks")), 4).as("stop_ratio"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 4).as("distinct_ratio"))
+      // weights 0.4/0.6 (not 0.5/0.5): products of 4-decimal ratios then
+      // end in an even 5th decimal, never the exact .5 half-way case that
+      // Spark (HALF_UP on the double) and DuckDB round differently
+      .withColumn("quality_score",
+        round(lit(0.4) * col("stop_ratio") +
+              lit(0.6) * col("distinct_ratio"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: character-class evidence first (CJK, kana,
+    * Cyrillic, Spanish diacritics), else default 'en'. A real pipeline
+    * swaps in an n-gram profile model; the plumbing (pure column
+    * expressions, no shuffle) is the point here. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    def ratio(cls: String) =
+      size(regexp_extract_all(text, lit(cls), lit(0))).cast("double") /
+        greatest(length(text), lit(1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        when(ratio("[\\x{4E00}-\\x{9FFF}]") > 0.05, "zh")
+          .when(ratio("[\\x{3040}-\\x{30FF}]") > 0.05, "ja")
+          .when(ratio("[\\x{0400}-\\x{04FF}]") > 0.05, "ru")
+          .when(ratio("[áéíóúñ¿¡]") > 0.01, "es")
+          .otherwise("en").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact content fingerprint (md5) — the cheap exact-dedup key. */
+  def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Token-order-sensitive rolling fingerprint: polynomial hash of
+    * per-token xxhash64, mod a prime kept under 2^32 so every
+    * intermediate stays in long range (Spark 4 runs ANSI mode — wrapping
+    * overflow raises). Order-sensitive where md5-of-bytes is byte-exact
+    * and MinHash is order-blind. Not expressible in ANSI SQL →
+    * rows-only check. */
+  def fingerprintRolling(s: SparkSession, dir: String): DataFrame = {
+    val m = lit(3037000493L) // prime < 2^31.5: acc*31 + h stays < 2^37
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        aggregate(toks, lit(0L),
+          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
+          .as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide top-k bigrams (deterministic tie-break). */
+  def topBigrams(s: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(wordNgrams(toks, 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(k)
+
+  /** TF-IDF, top-k terms per document.
+    * tf = in-doc term count; idf = ln(N / df). Two bounded shuffles:
+    * (doc,term) agg and term-level df agg; N is a broadcast scalar. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+              col("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+}

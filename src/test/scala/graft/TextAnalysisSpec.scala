@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ngrams(toks: Seq[String], n: Int): Seq[String] =
+    Seq(Tuple1(toks)).toDF("toks")
+      .select(TextFunctions.wordNgrams(col("toks"), n).as("g"))
+      .collect()(0).getSeq[String](0)
+
+  test("wordNgrams golden cases incl. short arrays") {
+    assert(ngrams(Seq("a", "b", "c"), 2) === Seq("a b", "b c"))
+    assert(ngrams(Seq("a", "b", "c"), 3) === Seq("a b c"))
+    assert(ngrams(Seq("a"), 2) === Seq())
+    assert(ngrams(Seq(), 2) === Seq())
+  }
+
+  test("charShingles golden cases") {
+    val sh = Seq("abcd").toDF("text")
+      .select(TextFunctions.charShingles(col("text"), 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("abc", "bcd"))
+    val short = Seq("ab").toDF("text")
+      .select(TextFunctions.charShingles(col("text"), 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(short === Seq("ab"))
+  }
+
+  test("rolling fingerprint is deterministic and order-sensitive") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "a b c", "en", "s", 5L), (2L, "c b a", "en", "s", 5L),
+                 (3L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fp = TextAnalysis.fingerprintRolling(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(3L)) // same content → same fingerprint
+    assert(fp(1L) !== fp(2L)) // reordered tokens → different fingerprint
+  }
+
+  test("langId charset heuristic") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the quick brown fox", "en", "s", 10L),
+      (2L, "中文文本 test", "zh", "s", 10L),
+      (3L, "señor año español", "es", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.langId(spark, tmp)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "zh", 3L -> "es"))
+  }
+}
