@@ -1,8 +1,6 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
-
-/** Scratch main for plan inspection during development. */
+import org.apache.spark.sql.functions._
 object Debug {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -11,10 +9,15 @@ object Debug {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val ru = operators.Relational.rollupRevenue(spark, "/root/testdata/sf0.001")
-    println("ROLLUP OK: " + ru.count())
-    ru.show(8, false)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = operators.Dedup.withNearDups(docs)
+    val sigs = corpus.select(col("doc_id"), operators.Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val dists = (0L until 20L).map(i =>
+      java.lang.Long.bitCount(sigs(i) ^ sigs(i + 10000L)))
+    println("planted hamming dists=" + dists.sorted.mkString(","))
     spark.stop()
   }
 }

@@ -64,6 +64,29 @@ object SparkEntry {
     "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
+    // --- dedup (north-star LLM-pipeline operators) ---
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(Dedup.withExactDups(Tables.documents(s, dir)))
+        .orderBy("content_hash")),
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Dedup.withNearDups(Tables.documents(s, dir)), 0.5)),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Dedup.withNearDups(Tables.documents(s, dir)),
+        k = 32, bands = 8, tau = 0.4)),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.withNearDups(Tables.documents(s, dir)),
+        maxDist = 8)),
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.45)),
+    // --- similarity search ---
+    "knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    "knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -248,5 +271,65 @@ object SparkEntry {
          |               tf.term) AS rn
          |  FROM tf JOIN df USING(term) CROSS JOIN n) x
          |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    "dedup_exact_groups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20)
+        |SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keep_doc_id
+        |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+         |  FROM documents WHERE doc_id < 20),
+         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM feats a JOIN feats b
+         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         |  round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT query_id, e.vec_id AS nn_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(vq, e.v), x -> x[1]*x[2])) /
+        |      (sqrt(list_sum(list_transform(vq, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS sim
+        |  FROM q JOIN e ON query_id <> e.vec_id)
+        |SELECT query_id, nn_id, sim, rn FROM (
+        |  SELECT query_id, nn_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, nn_id) AS rn
+        |  FROM sims) t
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - `knnBruteForce`: exact cosine top-k — the correctness baseline.
+  *    The (small) query set is broadcast against the corpus, so the scan
+  *    is one pass, no shuffle of the corpus side; per-partition top-k via
+  *    window rank on a bounded candidate set.
+  *  - `knnLsh`: random-hyperplane LSH — the 100 TB path. Signatures are
+  *    64 sign bits of hyperplane dot products; candidates must share one
+  *    of the banded signature chunks (bucket equi-join, no cross join).
+  *    Hyperplane components are pseudo-random ±1 derived from xxhash64
+  *    (seeded, deterministic, no driver-side randomness to ship).
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane component for (plane p, dim j). */
+  private def planeComponent(p: Column, j: Column): Column =
+    when(xxhash64(p, j).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign bit of plane p · vec (vec is array<double>). */
+  private def planeBit(vec: Column, p: Column): Column = {
+    val products = zip_with(
+      vec,
+      transform(vec, (_, j) => j), // index array 0..d-1
+      (x, j) => x * planeComponent(p, j))
+    when(aggregate(products, lit(0.0), (acc, x) => acc + x) > 0, lit(1L))
+      .otherwise(lit(0L))
+  }
+
+  /** nBits-wide LSH signature as an array of 0/1 longs. */
+  def lshSignature(vec: Column, nBits: Int): Column =
+    transform(sequence(lit(0), lit(nBits - 1)), p => planeBit(vec, p))
+
+  /** Exact cosine top-k neighbors for each query vector (broadcast). */
+  def knnBruteForce(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("nn_id"), col("embedding").as("vc"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("vq"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nn_id"))
+    corpus.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .withColumn("sim", round(cosine(col("vq"), col("vc")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** ANN top-k via banded LSH buckets; recall depends on nBits/bands.
+    * Candidates = corpus vectors sharing ≥1 signature band with the
+    * query; exact cosine re-rank on that bounded set. */
+  def knnLsh(emb: DataFrame, queries: DataFrame, k: Int,
+             nBits: Int = 16, bands: Int = 4): DataFrame = {
+    require(nBits % bands == 0)
+    val r = nBits / bands
+    def banded(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(col("vec_id").as(idCol),
+          toDoubleVec(col("embedding")).as(vecCol))
+        .withColumn("sig", lshSignature(col(vecCol), nBits))
+        .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+        .withColumn("band_key",
+          xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)")))
+        .drop("sig")
+    val corpus = banded(emb, "nn_id", "vc")
+      .withColumnsRenamed(Map("band" -> "c_band", "band_key" -> "c_key"))
+    val q = banded(queries, "query_id", "vq")
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nn_id"))
+    corpus.join(broadcast(q),
+        col("c_band") === col("band") && col("c_key") === col("band_key") &&
+        col("query_id") =!= col("nn_id"))
+      .select("query_id", "vq", "nn_id", "vc").distinct()
+      .withColumn("sim", round(
+        dot(col("vq"), col("vc")) / (l2Norm(col("vq")) * l2Norm(col("vc"))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, dir)
+  private val planted: Set[(Long, Long)] =
+    (0L until 20L).map(i => (i, i + Dedup.DupIdOffset)).toSet
+
+  test("exact dedup removes planted exact copies, keeps originals") {
+    val corpus = Dedup.withExactDups(docs)
+    assert(corpus.count() === 520)
+    val kept = Dedup.exactDedup(corpus)
+    assert(kept.count() === 500)
+    // representatives are the min doc_id, i.e. the originals survive
+    assert(kept.filter(col("doc_id") >= Dedup.DupIdOffset).count() === 0)
+  }
+
+  test("exact jaccard pairs recover the planted near-dups, with J >= 0.9") {
+    val rows = Dedup.jaccardPairs(Dedup.withNearDups(docs), 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    // the corpus itself contains genuine near-dups (e.g. 0/50/82 cluster),
+    // so planted is a subset, not the whole result
+    assert(planted.subsetOf(pairs))
+    assert(rows.filter(r => planted.contains((r._1, r._2))).forall(_._3 >= 0.9))
+  }
+
+  test("minhash LSH candidates include every planted near-dup pair") {
+    val pairs = Dedup.minhashLshPairs(Dedup.withNearDups(docs), 32, 8, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(pairs))
+  }
+
+  test("simhash pairs find most planted near-dups at dist<=8") {
+    // short docs give small per-bit vote margins: dropping one bigram
+    // flips ~2-8 of 62 bits (measured planted distances 2..13)
+    val pairs = Dedup.simhashPairs(Dedup.withNearDups(docs), 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(planted.intersect(pairs).size >= 15)
+  }
+
+  test("knn LSH result is a subset-quality approximation of brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.knnBruteForce(emb, q, 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.knnLsh(emb, q, 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(lsh.size === 50) // k found for every query
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    info(f"LSH recall@5 = $recall%.2f")
+    assert(recall >= 0.2) // 16-bit/4-band signature on random vectors
+  }
+}
