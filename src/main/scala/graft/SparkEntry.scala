@@ -87,6 +87,30 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // --- as-of join (operator Spark lacks; composed, not ported) ---
+    "asof_event_order" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      AsOfJoin.asOfBackward(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("asof.o_orderkey").as("o_orderkey"),
+          col("asof.o_totalprice").as("o_totalprice"))
+        .orderBy("event_id")
+    }),
+    // --- structured streaming (settled result is batch-checkable) ---
+    "streamed_events_hourly" -> (graft.streaming.Streaming.streamedEventsHourly _),
+    // --- multimodal binary-column plumbing ---
+    "multimodal_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.mediaFromDocuments(
+          Tables.documents(s, dir))).orderBy("doc_id")),
+    "multimodal_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.mediaFromDocuments(
+          Tables.documents(s, dir)), durationMs = 1000, strideMs = 250)
+        .orderBy("doc_id", "frame_ms")),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -331,5 +355,23 @@ object SparkEntry {
         |                       ORDER BY sim DESC, nn_id) AS rn
         |  FROM sims) t
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "asof_event_order" ->
+      """SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |ORDER BY e.event_id""".stripMargin,
+    "streamed_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, unnest(generate_series(0, 999, 250)) AS frame_ms
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, frame_ms""".stripMargin,
   )
 }

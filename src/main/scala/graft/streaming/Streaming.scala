@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming operators: the reference's batch word-count with
+  * its map→reduce barrier (SURVEY.md §2.2 C3) becomes a continuously
+  * updated streaming aggregation; the events table gets watermarked
+  * tumbling-window aggregation.
+  *
+  * All transforms are the same Column expressions as the batch operators —
+  * one definition, two execution modes — which is the Spark-native answer
+  * to the reference's hard-coded two-phase pipeline.
+  */
+object Streaming {
+
+  /** Streaming word count over a streaming text DataFrame. Emits the
+    * running (word, cnt) state; pair with outputMode update/complete. */
+  def wordCountStream(lines: DataFrame, textCol: String,
+                      caseSensitive: Boolean): DataFrame =
+    lines.select(explode(tokenize(col(textCol))).as("word"))
+      .select(foldCase(col("word"), caseSensitive).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Watermarked tumbling-window aggregation over a streaming events
+    * frame (ts: timestamp, event_type, value). */
+  def eventsWindowed(events: DataFrame, windowLen: String,
+                     watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  private val runId = new AtomicInteger(0)
+
+  /** Batch-checkable streaming demo: stream the events parquet through a
+    * windowed aggregation (Trigger.AvailableNow, complete mode, memory
+    * sink) and return the settled result — byte-identical to the batch
+    * events_hourly aggregation, which is what the DuckDB oracle checks. */
+  def streamedEventsHourly(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val raw = s.read.parquet(path) // schema probe (ts arrives as raw nanos)
+    // the file stream source requires a directory: stream the sf dir,
+    // glob-filtered down to the events table
+    val stream0 = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val agg = eventsWindowed(stream, "1 hour", "1 hour")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("hour", "event_type")
+  }
+}

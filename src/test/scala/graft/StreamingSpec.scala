@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming word count updates incrementally over micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[String]
+    val q = Streaming.wordCountStream(source.toDF().toDF("text"), "text",
+        caseSensitive = false)
+      .writeStream.format("memory").queryName("wc_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData("Hello world", "hello World")
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("wc_stream")
+        .as[(String, Long)].collect().toMap
+      assert(afterBatch1 === Map("hello" -> 2L, "world" -> 2L))
+
+      source.addData("world again")
+      q.processAllAvailable()
+      val afterBatch2 = spark.table("wc_stream")
+        .as[(String, Long)].collect().toMap
+      assert(afterBatch2 === Map("hello" -> 2L, "world" -> 3L, "again" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streamed hourly agg settles to the batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamedEventsHourly(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Relational.eventsHourly(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("feature extraction is deterministic, batch-shaped, right-sized") {
+    import graft.multimodal.Multimodal
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val f1 = Multimodal.extractFeatures(media, batchSize = 7)
+    val f2 = Multimodal.extractFeatures(media, batchSize = 64)
+    assert(f1.count() === 500)
+    // batch size must not affect results (pure per-row decode)
+    assert(f1.orderBy("doc_id").collect().map(_.toSeq.take(3)).toSeq ===
+           f2.orderBy("doc_id").collect().map(_.toSeq.take(3)).toSeq)
+    val row = f1.filter(col("doc_id") === 0).collect()(0)
+    assert(row.getAs[Seq[Float]]("features").length === Multimodal.FeatureDim)
+    assert(row.getAs[Int]("n_bytes") > 0)
+  }
+
+  test("frame sampling emits stride-spaced offsets for video rows only") {
+    import graft.multimodal.Multimodal
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaFromDocuments(docs), 1000, 250)
+    val perDoc = frames.groupBy("doc_id").count().select("count").distinct()
+    assert(perDoc.collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
+}
