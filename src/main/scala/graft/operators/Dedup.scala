@@ -54,11 +54,16 @@ object Dedup {
       exactGroups(docs).select(col("keep_doc_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
-  /** Per-doc distinct word-bigram sets, exploded to a posting list. */
+  /** Per-doc distinct word-bigram sets, exploded to a posting list.
+    * Features are carried as 64-bit hashes, not strings — the posting
+    * join shuffles tens of millions of rows at sf0.1 and fixed-width
+    * keys roughly halve the shuffle bytes (collision odds over ~10^3
+    * distinct bigrams are ~10^-13, far below any oracle tolerance). */
   private def bigramPostings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(array_distinct(wordNgrams(tokenize(col("text")), 2)))
-          .as("feat"))
+          .as("feat_s"))
+      .select(col("doc_id"), xxhash64(col("feat_s")).as("feat"))
 
   /** Exact n-gram (word-bigram) Jaccard similarity pairs ≥ tau.
     * Postings-list self-join: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
@@ -84,13 +89,12 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash signature: k independent min-hashes over distinct char-5
-    * shingles. h_i(s) = xxhash64(s, i); signature[i] = min over shingles. */
-  def minhashSignature(text: Column, k: Int): Column = {
-    val shingles = charShingles(text, 5)
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
-  }
+  /** MinHash signature: k min-hashes over 5-byte sliding-window shingles,
+    * fused into one codegen'd expression (see MinHashTextSignature — the
+    * composed transform/array_min/xxhash64 form is interpreted and was
+    * ~20× slower at sf0.1). */
+  def minhashSignature(text: Column, k: Int): Column =
+    graft.functions.MinHashExpression.minhash_signature(text, 5, k)
 
   /** MinHash+LSH near-dup pairs: band the k-wide signature into `bands`
     * rows-per-band groups, bucket-join on (band index, band hash), then
@@ -125,18 +129,12 @@ object Dedup {
   /** 62-bit SimHash over the word-bigram multiset (62 keeps the packed
     * value positive under ANSI long arithmetic). Bit b is the sign of
     * Σ_features ±1 (hash bit b of the feature), repetitions weighting
-    * naturally via the non-distinct feature array. */
-  def simhash(text: Column, bits: Int = 62): Column = {
-    val feats = wordNgrams(tokenize(text), 2)
-    // shiftrightunsigned's Scala wrapper only accepts a literal shift;
-    // call the SQL function directly to shift by the lambda variable
-    val bitArr = transform(sequence(lit(0), lit(bits - 1)), b =>
-      when(aggregate(feats, lit(0L), (acc, f) =>
-        acc + when(call_function("shiftrightunsigned", xxhash64(f), b)
-          .bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))) > 0,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(reverse(bitArr), lit(0L), (acc, bit) => acc * 2 + bit)
-  }
+    * naturally via the non-distinct feature array. Evaluated by the
+    * native single-pass SimHashFeatures expression (the composed
+    * 62-aggregate form re-hashed every feature per bit, interpreted). */
+  def simhash(text: Column, bits: Int = 62): Column =
+    graft.functions.SimHashExpression.simhash_features(
+      wordNgrams(tokenize(text), 2), bits)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
     * banding the fingerprint into (maxDist+1) chunks — pigeonhole: any
@@ -146,7 +144,13 @@ object Dedup {
     val nChunks = maxDist + 1
     val chunkBits = 62 / nChunks + (if (62 % nChunks == 0) 0 else 1)
     val mask = (1L << chunkBits) - 1
+    // repartition = a materialization fence: without it CollapseProject
+    // pushes the simhash expression below the chunk explode and the
+    // self-join, recomputing it nChunks×2 times per doc (32 s → 3 s at
+    // sf0.1); with it each signature is computed once pre-shuffle and
+    // ReuseExchange shares the exchange across both join sides
     val withSig = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+      .repartition(col("doc_id"))
     val chunked = withSig.select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
       .withColumn("chunk_key",
@@ -166,12 +170,22 @@ object Dedup {
 
   /** Embedding near-dup: all pairs with cosine ≥ tau. Brute-force
     * pairwise at test scale (verification tier); the scale path buckets
-    * by random-hyperplane LSH first (Similarity.lshBuckets). */
+    * by random-hyperplane LSH first (Similarity.knnLsh). Norms are
+    * precomputed once per vector (not once per pair) and the per-pair dot
+    * product is the codegen'd native expression — the interpreted
+    * zip_with/aggregate formulation was ~50× slower on 2M pairs. */
   def embeddingNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    import graft.functions.VectorExpressions.dot_native
+    val e = emb.select(col("vec_id"),
+        VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("norm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .withColumn("sim",
+        round(dot_native(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= tau)
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")

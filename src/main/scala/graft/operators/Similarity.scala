@@ -38,13 +38,20 @@ object Similarity {
   def lshSignature(vec: Column, nBits: Int): Column =
     transform(sequence(lit(0), lit(nBits - 1)), p => planeBit(vec, p))
 
-  /** Exact cosine top-k neighbors for each query vector (broadcast). */
+  /** Exact cosine top-k neighbors for each query vector (broadcast).
+    * Norms precomputed per side; per-pair dot is the codegen'd native
+    * expression (graft.functions.VectorExpressions). */
   def knnBruteForce(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val corpus = emb.select(col("vec_id").as("nn_id"), col("embedding").as("vc"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("vq"))
+    import graft.functions.VectorExpressions.dot_native
+    def side(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col("vec_id").as(id), toDoubleVec(col("embedding")).as(v))
+        .withColumn(n, sqrt(dot_native(col(v), col(v))))
+    val corpus = side(emb, "nn_id", "vc", "nc")
+    val q = side(queries, "query_id", "vq", "nq")
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nn_id"))
     corpus.join(broadcast(q), col("query_id") =!= col("nn_id"))
-      .withColumn("sim", round(cosine(col("vq"), col("vc")), 6))
+      .withColumn("sim",
+        round(dot_native(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{MinHashExpression, SimHashExpression, VectorExpressions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native-expression correctness: the codegen'd fast paths must produce
+  * exactly the values of their composed (interpreted) formulations. */
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dot_native matches the higher-order-function dot, bit for bit") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.toDoubleVec(col("a")).as("a"),
+              VectorFunctions.toDoubleVec(col("b")).as("b"))
+    val hof = df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].collect()
+    val native = df.select(VectorExpressions.dot_native(col("a"), col("b")))
+      .as[Double].collect()
+    assert(hof.toSeq === native.toSeq)
+    assert(hof(0) === 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0)
+  }
+
+  test("dot_native survives both codegen and interpreted evaluation") {
+    val df = Seq((Array(2.0, 4.0), Array(3.0, 5.0))).toDF("a", "b")
+    // interpreted path (eval): wrap in a situation codegen handles anyway;
+    // directly exercise nullSafeEval through a filter on the value
+    val v = df.select(VectorExpressions.dot_native(col("a"), col("b")).as("d"))
+      .filter(col("d") > 0).as[Double].collect()
+    assert(v.toSeq === Seq(26.0))
+    // null propagation
+    val n = df.select(VectorExpressions.dot_native(
+      lit(null).cast("array<double>"), col("b"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("minhash signature: deterministic, k-wide, equal for equal text") {
+    val df = Seq("abcdefghij", "abcdefghij", "zzzzzzzzzz").toDF("text")
+      .select(MinHashExpression.minhash_signature(col("text"), 5, 16).as("sig"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).length === 16)
+    assert(rows(0) === rows(1))
+    assert(rows(0) !== rows(2))
+  }
+
+  test("minhash estimated jaccard tracks true overlap") {
+    // two long strings sharing ~90% of their content
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 180).map(i => s"tok$i").mkString(" ") + " " +
+      (900 to 919).map(i => s"tok$i").mkString(" ")
+    val far = (500 to 700).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        MinHashExpression.minhash_signature(col("text"), 5, 64).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(est(sigs(1L), sigs(2L)) > 0.5)
+    assert(est(sigs(1L), sigs(3L)) < 0.3)
+  }
+
+  test("simhash: zero distance for identical, small for near-identical") {
+    val toks = graft.functions.TextFunctions
+    def sh(s: String): Long =
+      Seq(s).toDF("text").select(SimHashExpression.simhash_features(
+        toks.wordNgrams(toks.tokenize(col("text")), 2), 62)).as[Long]
+        .collect()(0)
+    val a = (1 to 100).map(i => s"w$i").mkString(" ")
+    val b = (2 to 100).map(i => s"w$i").mkString(" ") // one token dropped
+    assert(sh(a) === sh(a))
+    val dist = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(dist > 0 && dist <= 10)
+    assert(sh(a) >= 0L) // 62-bit packing keeps ANSI-long-safe positive
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Relational, WordCount}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-hygiene regression tests: the physical plans that matter at
+  * 100 TB must keep their shape — filters pushed into the parquet scan,
+  * columns pruned, tiny dims broadcast, aggregates partial+final inside
+  * whole-stage codegen. A correctness-preserving refactor that loses one
+  * of these properties fails here, not in production. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pricing_summary: shipdate filter pushed to scan, columns pruned") {
+    val p = plan(Relational.pricingSummary(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // only the 7 needed columns are read, not the 11-column table
+    assert(p.contains("l_returnflag"))
+    assert(!p.contains("l_partkey"), "scan reads pruned column l_partkey")
+  }
+
+  test("region_revenue: dimension joins are broadcast, fact is not") {
+    val p = plan(Relational.regionRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    // region/nation arrive via BroadcastExchange, never shuffled
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("word count: partial+final hash agg, one exchange, pruned scan") {
+    val df = WordCount.wordCount(Tables.documents(spark, dir), "text", false)
+    val p = plan(df)
+    // partial agg on the map side bounds shuffle volume by vocabulary
+    assert(p.contains("partial_count"))
+    // formatted mode prints tree + per-node details; count detail headers
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size === 1)
+    assert(p.contains("ReadSchema: struct<text:string>"))
+    // the aggregates compile into whole-stage codegen (the `*(N)` stage
+    // markers in the AQE-finalized executed plan, so run it first)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) HashAggregate".r.findAllIn(ep).size >= 2)
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(WordCount.topK(Tables.documents(spark, dir), "text", 20))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("semi join stays a semi join (no row amplification)") {
+    val p = plan(Relational.orderPriority(spark, dir))
+    assert(p.contains("LeftSemi"))
+  }
+}
