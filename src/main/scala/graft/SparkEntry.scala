@@ -99,6 +99,12 @@ object SparkEntry {
           col("asof.o_totalprice").as("o_totalprice"))
         .orderBy("event_id")
     }),
+    // --- grouping/ranking breadth + stats ---
+    "top_event_per_user" -> (Grouping.topEventPerUser _),
+    "cube_order_stats" -> (Grouping.cubeOrderStats _),
+    "lineitem_stats" -> (Grouping.lineitemStats _),
+    "user_sessions" -> ((s, dir) => Grouping.userSessions(s, dir, "30 minutes")),
+    "wordcount_nostop" -> (TextAnalysis.wordCountNoStopwords _),
     // --- structured streaming (settled result is batch-checkable) ---
     "streamed_events_hourly" -> (graft.streaming.Streaming.streamedEventsHourly _),
     // --- multimodal binary-column plumbing ---
@@ -373,5 +379,54 @@ object SparkEntry {
       """SELECT doc_id, unnest(generate_series(0, 999, 250)) AS frame_ms
         |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY doc_id, frame_ms""".stripMargin,
+    "top_event_per_user" ->
+      """SELECT user_id, event_id, event_type, round(value,6) AS value, rn
+        |FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 1 ORDER BY user_id""".stripMargin,
+    "cube_order_stats" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        |  coalesce(o_orderpriority,'ALL') AS priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1,2""".stripMargin,
+    "lineitem_stats" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5),4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price,
+        |  round(stddev_samp(l_quantity),4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
+        |  round(avg(l_discount),6) AS avg_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess_id
+        |  FROM e)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  count(*) AS n_events, round(sum(value),2) AS session_value
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "wordcount_nostop" ->
+      s"""SELECT lower(word) AS word, count(*) AS cnt
+         |FROM ($DuckTokens) t
+         |WHERE regexp_matches(word, '\\S')
+         |  AND lower(word) NOT IN
+         |    ('${TextAnalysis.Stopwords.mkString("','")}')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

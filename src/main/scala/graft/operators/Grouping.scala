@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic grouping/ranking operators + the remaining multi-grouping and
+  * statistical aggregate coverage. */
+object Grouping {
+
+  /** Top-k rows per group, deterministic (orderCols then tieBreak). The
+    * standard window-rank formulation: one shuffle on the group key, no
+    * global sort, k rows retained per group. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], k: Int,
+                   order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Top event per user by value (tie → earlier event id). */
+  def topEventPerUser(s: SparkSession, dir: String): DataFrame =
+    topKPerGroup(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                col("value")),
+      Seq("user_id"), 1, Seq(desc("value"), asc("event_id")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              round(col("value"), 6).as("value"), col("rn"))
+      .orderBy("user_id")
+
+  /** CUBE over (o_orderstatus, o_orderpriority) as hierarchical
+    * re-aggregation (same rationale as Relational.rollupRevenue: no
+    * Expand row replication, and no Spark 4.1 ambiguity false-positive).
+    * The four grouping sets re-aggregate the finest-grain result. */
+  def cubeOrderStats(s: SparkSession, dir: String): DataFrame = {
+    val all = lit("ALL")
+    val detail = Tables.orders(s, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n0"), sum("o_totalprice").as("t0"))
+    val byStatus = detail.groupBy("o_orderstatus")
+      .agg(sum("n0").as("n0"), sum("t0").as("t0"))
+      .select(col("o_orderstatus"), all.as("o_orderpriority"),
+              col("n0"), col("t0"))
+    val byPriority = detail.groupBy("o_orderpriority")
+      .agg(sum("n0").as("n0"), sum("t0").as("t0"))
+      .select(all.as("o_orderstatus"), col("o_orderpriority"),
+              col("n0"), col("t0"))
+    val grand = detail.agg(sum("n0").as("n0"), sum("t0").as("t0"))
+      .select(all.as("o_orderstatus"), all.as("o_orderpriority"),
+              col("n0"), col("t0"))
+    detail.select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n0"), col("t0"))
+      .union(byStatus).union(byPriority).union(grand)
+      .select(col("o_orderstatus").as("status"),
+              col("o_orderpriority").as("priority"),
+              col("n0").as("n_orders"), round(col("t0"), 2).as("total"))
+      .orderBy("status", "priority")
+  }
+
+  /** Exact interpolated percentiles + second-moment stats per flag. */
+  def lineitemStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .orderBy("l_returnflag")
+
+  /** Session windows over the event stream: events of a user belong to
+    * one session while gaps stay under `gap`. Uses Spark's native
+    * session_window aggregation (merging windows under the hood — the
+    * same state-merge a custom flatMapGroupsWithState would do, but
+    * codegen'd and AQE-planned). */
+  def userSessions(s: SparkSession, dir: String, gap: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+}

@@ -25,6 +25,18 @@ object TextAnalysis {
 
   private def toks = tokenize(col("text"))
 
+  /** Stopword-filtered case-insensitive word count (filter applied after
+    * fold, before the aggregation — the filter prunes shuffle input). */
+  def wordCountNoStopwords(s: SparkSession, dir: String): DataFrame = {
+    val sw = array(Stopwords.map(lit): _*)
+    WordCount.tokens(Tables.documents(s, dir), "text")
+      .select(lower(col("word")).as("word"))
+      .filter(!array_contains(sw, col("word")))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }
+
   /** Per-document token statistics. */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

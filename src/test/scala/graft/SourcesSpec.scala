@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.WordCount
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Source/sink breadth: the reference's text sink format (O7: lines of
+  * "{word} {count}", one dir of part files — SURVEY.md §1.4) plus the
+  * csv/json/partitioned-parquet surfaces a pipeline user needs. Results
+  * compare as multisets, never file order/layout (SURVEY.md §7.4.2). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp() = Files.createTempDirectory("graft-io").toString
+
+  test("reference-format text sink round-trips the word counts") {
+    val wc = WordCount.wordCount(Tables.documents(spark, dir), "text", false)
+    val out = tmp() + "/out"
+    // O7: space-separated "{word} {count}" lines, M part files, unsorted
+    wc.select(concat_ws(" ", col("word"), col("cnt")).as("value"))
+      .repartition(4) // n_reduce analogue
+      .write.mode("overwrite").text(out)
+    val back = spark.read.text(out)
+      .select(split(col("value"), " ").as("a"))
+      .select(col("a")(0).as("word"), col("a")(1).cast("long").as("cnt"))
+    assert(back.as[(String, Long)].collect().toMap ===
+           wc.as[(String, Long)].collect().toMap)
+  }
+
+  test("csv round trip with schema preserves values") {
+    val src = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val out = tmp() + "/csv"
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(out)
+    assert(back.count() === src.count())
+    assert(back.agg(round(sum("o_totalprice"), 2)).as[Double].collect()(0) ===
+           src.agg(round(sum("o_totalprice"), 2)).as[Double].collect()(0))
+  }
+
+  test("json round trip preserves nested struct columns") {
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        struct(col("user_id"), col("value")).as("payload"))
+    val out = tmp() + "/json"
+    src.write.mode("overwrite").json(out)
+    val back = spark.read.json(out)
+    assert(back.count() === src.count())
+    assert(back.select(sum("payload.user_id")).as[Long].collect()(0) ===
+           src.select(sum("payload.user_id")).as[Long].collect()(0))
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val out = tmp() + "/part"
+    Tables.orders(spark, dir)
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("status") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() ===
+      Tables.orders(spark, dir).filter(col("o_orderstatus") === "F").count())
+  }
+}
