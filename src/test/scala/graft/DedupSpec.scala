@@ -33,6 +33,15 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filter(r => planted.contains((r._1, r._2))).forall(_._3 >= 0.9))
   }
 
+  test("prefix-filtered jaccard equals the naive postings join exactly") {
+    val corpus = Dedup.withNearDups(docs)
+    val naive = Dedup.jaccardPairs(corpus, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPairsPrefix(corpus, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix === naive)
+  }
+
   test("minhash LSH candidates include every planted near-dup pair") {
     val pairs = Dedup.minhashLshPairs(Dedup.withNearDups(docs), 32, 8, 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
