@@ -87,6 +87,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    "knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
     // --- as-of join (operator Spark lacks; composed, not ported) ---
     "asof_event_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")

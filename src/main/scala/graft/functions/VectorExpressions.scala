@@ -36,13 +36,20 @@ object VectorExpressions {
           s"dot_product needs array<double>, got ${left.dataType}")
     }
 
+    // Null semantics mirror aggregate(zip_with(a,b,*),0.0,+) exactly so
+    // the optimizer rule below is a pure substitution: unequal lengths
+    // (zip_with pads with null) or any null element → null result.
+    override def nullable: Boolean = true
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getDouble(i) * y.getDouble(i)
         i += 1
       }
@@ -55,10 +62,12 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
            |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+           |  else { $acc += $a.getDouble($i) * $b.getDouble($i); }
            |}
            |${ev.value} = $acc;
          """.stripMargin

@@ -58,6 +58,70 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into C cells around
+    * centroids, search only the `nprobe` cells nearest each query.
+    *
+    * Centroids: C corpus vectors picked by deterministic hash of vec_id
+    * (reservoir-free, reproducible), refined with one Lloyd step (mean of
+    * assigned vectors) — the classic IVF training loop collapsed to its
+    * minimum; production runs more refinement passes offline and stores
+    * the cell assignment as a partition column so a probe reads only
+    * nprobe partitions. Candidates = vectors in probed cells, exact
+    * cosine re-rank on candidates. All joins against centroids are
+    * broadcast (C is small by construction); the corpus is never
+    * cross-joined.
+    */
+  def knnIvf(emb: DataFrame, queries: DataFrame, k: Int,
+             cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.dot_native
+    val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    // seed centroids: smallest hash per cell-slot bucket, then 1 Lloyd step
+    val seeds = e.withColumn("slot", pmod(xxhash64(col("vec_id")), lit(cells)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("slot").orderBy(xxhash64(col("vec_id"), lit(7)))))
+      .filter(col("rk") === 1)
+      .select(col("slot").as("cell"), col("v").as("cv"))
+    def nearestCell(frame: DataFrame, cents: DataFrame, outCol: String) =
+      frame.crossJoin(broadcast(cents))
+        .withColumn("d", dot_native(col("v"), col("cv")) /
+          (sqrt(dot_native(col("v"), col("v"))) *
+           sqrt(dot_native(col("cv"), col("cv")))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+        .filter(col("rk") <= 1)
+        .select(frame.columns.map(col) :+ col("cell").as(outCol): _*)
+    val assigned0 = nearestCell(e, seeds, "cell0")
+    val refined = assigned0.groupBy(col("cell0").as("cell"))
+      .agg(array((0 until 64).map(i =>
+        avg(element_at(col("v"), i + 1))): _*).as("cv"))
+    val assigned = nearestCell(e, refined, "cell")
+    // probe: nprobe nearest refined centroids per query
+    val q = queries.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val probes = q.crossJoin(broadcast(refined))
+      .withColumn("d", dot_native(col("v"), col("cv")) /
+        (sqrt(dot_native(col("v"), col("v"))) *
+         sqrt(dot_native(col("cv"), col("cv")))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"), col("cell"))
+    val cand = probes.join(
+        assigned.select(col("vec_id").as("nn_id"), col("v").as("vc"),
+          col("cell")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select("query_id", "vq", "nn_id", "vc").distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nn_id"))
+    cand
+      .withColumn("sim", round(dot_native(col("vq"), col("vc")) /
+        (sqrt(dot_native(col("vq"), col("vq"))) *
+         sqrt(dot_native(col("vc"), col("vc")))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** ANN top-k via banded LSH buckets; recall depends on nBits/bands.
     * Candidates = corpus vectors sharing ≥1 signature band with the
     * query; exact cosine re-rank on that bounded set. */

@@ -56,6 +56,20 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.intersect(pairs).size >= 15)
   }
 
+  test("knn IVF returns k results per query with reasonable recall") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.knnBruteForce(emb, q, 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(emb, q, 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size === 50)
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    info(f"IVF recall@5 = $recall%.2f (16 cells, 4 probes)")
+    assert(recall >= 0.2)
+  }
+
   test("knn LSH result is a subset-quality approximation of brute force") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 10)

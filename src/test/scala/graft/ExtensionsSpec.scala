@@ -38,6 +38,29 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT minhash_signature('x', 'not-an-int', 8)").collect()
       }
       assert(err.getMessage.toLowerCase.contains("integer literal"))
+
+      // optimizer rule: the idiomatic HOF dot product is rewritten to the
+      // native DotProduct, with identical values and null semantics
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val df = Seq(
+        (Array(1.0, 2.0), Array(3.0, 4.0)),       // 11.0
+        (Array(1.0, 2.0), Array(3.0, 4.0, 5.0)))  // unequal length → null
+        .toDF("a", "b")
+      val hof = df.select(
+        graft.functions.VectorFunctions.dot(col("a"), col("b")).as("d"))
+      val rows = hof.collect()
+      assert(rows(0).getDouble(0) === 11.0)
+      assert(rows(1).isNullAt(0))
+      // plan-shape check needs a non-local relation (ConvertToLocalRelation
+      // pre-evaluates local data before the plan can be inspected)
+      val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+          .as("v"))
+      val onParquet = e.select(
+        graft.functions.VectorFunctions.dot(col("v"), col("v")).as("d"))
+      assert(onParquet.queryExecution.optimizedPlan.toString
+        .contains("dotproduct"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
