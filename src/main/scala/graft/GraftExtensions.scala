@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.functions.RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
 
     ext.injectFunction((
       FunctionIdentifier("dot_product"),

@@ -103,6 +103,18 @@ object SparkEntry {
           col("asof.o_totalprice").as("o_totalprice"))
         .orderBy("event_id")
     }),
+    // same semantics through the native physical operator (plans.AsOfJoinExec)
+    "asof_event_order_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      AsOfJoin.asOfBackwardNative(ev, "user_id", "ts",
+          ord, "o_custkey", "o_orderdate", rightTieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
     // --- grouping/ranking breadth + stats ---
     "top_event_per_user" -> (Grouping.topEventPerUser _),
     "cube_order_stats" -> (Grouping.cubeOrderStats _),
@@ -366,6 +378,16 @@ object SparkEntry {
         |  FROM sims) t
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "asof_event_order" ->
+      """SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |ORDER BY e.event_id""".stripMargin,
+    "asof_event_order_native" ->
       """SELECT e.event_id, e.user_id,
         |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  o.o_orderkey, o.o_totalprice

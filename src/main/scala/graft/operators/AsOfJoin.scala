@@ -44,4 +44,30 @@ object AsOfJoin {
       .filter(col("__side") === 1 && col("asof").isNotNull)
       .drop("__key", "__time", "__side")
   }
+
+  /** The same join as a native physical operator (plans.AsOfJoinExec):
+    * hash-clustered + (key,time)-sorted children, single forward merge
+    * per partition. Registers the planner strategy on the session if
+    * needed, so it works with or without GraftExtensions. Output columns
+    * are left ++ right (flat, not nested). */
+  def asOfBackwardNative(left: DataFrame, leftKey: String, leftTime: String,
+                         right: DataFrame, rightKey: String, rightTime: String,
+                         rightTieBreak: Seq[String] = Nil): DataFrame = {
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(rPlan, rightKey),
+        attr(lPlan, leftTime), attr(rPlan, rightTime),
+        rightTieBreak.map(attr(rPlan, _))))
+  }
 }

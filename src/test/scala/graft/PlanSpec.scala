@@ -57,4 +57,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational.orderPriority(spark, dir))
     assert(p.contains("LeftSemi"))
   }
+
+  test("native as-of join: AsOfJoinExec over shuffled, sorted children") {
+    import graft.operators.AsOfJoin
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderdate", "o_orderkey")
+    val df = AsOfJoin.asOfBackwardNative(ev, "user_id", "ts",
+      ord, "o_custkey", "o_orderdate", Seq("o_orderkey"))
+    val p = plan(df)
+    assert(p.contains("AsOfJoin"))
+    // EnsureRequirements must have added the key shuffle and (key, time)
+    // sorts the merge relies on
+    assert("\\(\\d+\\) Sort\\b".r.findAllIn(p).size >= 2)
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size >= 2)
+  }
 }
