@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{MinHashTextSignature, SimHashFeatures}
+import graft.functions.BitmapExpressions.BitmapAndCount
 import graft.functions.VectorExpressions.DotProduct
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -33,6 +34,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(
+        classOf[graft.functions.NgramExpression.WordNgrams].getName,
+        "word_ngrams"),
+      (args: Seq[Expression]) =>
+        graft.functions.NgramExpression.WordNgrams(args(0),
+          intArg(args(1), "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_and_count"),
+      new ExpressionInfo(classOf[BitmapAndCount].getName, "bitmap_and_count"),
+      (args: Seq[Expression]) => BitmapAndCount(args(0), args(1))))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),

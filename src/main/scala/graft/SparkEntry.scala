@@ -62,6 +62,7 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langId _),
     "fingerprint_md5" -> (TextAnalysis.fingerprintMd5 _),
     "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
+    "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
     // --- dedup (north-star LLM-pipeline operators) ---
@@ -69,7 +70,7 @@ object SparkEntry {
       Dedup.exactGroups(Dedup.withExactDups(Tables.documents(s, dir)))
         .orderBy("content_hash")),
     "dedup_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(Dedup.withNearDups(Tables.documents(s, dir)), 0.5)),
+      Dedup.jaccardPairsAuto(Dedup.withNearDups(Tables.documents(s, dir)), 0.5)),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Dedup.withNearDups(Tables.documents(s, dir)),
         k = 32, bands = 8, tau = 0.4)),
@@ -115,6 +116,11 @@ object SparkEntry {
           col("o_orderkey"), col("o_totalprice"))
         .orderBy("event_id")
     }),
+    // --- range join (binned interval-point equi-join rewrite) ---
+    "shipped_in_order_window" -> (RangeJoin.shipmentsInOrderWindow _),
+    // --- deterministic sampling (corpus curation) ---
+    "sample_hash_docs" -> (Sampling.documentsSample _),
+    "sample_stratified_lang" -> (Sampling.documentsStratified _),
     // --- grouping/ranking breadth + stats ---
     "top_event_per_user" -> (Grouping.topEventPerUser _),
     "cube_order_stats" -> (Grouping.cubeOrderStats _),
@@ -291,6 +297,15 @@ object SparkEntry {
          |      AS distinct_ratio
          |  FROM (SELECT doc_id, $DuckTokList AS toks FROM documents) t) q
          |ORDER BY doc_id""".stripMargin,
+    "bpe_token_stats" ->
+      s"""SELECT doc_id, len(bt) AS n_bpe_tokens, len(wt) AS n_ws_tokens,
+         |  round(len(bt)::DOUBLE / greatest(len(wt), 1), 4) AS bpe_per_word
+         |FROM (SELECT doc_id,
+         |  regexp_extract_all(text,
+         |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')
+         |    AS bt,
+         |  $DuckTokList AS wt FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
     "fingerprint_md5" ->
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
     "top_bigrams" ->
@@ -405,6 +420,24 @@ object SparkEntry {
       """SELECT doc_id, unnest(generate_series(0, 999, 250)) AS frame_ms
         |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY doc_id, frame_ms""".stripMargin,
+    "shipped_in_order_window" ->
+      """SELECT o_orderkey, count(l.l_shipdate) AS n_shipped
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_hash_docs" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket, lang, n_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified_lang" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 100, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
     "top_event_per_user" ->
       """SELECT user_id, event_id, event_type, round(value,6) AS value, rn
         |FROM (

@@ -49,13 +49,10 @@ object TextFunctions {
         i => text.substr(i, lit(n))))
 
   /** Word n-grams from a token array: ngrams(["a","b","c"], 2) =
-    * ["a b", "b c"]. Guard short arrays explicitly — Spark's
-    * sequence(1, size-n+1) would DESCEND for size < n (default step -1)
-    * and feed slice an illegal start of 0. */
+    * ["a b", "b c"]; shorter-than-n arrays yield []. Evaluated by the
+    * native whole-array expression (NgramExpression.WordNgrams) — the
+    * composed transform/slice/concat_ws form runs the lambda per element
+    * in interpreted mode and dominated the shingling queries' profiles. */
   def wordNgrams(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(tokens) - lit(n - 1)),
-          i => concat_ws(" ", slice(tokens, i, lit(n)))))
+    NgramExpression.word_ngrams(tokens, n)
 }

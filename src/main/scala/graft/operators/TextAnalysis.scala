@@ -114,6 +114,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-style pre-tokenizer pattern (GPT-2-ish, kept RE2-compatible —
+    * no lookahead — so the DuckDB oracle runs the identical regex):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs. Counting these approximates an LLM token budget
+    * without a merges table. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Per-document token-budget estimate: BPE-ish pre-token count vs
+    * whitespace-token count. Pure per-row column math — no shuffle. */
+  def bpeTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("bt"),
+        toks.as("wt"))
+      .select(col("doc_id"),
+        size(col("bt")).as("n_bpe_tokens"),
+        size(col("wt")).as("n_ws_tokens"),
+        round(size(col("bt")).cast("double") /
+          greatest(size(col("wt")), lit(1)), 4).as("bpe_per_word"))
+      .orderBy("doc_id")
+
   /** Corpus-wide top-k bigrams (deterministic tie-break). */
   def topBigrams(s: SparkSession, dir: String, k: Int): DataFrame =
     Tables.documents(s, dir)

@@ -42,6 +42,19 @@ class DedupSpec extends AnyFunSuite {
     assert(prefix === naive)
   }
 
+  test("bitmap jaccard equals the naive postings join exactly") {
+    val corpus = Dedup.withNearDups(docs)
+    val naive = Dedup.jaccardPairs(corpus, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val bitmap = Dedup.jaccardPairsBitmap(corpus, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bitmap === naive)
+    // the auto selector must land on a correct implementation either way
+    val auto = Dedup.jaccardPairsAuto(corpus, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto === naive)
+  }
+
   test("minhash LSH candidates include every planted near-dup pair") {
     val pairs = Dedup.minhashLshPairs(Dedup.withNearDups(docs), 32, 8, 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

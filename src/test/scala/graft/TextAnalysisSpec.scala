@@ -20,6 +20,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ngrams(Seq(), 2) === Seq())
   }
 
+  test("native wordNgrams equals the composed HOF form on real docs") {
+    import graft.sources.Tables
+    // the pre-native formulation, kept here as the semantic reference
+    def composed(tokens: org.apache.spark.sql.Column, n: Int) =
+      when(size(tokens) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(tokens) - lit(n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n)))))
+    val toks = TextFunctions.tokenize(col("text"))
+    for (n <- Seq(2, 3)) {
+      val diff = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(TextFunctions.wordNgrams(toks, n).as("a"),
+                composed(toks, n).as("b"))
+        .filter(not(col("a") === col("b")))
+        .count()
+      assert(diff === 0, s"n=$n")
+    }
+  }
+
   test("charShingles golden cases") {
     val sh = Seq("abcd").toDF("text")
       .select(TextFunctions.charShingles(col("text"), 3).as("s"))
@@ -42,6 +61,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(fp(1L) === fp(3L)) // same content → same fingerprint
     assert(fp(1L) !== fp(2L)) // reordered tokens → different fingerprint
+  }
+
+  test("BPE-ish pre-tokenizer counts golden cases") {
+    import graft.operators.TextAnalysis
+    // "it's 42 ok!" → ["it", "'s", " 42", " ok", "!"] = 5 bpe tokens;
+    // whitespace+punct-strip tokens = ["its", "42", "ok"] = 3
+    val df = Seq((1L, "it's 42 ok!", "en", "s", 11L),
+                 (2L, "hello world", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.bpeTokenStats(spark, tmp)
+      .select("doc_id", "n_bpe_tokens", "n_ws_tokens")
+      .as[(Long, Int, Int)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got(1L) === ((5, 3)))
+    assert(got(2L) === ((2, 2)))
   }
 
   test("langId charset heuristic") {

@@ -23,8 +23,9 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     results = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
     fails = 0
-    for name in results:
-        spark_df = pd.read_parquet(f"{out}/{name}")
+    for dirname in results:
+        name = dirname[:-8] if dirname.endswith(".parquet") else dirname
+        spark_df = pd.read_parquet(f"{out}/{dirname}")
         if name not in oracle:
             print(f"[rows-only] {name}: rows={len(spark_df)} " +
                   ("OK" if len(spark_df) > 0 else "EMPTY!"))
