@@ -126,6 +126,9 @@ object SparkEntry {
     "cube_order_stats" -> (Grouping.cubeOrderStats _),
     "lineitem_stats" -> (Grouping.lineitemStats _),
     "user_sessions" -> ((s, dir) => Grouping.userSessions(s, dir, "30 minutes")),
+    "events_type_pivot" -> (Grouping.eventsTypePivot _),
+    "rolling_7d_revenue" -> (Grouping.rolling7dRevenue _),
+    "approx_lineitem_stats" -> (Grouping.approxLineitemStats _),
     "wordcount_nostop" -> (TextAnalysis.wordCountNoStopwords _),
     // --- structured streaming (settled result is batch-checkable) ---
     "streamed_events_hourly" -> (graft.streaming.Streaming.streamedEventsHourly _),
@@ -480,6 +483,30 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM s GROUP BY user_id, sess_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "events_type_pivot" ->
+      """SELECT hour(ts) AS hod,
+        |  coalesce(round(sum(value) FILTER (WHERE event_type='click'),2),0.0)
+        |    AS click,
+        |  coalesce(round(sum(value) FILTER (WHERE event_type='error'),2),0.0)
+        |    AS error,
+        |  coalesce(round(sum(value) FILTER (WHERE event_type='purchase'),2),0.0)
+        |    AS purchase,
+        |  coalesce(round(sum(value) FILTER (WHERE event_type='signup'),2),0.0)
+        |    AS signup,
+        |  coalesce(round(sum(value) FILTER (WHERE event_type='view'),2),0.0)
+        |    AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rolling_7d_revenue" ->
+      """WITH daily AS (
+        |  SELECT l_shipdate AS ship_date,
+        |    round(sum(CAST(l_extendedprice*(1-l_discount)
+        |                   AS DECIMAL(18,4))),2)::DOUBLE AS day_rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT strftime(ship_date, '%Y-%m-%d') AS ship_day, day_rev,
+        |  round(sum(day_rev) OVER (ORDER BY ship_date
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),2)
+        |    AS rev_7d
+        |FROM daily ORDER BY 1""".stripMargin,
     "wordcount_nostop" ->
       s"""SELECT lower(word) AS word, count(*) AS cnt
          |FROM ($DuckTokens) t

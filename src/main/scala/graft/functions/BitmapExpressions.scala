@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native expression for set-intersection cardinality over bitmap-encoded
   * feature sets (array<bigint> of 64-bit words).
@@ -77,4 +78,56 @@ object BitmapExpressions {
   def bitmap_and_count(a: Column, b: Column): Column =
     Bridge.toColumn(
       BitmapAndCount(Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Whole-array bitmap builder, called once per row from generated code
+    * (same rationale as NgramUtil: the composed transform/filter/
+    * aggregate form interprets its lambdas per element per word). */
+  def fromBits(bits: ArrayData, nWords: Int): ArrayData = {
+    val words = new Array[Long](nWords)
+    val n = bits.numElements()
+    var i = 0
+    while (i < n) {
+      val b = bits.getInt(i)
+      if (b < 0 || b >= nWords * 64)
+        throw new IllegalArgumentException(
+          s"bit $b out of range for $nWords-word bitmap")
+      words(b >> 6) |= 1L << (b & 63)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(words)
+  }
+
+  /** Bitmap (array<bigint> of `nWords` words) from an array<int> of set
+    * bit positions. Throws on out-of-range bits — a wrong nWords is a
+    * planner bug, not data to ignore. */
+  case class BitmapFromBits(child: Expression, nWords: Int)
+      extends UnaryExpression {
+    require(nWords > 0, "nWords must be positive")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(IntegerType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"bitmap_from_bits needs array<int>, got $other")
+      }
+
+    override def nullSafeEval(bits: Any): Any =
+      fromBits(bits.asInstanceOf[ArrayData], nWords)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.BitmapExpressions.fromBits($c, $nWords)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: pack an array<int> of bit positions into a bitmap. */
+  def bitmap_from_bits(bits: Column, nWords: Int): Column =
+    Bridge.toColumn(BitmapFromBits(Bridge.toExpression(bits), nWords))
 }

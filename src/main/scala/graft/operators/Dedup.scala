@@ -150,12 +150,8 @@ object Dedup {
     val bitmaps = posts.join(broadcast(dict), "feat")
       .groupBy("doc_id").agg(collect_set(col("fid")).as("fids"))
       .select(col("doc_id"), size(col("fids")).as("set_size"),
-        transform(sequence(lit(0), lit(nWords - 1)), w =>
-          aggregate(
-            filter(col("fids"), i => floor(i / lit(64)).cast("int") === w),
-            lit(0L),
-            (acc, i) => acc.bitwiseOR(call_function("shiftleft",
-              lit(1L), pmod(i, lit(64)).cast("int"))))).as("bm"))
+        graft.functions.BitmapExpressions.bitmap_from_bits(
+          col("fids"), nWords).as("bm"))
     val a = bitmaps.select(col("doc_id").as("id_a"),
       col("set_size").as("sa"), col("bm").as("ba"))
     val b = bitmaps.select(col("doc_id").as("id_b"),
@@ -169,7 +165,13 @@ object Dedup {
       col("ba"), col("bb"))
     val jac = round(nInter.cast("double") /
       (col("sa") + col("sb") - nInter), 6)
-    a.join(broadcast(b), col("id_a") < col("id_b") && jac >= tau)
+    // cheap sound prefilter ahead of the popcount: J ≤ min/max, so
+    // J ≥ τ requires min(|A|,|B|) ≥ τ·max(|A|,|B|) — short-circuits the
+    // condition for size-mismatched pairs before touching the bitmaps
+    val sizeOk =
+      least(col("sa"), col("sb")).cast("double") >=
+        lit(tau) * greatest(col("sa"), col("sb"))
+    a.join(broadcast(b), col("id_a") < col("id_b") && sizeOk && jac >= tau)
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .orderBy("id_a", "id_b")
   }

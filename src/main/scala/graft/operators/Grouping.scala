@@ -71,6 +71,66 @@ object Grouping {
         round(avg(col("l_discount")), 6).as("avg_disc"))
       .orderBy("l_returnflag")
 
+  /** Pivot: event types to columns, hour-of-day to rows. The value list
+    * is explicit — an open-ended `pivot(col)` first collects the distinct
+    * values to the driver, a hidden job that surprises at scale. */
+  def eventsTypePivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(hour(col("ts")).as("hod"), col("event_type"), col("value"))
+      .groupBy("hod")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 2))
+      .na.fill(0.0)
+      .orderBy("hod")
+
+  /** Trailing 7-day revenue per ship date: a RANGE-frame window (frame
+    * membership by value distance, not row count) over per-day partials.
+    * Aggregating to days first keeps the window state tiny; the window
+    * itself is a single pass over ~date-count rows. */
+  def rolling7dRevenue(s: SparkSession, dir: String): DataFrame = {
+    // day_rev sums in DECIMAL and is rounded BEFORE the window sum.
+    // Revenue terms have exactly 4 decimals (2-decimal price × 2-decimal
+    // discount factor), so small per-day double sums land exactly on
+    // half-cent rounding TIES — which FP summation order then breaks
+    // differently per engine. Decimal aggregation is order-independent
+    // and exact; and a moving sum of exact 2-decimal partials can't sit
+    // near a rounding boundary either.
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(col("l_shipdate").as("ship_date"))
+      .agg(round(sum(expr(
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")), 2)
+        .cast("double").as("day_rev"))
+    val w = Window.orderBy(col("d"))
+      .rangeBetween(-6L * 86400L, Window.currentRow)
+    daily
+      .withColumn("d", unix_timestamp(col("ship_date")))
+      .withColumn("rev_7d", round(sum("day_rev").over(w), 2))
+      .select(date_format(col("ship_date"), "yyyy-MM-dd").as("ship_day"),
+        col("day_rev"), col("rev_7d"))
+      .orderBy("ship_day")
+  }
+
+  /** Sketch tier: approximate distinct counts (HyperLogLog++) and
+    * approximate percentiles (Greenwald-Khanna) — the O(1)-memory
+    * versions of order_status_stats / lineitem_stats for when exact
+    * distinct/percentile shuffles are too expensive at 100 TB. Algorithm-
+    * specific results can't hash-match another engine → rows-only check,
+    * with error-bound assertions in GroupingSpec. */
+  def approxLineitemStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        round(element_at(expr(
+          "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"), 1), 4)
+          .as("approx_median"),
+        round(element_at(expr(
+          "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"), 2), 4)
+          .as("approx_p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Session windows over the event stream: events of a user belong to
     * one session while gaps stay under `gap`. Uses Spark's native
     * session_window aggregation (merging windows under the hood — the

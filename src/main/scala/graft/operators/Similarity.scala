@@ -146,7 +146,8 @@ object Similarity {
         col("query_id") =!= col("nn_id"))
       .select("query_id", "vq", "nn_id", "vc").distinct()
       .withColumn("sim", round(
-        dot(col("vq"), col("vc")) / (l2Norm(col("vq")) * l2Norm(col("vc"))), 6))
+        graft.functions.VectorExpressions.cosine_native(
+          col("vq"), col("vc")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))

@@ -34,6 +34,19 @@ object Streaming {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
+  /** Streaming exact dedup at ingest: drop rows whose content hash was
+    * already seen, with state bounded by the watermark (late duplicates
+    * beyond the delay are the batch dedup tier's job — this is the
+    * classic two-tier design: cheap in-stream suppression, periodic exact
+    * compaction). `dropDuplicatesWithinWatermark` keys state eviction on
+    * the event-time watermark, so state size is O(rows per delay window),
+    * not O(stream history). */
+  def dedupStream(rows: DataFrame, textCol: String, tsCol: String,
+                  watermarkDelay: String): DataFrame =
+    rows.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   private val runId = new AtomicInteger(0)
 
   /** Batch-checkable streaming demo: stream the events parquet through a

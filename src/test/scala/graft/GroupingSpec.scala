@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Grouping
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GroupingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx sketch stats land within error bounds of exact values") {
+    val approx = Grouping.approxLineitemStats(spark, dir)
+      .select("l_returnflag", "approx_parts", "approx_median")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((flag, (d, m)) <- exact) {
+      val (ad, am) = approx(flag)
+      // HLL++ default rsd is 5%; allow 3 sigma
+      assert(math.abs(ad - d).toDouble / d < 0.15, s"$flag distinct: $ad vs $d")
+      // GK with accuracy 1000 → rank error ~0.1%; prices are dense so
+      // the value error stays small
+      assert(math.abs(am - m) / m < 0.05, s"$flag median: $am vs $m")
+    }
+  }
+
+  test("pivot emits one column per declared event type, zero-filled") {
+    val df = Grouping.eventsTypePivot(spark, dir)
+    assert(df.columns.toSeq ===
+      Seq("hod", "click", "error", "purchase", "signup", "view"))
+    assert(df.count() > 0 && df.count() <= 24)
+    // pivoted cells are never null (na.fill)
+    val nulls = df.columns.map(c => sum(col(c).isNull.cast("int")))
+    assert(df.agg(nulls.head, nulls.tail: _*).collect()(0).toSeq
+      .map(_.asInstanceOf[Long]).sum === 0L)
+  }
+
+  test("rolling 7d revenue: trailing frame equals a self-join oracle") {
+    val got = Grouping.rolling7dRevenue(spark, dir)
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(round(sum(expr(
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")), 2)
+        .cast("double").as("r"))
+    val viaJoin = daily.as("a").join(daily.as("b"),
+        col("b.d") <= col("a.d") &&
+        col("b.d") >= col("a.d") - expr("INTERVAL 6 DAY"))
+      .groupBy(col("a.d").as("d"))
+      .agg(round(sum(col("b.r")), 2).as("rev_7d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("ship_day"),
+        col("rev_7d"))
+    val diff = got.select("ship_day", "rev_7d").as("x")
+      .join(viaJoin.as("y"), Seq("ship_day"))
+      .filter(col("x.rev_7d") =!= col("y.rev_7d"))
+    assert(diff.count() === 0)
+    assert(got.count() === daily.count())
+  }
+}

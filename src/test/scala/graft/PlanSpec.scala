@@ -58,6 +58,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"))
   }
 
+  test("binned range join plans as an equi join, not a nested loop") {
+    import graft.operators.RangeJoin
+    val p = plan(RangeJoin.shipmentsInOrderWindow(spark, dir))
+    // the whole point of the bin rewrite: a partitioned hash/merge join
+    // on the bin key instead of BroadcastNestedLoopJoin / cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join fell back to NLJ")
+    assert(!p.contains("CartesianProduct"), "range join fell back to cartesian")
+    assert(p.contains("Join") && p.contains("__bin"))
+  }
+
+  test("hash sampling is a scan-fused filter — no shuffle, no UDF") {
+    import graft.operators.Sampling
+    val p = plan(Sampling.hashSample(Tables.documents(spark, dir), "doc_id", 20))
+    assert(!p.contains("Exchange"), "hash sample introduced a shuffle")
+    assert(p.contains("Filter"))
+  }
+
   test("native as-of join: AsOfJoinExec over shuffled, sorted children") {
     import graft.operators.AsOfJoin
     import graft.sources.Tables

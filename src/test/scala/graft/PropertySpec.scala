@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.WordCount
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties from SURVEY.md §5: Σcounts = #tokens, counts
+  * invariant under input partitioning, case-insensitive counts are the
+  * case-variant sums. The per-sample oracle is an independent pure-Scala
+  * reimplementation of the reference tokenizer (client.py:16-21), so the
+  * Column-expression pipeline is checked against a second implementation
+  * on arbitrary inputs, not just curated fixtures. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference `clean_words`, independently in plain Scala. */
+  private val punct = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".toSet
+  private def tok(text: String): Seq[String] =
+    text.replace('\n', ' ').filterNot(punct).split(" +").toSeq
+      .filter(_.exists(c => !c.isWhitespace))
+
+  private val wordGen = Gen.oneOf(
+    "Hello", "hello", "World", "world", "He's", "mid-word", "42nd",
+    "x\ty", "", " ", "UPPER", "MiXeD")
+  private val lineGen =
+    Gen.listOf(wordGen).map(_.mkString(" "))
+  private val textGen: Gen[List[String]] = Gen.listOf(lineGen)
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(12).withWorkers(1)
+
+  private def check(name: String)(p: org.scalacheck.Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("sum of word counts equals the independent tokenizer's count") {
+    check("conservation")(forAll(textGen) { lines =>
+      val df = (lines :+ "sentinel").toDF("text")
+      val total = WordCount.wordCount(df, "text", caseSensitive = true)
+        .agg(sum("cnt")).as[Long].collect()(0)
+      total == (lines :+ "sentinel").map(tok(_).size).sum
+    })
+  }
+
+  test("counts are invariant under input partitioning") {
+    check("partition-invariance")(forAll(textGen) { lines =>
+      val df = (lines :+ "sentinel").toDF("text")
+      def counts(parts: Int) =
+        WordCount.wordCount(df.repartition(parts), "text", caseSensitive = false)
+          .as[(String, Long)].collect().toMap
+      counts(1) == counts(7)
+    })
+  }
+
+  test("case-insensitive counts are the case-variant sums") {
+    check("case-fold")(forAll(textGen) { lines =>
+      val df = (lines :+ "sentinel").toDF("text")
+      val cs = WordCount.wordCount(df, "text", caseSensitive = true)
+        .as[(String, Long)].collect()
+      val ci = WordCount.wordCount(df, "text", caseSensitive = false)
+        .as[(String, Long)].collect().toMap
+      val folded = cs.groupBy(_._1.toLowerCase).view
+        .mapValues(_.map(_._2).sum).toMap
+      folded == ci
+    })
+  }
+}

@@ -31,6 +31,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses in-window duplicate content") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = Streaming.dedupStream(
+        source.toDF().toDF("id", "text", "ts"), "text", "ts", "1 hour")
+      .select("id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (1L, "alpha", ts("2024-01-01 10:00:00")),
+        (2L, "beta",  ts("2024-01-01 10:01:00")),
+        (3L, "alpha", ts("2024-01-01 10:02:00"))) // dup of id 1
+      q.processAllAvailable()
+      source.addData(
+        (4L, "alpha", ts("2024-01-01 10:03:00")), // dup across batches
+        (5L, "gamma", ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("streamed hourly agg settles to the batch result") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.streamedEventsHourly(spark, dir)
