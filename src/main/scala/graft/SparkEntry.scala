@@ -142,6 +142,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.mediaFromDocuments(
           Tables.documents(s, dir)), durationMs = 1000, strideMs = 250)
         .orderBy("doc_id", "frame_ms")),
+    "multimodal_resize" -> ((s, dir) =>
+      graft.multimodal.Multimodal.resizeImages(
+        graft.multimodal.Multimodal.mediaFromDocuments(
+          Tables.documents(s, dir)), targetW = 16, targetH = 16)
+        .select(col("doc_id"), col("modality"),
+          length(col("content")).as("n_bytes"),
+          col("width"), col("height"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -423,6 +431,14 @@ object SparkEntry {
       """SELECT doc_id, unnest(generate_series(0, 999, 250)) AS frame_ms
         |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY doc_id, frame_ms""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  CASE WHEN doc_id % 3 = 0 THEN 256 ELSE n_chars END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 64 END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 64 END AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "shipped_in_order_window" ->
       """SELECT o_orderkey, count(l.l_shipdate) AS n_shipped
         |FROM orders o LEFT JOIN lineitem l

@@ -64,6 +64,36 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize: a real implementation decodes, resamples and re-encodes
+    * the image. The fake emits a deterministic targetW×targetH byte plane
+    * derived from the source bytes, so the size/schema contract downstream
+    * operators rely on is real. */
+  private def resizeStub(row: MediaRow, tw: Int, th: Int): MediaRow = {
+    val out = new Array[Byte](tw * th)
+    if (row.content.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = row.content(i % row.content.length)
+        i += 1
+      }
+    }
+    row.copy(content = out, width = tw, height = th)
+  }
+
+  /** Resize image rows to targetW×targetH (other modalities pass through
+    * untouched). Same batch-shaped, shuffle-free execution as
+    * extractFeatures. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int,
+                   batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        if (r.modality == "image") resizeStub(r, targetW, targetH) else r
+      }))
+      .toDF()
+  }
+
   /** Frame sampling for video rows: every strideMs milliseconds up to
     * durationMs, exploded to one row per sampled frame offset. */
   def sampleFrames(media: DataFrame, durationMs: Int, strideMs: Int): DataFrame =

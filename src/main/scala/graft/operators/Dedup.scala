@@ -293,11 +293,12 @@ object Dedup {
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("norm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim",
-        round(dot_native(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("sim") >= tau)
-      .select("id_a", "id_b", "sim")
+    // threshold inside the join condition: only passing pairs (a handful)
+    // materialize out of the pair join, instead of all O(n²) candidates
+    val sim =
+      round(dot_native(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    a.join(broadcast(b), col("id_a") < col("id_b") && sim >= tau)
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
       .orderBy("id_a", "id_b")
   }
 }

@@ -84,6 +84,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_bytes") > 0)
   }
 
+  test("resize rewrites image rows only, with exact byte contract") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.functions.length
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val resized = Multimodal.resizeImages(
+      Multimodal.mediaFromDocuments(docs), 16, 16)
+    val images = resized.filter(col("modality") === "image")
+    assert(images.filter(length(col("content")) =!= 256 ||
+      col("width") =!= 16 || col("height") =!= 16).count() === 0)
+    // non-image rows untouched: bytes still the document text length
+    val others = resized.filter(col("modality") =!= "image")
+    assert(others.filter(col("width") =!= 64).count() === 0)
+  }
+
   test("frame sampling emits stride-spaced offsets for video rows only") {
     import graft.multimodal.Multimodal
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
