@@ -152,7 +152,11 @@ object Dedup {
       .select(col("doc_id"), size(col("fids")).as("set_size"),
         graft.functions.BitmapExpressions.bitmap_from_bits(
           col("fids"), nWords).as("bm"))
-    val a = bitmaps.select(col("doc_id").as("id_a"),
+    // the probe side must stay spread across cores: rows are few but each
+    // drives |corpus| comparisons, and AQE would coalesce the tiny
+    // aggregation output to one partition, serializing the whole pair scan
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val a = bitmaps.repartition(par).select(col("doc_id").as("id_a"),
       col("set_size").as("sa"), col("bm").as("ba"))
     val b = bitmaps.select(col("doc_id").as("id_b"),
       col("set_size").as("sb"), col("bm").as("bb"))
@@ -289,8 +293,11 @@ object Dedup {
     val e = emb.select(col("vec_id"),
         VectorFunctions.toDoubleVec(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("norm").as("na"))
+    // spread the probe side: a single-file parquet scan arrives as one
+    // partition, which would serialize the O(n²) pair scan on one core
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val a = e.repartition(par).select(col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("norm").as("nb"))
     // threshold inside the join condition: only passing pairs (a handful)
