@@ -26,7 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads churn allocations fast; an 8g heap produced
+  // multi-second GC pauses that dominated bench timings on small queries
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // Spark suites share one JVM-wide session; run them sequentially.
 Test / parallelExecution := false

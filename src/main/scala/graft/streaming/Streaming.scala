@@ -34,6 +34,15 @@ object Streaming {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
+  /** Sliding-window variant: windows of `windowLen` advancing every
+    * `slide` — each event lands in windowLen/slide windows (the overlap
+    * factor is the row-amplification cost; keep it small at scale). */
+  def eventsSliding(events: DataFrame, windowLen: String, slide: String,
+                    watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
   /** Streaming exact dedup at ingest: drop rows whose content hash was
     * already seen, with state bounded by the watermark (late duplicates
     * beyond the delay are the batch dedup tier's job — this is the

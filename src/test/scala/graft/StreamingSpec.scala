@@ -31,6 +31,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows place each event in windowLen/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streaming.eventsSliding(
+        source.toDF().toDF("ts", "event_type", "value"),
+        "1 hour", "15 minutes", "2 hours")
+      .select(col("window.start"), col("n"))
+      .writeStream.format("memory").queryName("slide_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData((java.sql.Timestamp.valueOf("2024-01-01 10:07:00"),
+        "click", 1.0))
+      q.processAllAvailable()
+      // one event, 1h window sliding by 15m → exactly 4 windows hold it
+      assert(spark.table("slide_stream").count() === 4)
+      assert(spark.table("slide_stream").agg(sum("n"))
+        .collect()(0).getLong(0) === 4L)
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses in-window duplicate content") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
