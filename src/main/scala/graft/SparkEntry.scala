@@ -121,6 +121,18 @@ object SparkEntry {
     // --- deterministic sampling (corpus curation) ---
     "sample_hash_docs" -> (Sampling.documentsSample _),
     "sample_stratified_lang" -> (Sampling.documentsStratified _),
+    // --- explicit salting (skew fallback when AQE split isn't enough) ---
+    "skewed_user_segment_stats" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("custkey"), col("value"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      SkewJoin.saltedEquiJoin(ev, cust, "custkey", saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
     // --- grouping/ranking breadth + stats ---
     "top_event_per_user" -> (Grouping.topEventPerUser _),
     "cube_order_stats" -> (Grouping.cubeOrderStats _),
@@ -457,6 +469,11 @@ object SparkEntry {
         |      ORDER BY (doc_id * 2654435761) % 100, doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+    "skewed_user_segment_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  round(sum(value),2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "top_event_per_user" ->
       """SELECT user_id, event_id, event_type, round(value,6) AS value, rn
         |FROM (

@@ -29,8 +29,11 @@ class PropertySpec extends AnyFunSuite {
     Gen.listOf(wordGen).map(_.mkString(" "))
   private val textGen: Gen[List[String]] = Gen.listOf(lineGen)
 
+  // fixed seed: the properties are true invariants, but the round gate
+  // must not depend on the RNG of the day
   private val params = SCTest.Parameters.default
     .withMinSuccessfulTests(12).withWorkers(1)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
 
   private def check(name: String)(p: org.scalacheck.Prop): Unit = {
     val res = SCTest.check(params, p)
