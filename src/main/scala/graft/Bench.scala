@@ -36,14 +36,22 @@ object Bench {
     // warmup: absorb session/codegen/footer-cache startup cost
     force("pricing_summary")
 
-    // best-of-two for queries under 30 s: a single pass is dominated by
-    // JIT/GC noise (same query was observed 0.8 s and 38 s across runs);
-    // the min is the stable throughput number. Long queries run once to
-    // bound bench wall time.
+    // Best-of-N: single passes are contaminated by JIT/GC and transient
+    // host stalls (the same query was observed at 1 s and 37 s across
+    // runs); the min is the stable throughput number. Every query gets a
+    // second run; a third only when the best still looks stall-shaped
+    // (>30 s). The 120 s guard bounds wall time if a query is genuinely
+    // that slow.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      val r1 = force(n)
-      val r2 = if (r1 >= 0 && r1 < 30) force(n) else r1
-      n -> (if (r2 >= 0) math.min(r1, r2) else r1)
+      var best = force(n)
+      var tries = 1
+      while (best >= 0 && best < 120 && tries < 3 &&
+             (tries < 2 || best > 30)) {
+        val r = force(n)
+        tries += 1
+        if (r >= 0 && r < best) best = r
+      }
+      n -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
