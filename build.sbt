@@ -26,12 +26,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 32 executor threads churn allocations fast; an 8g heap produced
+// multi-second GC pauses that dominated bench timings on small queries.
+// But a fixed 24g would refuse to start on smaller hosts, so the default
+// scales with host RAM (~1/4, clamped to [4g, 24g]); SPARK_DRIVER_MEM
+// overrides.
+val defaultDriverMem: String = {
+  val hostGb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toLong / (1024L * 1024L) }
+      .getOrElse(16L)
+    catch { case _: Throwable => 16L }
+  s"${math.min(24L, math.max(4L, hostGb / 4))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 executor threads churn allocations fast; an 8g heap produced
-  // multi-second GC pauses that dominated bench timings on small queries
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverMem)}",
 )
 // Spark suites share one JVM-wide session; run them sequentially.
 Test / parallelExecution := false

@@ -41,6 +41,19 @@ object SparkEntry {
         .orderBy("word")),
     "wordcount_topk" -> ((s, dir) =>
       WordCount.topK(Tables.documents(s, dir), "text", 50)),
+    // Reference input format end-to-end (O1 text-dir scan → O7): write the
+    // corpus out as .txt files once, scan the directory back with
+    // Tables.textDir, word-count the lines. Line-splitting preserves the
+    // token multiset (the tokenizer already treats newline as a space), so
+    // the oracle over documents.text checks the whole O1→O7 chain.
+    "wordcount_textdir" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_textdir_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.documents(s, dir).select("text")
+        .write.mode("overwrite").text(tmp)
+      WordCount.wordCount(Tables.textDir(s, tmp), "line", caseSensitive = false)
+        .orderBy("word")
+    }),
     // --- relational breadth (SURVEY.md §2.3 absent categories, built new) ---
     "pricing_summary" -> (Relational.pricingSummary _),
     "top_revenue_orders" -> (Relational.topRevenueOrders _),
@@ -145,10 +158,22 @@ object SparkEntry {
     // --- structured streaming (settled result is batch-checkable) ---
     "streamed_events_hourly" -> (graft.streaming.Streaming.streamedEventsHourly _),
     // --- multimodal binary-column plumbing ---
-    "multimodal_features" -> ((s, dir) =>
-      graft.multimodal.Multimodal.extractFeatures(
+    // The operator returns features as array<float>; the driver's pandas
+    // harness can't sort/hash array cells (round-1 crash), so the query
+    // projects each lane to its exact integer byte sum: the stub decode
+    // divides an integer lane sum by 255 exactly once, so round(f*255)
+    // recovers it bit-exactly and DuckDB can recompute it from the bytes.
+    "multimodal_features" -> ((s, dir) => {
+      val feats = graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.mediaFromDocuments(
-          Tables.documents(s, dir))).orderBy("doc_id")),
+          Tables.documents(s, dir)))
+      val lanes = (0 until graft.multimodal.Multimodal.FeatureDim).map(j =>
+        round(element_at(col("features"), j + 1).cast("double") * 255d, 0)
+          .cast("long").as(s"f$j"))
+      feats.select(Seq(col("doc_id"), col("modality"),
+          col("n_bytes").cast("long").as("n_bytes")) ++ lanes: _*)
+        .orderBy("doc_id")
+    }),
     "multimodal_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.mediaFromDocuments(
@@ -187,6 +212,51 @@ object SparkEntry {
          |FROM ($DuckTokens) t
          |WHERE regexp_matches(word, '\\S')
          |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    // identical counts to wordcount_ci: the .txt round trip only re-splits
+    // lines, and the tokenizer already folds newlines to spaces
+    "wordcount_textdir" ->
+      s"""SELECT lower(word) AS word, count(*) AS cnt
+         |FROM ($DuckTokens) t
+         |WHERE regexp_matches(word, '\\S')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, lang AS lang_label,
+        |  CASE
+        |    WHEN len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))::DOUBLE
+        |         / greatest(length(text), 1) > 0.05 THEN 'zh'
+        |    WHEN len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]'))::DOUBLE
+        |         / greatest(length(text), 1) > 0.05 THEN 'ja'
+        |    WHEN len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]'))::DOUBLE
+        |         / greatest(length(text), 1) > 0.05 THEN 'ru'
+        |    WHEN len(regexp_extract_all(text, '[áéíóúñ¿¡]'))::DOUBLE
+        |         / greatest(length(text), 1) > 0.01 THEN 'es'
+        |    ELSE 'en' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // recompute the stub decode's integer byte-lane sums from the UTF-8
+    // bytes (hex-pair decode; positions i mod 8 → lane f(i%8))
+    "multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, nb, i,
+        |    (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1) AS bv
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, nb-1)) AS i) g)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 0), 0) AS BIGINT) AS f0,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 1), 0) AS BIGINT) AS f1,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 2), 0) AS BIGINT) AS f2,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 3), 0) AS BIGINT) AS f3,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 4), 0) AS BIGINT) AS f4,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 5), 0) AS BIGINT) AS f5,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 6), 0) AS BIGINT) AS f6,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 7), 0) AS BIGINT) AS f7
+        |FROM bytes GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
@@ -458,15 +528,17 @@ object SparkEntry {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_hash_docs" ->
-      """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket, lang, n_chars
+      """SELECT doc_id,
+        |  ((doc_id % 2147483648) * 2654435761) % 100 AS bucket, lang, n_chars
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 100 < 20
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
     "sample_stratified_lang" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 100, doc_id) AS rn
+        |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 100, doc_id)
+        |      AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
     "skewed_user_segment_stats" ->

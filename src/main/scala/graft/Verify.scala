@@ -31,7 +31,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit every oracle under BOTH the bare query name and the
+    // ".parquet"-suffixed result-directory name: the driver keys its
+    // lookup by directory name (round-1 verdict — all 51 queries went
+    // `no_oracle` on the suffixed key), while tools/check.py strips the
+    // suffix. Dual keys satisfy both without guessing the exact lookup.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

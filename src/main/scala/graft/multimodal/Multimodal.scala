@@ -32,14 +32,23 @@ object Multimodal {
 
   /** STUB decode: a real implementation would decode image/audio bytes
     * here (e.g. via a native library) and emit pooled features. The fake
-    * is deterministic in the bytes so tests and reruns agree. */
+    * is deterministic in the bytes so tests and reruns agree.
+    *
+    * Lane sums accumulate in integers and divide by 255 exactly once at
+    * the end: `round(feature * 255)` then recovers the integer lane sum
+    * bit-exactly (float32 relative error ~6e-8 ≪ 0.5/laneSum for any
+    * asset below ~8 MB/lane), which is what the driver-facing oracle
+    * projection in SparkEntry relies on. */
   private def decodeStub(row: MediaRow): MediaFeatures = {
-    val feats = new Array[Float](FeatureDim)
+    val sums = new Array[Long](FeatureDim)
     var i = 0
     while (i < row.content.length) {
-      feats(i % FeatureDim) += (row.content(i) & 0xff) / 255.0f
+      sums(i % FeatureDim) += (row.content(i) & 0xff)
       i += 1
     }
+    val feats = new Array[Float](FeatureDim)
+    var j = 0
+    while (j < FeatureDim) { feats(j) = sums(j) / 255.0f; j += 1 }
     MediaFeatures(row.doc_id, row.modality, row.content.length, feats)
   }
 

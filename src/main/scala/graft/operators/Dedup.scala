@@ -78,8 +78,10 @@ object Dedup {
     * synthetic corpus' 961-bigram vocab is exactly that case). The LSH
     * tier (minhashLshPairs) is the 100 TB candidate generator either
     * way; the exact tiers verify candidates. */
-  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
-    val posts = bigramPostings(docs)
+  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame =
+    jaccardPairsFromPostings(bigramPostings(docs), tau)
+
+  private def jaccardPairsFromPostings(posts: DataFrame, tau: Double): DataFrame = {
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val inter = posts.as("a")
       .join(posts.as("b"),
@@ -142,10 +144,40 @@ object Dedup {
     * choice, not a data collect. */
   def jaccardPairsBitmap(docs: DataFrame, tau: Double): DataFrame = {
     val posts = bigramPostings(docs)
+    val (vocab, nDocs) = postingStats(posts)
+    if (vocab == 0) emptyPairs(docs.sparkSession, "jaccard")
+    else if (!bitmapBroadcastFits(vocab, nDocs)) jaccardPairsFromPostings(posts, tau)
+    else jaccardPairsBitmapFrom(posts, vocab.toInt, tau)
+  }
+
+  /** One aggregation job for both plan-choice statistics (vocabulary size
+    * and posting-bearing doc count) — scalar stats, not a data collect. */
+  private def postingStats(posts: DataFrame): (Long, Long) = {
+    val r = posts.agg(count_distinct(col("feat")),
+      count_distinct(col("doc_id"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Degenerate-corpus result: no bigram features → no candidate pairs. */
+  private def emptyPairs(spark: SparkSession, simCol: String): DataFrame =
+    spark.range(0).select(col("id").as("id_a"), col("id").as("id_b"),
+      col("id").cast("double").as(simCol))
+
+  /** The bitmap pair join broadcasts every doc's bitmap: that only fits
+    * when nDocs × vocab/8 is genuinely small — which is exactly when the
+    * dense-vocab path gets selected. Callers on a corpus that exceeds the
+    * cap fall back to the shuffle-based postings join instead of OOMing
+    * the driver (these exact tiers are meant to run on LSH-bounded
+    * candidate sets anyway — see the scale stance above). */
+  private val MaxBroadcastBytes = 512L << 20
+  private def bitmapBroadcastFits(vocab: Long, nDocs: Long): Boolean =
+    nDocs * (((vocab + 63) / 64) * 8 + 48) <= MaxBroadcastBytes
+
+  private def jaccardPairsBitmapFrom(posts: DataFrame, vocab: Int,
+                                     tau: Double): DataFrame = {
     val dict = posts.select("feat").distinct()
       .withColumn("fid",
         (row_number().over(Window.orderBy("feat")) - 1).cast("int"))
-    val vocab = dict.count().toInt
     val nWords = (vocab + 63) / 64
     val bitmaps = posts.join(broadcast(dict), "feat")
       .groupBy("doc_id").agg(collect_set(col("fid")).as("fids"))
@@ -155,7 +187,7 @@ object Dedup {
     // the probe side must stay spread across cores: rows are few but each
     // drives |corpus| comparisons, and AQE would coalesce the tiny
     // aggregation output to one partition, serializing the whole pair scan
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = posts.sparkSession.sparkContext.defaultParallelism
     val a = bitmaps.repartition(par).select(col("doc_id").as("id_a"),
       col("set_size").as("sa"), col("bm").as("ba"))
     val b = bitmaps.select(col("doc_id").as("id_b"),
@@ -182,13 +214,17 @@ object Dedup {
 
   /** Pick the exact-Jaccard implementation from corpus statistics: dense
     * small vocabulary → bitmap path; sparse/Zipfian vocabulary → postings
-    * join (whose posting lists are then short). The one-number stat is a
-    * cheap distinct-count aggregation. */
+    * join (whose posting lists are then short). ONE aggregation job
+    * yields both plan-choice stats (vocab size, doc count) and they flow
+    * into the chosen path — the postings are not re-counted there. */
   def jaccardPairsAuto(docs: DataFrame, tau: Double,
                        vocabLimit: Int = 4096): DataFrame = {
-    val vocab = bigramPostings(docs).select("feat").distinct().count()
-    if (vocab <= vocabLimit) jaccardPairsBitmap(docs, tau)
-    else jaccardPairs(docs, tau)
+    val posts = bigramPostings(docs)
+    val (vocab, nDocs) = postingStats(posts)
+    if (vocab == 0) emptyPairs(docs.sparkSession, "jaccard")
+    else if (vocab <= vocabLimit && bitmapBroadcastFits(vocab, nDocs))
+      jaccardPairsBitmapFrom(posts, vocab.toInt, tau)
+    else jaccardPairsFromPostings(posts, tau)
   }
 
   private def finishJaccard(inter: DataFrame, sizes: DataFrame,
@@ -287,7 +323,14 @@ object Dedup {
     * by random-hyperplane LSH first (Similarity.knnLsh). Norms are
     * precomputed once per vector (not once per pair) and the per-pair dot
     * product is the codegen'd native expression — the interpreted
-    * zip_with/aggregate formulation was ~50× slower on 2M pairs. */
+    * zip_with/aggregate formulation was ~50× slower on 2M pairs.
+    *
+    * PRECONDITION: the right side is broadcast whole — callers must bound
+    * the input (vectors ≲ a few hundred MB; i.e. an LSH-bounded candidate
+    * set from `minhashLshPairs`/`Similarity.knnLsh`, or a test-scale
+    * corpus). On an unbounded corpus this exceeds the broadcast limit by
+    * design — run a candidate generator first; that tiering, not a
+    * silent shuffle fallback into an O(n²) cartesian, is the scale path. */
   def embeddingNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
     import graft.functions.VectorExpressions.dot_native
     val e = emb.select(col("vec_id"),

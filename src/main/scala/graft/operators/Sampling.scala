@@ -23,9 +23,14 @@ object Sampling {
 
   /** Deterministic pseudo-random bucket in [0, 100) from a stable id.
     * Plain int64 arithmetic (no engine-specific hash), so the identical
-    * expression runs under ANSI mode and in ANSI SQL oracles; ids up to
-    * ~3.4e9 stay below 2^63 pre-mod. */
-  def hashBucket(id: Column): Column = pmod(id * lit(Mult), lit(100L))
+    * expression runs under ANSI mode and in ANSI SQL oracles. The id is
+    * folded into [0, 2^31) BEFORE the multiply: 2^31 · Mult ≈ 5.7e18
+    * stays below 2^63, so the product never overflows — without the fold,
+    * ids above ~3.4e9 would wrap in non-ANSI engines and *raise* in ANSI
+    * Spark/DuckDB, breaking engine-independence exactly at large-corpus
+    * scale. */
+  def hashBucket(id: Column): Column =
+    pmod(pmod(id, lit(1L << 31)) * lit(Mult), lit(100L))
 
   /** Keep ~pct% of rows, decided per-row from `idCol` — a scan-fused
     * filter with zero shuffle. */

@@ -1,48 +1,36 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two tiers:
+  * Three tiers:
   *  - `knnBruteForce`: exact cosine top-k — the correctness baseline.
   *    The (small) query set is broadcast against the corpus, so the scan
   *    is one pass, no shuffle of the corpus side; per-partition top-k via
   *    window rank on a bounded candidate set.
-  *  - `knnLsh`: random-hyperplane LSH — the 100 TB path. Signatures are
-  *    64 sign bits of hyperplane dot products; candidates must share one
-  *    of the banded signature chunks (bucket equi-join, no cross join).
-  *    Hyperplane components are pseudo-random ±1 derived from xxhash64
-  *    (seeded, deterministic, no driver-side randomness to ship).
+  *  - `knnLsh`: random-hyperplane LSH — candidates must share one of the
+  *    banded signature chunks (bucket equi-join, no cross join). The
+  *    signature is one native codegen'd expression (LshSignBits) packing
+  *    all sign bits into a long; band keys are shift-and-mask on that
+  *    primitive.
+  *  - `knnIvf`: inverted-file cells — the 100 TB path: the cell id is a
+  *    pure per-row argmax against driver-broadcast centroids (a trained
+  *    codebook is metadata, not data), so assignment adds NO shuffle and
+  *    the cell id can double as a storage partition column so a probe
+  *    reads only nprobe partitions.
   */
 object Similarity {
 
-  /** Deterministic ±1 hyperplane component for (plane p, dim j). */
-  private def planeComponent(p: Column, j: Column): Column =
-    when(xxhash64(p, j).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign bit of plane p · vec (vec is array<double>). */
-  private def planeBit(vec: Column, p: Column): Column = {
-    val products = zip_with(
-      vec,
-      transform(vec, (_, j) => j), // index array 0..d-1
-      (x, j) => x * planeComponent(p, j))
-    when(aggregate(products, lit(0.0), (acc, x) => acc + x) > 0, lit(1L))
-      .otherwise(lit(0L))
-  }
-
-  /** nBits-wide LSH signature as an array of 0/1 longs. */
-  def lshSignature(vec: Column, nBits: Int): Column =
-    transform(sequence(lit(0), lit(nBits - 1)), p => planeBit(vec, p))
+  import graft.functions.VectorExpressions.dot_native
 
   /** Exact cosine top-k neighbors for each query vector (broadcast).
     * Norms precomputed per side; per-pair dot is the codegen'd native
     * expression (graft.functions.VectorExpressions). */
   def knnBruteForce(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import graft.functions.VectorExpressions.dot_native
     def side(df: DataFrame, id: String, v: String, n: String) =
       df.select(col("vec_id").as(id), toDoubleVec(col("embedding")).as(v))
         .withColumn(n, sqrt(dot_native(col(v), col(v))))
@@ -58,64 +46,79 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  /** IVF (inverted-file) ANN: partition the corpus into C cells around
-    * centroids, search only the `nprobe` cells nearest each query.
+  /** IVF (inverted-file) ANN: partition the corpus into ≤`cells` cells
+    * around centroids, search only the `nprobe` cells nearest each query.
     *
-    * Centroids: C corpus vectors picked by deterministic hash of vec_id
-    * (reservoir-free, reproducible), refined with one Lloyd step (mean of
-    * assigned vectors) — the classic IVF training loop collapsed to its
-    * minimum; production runs more refinement passes offline and stores
-    * the cell assignment as a partition column so a probe reads only
-    * nprobe partitions. Candidates = vectors in probed cells, exact
-    * cosine re-rank on candidates. All joins against centroids are
-    * broadcast (C is small by construction); the corpus is never
-    * cross-joined.
-    */
+    * Centroids: `cells` corpus vectors picked by deterministic hash of
+    * vec_id (reproducible), refined with one Lloyd step (per-cell mean),
+    * then collected to the driver — C × dim doubles of model metadata,
+    * the IVF codebook. Cell assignment is a per-row argmax over dot
+    * products with the unit-normalized codebook as literal arrays: a pure
+    * map fused into the scan — no explode, no window, no shuffle, any
+    * embedding dim. Probe selection sorts a C-element struct array per
+    * query row — again pure column math. The only shuffles left are the
+    * Lloyd mean (map-side combined to ≤ C×dim partials per task) and the
+    * final per-query top-k window on the bounded candidate set. */
   def knnIvf(emb: DataFrame, queries: DataFrame, k: Int,
              cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    import graft.functions.VectorExpressions.dot_native
     val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    // seed centroids: smallest hash per cell-slot bucket, then 1 Lloyd step
-    val seeds = e.withColumn("slot", pmod(xxhash64(col("vec_id")), lit(cells)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("slot").orderBy(xxhash64(col("vec_id"), lit(7)))))
-      .filter(col("rk") === 1)
-      .select(col("slot").as("cell"), col("v").as("cv"))
-    def nearestCell(frame: DataFrame, cents: DataFrame, outCol: String) =
-      frame.crossJoin(broadcast(cents))
-        .withColumn("d", dot_native(col("v"), col("cv")) /
-          (sqrt(dot_native(col("v"), col("v"))) *
-           sqrt(dot_native(col("cv"), col("cv")))))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-        .filter(col("rk") <= 1)
-        .select(frame.columns.map(col) :+ col("cell").as(outCol): _*)
-    val assigned0 = nearestCell(e, seeds, "cell0")
-    val refined = assigned0.groupBy(col("cell0").as("cell"))
-      .agg(array((0 until 64).map(i =>
+
+    def unitize(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    // seed selection is a TakeOrdered of C rows, not a corpus sort
+    val seeds = e.orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
+      .limit(cells).select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = seeds.head.length // derived from the data, no fixed 64
+
+    // nearest cell by cosine = argmax of dot with UNIT-norm centroids
+    // (the row's own norm is constant across cells); ties resolve to the
+    // first (lowest) cell id via array_position — deterministic
+    def assign(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+      val dots = array(cents.map(c =>
+        dot_native(col("v"), typedlit(c.toSeq))): _*)
+      df.withColumn("__d", dots)
+        .withColumn("cell",
+          (array_position(col("__d"), array_max(col("__d"))) - 1).cast("int"))
+        .drop("__d")
+    }
+
+    // one Lloyd refinement step; empty cells simply drop out
+    val refined = assign(e, seeds.map(unitize))
+      .groupBy("cell")
+      .agg(array((0 until dim).map(i =>
         avg(element_at(col("v"), i + 1))): _*).as("cv"))
-    val assigned = nearestCell(e, refined, "cell")
-    // probe: nprobe nearest refined centroids per query
+      .orderBy("cell").collect()
+      .map(r => unitize(r.getSeq[Double](1).toArray))
+
+    val assigned = assign(e, refined)
+      .withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
+
+    // top-nprobe cells per query: sort a C-element (dot, cell) struct
+    // array descending, slice, explode — per-row math, no window
     val q = queries.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val probes = q.crossJoin(broadcast(refined))
-      .withColumn("d", dot_native(col("v"), col("cv")) /
-        (sqrt(dot_native(col("v"), col("v"))) *
-         sqrt(dot_native(col("cv"), col("cv")))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("v").as("vq"), col("cell"))
-    val cand = probes.join(
-        assigned.select(col("vec_id").as("nn_id"), col("v").as("vc"),
-          col("cell")),
-        Seq("cell"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .select("query_id", "vq", "nn_id", "vc").distinct()
+    val probeStructs = array(refined.indices.map(i =>
+      struct(dot_native(col("v"), typedlit(refined(i).toSeq)).as("d"),
+        lit(i).as("cell"))): _*)
+    val probes = q
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("v").as("vq"),
+        sqrt(dot_native(col("v"), col("v"))).as("nq"),
+        col("probe.cell").as("cell"))
+
+    // each corpus vector lives in exactly one cell and a query probes
+    // distinct cells, so a (query, nn) pair appears at most once — no
+    // distinct pass needed
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nn_id"))
-    cand
-      .withColumn("sim", round(dot_native(col("vq"), col("vc")) /
-        (sqrt(dot_native(col("vq"), col("vq"))) *
-         sqrt(dot_native(col("vc"), col("vc")))), 6))
+    assigned.select(col("vec_id").as("nn_id"), col("v").as("vc"),
+        col("norm").as("nc"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("sim",
+        round(dot_native(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
@@ -124,30 +127,36 @@ object Similarity {
 
   /** ANN top-k via banded LSH buckets; recall depends on nBits/bands.
     * Candidates = corpus vectors sharing ≥1 signature band with the
-    * query; exact cosine re-rank on that bounded set. */
+    * query; exact cosine re-rank (norms precomputed pre-explode) on that
+    * bounded set. The signature is the fused native LshSignBits
+    * expression — one primitive pass per vector, packed in a long, so a
+    * band key is a shift-and-mask, not array slicing. */
   def knnLsh(emb: DataFrame, queries: DataFrame, k: Int,
              nBits: Int = 16, bands: Int = 4): DataFrame = {
+    import graft.functions.LshExpression.lsh_sign_bits
     require(nBits % bands == 0)
     val r = nBits / bands
-    def banded(df: DataFrame, idCol: String, vecCol: String) =
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame, idCol: String, vecCol: String, nCol: String) =
       df.select(col("vec_id").as(idCol),
           toDoubleVec(col("embedding")).as(vecCol))
-        .withColumn("sig", lshSignature(col(vecCol), nBits))
+        .withColumn(nCol, sqrt(dot_native(col(vecCol), col(vecCol))))
+        .withColumn("sig", lsh_sign_bits(col(vecCol), nBits))
         .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
         .withColumn("band_key",
-          xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)")))
+          call_function("shiftrightunsigned", col("sig"),
+            col("band") * lit(r)).bitwiseAND(lit(mask)))
         .drop("sig")
-    val corpus = banded(emb, "nn_id", "vc")
+    val corpus = banded(emb, "nn_id", "vc", "nc")
       .withColumnsRenamed(Map("band" -> "c_band", "band_key" -> "c_key"))
-    val q = banded(queries, "query_id", "vq")
+    val q = banded(queries, "query_id", "vq", "nq")
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nn_id"))
     corpus.join(broadcast(q),
         col("c_band") === col("band") && col("c_key") === col("band_key") &&
         col("query_id") =!= col("nn_id"))
-      .select("query_id", "vq", "nn_id", "vc").distinct()
-      .withColumn("sim", round(
-        graft.functions.VectorExpressions.cosine_native(
-          col("vq"), col("vc")), 6))
+      .select("query_id", "vq", "nq", "nn_id", "vc", "nc").distinct()
+      .withColumn("sim",
+        round(dot_native(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))

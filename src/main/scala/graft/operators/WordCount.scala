@@ -27,6 +27,13 @@ object WordCount {
   def tokens(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokenize(col(textCol))).as("word"))
 
+  /** Config-driven variant: case sensitivity comes from the session conf
+    * (GraftConf.CaseSensitiveKey), mirroring the reference's runtime
+    * `--case-sensitive` flag rather than a compile-time parameter. */
+  def wordCount(df: DataFrame, textCol: String): DataFrame =
+    wordCount(df, textCol,
+      graft.GraftConf.caseSensitive(df.sparkSession))
+
   /** (word, cnt) frequencies; case folded to lower unless caseSensitive. */
   def wordCount(df: DataFrame, textCol: String, caseSensitive: Boolean): DataFrame =
     tokens(df, textCol)

@@ -62,6 +62,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(est(sigs(1L), sigs(3L)) < 0.3)
   }
 
+  test("lsh_sign_bits: packed sign bits match a driver-side recomputation") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // component magnitudes chosen so no ± combination sums to exactly 0:
+    // every plane sum is nonzero, making the negated vector's signature
+    // the exact bit complement
+    val vecs = Seq(
+      Array(0.3, -1.3, 4.1, 0.7, 2.5),
+      Array(-0.3, 1.3, -4.1, -0.7, -2.5), // negation flips every sign
+      Array(1e-9, 1e-9))
+    val nBits = 16
+    def expected(v: Array[Double]): Long = {
+      val acc = new Array[Double](nBits)
+      for (j <- v.indices; p <- 0 until nBits)
+        acc(p) += (if ((XXH64.hashLong(j.toLong, p.toLong) & 1L) == 1L) v(j)
+                   else -v(j))
+      (0 until nBits).foldLeft(0L)((s, p) =>
+        if (acc(p) > 0) s | (1L << p) else s)
+    }
+    val got = vecs.toDF("v")
+      .select(graft.functions.LshExpression.lsh_sign_bits(col("v"), nBits))
+      .as[Long].collect()
+    assert(got.toSeq === vecs.map(expected))
+    // negation is the exact bit complement within the low nBits
+    assert((got(0) ^ got(1)) === (1L << nBits) - 1)
+    // null element and null array both yield null
+    val df = Seq((Array(1.0, 2.0), 1)).toDF("v", "i")
+    assert(df.select(graft.functions.LshExpression.lsh_sign_bits(
+      lit(null).cast("array<double>"), nBits)).collect()(0).isNullAt(0))
+    assert(df.select(graft.functions.LshExpression.lsh_sign_bits(
+      array(lit(1.0), lit(null).cast("double")), nBits))
+      .collect()(0).isNullAt(0))
+  }
+
   test("simhash: zero distance for identical, small for near-identical") {
     val toks = graft.functions.TextFunctions
     def sh(s: String): Long =

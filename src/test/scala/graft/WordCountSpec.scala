@@ -87,4 +87,22 @@ class WordCountSpec extends AnyFunSuite {
     assert(cs.count() === 26308L)
     wc.unpersist()
   }
+
+  test("case sensitivity flips from session conf, like the reference flag") {
+    // reference exposes --case-sensitive at runtime (server.py:203-214);
+    // here the same switch is a spark.conf key read by the no-param overload
+    val df = Seq("Hello hello World world World").toDF("text")
+    def run(): Map[String, Long] =
+      WordCount.wordCount(df, "text").as[(String, Long)].collect().toMap
+    try {
+      spark.conf.set(GraftConf.CaseSensitiveKey, "true")
+      assert(run() === Map("Hello" -> 1L, "hello" -> 1L,
+        "World" -> 2L, "world" -> 1L))
+      spark.conf.set(GraftConf.CaseSensitiveKey, "false")
+      assert(run() === Map("hello" -> 2L, "world" -> 3L))
+      // unset falls back to the reference's default: case-insensitive
+      spark.conf.unset(GraftConf.CaseSensitiveKey)
+      assert(run() === Map("hello" -> 2L, "world" -> 3L))
+    } finally spark.conf.unset(GraftConf.CaseSensitiveKey)
+  }
 }
