@@ -253,21 +253,34 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, tau: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // repartition fence: ONE exchange materializes each signature once,
+    // and every consumer below (band keys + both sides of the estimate
+    // join) reads that exchange instead of re-running the minhash
+    // (same CollapseProject hazard the simhash path documents)
     val sigs = docs.select(col("doc_id"),
-      minhashSignature(col("text"), k).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_key",
-        xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+        minhashSignature(col("text"), k).as("sig"))
+      .repartition(col("doc_id"))
+    // the bucket self-join carries only scalars — (doc_id, band, key) is
+    // ~24 bytes/row, vs shuffling the k-long signature array bands× per
+    // doc on both sides; candidate ids dedup as bare scalar pairs
+    val keys = sigs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)"))
+          .as("band_key"))
+    val cand = keys.as("a")
+      .join(keys.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // signatures rejoin only for the bounded candidate set; sigs is
+    // already hash-partitioned on doc_id, so these joins reuse the fence
+    // exchange rather than shuffling the corpus again
     cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") / k, 6))
@@ -306,15 +319,22 @@ object Dedup {
       .withColumn("chunk_key",
         call_function("shiftrightunsigned", col("sh"),
           col("chunk") * chunkBits).bitwiseAND(mask))
+    // the hamming threshold goes INTO the join condition: chunk keys are
+    // only `2^chunkBits` distinct values, so buckets are big and the raw
+    // bucket join yields O(bucket²) candidate rows — evaluating the
+    // distance inside the join materializes only true near-dup rows
+    // (the XOR+popcount runs per probed pair either way; what it saves
+    // is copying millions of losing candidates downstream into distinct)
+    val hamming = bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_key") === col("b.chunk_key") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        hamming <= maxDist)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        hamming.as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxDist)
       .orderBy("id_a", "id_b")
   }
 

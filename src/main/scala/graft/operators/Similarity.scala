@@ -151,12 +151,17 @@ object Similarity {
       .withColumnsRenamed(Map("band" -> "c_band", "band_key" -> "c_key"))
     val q = banded(queries, "query_id", "vq", "nq")
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nn_id"))
+    // sim is computed BEFORE the multi-band dedup so the distinct
+    // shuffles three scalar columns, not two full vectors per row — the
+    // extra dot products (≤ bands per pair, codegen'd) are far cheaper
+    // than shuffling ~1 KB of vector payload per candidate
     corpus.join(broadcast(q),
         col("c_band") === col("band") && col("c_key") === col("band_key") &&
         col("query_id") =!= col("nn_id"))
-      .select("query_id", "vq", "nq", "nn_id", "vc", "nc").distinct()
-      .withColumn("sim",
-        round(dot_native(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+      .select(col("query_id"), col("nn_id"),
+        round(dot_native(col("vq"), col("vc")) / (col("nq") * col("nc")), 6)
+          .as("sim"))
+      .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
