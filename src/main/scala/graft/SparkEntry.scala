@@ -69,6 +69,7 @@ object SparkEntry {
     "big_spenders" -> (Relational.bigSpenders _),
     "events_json_stats" -> (Relational.eventsJsonStats _),
     "events_hourly" -> (Relational.eventsHourly _),
+    "part_brand_revenue" -> (Relational.partBrandRevenue _),
     // --- text analysis (north-star LLM-pipeline operators) ---
     "token_stats" -> (TextAnalysis.tokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
+    "pii_scrub" -> (TextAnalysis.piiScrub _),
     // --- dedup (north-star LLM-pipeline operators) ---
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Dedup.withExactDups(Tables.documents(s, dir)))
@@ -105,6 +107,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.normalizeQuantize(Tables.embeddings(s, dir))),
     // --- as-of join (operator Spark lacks; composed, not ported) ---
     "asof_event_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
@@ -152,11 +156,14 @@ object SparkEntry {
     "lineitem_stats" -> (Grouping.lineitemStats _),
     "user_sessions" -> ((s, dir) => Grouping.userSessions(s, dir, "30 minutes")),
     "events_type_pivot" -> (Grouping.eventsTypePivot _),
+    "events_type_unpivot" -> (Grouping.eventsTypeUnpivot _),
+    "order_grouping_sets" -> (Grouping.orderGroupingSets _),
     "rolling_7d_revenue" -> (Grouping.rolling7dRevenue _),
     "approx_lineitem_stats" -> (Grouping.approxLineitemStats _),
     "wordcount_nostop" -> (TextAnalysis.wordCountNoStopwords _),
     // --- structured streaming (settled result is batch-checkable) ---
     "streamed_events_hourly" -> (graft.streaming.Streaming.streamedEventsHourly _),
+    "streamed_segment_revenue" -> (graft.streaming.Streaming.streamedSegmentRevenue _),
     // --- multimodal binary-column plumbing ---
     // The operator returns features as array<float>; the driver's pandas
     // harness can't sort/hash array cells (round-1 crash), so the query
@@ -612,6 +619,72 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),2)
         |    AS rev_7d
         |FROM daily ORDER BY 1""".stripMargin,
+    "part_brand_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY rev DESC, p_brand LIMIT 10""".stripMargin,
+    "events_type_unpivot" ->
+      """WITH agg AS (
+        |  SELECT hour(ts) AS hod, event_type, round(sum(value),2) AS v
+        |  FROM events GROUP BY 1,2),
+        |hours AS (SELECT DISTINCT hour(ts) AS hod FROM events),
+        |types AS (SELECT unnest(['click','error','purchase','signup','view'])
+        |          AS event_type)
+        |SELECT h.hod, t.event_type, coalesce(a.v, 0.0) AS sum_value
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN agg a ON a.hod = h.hod AND a.event_type = t.event_type
+        |ORDER BY 1,2""".stripMargin,
+    "order_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        |  coalesce(o_orderpriority,'ALL') AS priority,
+        |  coalesce(CAST(year(o_orderdate) AS VARCHAR),'ALL') AS o_year,
+        |  count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+        |                        (o_orderpriority), ())
+        |ORDER BY 1,2,3""".stripMargin,
+    "pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || doc_id ||
+        |           '@example.com via https://example.com/d/' || doc_id
+        |      ELSE text END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS sc
+        |  FROM d)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  md5(sc) AS scrubbed_fp,
+        |  length(sc) AS n_chars_scrubbed
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  greatest(round(sqrt(list_sum(list_transform(v, x -> x*x))), 6),
+        |           1e-9) AS norm FROM e),
+        |q AS (SELECT vec_id, norm,
+        |  list_transform(v, x -> CAST(floor(x / norm * 127 + 0.5) AS INTEGER))
+        |    AS qv FROM n)
+        |SELECT vec_id, norm,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "streamed_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  round(sum(value),2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "wordcount_nostop" ->
       s"""SELECT lower(word) AS word, count(*) AS cnt
          |FROM ($DuckTokens) t

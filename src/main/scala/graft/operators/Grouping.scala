@@ -84,6 +84,47 @@ object Grouping {
       .na.fill(0.0)
       .orderBy("hod")
 
+  /** Unpivot (melt): the wide per-hour event-type matrix back to long
+    * (hod, event_type, sum_value) rows. Unpivot is pure per-row
+    * restructuring — value-list×1 row expansion, no shuffle beyond the
+    * upstream pivot's own aggregation. */
+  def eventsTypeUnpivot(s: SparkSession, dir: String): DataFrame =
+    eventsTypePivot(s, dir)
+      .unpivot(
+        Array(col("hod")),
+        Array("click", "error", "purchase", "signup", "view").map(col),
+        "event_type", "sum_value")
+      .orderBy("hod", "event_type")
+
+  /** GROUPING SETS with non-hierarchical, mixed-granularity sets:
+    * ((status, year), (priority), ()) — the general form that ROLLUP and
+    * CUBE are special cases of. Same execution stance as
+    * rollupRevenue/cubeOrderStats: aggregate the finest grain once, then
+    * re-aggregate its (tiny) output per set — no Expand replication of
+    * input rows, one corpus-scale shuffle total. */
+  def orderGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val all = lit("ALL")
+    val detail = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n0"), sum("o_totalprice").as("t0"))
+    val statusYear = detail.groupBy("o_orderstatus", "o_year")
+      .agg(sum("n0").as("n0"), sum("t0").as("t0"))
+      .select(col("o_orderstatus").as("status"), all.as("priority"),
+        col("o_year").cast("string").as("o_year"), col("n0"), col("t0"))
+    val byPriority = detail.groupBy("o_orderpriority")
+      .agg(sum("n0").as("n0"), sum("t0").as("t0"))
+      .select(all.as("status"), col("o_orderpriority").as("priority"),
+        all.as("o_year"), col("n0"), col("t0"))
+    val grand = detail.agg(sum("n0").as("n0"), sum("t0").as("t0"))
+      .select(all.as("status"), all.as("priority"), all.as("o_year"),
+        col("n0"), col("t0"))
+    statusYear.union(byPriority).union(grand)
+      .select(col("status"), col("priority"), col("o_year"),
+        col("n0").as("n_orders"), round(col("t0"), 2).as("total"))
+      .orderBy("status", "priority", "o_year")
+  }
+
   /** Trailing 7-day revenue per ship date: a RANGE-frame window (frame
     * membership by value distance, not row count) over per-day partials.
     * Aggregating to days first keeps the window state tiny; the window

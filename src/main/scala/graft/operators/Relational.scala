@@ -215,6 +215,21 @@ object Relational {
            round(avg("k"), 6).as("avg_k"))
       .orderBy("event_type")
 
+  /** Revenue by part brand: fact-to-dim equi-join with the dim
+    * explicitly broadcast (part is keys+brand after pruning — megabytes
+    * even at 100 TB fact scale), so the fact side never shuffles; the
+    * brand aggregate is a 25-key partial+final hash agg and top-10 is
+    * TakeOrderedAndProject. */
+  def partBrandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n_items"))
+      .orderBy(desc("rev"), asc("p_brand"))
+      .limit(10)
+  }
+
   /** Hourly time-bucketed aggregation over the event stream table.
     * Groups on the native truncated timestamp (8-byte key, cheap hash)
     * and string-formats AFTER aggregation — the formatter then runs once

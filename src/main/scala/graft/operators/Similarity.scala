@@ -125,6 +125,28 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** L2-normalize + symmetric int8 quantization of the embedding column —
+    * the storage/bandwidth tier for vector corpora at scale (4 bytes per
+    * lane → 1, cosine preserved to ~0.4% per lane). Per-row array math
+    * fused into the scan, no shuffle; the one-pass-per-row HOFs are fine
+    * here because this is O(rows), not a pairwise path. The output
+    * projects to scalars (norm + lane checksum/extrema): hash-safe for
+    * the driver's pandas compare, with lane-level round-trip accuracy
+    * pinned in SimilaritySpec. Quantization divides by the 6-dp-rounded
+    * norm so the divisor is bit-identical in any engine that agrees on
+    * the norm at 6 dp (guarded away from zero for degenerate vectors). */
+  def normalizeQuantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("norm",
+        greatest(round(sqrt(dot_native(col("v"), col("v"))), 6), lit(1e-9)))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x / col("norm") * lit(127d) + lit(0.5)).cast("int")))
+      .select(col("vec_id"), col("norm"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"))
+      .orderBy("vec_id")
+
   /** ANN top-k via banded LSH buckets; recall depends on nBits/bands.
     * Candidates = corpus vectors sharing ≥1 signature band with the
     * query; exact cosine re-rank (norms precomputed pre-explode) on that

@@ -136,6 +136,45 @@ object TextAnalysis {
           greatest(size(col("wt")), lit(1)), 4).as("bpe_per_word"))
       .orderBy("doc_id")
 
+  /** Email/URL patterns, kept RE2-compatible (no lookahead/backrefs) so
+    * the DuckDB oracle runs the byte-identical regexes. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe: String = "https?://[^\\s]+"
+
+  /** The synthetic corpus contains no PII, so plant a deterministic
+    * email + URL on every 5th document — fixture-by-construction, same
+    * pattern as Dedup.withNearDups — to give the scrubber real work the
+    * oracle can recompute. */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com via https://example.com/d/"),
+          col("doc_id").cast("string")))
+        .otherwise(col("text")))
+
+  /** PII scrub — the curation pass every training corpus runs: count and
+    * redact emails/URLs. Pure per-row regex column math, scan-fused,
+    * zero shuffles at any scale; the md5 of the redacted text makes the
+    * result hash-checkable without shipping the text itself. URL scrub
+    * runs first (mirrored in the oracle) so an address inside a URL
+    * can't be double-redacted. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), lit(UrlRe), lit("<URL>")),
+      lit(EmailRe), lit("<EMAIL>"))
+    withSyntheticPii(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+          .as("n_urls"),
+        md5(scrubbed).as("scrubbed_fp"),
+        length(scrubbed).as("n_chars_scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-wide top-k bigrams (deterministic tie-break). */
   def topBigrams(s: SparkSession, dir: String, k: Int): DataFrame =
     Tables.documents(s, dir)

@@ -58,32 +58,61 @@ object Streaming {
 
   private val runId = new AtomicInteger(0)
 
-  /** Batch-checkable streaming demo: stream the events parquet through a
-    * windowed aggregation (Trigger.AvailableNow, complete mode, memory
-    * sink) and return the settled result — byte-identical to the batch
-    * events_hourly aggregation, which is what the DuckDB oracle checks. */
-  def streamedEventsHourly(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val raw = s.read.parquet(path) // schema probe (ts arrives as raw nanos)
-    // the file stream source requires a directory: stream the sf dir,
-    // glob-filtered down to the events table
+  /** File-source stream over the events parquet table (schema probed from
+    * a batch read; ts nanos→timestamp like Tables.events). The file
+    * stream source requires a directory: stream the sf dir glob-filtered
+    * down to the events table. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
     val stream0 = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val stream =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
-    val agg = eventsWindowed(stream, "1 hour", "1 hour")
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n"), col("sum_value"))
-    val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream0
+  }
+
+  /** Run a streaming aggregation to its settled state through a memory
+    * sink (Trigger.AvailableNow, complete mode) and return it. The memory
+    * sink is driver-side and bounded by the aggregate's key count — fine
+    * for the check; an unbounded-horizon production run writes to files. */
+  private def settle(agg: DataFrame, name0: String): DataFrame = {
+    val s = agg.sparkSession
+    val name = s"${name0}_${runId.incrementAndGet()}"
     val q = agg.writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("hour", "event_type")
+    s.table(name)
+  }
+
+  /** Stream-static join: the events stream enriched with the static
+    * customer dimension and aggregated to per-segment totals. The static
+    * side is re-planned per micro-batch like any batch join — broadcast
+    * here, so the stream side never shuffles for the join; only the
+    * 5-key segment aggregate shuffles its partial rows. Settled result
+    * equals the batch join+agg, which is what the DuckDB oracle checks. */
+  def streamedSegmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.sources.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+    settle(agg, "graft_stream_segment").orderBy("c_mktsegment")
+  }
+
+  /** Batch-checkable streaming demo: stream the events parquet through a
+    * windowed aggregation (Trigger.AvailableNow, complete mode, memory
+    * sink) and return the settled result — byte-identical to the batch
+    * events_hourly aggregation, which is what the DuckDB oracle checks. */
+  def streamedEventsHourly(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsWindowed(eventsStream(s, dir), "1 hour", "1 hour")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    settle(agg, "graft_stream_hourly").orderBy("hour", "event_type")
   }
 }

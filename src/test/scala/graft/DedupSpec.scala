@@ -95,4 +95,27 @@ class DedupSpec extends AnyFunSuite {
     info(f"LSH recall@5 = $recall%.2f")
     assert(recall >= 0.2) // 16-bit/4-band signature on random vectors
   }
+
+  test("int8 quantization stays in range and round-trips within half-step") {
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Similarity.normalizeQuantize(emb)
+      .select("vec_id", "norm", "q_sum", "q_min", "q_max")
+      .as[(Long, Double, Long, Int, Int)].collect()
+    assert(rows.length === emb.count())
+    rows.foreach { case (id, n, _, lo, hi) =>
+      assert(n > 0, s"vec $id norm")
+      // |lane| <= norm always, so quantized lanes stay within ±127
+      assert(lo >= -127 && hi <= 127, s"vec $id range [$lo,$hi]")
+    }
+    // spot-check one vector's checksum against a local recompute of the
+    // exact published formula (round-6 norm, floor(x/norm*127+0.5))
+    val (id0, n0, qs0, _, _) = rows.minBy(_._1)
+    val v = emb.filter(col("vec_id") === id0)
+      .select("embedding").as[Seq[Float]].collect().head.map(_.toDouble)
+    val norm = math.max(BigDecimal(math.sqrt(v.map(x => x * x).sum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1e-9)
+    assert(math.abs(norm - n0) < 1e-12)
+    val qsum = v.map(x => math.floor(x / norm * 127 + 0.5).toLong).sum
+    assert(qsum === qs0)
+  }
 }

@@ -64,4 +64,35 @@ class GroupingSpec extends AnyFunSuite {
     assert(diff.count() === 0)
     assert(got.count() === daily.count())
   }
+
+  test("unpivot restores the long form of the pivoted matrix") {
+    val long = Grouping.eventsTypeUnpivot(spark, dir)
+    assert(long.columns.toSeq === Seq("hod", "event_type", "sum_value"))
+    val hours = Grouping.eventsTypePivot(spark, dir).count()
+    assert(long.count() === hours * 5)
+    // every direct (hod, type) aggregate appears identically in the melt
+    val direct = Tables.events(spark, dir)
+      .select(hour(col("ts")).as("hod"), col("event_type"), col("value"))
+      .groupBy("hod", "event_type")
+      .agg(round(sum("value"), 2).as("sum_value"))
+    assert(direct.join(long, Seq("hod", "event_type", "sum_value"),
+      "left_anti").count() === 0)
+  }
+
+  test("grouping-sets re-aggregation matches native GROUPING SETS") {
+    val mine = Grouping.orderGroupingSets(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    val native = spark.sql(
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        |  coalesce(o_orderpriority,'ALL') AS priority,
+        |  coalesce(CAST(year(o_orderdate) AS STRING),'ALL') AS o_year,
+        |  count(1) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+        |                        (o_orderpriority), ())
+        |ORDER BY 1,2,3""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(mine === native)
+  }
 }

@@ -54,6 +54,38 @@ class SourcesSpec extends AnyFunSuite {
            src.select(sum("payload.user_id")).as[Long].collect()(0))
   }
 
+  test("bucketed tables co-locate the equi-join: no shuffle exchange") {
+    // The 100 TB fact-fact join story: write both sides bucketed (and
+    // sorted) on the join key, and the sort-merge join reads buckets
+    // pairwise — zero Exchange in the plan, the shuffle was paid once at
+    // write time and amortizes over every subsequent join.
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    o.write.format("parquet").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_bkt")
+    l.write.format("parquet").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() ===
+        o.join(l, col("o_orderkey") === col("l_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val out = tmp() + "/part"
     Tables.orders(spark, dir)

@@ -85,6 +85,21 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(streamed === batch)
   }
+
+  test("stream-static join settles to the batch join result") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamedSegmentRevenue(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.sources.Tables.events(spark, dir)
+      .join(graft.sources.Tables.customer(spark, dir),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("c_mktsegment")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -93,4 +93,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "en", 2L -> "zh", 3L -> "es"))
   }
+
+  test("pii scrub counts and redacts exactly the planted emails/urls") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.piiScrub(spark, dir)
+      .select("doc_id", "n_emails", "n_urls")
+      .as[(Long, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, e, u) =>
+      if (id % 5 == 0) assert(e == 1 && u == 1, s"doc $id: $e emails $u urls")
+      else assert(e == 0 && u == 0, s"doc $id: $e emails $u urls")
+    }
+    // the redaction itself: placeholders in, raw PII out
+    val sc = TextAnalysis.withSyntheticPii(
+        graft.sources.Tables.documents(spark, dir))
+      .filter(col("doc_id") % 5 === 0)
+      .select(regexp_replace(
+        regexp_replace(col("text"), lit(TextAnalysis.UrlRe), lit("<URL>")),
+        lit(TextAnalysis.EmailRe), lit("<EMAIL>")).as("sc"))
+      .limit(1).as[String].collect().head
+    assert(sc.contains("<EMAIL>") && sc.contains("<URL>"))
+    assert(!sc.contains("@example.com") && !sc.contains("https://"))
+  }
 }
