@@ -164,6 +164,9 @@ object SparkEntry {
     // --- structured streaming (settled result is batch-checkable) ---
     "streamed_events_hourly" -> (graft.streaming.Streaming.streamedEventsHourly _),
     "streamed_segment_revenue" -> (graft.streaming.Streaming.streamedSegmentRevenue _),
+    "streamed_conversions" -> (graft.streaming.Streaming.streamedConversions _),
+    // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
+    "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // --- multimodal binary-column plumbing ---
     // The operator returns features as array<float>; the driver's pandas
     // harness can't sort/hash array cells (round-1 crash), so the query
@@ -685,6 +688,48 @@ object SparkEntry {
         |  round(sum(value),2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "streamed_conversions" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  p.user_id,
+        |  CAST(epoch(date_trunc('second', p.ts)) -
+        |       epoch(date_trunc('second', c.ts)) AS BIGINT) AS delay_s,
+        |  round(p.value, 6) AS value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "curation_pipeline" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' contact user' || doc_id ||
+         |           '@example.com via https://example.com/d/' || doc_id
+         |      ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, lang, text, $DuckTokList AS toks FROM d),
+         |q AS (
+         |  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+         |    round(0.4 * round(len(list_filter(toks, x -> list_contains(
+         |        ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
+         |        / len(toks), 4)
+         |      + 0.6 * round(len(list_distinct(toks))::DOUBLE
+         |        / len(toks), 4), 4) AS quality_score
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, lang, n_tokens, quality_score,
+         |    md5(regexp_replace(
+         |      regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g')) AS scrubbed_fp
+         |  FROM q WHERE quality_score >= 0.3),
+         |k AS (
+         |  SELECT *, row_number() OVER (PARTITION BY scrubbed_fp
+         |                               ORDER BY doc_id) AS rn
+         |  FROM s)
+         |SELECT doc_id, lang, n_tokens, quality_score, scrubbed_fp
+         |FROM k
+         |WHERE rn = 1 AND ((doc_id % 2147483648) * 2654435761) % 100 < 50
+         |ORDER BY doc_id""".stripMargin,
     "wordcount_nostop" ->
       s"""SELECT lower(word) AS word, count(*) AS cnt
          |FROM ($DuckTokens) t

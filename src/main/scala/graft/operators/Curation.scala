@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation composition every LLM training-data
+  * pipeline runs — quality gate → PII scrub → exact dedup → deterministic
+  * sample — expressed as ONE declarative plan.
+  *
+  * The point at 100 TB: because every stage before the dedup is per-row
+  * column math over the same rows, Catalyst fuses tokenization, quality
+  * features, the scrub regexes, and the final sample filter into a single
+  * scan-side pass, and the ONLY shuffle in the whole pipeline is the
+  * dedup's hash partition on content_hash. Stage boundaries exist in code
+  * for humans; the physical plan sees one pass + one exchange — not four
+  * materialized intermediates.
+  */
+object Curation {
+
+  /** Quality-gate (≥ `minQuality` on TextAnalysis's 0.4/0.6 blend) →
+    * scrub (TextAnalysis regexes) → exact dedup on the scrubbed hash
+    * (keep lowest doc_id) → `pct`% reproducible hash sample
+    * (Sampling.hashBucket). Runs on the planted-PII fixture so the
+    * scrub stage has real work the oracle can recompute. */
+  def curationPipeline(s: SparkSession, dir: String,
+                       minQuality: Double = 0.3, pct: Int = 50): DataFrame = {
+    val sw = array(TextAnalysis.Stopwords.map(lit): _*)
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), lit(TextAnalysis.UrlRe), lit("<URL>")),
+      lit(TextAnalysis.EmailRe), lit("<EMAIL>"))
+    val staged = TextAnalysis.withSyntheticPii(Tables.documents(s, dir))
+      .withColumn("toks", tokenize(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        round(size(filter(col("toks"), t => array_contains(sw, t)))
+          .cast("double") / size(col("toks")), 4))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 4))
+      .withColumn("quality_score",
+        round(lit(0.4) * col("stop_ratio") +
+              lit(0.6) * col("distinct_ratio"), 4))
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("scrubbed_fp", md5(scrubbed))
+    val w = Window.partitionBy("scrubbed_fp").orderBy("doc_id")
+    staged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .filter(Sampling.hashBucket(col("doc_id")) < pct)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("scrubbed_fp"))
+      .orderBy("doc_id")
+  }
+}

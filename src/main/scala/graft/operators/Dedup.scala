@@ -367,7 +367,17 @@ object Dedup {
     // materialize out of the pair join, instead of all O(n²) candidates
     val sim =
       round(dot_native(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-    a.join(broadcast(b), col("id_a") < col("id_b") && sim >= tau)
+    // Guard the broadcast (this is the verification tier — meant for
+    // LSH-bounded candidate sets, but nothing stops a corpus-wide call):
+    // when the build side exceeds the broadcast budget, drop the hint and
+    // let the θ-join run as a partitioned nested-loop instead of a
+    // driver-side broadcast — same O(n²) work, no driver OOM.
+    val nVec = e.count()
+    val dim =
+      if (nVec == 0) 0 else e.select(size(col("v"))).head.getInt(0)
+    val build =
+      if (nVec * (dim * 8L + 48) <= MaxBroadcastBytes) broadcast(b) else b
+    a.join(build, col("id_a") < col("id_b") && sim >= tau)
       .select(col("id_a"), col("id_b"), sim.as("sim"))
       .orderBy("id_a", "id_b")
   }

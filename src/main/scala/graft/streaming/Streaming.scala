@@ -75,16 +75,47 @@ object Streaming {
     * sink (Trigger.AvailableNow, complete mode) and return it. The memory
     * sink is driver-side and bounded by the aggregate's key count — fine
     * for the check; an unbounded-horizon production run writes to files. */
-  private def settle(agg: DataFrame, name0: String): DataFrame = {
+  private def settle(agg: DataFrame, name0: String,
+                     mode: String = "complete"): DataFrame = {
     val s = agg.sparkSession
     val name = s"${name0}_${runId.incrementAndGet()}"
     val q = agg.writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.table(name)
+  }
+
+  /** Stream-stream inner join: click→purchase conversions within one
+    * hour, per user. Both sides carry watermarks and the join condition
+    * bounds purchase time to [click, click+1h], so the state store holds
+    * only the watermark horizon of each side — O(rows per hour), not
+    * O(stream history). Inner joins emit eagerly on match, so append
+    * mode + AvailableNow settles to exactly the batch self-join, which
+    * the DuckDB oracle recomputes. */
+  def streamedConversions(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(buys,
+        col("c_user") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_timestamp(col("purchase_ts")) -
+         unix_timestamp(col("click_ts"))).as("delay_s"),
+        round(col("value"), 6).as("value"))
+    settle(joined, "graft_stream_conv", mode = "append")
+      .orderBy("click_id", "purchase_id")
   }
 
   /** Stream-static join: the events stream enriched with the static

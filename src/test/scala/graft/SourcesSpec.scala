@@ -42,6 +42,18 @@ class SourcesSpec extends AnyFunSuite {
            src.agg(round(sum("o_totalprice"), 2)).as[Double].collect()(0))
   }
 
+  test("orc round trip preserves values") {
+    val src = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val out = tmp() + "/orc"
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() === src.count())
+    assert(back.agg(round(sum("l_extendedprice"), 2)).as[Double]
+             .collect()(0) ===
+           src.agg(round(sum("l_extendedprice"), 2)).as[Double].collect()(0))
+  }
+
   test("json round trip preserves nested struct columns") {
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),

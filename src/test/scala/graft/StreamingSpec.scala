@@ -86,6 +86,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream join settles to the batch self-join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamedConversions(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val ev = graft.sources.Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value"))
+    val batch = c.join(p,
+        col("cu") === col("user_id") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_timestamp(col("pts")) - unix_timestamp(col("cts")))
+          .as("delay_s"),
+        round(col("value"), 6).as("value"))
+      .orderBy("click_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stream-static join settles to the batch join result") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.streamedSegmentRevenue(spark, dir)

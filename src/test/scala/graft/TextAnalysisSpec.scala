@@ -116,4 +116,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sc.contains("<EMAIL>") && sc.contains("<URL>"))
     assert(!sc.contains("@example.com") && !sc.contains("https://"))
   }
+
+  test("curation pipeline: gate holds, dedup unique, sample deterministic") {
+    import graft.operators.Curation
+    val dir = "/root/testdata/sf0.001"
+    val out = Curation.curationPipeline(spark, dir)
+    val rows = out.select("doc_id", "quality_score", "scrubbed_fp")
+      .as[(Long, Double, String)].collect()
+    assert(rows.nonEmpty)
+    // every survivor passed the quality gate and the sample predicate
+    rows.foreach { case (id, qs, _) =>
+      assert(qs >= 0.3, s"doc $id under gate: $qs")
+      assert(((id % (1L << 31)) * 2654435761L) % 100 < 50, s"doc $id bucket")
+    }
+    // exact dedup kept at most one doc per scrubbed fingerprint
+    val fps = rows.map(_._3)
+    assert(fps.distinct.length === fps.length)
+    // layout-independent: a re-run selects the identical corpus
+    assert(out.collect().toSeq ===
+      Curation.curationPipeline(spark, dir).collect().toSeq)
+  }
 }
