@@ -159,6 +159,7 @@ object SparkEntry {
     "events_type_unpivot" -> (Grouping.eventsTypeUnpivot _),
     "order_grouping_sets" -> (Grouping.orderGroupingSets _),
     "rolling_7d_revenue" -> (Grouping.rolling7dRevenue _),
+    "order_gaps_quartiles" -> (Grouping.orderGapsQuartiles _),
     "approx_lineitem_stats" -> (Grouping.approxLineitemStats _),
     "wordcount_nostop" -> (TextAnalysis.wordCountNoStopwords _),
     // --- structured streaming (settled result is batch-checkable) ---
@@ -189,13 +190,13 @@ object SparkEntry {
         graft.multimodal.Multimodal.mediaFromDocuments(
           Tables.documents(s, dir)), durationMs = 1000, strideMs = 250)
         .orderBy("doc_id", "frame_ms")),
+    // byte_sum checks the actual resampled BYTES (header + NN raster for
+    // images), not just shapes — the oracle recomputes both from text
     "multimodal_resize" -> ((s, dir) =>
-      graft.multimodal.Multimodal.resizeImages(
-        graft.multimodal.Multimodal.mediaFromDocuments(
-          Tables.documents(s, dir)), targetW = 16, targetH = 16)
-        .select(col("doc_id"), col("modality"),
-          length(col("content")).as("n_bytes"),
-          col("width"), col("height"))
+      graft.multimodal.Multimodal.contentByteSums(
+        graft.multimodal.Multimodal.resizeImages(
+          graft.multimodal.Multimodal.mediaFromDocuments(
+            Tables.documents(s, dir)), targetW = 16, targetH = 16))
         .orderBy("doc_id")),
   )
 
@@ -242,31 +243,44 @@ object SparkEntry {
         |         / greatest(length(text), 1) > 0.01 THEN 'es'
         |    ELSE 'en' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // recompute the stub decode's integer byte-lane sums from the UTF-8
-    // bytes (hex-pair decode; positions i mod 8 → lane f(i%8))
+    // Recompute the decode's integer lane sums from the UTF-8 bytes
+    // (hex-pair extraction). Image rows (doc_id%3=0) are real 64×64 PGM:
+    // raster pixel k = byte[k mod nb], lane = horizontal band k div 512,
+    // n_bytes = 13-byte header + 4096 raster. Audio/video keep the
+    // declared stub: lane = i mod 8 over the raw bytes.
     "multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS h,
         |    octet_length(encode(text)) AS nb
         |  FROM documents),
-        |bytes AS (
-        |  SELECT doc_id, nb, i,
+        |img AS (
+        |  SELECT doc_id, 4109 AS n_bytes, i // 512 AS lane,
+        |    (strpos('0123456789ABCDEF',
+        |       substr(h, 2*(i % greatest(nb,1))+1, 1)) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF',
+        |       substr(h, 2*(i % greatest(nb,1))+2, 1)) - 1) AS bv
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, 4095)) AS i) g
+        |  WHERE doc_id % 3 = 0),
+        |av AS (
+        |  SELECT doc_id, nb AS n_bytes, i % 8 AS lane,
         |    (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16 +
         |    (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1) AS bv
-        |  FROM b, LATERAL (SELECT unnest(generate_series(0, nb-1)) AS i) g)
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, nb-1)) AS i) g
+        |  WHERE doc_id % 3 <> 0),
+        |u AS (SELECT * FROM img UNION ALL SELECT * FROM av)
         |SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CAST(nb AS BIGINT) AS n_bytes,
-        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 0), 0) AS BIGINT) AS f0,
-        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 1), 0) AS BIGINT) AS f1,
-        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 2), 0) AS BIGINT) AS f2,
-        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 3), 0) AS BIGINT) AS f3,
-        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 4), 0) AS BIGINT) AS f4,
-        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 5), 0) AS BIGINT) AS f5,
-        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 6), 0) AS BIGINT) AS f6,
-        |  CAST(coalesce(sum(bv) FILTER (WHERE i % 8 = 7), 0) AS BIGINT) AS f7
-        |FROM bytes GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE lane = 0), 0) AS BIGINT) AS f0,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE lane = 1), 0) AS BIGINT) AS f1,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE lane = 2), 0) AS BIGINT) AS f2,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE lane = 3), 0) AS BIGINT) AS f3,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE lane = 4), 0) AS BIGINT) AS f4,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE lane = 5), 0) AS BIGINT) AS f5,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE lane = 6), 0) AS BIGINT) AS f6,
+        |  CAST(coalesce(sum(bv) FILTER (WHERE lane = 7), 0) AS BIGINT) AS f7
+        |FROM u GROUP BY doc_id, n_bytes ORDER BY doc_id""".stripMargin,
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
@@ -523,14 +537,41 @@ object SparkEntry {
       """SELECT doc_id, unnest(generate_series(0, 999, 250)) AS frame_ms
         |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY doc_id, frame_ms""".stripMargin,
+    // images: 13-byte resized header "P5\n16 16\n255\n" (ASCII sum 557)
+    // + NN raster out(y,x) = plane[256y+4x], plane[k] = byte[k mod nb];
+    // audio/video: untouched raw bytes summed whole
     "multimodal_resize" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |    ELSE 'video' END AS modality,
-        |  CASE WHEN doc_id % 3 = 0 THEN 256 ELSE n_chars END AS n_bytes,
-        |  CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 64 END AS width,
-        |  CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 64 END AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |img AS (
+        |  SELECT doc_id, 'image' AS modality, 269 AS n_bytes,
+        |    557 + coalesce(sum(
+        |      (strpos('0123456789ABCDEF', substr(h,
+        |         2*((256*(i//16) + 4*(i%16)) % greatest(nb,1))+1, 1)) - 1)*16 +
+        |      (strpos('0123456789ABCDEF', substr(h,
+        |         2*((256*(i//16) + 4*(i%16)) % greatest(nb,1))+2, 1)) - 1)),
+        |      0) AS byte_sum,
+        |    16 AS width, 16 AS height
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, 255)) AS i) g
+        |  WHERE doc_id % 3 = 0 GROUP BY doc_id, nb),
+        |av AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+        |      AS modality,
+        |    nb AS n_bytes,
+        |    coalesce(sum(
+        |      (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16 +
+        |      (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)), 0)
+        |      AS byte_sum,
+        |    64 AS width, 64 AS height
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, nb-1)) AS i) g
+        |  WHERE b.doc_id % 3 <> 0 GROUP BY b.doc_id, nb)
+        |SELECT doc_id, modality, CAST(n_bytes AS INTEGER) AS n_bytes,
+        |  CAST(byte_sum AS BIGINT) AS byte_sum, width, height
+        |FROM (SELECT * FROM img UNION ALL SELECT * FROM av) u
+        |ORDER BY doc_id""".stripMargin,
     "shipped_in_order_window" ->
       """SELECT o_orderkey, count(l.l_shipdate) AS n_shipped
         |FROM orders o LEFT JOIN lineitem l
@@ -730,6 +771,17 @@ object SparkEntry {
          |FROM k
          |WHERE rn = 1 AND ((doc_id % 2147483648) * 2654435761) % 100 < 50
          |ORDER BY doc_id""".stripMargin,
+    "order_gaps_quartiles" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  coalesce(CAST(date_diff('day',
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS INTEGER), -1) AS gap_days,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+        |    AS spend_quartile
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "wordcount_nostop" ->
       s"""SELECT lower(word) AS word, count(*) AS cnt
          |FROM ($DuckTokens) t

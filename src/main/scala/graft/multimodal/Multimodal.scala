@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batch-shaped decode/feature-extract
   * operators.
   *
-  * The actual media decoding is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake features from
-  * the bytes. Everything around it — schema, typed rows, partition-local
-  * batching, feature array shape, frame sampling — is the real plumbing a
-  * production decode would drop into: swap `decodeStub`'s body for a
-  * JNI/library call and nothing else changes.
+  * The IMAGE path is real end-to-end: assets are Netpbm P5 (PGM) files —
+  * a public, library-free format — and `Pgm.decode`/`resizeImage` are
+  * genuine implementations (header parse, raster slice, nearest-neighbor
+  * resample, re-encode). Audio/video decoding would require external
+  * codecs this environment lacks, so those two modalities keep the
+  * declared deterministic byte-math stub (`decodeStub`): swap its body
+  * for a JNI/library call and nothing else changes.
   *
   * Scale notes: decoding is per-row CPU work with no shuffle; batching
   * inside `mapPartitions` amortizes per-batch setup (the Scala analogue
@@ -30,9 +31,43 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  /** STUB decode: a real implementation would decode image/audio bytes
-    * here (e.g. via a native library) and emit pooled features. The fake
-    * is deterministic in the bytes so tests and reruns agree.
+  /** Source image side length for the fabricated assets. */
+  val ImgDim = 64
+
+  /** Netpbm P5 (PGM) codec — pure JVM, no libraries. Binary greyscale:
+    * "P5" <ws> width <ws> height <ws> 255 <single ws> raster(w*h bytes).
+    * (Public format; en.wikipedia.org/wiki/Netpbm#PGM_example.) */
+  object Pgm {
+    def encode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == w * h, s"raster ${pixels.length} != $w*$h")
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ pixels
+    }
+
+    /** @return (width, height, raster) */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5',
+        "not a P5 PGM")
+      var i = 2
+      def nextInt(): Int = {
+        while (Character.isWhitespace(bytes(i))) i += 1
+        var v = 0
+        while (i < bytes.length && !Character.isWhitespace(bytes(i))) {
+          require(bytes(i) >= '0' && bytes(i) <= '9', "bad PGM header")
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+      require(maxVal == 255, s"unsupported maxval $maxVal")
+      i += 1 // exactly one whitespace byte separates header and raster
+      require(bytes.length >= i + w * h, "truncated PGM raster")
+      (w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h))
+    }
+  }
+
+  /** STUB decode for audio/video (no codecs in this environment): a real
+    * implementation would decode the bytes and emit pooled features. The
+    * fake is deterministic in the bytes so tests and reruns agree.
     *
     * Lane sums accumulate in integers and divide by 255 exactly once at
     * the end: `round(feature * 255)` then recovers the integer lane sum
@@ -52,41 +87,81 @@ object Multimodal {
     MediaFeatures(row.doc_id, row.modality, row.content.length, feats)
   }
 
-  /** Fabricate a media table from documents: UTF-8 bytes stand in for
-    * encoded assets; modality assigned round-robin; metadata typed. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      encode(col("text"), "UTF-8").as("content"),
-      lit(64).as("width"), lit(64).as("height"),
-      lit(16000).as("sample_rate"))
+  /** REAL image decode + pooling: parse the PGM, sum pixel intensities
+    * over FeatureDim horizontal bands (rows [j·h/dim, (j+1)·h/dim)) —
+    * integer band sums with the same /255 contract as the stub. */
+  private def decodeImageFeatures(row: MediaRow): MediaFeatures = {
+    val (w, h, px) = Pgm.decode(row.content)
+    val bandRows = math.max(h / FeatureDim, 1)
+    val sums = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < px.length) {
+      sums(math.min((i / w) / bandRows, FeatureDim - 1)) += (px(i) & 0xff)
+      i += 1
+    }
+    val feats = new Array[Float](FeatureDim)
+    var j = 0
+    while (j < FeatureDim) { feats(j) = sums(j) / 255.0f; j += 1 }
+    MediaFeatures(row.doc_id, row.modality, row.content.length, feats)
+  }
+
+  /** Fabricate a media table from documents. Image rows are REAL PGM
+    * assets: a 64×64 raster filled from the document's UTF-8 bytes,
+    * cycled (deterministic, oracle-recomputable). Audio/video rows keep
+    * the raw bytes as their opaque stand-in payload. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) =>
+        val modality = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val content =
+          if (modality == "image") {
+            val plane = new Array[Byte](ImgDim * ImgDim)
+            if (raw.nonEmpty) {
+              var i = 0
+              while (i < plane.length) {
+                plane(i) = raw(i % raw.length); i += 1
+              }
+            }
+            Pgm.encode(ImgDim, ImgDim, plane)
+          } else raw
+        MediaRow(id, modality, content, ImgDim, ImgDim, 16000)
+      }.toDF()
+  }
 
   /** Batch-shaped feature extraction: partition-local, grouped into
-    * fixed-size batches (the decode library's preferred call shape). */
+    * fixed-size batches (the decode library's preferred call shape).
+    * Images take the real PGM decode path; audio/video the stub. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeStub)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        if (r.modality == "image") decodeImageFeatures(r) else decodeStub(r)
+      }))
       .toDF()
   }
 
-  /** STUB resize: a real implementation decodes, resamples and re-encodes
-    * the image. The fake emits a deterministic targetW×targetH byte plane
-    * derived from the source bytes, so the size/schema contract downstream
-    * operators rely on is real. */
-  private def resizeStub(row: MediaRow, tw: Int, th: Int): MediaRow = {
+  /** REAL image resize: decode the PGM, nearest-neighbor resample to
+    * targetW×targetH, re-encode. */
+  private def resizeImage(row: MediaRow, tw: Int, th: Int): MediaRow = {
+    val (w, h, px) = Pgm.decode(row.content)
     val out = new Array[Byte](tw * th)
-    if (row.content.nonEmpty) {
-      var i = 0
-      while (i < out.length) {
-        out(i) = row.content(i % row.content.length)
-        i += 1
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = px(sy * w + x * w / tw)
+        x += 1
       }
+      y += 1
     }
-    row.copy(content = out, width = tw, height = th)
+    row.copy(content = Pgm.encode(tw, th, out), width = tw, height = th)
   }
 
   /** Resize image rows to targetW×targetH (other modalities pass through
@@ -98,9 +173,25 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
-        if (r.modality == "image") resizeStub(r, targetW, targetH) else r
+        if (r.modality == "image") resizeImage(r, targetW, targetH) else r
       }))
       .toDF()
+  }
+
+  /** Byte-level checksum projection of a binary column — the cheap
+    * content fingerprint that lets an oracle verify opaque asset BYTES
+    * (not just shapes) without shipping them. */
+  def contentByteSums(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .map { r =>
+        var s = 0L
+        var i = 0
+        while (i < r.content.length) { s += (r.content(i) & 0xff); i += 1 }
+        (r.doc_id, r.modality, r.content.length, s, r.width, r.height)
+      }
+      .toDF("doc_id", "modality", "n_bytes", "byte_sum", "width", "height")
   }
 
   /** Frame sampling for video rows: every strideMs milliseconds up to

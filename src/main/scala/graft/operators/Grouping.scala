@@ -180,6 +180,29 @@ object Grouping {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Sequential-window breadth (lag + ntile): per-customer order recency
+    * gap and in-customer spend quartile. Both windows share the customer
+    * partition key, so the plan is ONE hash exchange + two in-partition
+    * sorts; lag/ntile are O(1)-state single passes. First order's gap is
+    * -1 (null-free output keeps the cross-engine hash compare simple). */
+  def orderGapsQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val bySpend = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("gap_days",
+        coalesce(datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(byDate)), lit(-1)))
+      .withColumn("spend_quartile", ntile(4).over(bySpend))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("gap_days"), col("spend_quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Session windows over the event stream: events of a user belong to
     * one session while gaps stay under `gap`. Uses Spark's native
     * session_window aggregation (merging windows under the hood — the

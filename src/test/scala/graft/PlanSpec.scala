@@ -75,6 +75,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"))
   }
 
+  test("curation pipeline: per-row stages fuse — no join, bounded shuffles") {
+    import graft.operators.Curation
+    val p = plan(Curation.curationPipeline(spark, dir))
+    assert(!p.contains("Join"), s"curation stages must not join:\n$p")
+    // dedup-window hash exchange + output-sort range exchange, nothing else
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("part_brand_revenue: part dim arrives broadcast") {
+    val p = plan(Relational.partBrandRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("order gaps/quartiles: both windows share one exchange") {
+    import graft.operators.Grouping
+    val p = plan(Grouping.orderGapsQuartiles(spark, dir))
+    // partition keys match → one hash exchange feeds both window sorts
+    // (+ the final presentation sort's range exchange)
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 2, p)
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size === 2, p)
+  }
+
   test("native as-of join: AsOfJoinExec over shuffled, sorted children") {
     import graft.operators.AsOfJoin
     import graft.sources.Tables

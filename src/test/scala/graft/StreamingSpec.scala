@@ -152,11 +152,36 @@ class MultimodalSpec extends AnyFunSuite {
     val resized = Multimodal.resizeImages(
       Multimodal.mediaFromDocuments(docs), 16, 16)
     val images = resized.filter(col("modality") === "image")
-    assert(images.filter(length(col("content")) =!= 256 ||
+    // 13-byte PGM header ("P5\n16 16\n255\n") + 16×16 raster
+    assert(images.filter(length(col("content")) =!= (13 + 256) ||
       col("width") =!= 16 || col("height") =!= 16).count() === 0)
     // non-image rows untouched: bytes still the document text length
     val others = resized.filter(col("modality") =!= "image")
     assert(others.filter(col("width") =!= 64).count() === 0)
+  }
+
+  test("PGM codec round-trips; resize is exact nearest-neighbor") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.Pgm
+    import spark.implicits._
+    val px = Array.tabulate(16)(i => i.toByte) // 4×4 ramp
+    val (w, h, back) = Pgm.decode(Pgm.encode(4, 4, px))
+    assert(w === 4 && h === 4 && back.toSeq === px.toSeq)
+    val df = Seq(Multimodal.MediaRow(1L, "image", Pgm.encode(4, 4, px),
+      4, 4, 0)).toDS().toDF()
+    val out = Multimodal.resizeImages(df, 2, 2).collect()(0)
+    val (w2, h2, p2) = Pgm.decode(out.getAs[Array[Byte]]("content"))
+    assert((w2, h2) === ((2, 2)))
+    // NN picks source rows/cols 0 and 2: pixels 0, 2, 8, 10
+    assert(p2.toSeq === Seq[Byte](0, 2, 8, 10))
+    // and the real image feature path: band sums of the decoded raster
+    val r0 = Multimodal.extractFeatures(df).collect()(0)
+    val feats = r0.getSeq[Float](r0.fieldIndex("features"))
+    // 4 rows, bandRows=max(4/8,1)=1 → band j is row j; bands 4..7 empty
+    assert(feats(0) * 255 === (0 + 1 + 2 + 3))
+    assert(feats(1) * 255 === (4 + 5 + 6 + 7))
+    assert(feats(3) * 255 === (12 + 13 + 14 + 15))
+    assert(feats(7) === 0f)
   }
 
   test("frame sampling emits stride-spaced offsets for video rows only") {
