@@ -70,6 +70,8 @@ object SparkEntry {
     "events_json_stats" -> (Relational.eventsJsonStats _),
     "events_hourly" -> (Relational.eventsHourly _),
     "part_brand_revenue" -> (Relational.partBrandRevenue _),
+    "nation_coverage" -> (Relational.nationCoverage _),
+    "above_average_orders" -> (Relational.aboveAverageOrders _),
     // --- text analysis (north-star LLM-pipeline operators) ---
     "token_stats" -> (TextAnalysis.tokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
@@ -669,6 +671,22 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY rev DESC, p_brand LIMIT 10""".stripMargin,
+    "nation_coverage" ->
+      """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers
+        |                 FROM supplier GROUP BY 1) s
+        |  ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "above_average_orders" ->
+      """SELECT o_orderstatus, count(*) AS n_above,
+        |  round(min(o_totalprice), 2) AS min_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_type_unpivot" ->
       """WITH agg AS (
         |  SELECT hour(ts) AS hod, event_type, round(sum(value),2) AS v

@@ -215,6 +215,37 @@ object Relational {
            round(avg("k"), 6).as("avg_k"))
       .orderBy("event_type")
 
+  /** Full-outer join: per-nation customer AND supplier counts, keeping
+    * nations that have only one side. Same shuffle contract as an inner
+    * hash join (both pre-aggregated sides are nation-sized — tiny). */
+  def nationCoverage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+    val p = Tables.supplier(s, dir).groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  /** Scalar subquery: orders above the global average price. The inner
+    * aggregate is one scalar, broadcast into the filter — the plan shape
+    * to watch is ONE extra scan + tiny exchange, never a per-row
+    * subquery re-execution. */
+  def aboveAverageOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(avg("o_totalprice").as("ap"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("ap"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_above"),
+        round(min("o_totalprice"), 2).as("min_above"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Revenue by part brand: fact-to-dim equi-join with the dim
     * explicitly broadcast (part is keys+brand after pruning — megabytes
     * even at 100 TB fact scale), so the fact side never shuffles; the
