@@ -162,6 +162,7 @@ object SparkEntry {
     "order_grouping_sets" -> (Grouping.orderGroupingSets _),
     "rolling_7d_revenue" -> (Grouping.rolling7dRevenue _),
     "order_gaps_quartiles" -> (Grouping.orderGapsQuartiles _),
+    "user_event_type_sets" -> (Grouping.userEventTypeSets _),
     "approx_lineitem_stats" -> (Grouping.approxLineitemStats _),
     "wordcount_nostop" -> (TextAnalysis.wordCountNoStopwords _),
     // --- structured streaming (settled result is batch-checkable) ---
@@ -736,7 +737,8 @@ object SparkEntry {
         |  greatest(round(sqrt(list_sum(list_transform(v, x -> x*x))), 6),
         |           1e-9) AS norm FROM e),
         |q AS (SELECT vec_id, norm,
-        |  list_transform(v, x -> CAST(floor(x / norm * 127 + 0.5) AS INTEGER))
+        |  list_transform(v, x -> CAST(least(greatest(
+        |    floor(x / norm * 127 + 0.5), -127), 127) AS INTEGER))
         |    AS qv FROM n)
         |SELECT vec_id, norm,
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
@@ -789,6 +791,12 @@ object SparkEntry {
          |FROM k
          |WHERE rn = 1 AND ((doc_id % 2147483648) * 2654435761) % 100 < 50
          |ORDER BY doc_id""".stripMargin,
+    "user_event_type_sets" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+        |    AS event_types,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "order_gaps_quartiles" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,

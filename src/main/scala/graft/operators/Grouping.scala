@@ -180,6 +180,19 @@ object Grouping {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Collection aggregates: the distinct event types each user produced,
+    * as a deterministic sorted CSV (collect_set is unordered by contract;
+    * sort_array + concat_ws makes the result layout-independent AND
+    * hash-safe for the driver's scalar compare — never emit raw arrays). */
+  def userEventTypeSets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("event_type"))))
+          .as("event_types"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+
   /** Sequential-window breadth (lag + ntile): per-customer order recency
     * gap and in-customer spend quartile. Both windows share the customer
     * partition key, so the plan is ONE hash exchange + two in-partition

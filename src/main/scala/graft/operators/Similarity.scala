@@ -139,8 +139,13 @@ object Similarity {
     emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("norm",
         greatest(round(sqrt(dot_native(col("v"), col("v"))), 6), lit(1e-9)))
+      // clamp to ±127 like any real int8 quantizer: inactive for sane
+      // vectors (|lane| ≤ norm), but sub-micro norms round to the 1e-9
+      // floor and would otherwise overflow the lane range
       .withColumn("qv", transform(col("v"),
-        x => floor(x / col("norm") * lit(127d) + lit(0.5)).cast("int")))
+        x => least(greatest(
+          floor(x / col("norm") * lit(127d) + lit(0.5)), lit(-127L)),
+          lit(127L)).cast("int")))
       .select(col("vec_id"), col("norm"),
         aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
         array_min(col("qv")).as("q_min"),

@@ -115,7 +115,9 @@ class DedupSpec extends AnyFunSuite {
     val norm = math.max(BigDecimal(math.sqrt(v.map(x => x * x).sum))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1e-9)
     assert(math.abs(norm - n0) < 1e-12)
-    val qsum = v.map(x => math.floor(x / norm * 127 + 0.5).toLong).sum
+    val qsum = v.map(x =>
+      math.max(-127L, math.min(127L,
+        math.floor(x / norm * 127 + 0.5).toLong))).sum
     assert(qsum === qs0)
   }
 }

