@@ -98,6 +98,28 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size === 2, p)
   }
 
+  test("knn_ivf: cell assignment is shuffle-free per-row math") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), 5))
+    // the round-1 bug shape was crossJoin + row_number window for
+    // assignment; fixed = the ONLY window is the final per-query top-k
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // top-k hash exchange + presentation range exchange + probe broadcast
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("knn_lsh: signature is the fused native expression, not HOFs") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), 5))
+      .toLowerCase
+    assert(p.contains("lshsignbits"), "native LshSignBits missing from plan")
+  }
+
   test("native as-of join: AsOfJoinExec over shuffled, sorted children") {
     import graft.operators.AsOfJoin
     import graft.sources.Tables
