@@ -71,6 +71,14 @@ object Similarity {
     val seeds = e.orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
       .limit(cells).select("v").collect()
       .map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty) {
+      // degenerate empty corpus: no centroids to train — empty result
+      // with the contract schema instead of a driver crash
+      val s = emb.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "nn_id", "sim", "rn")
+    }
     val dim = seeds.head.length // derived from the data, no fixed 64
 
     // nearest cell by cosine = argmax of dot with UNIT-norm centroids

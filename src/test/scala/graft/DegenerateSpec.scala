@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-corpus sweep: every operator must return an EMPTY (or
+  * trivially small) result on an empty or single-row corpus, never
+  * throw. This is the bug class the advisory round caught in the bitmap
+  * Jaccard path (vocab=0 → require failure) and that knnIvf had at
+  * `seeds.head` — pin the whole family. */
+class DegenerateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def oneDoc: DataFrame =
+    Seq((1L, "tiny", "en", "t", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def emptyEmb: DataFrame =
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+
+  private def oneEmb: DataFrame =
+    Seq((1L, Array(1f, 2f, 3f), 0)).toDF("vec_id", "embedding", "label")
+
+  private def dirFor(docs: DataFrame): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("word count and text analysis survive empty and 1-row corpora") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      assert(WordCount.wordCount(docs, "text", false).count() <= 1)
+      val dir = dirFor(docs)
+      assert(TextAnalysis.tokenStats(spark, dir).count() === docs.count())
+      assert(TextAnalysis.langId(spark, dir).count() === docs.count())
+      assert(TextAnalysis.piiScrub(spark, dir).count() === docs.count())
+      assert(Curation.curationPipeline(spark, dir).count() <= docs.count())
+    }
+  }
+
+  test("dedup tiers survive empty and sub-shingle corpora") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      // oneDoc has a single token → zero bigram features (the vocab=0
+      // degenerate case the advisory flagged)
+      assert(Dedup.jaccardPairsAuto(docs, 0.5).count() === 0)
+      assert(Dedup.minhashLshPairs(docs, 32, 8, 0.4).count() === 0)
+      assert(Dedup.simhashPairs(docs, 8).count() === 0)
+    }
+    assert(Dedup.exactGroups(emptyDocs).count() === 0)
+  }
+
+  test("similarity tiers survive empty corpora and empty query sets") {
+    assert(Similarity.knnBruteForce(emptyEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.knnLsh(emptyEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.knnIvf(emptyEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.knnIvf(oneEmb, emptyEmb, 5).count() === 0)
+    // empty corpus, non-empty queries: no neighbors, no crash
+    assert(Similarity.knnIvf(emptyEmb, oneEmb, 5).count() === 0)
+    assert(Similarity.normalizeQuantize(emptyEmb).count() === 0)
+    assert(Dedup.embeddingNearDupPairs(emptyEmb, 0.5).count() === 0)
+    // a single vector has no pairs
+    assert(Dedup.embeddingNearDupPairs(oneEmb, 0.5).count() === 0)
+  }
+}
