@@ -47,8 +47,12 @@ object SparkEntry {
     // token multiset (the tokenizer already treats newline as a space), so
     // the oracle over documents.text checks the whole O1→O7 chain.
     "wordcount_textdir" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_textdir_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      // per-call unique dir: a fixed path keyed on `dir` races when two
+      // processes (Bench + Verify, parallel CI) build this query over
+      // the same sf dir — one's overwrite deletes files mid-read of the
+      // other's lazy scan
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_textdir_").toString
       Tables.documents(s, dir).select("text")
         .write.mode("overwrite").text(tmp)
       WordCount.wordCount(Tables.textDir(s, tmp), "line", caseSensitive = false)

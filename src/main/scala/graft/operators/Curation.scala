@@ -27,24 +27,15 @@ object Curation {
     * scrub stage has real work the oracle can recompute. */
   def curationPipeline(s: SparkSession, dir: String,
                        minQuality: Double = 0.3, pct: Int = 50): DataFrame = {
-    val sw = array(TextAnalysis.Stopwords.map(lit): _*)
-    val scrubbed = regexp_replace(
-      regexp_replace(col("text"), lit(TextAnalysis.UrlRe), lit("<URL>")),
-      lit(TextAnalysis.EmailRe), lit("<EMAIL>"))
     val staged = TextAnalysis.withSyntheticPii(Tables.documents(s, dir))
       .withColumn("toks", tokenize(col("text")))
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("stop_ratio",
-        round(size(filter(col("toks"), t => array_contains(sw, t)))
-          .cast("double") / size(col("toks")), 4))
-      .withColumn("distinct_ratio",
-        round(size(array_distinct(col("toks"))).cast("double") /
-          size(col("toks")), 4))
-      .withColumn("quality_score",
-        round(lit(0.4) * col("stop_ratio") +
-              lit(0.6) * col("distinct_ratio"), 4))
+      // the scrub and quality semantics live in TextAnalysis — one Scala
+      // definition each, so this pipeline can't drift from pii_scrub /
+      // quality_score
+      .withColumn("quality_score", TextAnalysis.qualityExpr(col("toks")))
       .filter(col("quality_score") >= minQuality)
-      .withColumn("scrubbed_fp", md5(scrubbed))
+      .withColumn("scrubbed_fp", md5(TextAnalysis.scrubExpr(col("text"))))
     val w = Window.partitionBy("scrubbed_fp").orderBy("doc_id")
     staged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

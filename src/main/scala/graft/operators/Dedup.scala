@@ -371,10 +371,11 @@ object Dedup {
     // LSH-bounded candidate sets, but nothing stops a corpus-wide call):
     // when the build side exceeds the broadcast budget, drop the hint and
     // let the θ-join run as a partitioned nested-loop instead of a
-    // driver-side broadcast — same O(n²) work, no driver OOM.
-    val nVec = e.count()
-    val dim =
-      if (nVec == 0) 0 else e.select(size(col("v"))).head.getInt(0)
+    // driver-side broadcast — same O(n²) work, no driver OOM. One stats
+    // job for (count, dim), not two separate scans.
+    val stats = e.agg(count(lit(1)), first(size(col("v")))).head
+    val nVec = stats.getLong(0)
+    val dim = if (nVec == 0) 0 else stats.getInt(1)
     val build =
       if (nVec * (dim * 8L + 48) <= MaxBroadcastBytes) broadcast(b) else b
     a.join(build, col("id_a") < col("id_b") && sim >= tau)

@@ -124,7 +124,11 @@ object Grouping {
       .agg(sum("n0").as("n0"), sum("t0").as("t0"))
       .select(all.as("status"), col("o_orderpriority").as("priority"),
         all.as("o_year"), col("n0"), col("t0"))
-    val grand = detail.agg(sum("n0").as("n0"), sum("t0").as("t0"))
+    // coalesce the grand count: agg over zero detail rows yields NULL,
+    // but native GROUPING SETS (and the oracle) emit count(*)=0 for the
+    // () set on an empty input (sum stays NULL in both)
+    val grand = detail.agg(coalesce(sum("n0"), lit(0L)).as("n0"),
+        sum("t0").as("t0"))
       .select(all.as("status"), all.as("priority"), all.as("o_year"),
         col("n0"), col("t0"))
     statusYear.union(byPriority).union(grand)

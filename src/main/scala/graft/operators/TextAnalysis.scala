@@ -154,16 +154,35 @@ object TextAnalysis {
           col("doc_id").cast("string")))
         .otherwise(col("text")))
 
+  /** The PII-redaction expression over a text column: URL scrub runs
+    * first (mirrored in every oracle) so an address inside a URL can't
+    * be double-redacted. Shared by piiScrub and Curation so the
+    * redaction semantics exist in exactly one Scala place. */
+  def scrubExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(text, lit(UrlRe), lit("<URL>")),
+      lit(EmailRe), lit("<EMAIL>"))
+
+  /** The 0.4·stop_ratio + 0.6·distinct_ratio quality blend over a token
+    * array (ratios pre-rounded to 4 dp; see qualityScore for the why of
+    * the weights) — the same score qualityScore emits, as one reusable
+    * expression for pipelines (Curation) that don't surface the ratios. */
+  def qualityExpr(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    val stopRatio = round(size(filter(toks, t => array_contains(sw, t)))
+      .cast("double") / size(toks), 4)
+    val distinctRatio =
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+    round(lit(0.4) * stopRatio + lit(0.6) * distinctRatio, 4)
+  }
+
   /** PII scrub — the curation pass every training corpus runs: count and
     * redact emails/URLs. Pure per-row regex column math, scan-fused,
     * zero shuffles at any scale; the md5 of the redacted text makes the
-    * result hash-checkable without shipping the text itself. URL scrub
-    * runs first (mirrored in the oracle) so an address inside a URL
-    * can't be double-redacted. */
+    * result hash-checkable without shipping the text itself. */
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(col("text"), lit(UrlRe), lit("<URL>")),
-      lit(EmailRe), lit("<EMAIL>"))
+    val scrubbed = scrubExpr(col("text"))
     withSyntheticPii(Tables.documents(s, dir))
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
