@@ -281,9 +281,12 @@ object Dedup {
     cand
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      // native agree-count: the per-pair interpreted zip_with+filter was
+      // the last HOF in a pairwise path (runs once per LSH candidate)
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") / k, 6))
+        round(graft.functions.MinHashExpression
+          .sig_agree_count(col("sig_a"), col("sig_b"))
+          .cast("double") / k, 6))
       .filter(col("est_jaccard") >= tau)
       .select("id_a", "id_b", "est_jaccard")
       .orderBy("id_a", "id_b")

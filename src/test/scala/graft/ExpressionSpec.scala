@@ -108,4 +108,19 @@ class ExpressionSpec extends AnyFunSuite {
     assert(dist > 0 && dist <= 10)
     assert(sh(a) >= 0L) // 62-bit packing keeps ANSI-long-safe positive
   }
+
+  test("sig_agree_count equals the composed zip_with form") {
+    import graft.functions.MinHashExpression.sig_agree_count
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 8L)), // 2 agree
+      (Array(5L, 5L), Array(5L, 5L)),                 // all agree
+      (Array(1L, 2L, 3L), Array(7L, 8L)),             // prefix only, 0
+      (Array.empty[Long], Array(1L))                  // empty → 0
+    ).toDF("a", "b")
+    val got = df.select(sig_agree_count(col("a"), col("b"))).as[Long].collect()
+    val ref = df.select(size(filter(zip_with(col("a"), col("b"),
+      (x, y) => x === y), p => p)).cast("long")).as[Long].collect()
+    assert(got.toSeq === Seq(2L, 2L, 0L, 0L))
+    assert(got.toSeq === ref.toSeq)
+  }
 }
