@@ -57,6 +57,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line above is ~2 KB and can fall off the head of a
+    // bounded tail window; repeat a compact summary as the FINAL stdout
+    // line so a parser that only sees the tail still gets the total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,6 +31,26 @@ object SparkEntry {
       |         ' +')) AS word
       |FROM documents""".stripMargin
 
+  /** Temp dirs to delete at JVM exit (single hook, registered lazily).
+    * Deletion must wait for exit: the DataFrames built over these dirs are
+    * lazy and may be re-executed arbitrarily late (best-of-N benching). */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val reaperInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { d =>
+        try {
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }
+      }))
+
+  private def reapAtExit(dir: String): Unit = {
+    reaperInstalled
+    tempDirs.add(dir)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity: word count (SURVEY.md §2.1 O1-O7) ---
     "wordcount_ci" -> ((s, dir) =>
@@ -50,9 +70,12 @@ object SparkEntry {
       // per-call unique dir: a fixed path keyed on `dir` races when two
       // processes (Bench + Verify, parallel CI) build this query over
       // the same sf dir — one's overwrite deletes files mid-read of the
-      // other's lazy scan
+      // other's lazy scan. Dirs are reaped at JVM exit (the returned
+      // DataFrame is lazy, so deleting any earlier could race a re-scan —
+      // Bench reruns the same plan for best-of-N).
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_textdir_").toString
+      reapAtExit(tmp)
       Tables.documents(s, dir).select("text")
         .write.mode("overwrite").text(tmp)
       WordCount.wordCount(Tables.textDir(s, tmp), "line", caseSensitive = false)
@@ -192,10 +215,14 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes")) ++ lanes: _*)
         .orderBy("doc_id")
     }),
+    // modality pushed INTO mediaFromDocuments: the video predicate runs
+    // before asset fabrication, so no image raster is built just to be
+    // dropped by sampleFrames' filter.
     "multimodal_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.mediaFromDocuments(
-          Tables.documents(s, dir)), durationMs = 1000, strideMs = 250)
+          Tables.documents(s, dir), modality = Some("video")),
+        durationMs = 1000, strideMs = 250)
         .orderBy("doc_id", "frame_ms")),
     // byte_sum checks the actual resampled BYTES (header + NN raster for
     // images), not just shapes — the oracle recomputes both from text
@@ -392,11 +419,13 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_spend DESC, c_custkey""".stripMargin,
     "events_json_stats" ->
-      """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)),6)
-        |    AS avg_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT event_type, n, sum_k,
+        |  round(CAST(sum_k AS DOUBLE) / n, 6) AS avg_k
+        |FROM (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+        |  FROM events GROUP BY 1) t
+        |ORDER BY 1""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value

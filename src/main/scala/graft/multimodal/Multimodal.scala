@@ -105,19 +105,35 @@ object Multimodal {
     MediaFeatures(row.doc_id, row.modality, row.content.length, feats)
   }
 
+  /** doc_id % 3 drives the fabricated modality; keep the mapping in one
+    * place so a pre-map filter and the map itself can't drift apart. */
+  private val ModalityOfMod = Map(0L -> "image", 1L -> "audio", 2L -> "video")
+
   /** Fabricate a media table from documents. Image rows are REAL PGM
     * assets: a 64×64 raster filled from the document's UTF-8 bytes,
     * cycled (deterministic, oracle-recomputable). Audio/video rows keep
-    * the raw bytes as their opaque stand-in payload. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    * the raw bytes as their opaque stand-in payload.
+    *
+    * `modality`, when given, filters on `doc_id % 3` BEFORE the typed map
+    * so asset construction (the PGM encode is ~4 KB per image row) is
+    * never paid for rows a downstream modality predicate would drop —
+    * at scale that's decode-tier CPU, not a rounding error. */
+  def mediaFromDocuments(docs: DataFrame,
+                         modality: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+    val wanted = modality.map { m =>
+      ModalityOfMod.collectFirst { case (k, v) if v == m => k }
+        .getOrElse(throw new IllegalArgumentException(s"unknown modality $m"))
+    }
+    val base = wanted match {
+      case Some(k) => docs.filter(pmod(col("doc_id"), lit(3)) === k)
+      case None => docs
+    }
+    base.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
       .as[(Long, Array[Byte])]
       .map { case (id, raw) =>
-        val modality = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
-        }
+        val modality = ModalityOfMod(id % 3)
         val content =
           if (modality == "image") {
             val plane = new Array[Byte](ImgDim * ImgDim)

@@ -205,14 +205,21 @@ object Relational {
               col("n_orders"))
       .orderBy(desc("total_spend"), asc("c_custkey"))
 
-  /** JSON extraction from the events.props payload column. */
+  /** JSON extraction from the events.props payload column.
+    *
+    * avg_k is deliberately derived from the integer sum and count
+    * (`sum_k / n`) rather than `avg(k)`: Spark's incremental average and
+    * DuckDB's sum/count produce last-bit-different doubles, and rounding
+    * at 6 dp can flip near a boundary. Dividing the same two exact
+    * integers gives a bit-identical IEEE double on both engines. */
   def eventsJsonStats(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-           round(avg("k"), 6).as("avg_k"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .withColumn("avg_k",
+        round(col("sum_k").cast("double") / col("n"), 6))
       .orderBy("event_type")
 
   /** Full-outer join: per-nation customer AND supplier counts, keeping

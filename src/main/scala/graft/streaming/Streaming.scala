@@ -74,17 +74,32 @@ object Streaming {
   /** Run a streaming aggregation to its settled state through a memory
     * sink (Trigger.AvailableNow, complete mode) and return it. The memory
     * sink is driver-side and bounded by the aggregate's key count — fine
-    * for the check; an unbounded-horizon production run writes to files. */
+    * for the check; an unbounded-horizon production run writes to files.
+    *
+    * Shuffle partitions are capped for the settle run: each stateful
+    * partition instantiates its own state store PER MICRO-BATCH, so a
+    * tiny-keyspace replay on 32 partitions pays 32× store open/commit
+    * overhead for no parallelism gain. The cap is scoped to the stream
+    * (conf saved/restored around it); a production deployment with a big
+    * keyspace sets its own partition count — there you WANT the fan-out,
+    * and the partition count is locked into the checkpoint anyway. */
+  private val SettlePartitions = "4"
+
   private def settle(agg: DataFrame, name0: String,
                      mode: String = "complete"): DataFrame = {
     val s = agg.sparkSession
     val name = s"${name0}_${runId.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, SettlePartitions)
+    try {
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, saved)
     s.table(name)
   }
 
