@@ -121,6 +121,11 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.withNearDups(Tables.documents(s, dir)),
         maxDist = 8)),
+    // exact tier ∩ LSH candidates == exact tier on this corpus (recall 1,
+    // deterministic) — gives the MinHash path a DuckDB-hash-checked row
+    "dedup_minhash_agreement" -> ((s, dir) =>
+      Dedup.minhashAgreement(Dedup.withNearDups(Tables.documents(s, dir)),
+        tau = 0.5, k = 32, bands = 8, estTau = 0.4)),
     "dedup_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.45)),
     // --- similarity search ---
@@ -494,6 +499,35 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id
         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_jaccard_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+         |  FROM documents WHERE doc_id < 20),
+         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM feats a JOIN feats b
+         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         |  round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    // identical SQL to dedup_jaccard_pairs: the Spark side semi-joins the
+    // exact tier against the MinHash LSH candidates, and on this corpus
+    // (all passing pairs J >= 0.9) deterministic LSH recall is 1, so
+    // agreement == the exact tier. A signature/banding/estimate bug makes
+    // the semi-join drop pairs and the hash mismatch.
+    "dedup_minhash_agreement" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL

@@ -292,6 +292,21 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Driver-checkable MinHash invariant: the exact-Jaccard tier (J ≥ tau)
+    * semi-joined against the MinHash+LSH candidate tier. MinHash with
+    * fixed hash functions is deterministic, and on a corpus whose passing
+    * pairs sit well above tau (here all J ≥ 0.9 — planted near-dups) the
+    * LSH tier finds every exact pair, so the result EQUALS the exact tier
+    * — which ANSI SQL can recompute. That turns the non-SQL-expressible
+    * signature/banding/estimate code into a hash-checkable query: break
+    * any of it and pairs drop out of the semi-join. */
+  def minhashAgreement(docs: DataFrame, tau: Double, k: Int, bands: Int,
+                       estTau: Double): DataFrame =
+    jaccardPairsAuto(docs, tau)
+      .join(minhashLshPairs(docs, k, bands, estTau).select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi")
+      .orderBy("id_a", "id_b")
+
   /** 62-bit SimHash over the word-bigram multiset (62 keeps the packed
     * value positive under ANSI long arithmetic). Bit b is the sign of
     * Σ_features ±1 (hash bit b of the feature), repetitions weighting

@@ -165,9 +165,17 @@ object Similarity {
     * query; exact cosine re-rank (norms precomputed pre-explode) on that
     * bounded set. The signature is the fused native LshSignBits
     * expression — one primitive pass per vector, packed in a long, so a
-    * band key is a shift-and-mask, not array slicing. */
+    * band key is a shift-and-mask, not array slicing.
+    *
+    * Defaults from a measured sweep (graft.tools.LshSweep, random-vector
+    * corpus — LSH's worst case): r = nBits/bands sets per-band bucket
+    * count 2^r (candidate selectivity), bands sets the OR-chances
+    * (recall). r=4, 12 bands gives recall@5 0.82/0.92 at sf0.01/0.1 at
+    * the same wall time as 8 bands. At 100 TB raise r (more selective
+    * buckets) and bands together, or multi-probe neighboring buckets —
+    * recall per shuffled candidate is the metric that matters there. */
   def knnLsh(emb: DataFrame, queries: DataFrame, k: Int,
-             nBits: Int = 16, bands: Int = 4): DataFrame = {
+             nBits: Int = 48, bands: Int = 12): DataFrame = {
     import graft.functions.LshExpression.lsh_sign_bits
     require(nBits % bands == 0)
     val r = nBits / bands

@@ -93,7 +93,9 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.size === 50) // k found for every query
     val recall = bf.intersect(lsh).size.toDouble / bf.size
     info(f"LSH recall@5 = $recall%.2f")
-    assert(recall >= 0.2) // 16-bit/4-band signature on random vectors
+    // 48-bit/12-band default measured 0.82 here (LshSweep); 0.6 leaves
+    // margin without tolerating a real regression
+    assert(recall >= 0.6)
   }
 
   test("int8 quantization stays in range and round-trips within half-step") {
