@@ -56,10 +56,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The per-query line above is ~2 KB and can fall off the head of a
-    // bounded tail window; repeat a compact summary as the FINAL stdout
-    // line so a parser that only sees the tail still gets the total.
+    // Verbose per-query line first (distinct metric name so a consumer
+    // that sums or de-dupes "total" lines never double-counts), then the
+    // compact driver-contract line LAST: the per-query map is ~2 KB and
+    // can fall off the head of a bounded tail window, so the final line
+    // a tail-only parser sees must be the canonical total.
+    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -126,6 +126,13 @@ object SparkEntry {
     "dedup_minhash_agreement" -> ((s, dir) =>
       Dedup.minhashAgreement(Dedup.withNearDups(Tables.documents(s, dir)),
         tau = 0.5, k = 32, bands = 8, estTau = 0.4)),
+    // exact tier ∩ SimHash candidates == exact tier (pigeonhole recall is
+    // guaranteed within the Hamming threshold). maxDist 16, not the demo
+    // query's 8: measured exact-tier distances reach 8 at sf0.01 / 13 at
+    // sf0.001, so 16 gives the gate ~2× corpus-drift margin
+    "dedup_simhash_agreement" -> ((s, dir) =>
+      Dedup.simhashAgreement(Dedup.withNearDups(Tables.documents(s, dir)),
+        tau = 0.5, maxDist = 16)),
     "dedup_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.45)),
     // --- similarity search ---
@@ -140,6 +147,11 @@ object SparkEntry {
     "knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    // driver-checkable shape + recall-floor invariants for both ANN tiers
+    "knn_recall_gates" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnRecallGates(emb, emb.filter(col("vec_id") < 10), 5)
     }),
     "embedding_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(Tables.embeddings(s, dir))),
@@ -196,6 +208,7 @@ object SparkEntry {
     "order_gaps_quartiles" -> (Grouping.orderGapsQuartiles _),
     "user_event_type_sets" -> (Grouping.userEventTypeSets _),
     "approx_lineitem_stats" -> (Grouping.approxLineitemStats _),
+    "approx_stats_bounds" -> (Grouping.approxStatsBounds _),
     "wordcount_nostop" -> (TextAnalysis.wordCountNoStopwords _),
     // --- structured streaming (settled result is batch-checkable) ---
     "streamed_events_hourly" -> (graft.streaming.Streaming.streamedEventsHourly _),
@@ -245,6 +258,36 @@ object SparkEntry {
       |  regexp_replace(regexp_replace(text, chr(10), ' ', 'g'),
       |                 '[!-/:-@\[-`{-~]', '', 'g'),
       |  ' +'), x -> regexp_matches(x, '\S'))""".stripMargin
+
+  /** DuckDB recomputation of the exact word-bigram Jaccard tier (J ≥ 0.5)
+    * over the near-dup-planted corpus. Shared by `dedup_jaccard_pairs`
+    * and BOTH agreement gates: the agreement queries semi-join this exact
+    * tier against a candidate tier whose recall on this corpus is 1
+    * (deterministic), so their correct answer IS the exact tier. */
+  private lazy val ExactJaccardTierSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+       |  FROM documents WHERE doc_id < 20),
+       |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+       |feats AS (
+       |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+       |                   AS i) g),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM feats a JOIN feats b
+       |    ON a.feat = b.feat AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2)
+       |SELECT id_a, id_b,
+       |  round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "wordcount_ci" ->
@@ -425,7 +468,7 @@ object SparkEntry {
         |ORDER BY total_spend DESC, c_custkey""".stripMargin,
     "events_json_stats" ->
       """SELECT event_type, n, sum_k,
-        |  round(CAST(sum_k AS DOUBLE) / n, 6) AS avg_k
+        |  CAST(sum_k AS DOUBLE) / n AS avg_k
         |FROM (
         |  SELECT event_type, count(*) AS n,
         |    sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
@@ -498,59 +541,33 @@ object SparkEntry {
         |SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS keep_doc_id
         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
-    "dedup_jaccard_pairs" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
-         |  FROM documents WHERE doc_id < 20),
-         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
-         |feats AS (
-         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
-         |                   AS i) g),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM feats a JOIN feats b
-         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
-         |  GROUP BY 1,2)
-         |SELECT id_a, id_b,
-         |  round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = id_a
-         |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_jaccard_pairs" -> ExactJaccardTierSql,
     // identical SQL to dedup_jaccard_pairs: the Spark side semi-joins the
     // exact tier against the MinHash LSH candidates, and on this corpus
     // (all passing pairs J >= 0.9) deterministic LSH recall is 1, so
     // agreement == the exact tier. A signature/banding/estimate bug makes
     // the semi-join drop pairs and the hash mismatch.
-    "dedup_minhash_agreement" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
-         |  FROM documents WHERE doc_id < 20),
-         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
-         |feats AS (
-         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
-         |                   AS i) g),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM feats a JOIN feats b
-         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
-         |  GROUP BY 1,2)
-         |SELECT id_a, id_b,
-         |  round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = id_a
-         |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_agreement" -> ExactJaccardTierSql,
+    // same exact tier: SimHash pigeonhole banding has guaranteed recall
+    // within the Hamming threshold, and the planted J >= 0.9 pairs all
+    // sit within it, so exact ⋉ simhash == exact on this corpus.
+    "dedup_simhash_agreement" -> ExactJaccardTierSql,
+    // the ANN gates re-state shape + recall-floor invariants as constants
+    // (see Similarity.knnRecallGates): 10 queries × k=5, every query gets
+    // its full k, and recall@5 vs the exact tier clears the floor
+    "knn_recall_gates" ->
+      """SELECT 'ivf' AS method, CAST(50 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_queries, 1 AS full_k, 1 AS recall_ok
+        |UNION ALL
+        |SELECT 'lsh', 50, 10, 1, 1
+        |ORDER BY method""".stripMargin,
+    // exact sides recomputed, sketch estimates asserted within budget
+    // (see Grouping.approxStatsBounds)
+    "approx_stats_bounds" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  1 AS parts_ok, 1 AS median_ok, 1 AS p90_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_embedding_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

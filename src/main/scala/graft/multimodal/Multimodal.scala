@@ -133,7 +133,10 @@ object Multimodal {
     base.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
       .as[(Long, Array[Byte])]
       .map { case (id, raw) =>
-        val modality = ModalityOfMod(id % 3)
+        // floorMod, not %: Scala % is negative for negative ids, which
+        // would miss the map AND disagree with the pmod-based pushdown
+        // filter above — the exact drift the shared mapping prevents.
+        val modality = ModalityOfMod(Math.floorMod(id, 3))
         val content =
           if (modality == "image") {
             val plane = new Array[Byte](ImgDim * ImgDim)

@@ -299,11 +299,37 @@ object Dedup {
     * LSH tier finds every exact pair, so the result EQUALS the exact tier
     * — which ANSI SQL can recompute. That turns the non-SQL-expressible
     * signature/banding/estimate code into a hash-checkable query: break
-    * any of it and pairs drop out of the semi-join. */
+    * any of it and pairs drop out of the semi-join.
+    *
+    * CORPUS DEPENDENCE (triage note): equality with the exact tier holds
+    * only while LSH recall is exactly 1 on the gated corpus. With
+    * k=32/bands=8 (r=4) a J=0.9 pair misses all 8 bands with probability
+    * (1-0.9^4)^8 ≈ 2e-4 under the fixed hash constants — zero on the
+    * CURRENT testdata, but regenerating testdata or touching
+    * tokenization/hash constants can flip the driver's hash check red
+    * with no signature/banding bug. If this row ever goes red right
+    * after a testdata regen, suspect corpus drift first. */
   def minhashAgreement(docs: DataFrame, tau: Double, k: Int, bands: Int,
                        estTau: Double): DataFrame =
     jaccardPairsAuto(docs, tau)
       .join(minhashLshPairs(docs, k, bands, estTau).select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi")
+      .orderBy("id_a", "id_b")
+
+  /** Driver-checkable SimHash invariant — same shape as
+    * [[minhashAgreement]]: the exact-Jaccard tier semi-joined against the
+    * SimHash candidate tier. Unlike MinHash the banding here is NOT
+    * probabilistic — pigeonhole guarantees every pair within `maxDist`
+    * Hamming shares a whole chunk — so the only corpus dependence is that
+    * the planted near-dup pairs (J ≥ tau) also land within `maxDist` on
+    * the 62-bit fingerprint — measured exact-tier distances top out at 8
+    * (sf0.01) / 13 (sf0.001), so gate callers pass 16 for ~2× margin
+    * against corpus drift. Breaking the native SimHashFeatures
+    * expression, the chunking, or the Hamming threshold drops pairs from
+    * the semi-join and flips the driver's hash check. */
+  def simhashAgreement(docs: DataFrame, tau: Double, maxDist: Int): DataFrame =
+    jaccardPairsAuto(docs, tau)
+      .join(simhashPairs(docs, maxDist).select("id_a", "id_b"),
         Seq("id_a", "id_b"), "left_semi")
       .orderBy("id_a", "id_b")
 

@@ -184,6 +184,33 @@ object Grouping {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Driver-checkable sketch invariants for [[approxLineitemStats]]: the
+    * exact side of each statistic (SQL-recomputable) plus an int flag
+    * asserting the sketch landed within its error budget — HLL++ default
+    * rsd is 5%, so 10% is a 2-sigma budget; approx_percentile at
+    * accuracy=1000 has rank error ≤ n/1000, far inside 2% of value on
+    * this price distribution. The oracle emits the exact values and
+    * literal 1s: a sketch drifting out of budget flips the hash red while
+    * the algorithm-specific estimates themselves stay out of the hash. */
+  def approxStatsBounds(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
+          .as("apct"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("epct"))
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        (abs(col("ap") - col("exact_parts")) <=
+          lit(0.10) * col("exact_parts")).cast("int").as("parts_ok"),
+        (abs(element_at(col("apct"), 1) - element_at(col("epct"), 1)) <=
+          lit(0.02) * element_at(col("epct"), 1)).cast("int").as("median_ok"),
+        (abs(element_at(col("apct"), 2) - element_at(col("epct"), 2)) <=
+          lit(0.02) * element_at(col("epct"), 2)).cast("int").as("p90_ok"))
+      .orderBy("l_returnflag")
+
   /** Collection aggregates: the distinct event types each user produced,
     * as a deterministic sorted CSV (collect_set is unordered by contract;
     * sort_array + concat_ws makes the result layout-independent AND

@@ -208,18 +208,19 @@ object Relational {
   /** JSON extraction from the events.props payload column.
     *
     * avg_k is deliberately derived from the integer sum and count
-    * (`sum_k / n`) rather than `avg(k)`: Spark's incremental average and
-    * DuckDB's sum/count produce last-bit-different doubles, and rounding
-    * at 6 dp can flip near a boundary. Dividing the same two exact
-    * integers gives a bit-identical IEEE double on both engines. */
+    * (`sum_k / n`) rather than `avg(k)`, and is NOT rounded: Spark's
+    * round() (BigDecimal of the shortest-decimal repr, HALF_UP) and
+    * DuckDB's round() on DOUBLE (scale-multiply) disagree at 6-dp
+    * boundaries, so any post-division rounding is engine-sensitive.
+    * Dividing the same two exact integers is a single correctly-rounded
+    * IEEE-754 operation — bit-identical on every engine. */
   def eventsJsonStats(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
-      .withColumn("avg_k",
-        round(col("sum_k").cast("double") / col("n"), 6))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
       .orderBy("event_type")
 
   /** Full-outer join: per-nation customer AND supplier counts, keeping

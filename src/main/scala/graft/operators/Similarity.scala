@@ -160,6 +160,37 @@ object Similarity {
         array_max(col("qv")).as("q_max"))
       .orderBy("vec_id")
 
+  /** Driver-checkable ANN invariants: one row per approximate method with
+    * result-shape counts and a recall floor vs the exact brute-force tier,
+    * all computed declaratively (the only "collect" is the final tiny
+    * result). The oracle re-states the invariant as constants — the row
+    * hash-matches exactly when every query got its full k and recall@k
+    * clears the floor, turning the non-SQL-expressible LSH/IVF internals
+    * into a DuckDB-checked row. Both tiers are fully deterministic
+    * (seeded hashes, argmax with ordered tie-break), so the measured
+    * recalls (lsh 0.82/0.80, ivf 0.50/0.64 at sf0.01/0.001) are fixed
+    * values per corpus, and the floors (0.6/0.4) sit under them with
+    * real margin — corpus regeneration, not host variance, is the only
+    * thing that can move this row. */
+  def knnRecallGates(emb: DataFrame, queries: DataFrame, k: Int,
+                     lshFloor: Double = 0.6,
+                     ivfFloor: Double = 0.4): DataFrame = {
+    val bf = knnBruteForce(emb, queries, k).select("query_id", "nn_id")
+    def gate(name: String, ann: DataFrame, floor: Double): DataFrame =
+      ann.select("query_id", "nn_id")
+        .join(bf.withColumn("hit", lit(1)), Seq("query_id", "nn_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          count_distinct(col("query_id")).as("n_queries"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(lit(name).as("method"), col("n_results"), col("n_queries"),
+          (col("n_results") === col("n_queries") * k).cast("int").as("full_k"),
+          (col("n_hits").cast("double") >=
+            lit(floor) * col("n_queries") * k).cast("int").as("recall_ok"))
+    gate("ivf", knnIvf(emb, queries, k), ivfFloor)
+      .unionAll(gate("lsh", knnLsh(emb, queries, k), lshFloor))
+      .orderBy("method")
+  }
+
   /** ANN top-k via banded LSH buckets; recall depends on nBits/bands.
     * Candidates = corpus vectors sharing ≥1 signature band with the
     * query; exact cosine re-rank (norms precomputed pre-explode) on that

@@ -98,6 +98,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6)
   }
 
+  test("simhash agreement at dist<=16 equals the exact jaccard tier") {
+    val corpus = Dedup.withNearDups(docs)
+    val exact = Dedup.jaccardPairsAuto(corpus, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // measured exact-tier hamming distances top out at 13 on this corpus,
+    // so the gate threshold of 16 must give agreement == exact tier
+    val agree = Dedup.simhashAgreement(corpus, 0.5, 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(agree === exact)
+  }
+
+  test("knn recall gates assert full-k and recall floors for both tiers") {
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Similarity.knnRecallGates(emb, emb.filter(col("vec_id") < 10), 5)
+      .as[(String, Long, Long, Int, Int)].collect()
+    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh"))
+    rows.foreach { case (m, nRes, nQ, fullK, recallOk) =>
+      assert(nRes === 50L, m)
+      assert(nQ === 10L, m)
+      assert(fullK === 1, m)
+      assert(recallOk === 1, s"$m recall under floor")
+    }
+  }
+
   test("int8 quantization stays in range and round-trips within half-step") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.normalizeQuantize(emb)

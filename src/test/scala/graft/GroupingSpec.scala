@@ -33,6 +33,16 @@ class GroupingSpec extends AnyFunSuite {
     }
   }
 
+  test("approx bounds gate reports every sketch inside its error budget") {
+    val rows = Grouping.approxStatsBounds(spark, dir)
+      .select("l_returnflag", "parts_ok", "median_ok", "p90_ok")
+      .as[(String, Int, Int, Int)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (f, p, m, q) =>
+      assert(p === 1 && m === 1 && q === 1, s"$f sketch out of budget")
+    }
+  }
+
   test("pivot emits one column per declared event type, zero-filled") {
     val df = Grouping.eventsTypePivot(spark, dir)
     assert(df.columns.toSeq ===
