@@ -81,6 +81,24 @@ object SparkEntry {
       WordCount.wordCount(Tables.textDir(s, tmp), "line", caseSensitive = false)
         .orderBy("word")
     }),
+    // Hive-style partitioned parquet sink + partition-PRUNED re-scan: the
+    // scan's PartitionFilters eliminate every non-matching lang directory
+    // before any file is opened (asserted in SourcesSpec) — at 100 TB
+    // that's the difference between reading one partition and the corpus.
+    "partitioned_lang_stats" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_partdir_").toString
+      reapAtExit(tmp)
+      Tables.documents(s, dir).select("doc_id", "lang", "text")
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang").isin("en", "es"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    }),
     // --- relational breadth (SURVEY.md §2.3 absent categories, built new) ---
     "pricing_summary" -> (Relational.pricingSummary _),
     "top_revenue_orders" -> (Relational.topRevenueOrders _),
@@ -105,6 +123,11 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langId _),
     "fingerprint_md5" -> (TextAnalysis.fingerprintMd5 _),
     "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
+    "fingerprint_gate" -> (TextAnalysis.fingerprintGate _),
+    "contamination_check" -> ((s, dir) =>
+      TextAnalysis.contaminationCheck(s, dir, n = 8)),
+    "doc_repetition" -> (TextAnalysis.docRepetition _),
+    "top_domains" -> (TextAnalysis.topDomains _),
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
@@ -509,6 +532,81 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "fingerprint_md5" ->
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+    // the round trip through the partitioned sink is lossless, so the
+    // oracle reads the original table directly
+    "partitioned_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(length(text)) AS n_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents WHERE lang IN ('en', 'es')
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // the fingerprint itself is xxhash64-based (not ANSI-expressible);
+    // the gate's n_docs/n_keys are exact recomputations and the flags
+    // assert determinism + injectivity (see TextAnalysis.fingerprintGate)
+    "fingerprint_gate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000,
+         |    array_to_string(list_reverse($DuckTokList), ' ')
+         |  FROM documents WHERE doc_id < 20),
+         |k AS (SELECT array_to_string($DuckTokList, ' ') AS tok_key
+         |      FROM corpus)
+         |SELECT count(*) AS n_docs, count(DISTINCT tok_key) AS n_keys,
+         |  1 AS functional_ok, 1 AS injective_ok
+         |FROM k""".stripMargin,
+    "contamination_check" ->
+      s"""WITH snip AS (
+         |  SELECT doc_id + 50 AS t_id,
+         |    array_to_string(list_slice($DuckTokList, 1, 8), ' ') AS snippet
+         |  FROM documents WHERE doc_id < 20),
+         |corpus AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN s.snippet IS NOT NULL
+         |      THEN d.text || ' ' || s.snippet ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN snip s ON d.doc_id = s.t_id),
+         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(toks, i, i+7), ' ') AS gram
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+         |                     greatest(len(toks)-7, 0))) AS i) g),
+         |bench AS (SELECT gram, doc_id AS bench_id FROM grams
+         |          WHERE doc_id < 50)
+         |SELECT g.doc_id, count(DISTINCT g.gram) AS n_grams_hit,
+         |  count(DISTINCT b.bench_id) AS n_bench_docs
+         |FROM grams g JOIN bench b USING (gram)
+         |WHERE g.doc_id >= 50
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_repetition" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+         |g AS (SELECT doc_id,
+         |  list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+         |    i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS grams
+         |  FROM t)
+         |SELECT doc_id, len(grams) AS n_3grams,
+         |  len(list_distinct(grams)) AS n_distinct,
+         |  1.0::DOUBLE - (len(list_distinct(grams))::DOUBLE
+         |                 / greatest(len(grams), 1)) AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "top_domains" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      text || ' see https://d' || (doc_id % 7) ||
+        |      '.example.com/p/' || doc_id
+        |    ELSE text END AS text
+        |  FROM documents),
+        |urls AS (SELECT unnest(regexp_extract_all(text,
+        |           'https?://[^\s]+')) AS url FROM corpus)
+        |SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+        |  count(*) AS n_urls
+        |FROM urls GROUP BY 1
+        |ORDER BY n_urls DESC, domain""".stripMargin,
     "top_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
          |pairs AS (

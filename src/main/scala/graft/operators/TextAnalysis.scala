@@ -98,21 +98,61 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** Token-order-sensitive rolling fingerprint: polynomial hash of
-    * per-token xxhash64, mod a prime kept under 2^32 so every
-    * intermediate stays in long range (Spark 4 runs ANSI mode — wrapping
-    * overflow raises). Order-sensitive where md5-of-bytes is byte-exact
-    * and MinHash is order-blind. Not expressible in ANSI SQL →
-    * rows-only check. */
-  def fingerprintRolling(s: SparkSession, dir: String): DataFrame = {
+  /** The rolling-fingerprint fold over a token array — shared by the
+    * standalone query and the driver gate so the hash semantics exist in
+    * exactly one place. Polynomial hash of per-token xxhash64, mod a
+    * prime kept under 2^32 so every intermediate stays in long range
+    * (Spark 4 runs ANSI mode — wrapping overflow raises). */
+  def rollingFpExpr(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val m = lit(3037000493L) // prime < 2^31.5: acc*31 + h stays < 2^37
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        aggregate(toks, lit(0L),
-          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
-          .as("fp"))
-      .orderBy("doc_id")
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
   }
+
+  /** Token-order-sensitive rolling fingerprint. Order-sensitive where
+    * md5-of-bytes is byte-exact and MinHash is order-blind. xxhash64 is
+    * not expressible in ANSI SQL → rows-only check; [[fingerprintGate]]
+    * is the driver-checkable companion. */
+  def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rollingFpExpr(toks).as("fp"))
+      .orderBy("doc_id")
+
+  /** Corpus plant for [[fingerprintGate]]: 20 token-REVERSED variants.
+    * A reversed token list is the adversarial case for an order-
+    * sensitive fingerprint — an order-blind replacement (e.g. the fold
+    * degrading to a token-hash SUM) collides every planted doc with its
+    * original, which the gate's injectivity flag catches. Offset 20000
+    * keeps plant ids clear of both the base ids and Dedup's 10000. */
+  def withReversedPlants(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat_ws(" ", reverse(tokenize(col("text")))).as("text")))
+  }
+
+  /** Driver-checkable invariants for the rolling fingerprint, same shape
+    * as Dedup's agreement gates: the fingerprint must be a FUNCTION of
+    * the token sequence (n_pairs == n_keys — determinism) and INJECTIVE
+    * on this corpus (n_pairs == n_fps — no collisions, which also proves
+    * order sensitivity against the reversed plants). n_docs/n_keys are
+    * exact and SQL-recomputable; the oracle emits them plus literal 1s,
+    * so breaking the fold, the modulus, or order sensitivity flips the
+    * driver's hash check red even though xxhash64 itself is not ANSI-
+    * expressible. One vocabulary-bounded aggregation, no join. */
+  def fingerprintGate(s: SparkSession, dir: String): DataFrame =
+    withReversedPlants(Tables.documents(s, dir))
+      .select(col("doc_id"), concat_ws(" ", toks).as("tok_key"),
+        rollingFpExpr(toks).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("tok_key")).as("n_keys"),
+        countDistinct(col("fp")).as("n_fps"),
+        countDistinct(col("tok_key"), col("fp")).as("n_pairs"))
+      .select(col("n_docs"), col("n_keys"),
+        (col("n_pairs") === col("n_keys")).cast("int").as("functional_ok"),
+        (col("n_pairs") === col("n_fps")).cast("int").as("injective_ok"))
 
   /** BPE-style pre-tokenizer pattern (GPT-2-ish, kept RE2-compatible —
     * no lookahead — so the DuckDB oracle runs the identical regex):
@@ -193,6 +233,96 @@ object TextAnalysis {
         length(scrubbed).as("n_chars_scrubbed"))
       .orderBy("doc_id")
   }
+
+  /** Contamination plant: training docs 50–69 get the first 8 tokens of
+    * benchmark doc (doc_id − 50) appended — a guaranteed shared 8-gram.
+    * Fixture-by-construction like Dedup.withNearDups; natural 8-gram
+    * overlaps in the synthetic corpus are detected identically by both
+    * engines, so they don't need excluding. */
+  def withPlantedContamination(docs: DataFrame): DataFrame = {
+    val snippets = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("b_id"),
+        concat_ws(" ", slice(tokenize(col("text")), 1, 8)).as("snippet"))
+    docs.join(broadcast(snippets),
+        col("doc_id") - lit(50L) === col("b_id"), "left")
+      .select(col("doc_id"),
+        when(col("snippet").isNotNull,
+          concat(col("text"), lit(" "), col("snippet")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** Benchmark-contamination check — the eval-set decontamination pass
+    * every serious training pipeline runs: which training documents
+    * (doc_id ≥ 50) share any word 8-gram with the benchmark set
+    * (doc_id < 50), and with how many benchmark docs. The benchmark
+    * n-gram set is tiny relative to the corpus, so it is BROADCAST and
+    * the 100 TB side never shuffles — at real scale the same shape holds
+    * (benchmark suites are MBs; a bloom filter over their n-grams is the
+    * even-cheaper variant) and the only aggregation is per-training-doc.
+    * Emits one row per contaminated training doc. */
+  def contaminationCheck(s: SparkSession, dir: String, n: Int = 8)
+      : DataFrame = {
+    val grams = withPlantedContamination(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(wordNgrams(toks, n)).as("gram"))
+    val bench = grams.filter(col("doc_id") < 50)
+      .select(col("gram"), col("doc_id").as("bench_id")).distinct()
+    grams.filter(col("doc_id") >= 50)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_grams_hit"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition plant: every 11th doc has its text doubled — the classic
+    * boilerplate/template-duplication failure mode repetition filters
+    * exist to catch. */
+  def withPlantedRepetition(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text")))
+
+  /** Within-document repetition ratio over word 3-grams — the standard
+    * cheap filter for looping/boilerplate text in training corpora.
+    * rep_ratio is left as a RAW IEEE division of two exact integers
+    * (no round()): Spark's and DuckDB's round() disagree at decimal
+    * boundaries (see eventsJsonStats), while the bare division is a
+    * single correctly-rounded operation on identical operands. Pure
+    * per-row column math — zero shuffles at any scale. */
+  def docRepetition(s: SparkSession, dir: String): DataFrame =
+    withPlantedRepetition(Tables.documents(s, dir))
+      .select(col("doc_id"), wordNgrams(toks, 3).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).as("n_3grams"),
+        size(array_distinct(col("g"))).as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+          greatest(size(col("g")), lit(1))).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** URL plant for [[topDomains]]: every 4th doc cites one of 7 distinct
+    * synthetic hosts (separate from withSyntheticPii so the PII oracle
+    * stays untouched). */
+  def withSyntheticUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(col("text"), lit(" see https://d"),
+          pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+
+  /** Per-domain URL histogram — the web-corpus curation view used for
+    * domain allow/deny lists and source weighting. Extract is per-row
+    * regex column math (scan-fused); the only shuffle is the domain-
+    * cardinality aggregation, which partial-aggregates map-side. */
+  def topDomains(s: SparkSession, dir: String): DataFrame =
+    withSyntheticUrls(Tables.documents(s, dir))
+      .select(explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+        .as("url"))
+      .select(regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy(desc("n_urls"), asc("domain"))
 
   /** Corpus-wide top-k bigrams (deterministic tie-break). */
   def topBigrams(s: SparkSession, dir: String, k: Int): DataFrame =

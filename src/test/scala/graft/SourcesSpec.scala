@@ -110,4 +110,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() ===
       Tables.orders(spark, dir).filter(col("o_orderstatus") === "F").count())
   }
+
+  test("partitioned_lang_stats prunes to the two selected lang dirs") {
+    val df = SparkEntry.queries("partitioned_lang_stats")(spark, dir)
+    // sparkPlan, not executedPlan: under AQE the executed root is an
+    // AdaptiveSparkPlanExec whose children collect() doesn't traverse
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // static partition pruning: only lang=en / lang=es directories survive
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(parts.nonEmpty)
+    assert(parts.forall(p => p.contains("lang=en") || p.contains("lang=es")),
+      s"unpruned files: ${parts.filterNot(p =>
+        p.contains("lang=en") || p.contains("lang=es"))}")
+    // and the round trip is lossless vs the source table
+    val direct = Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "es"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .as[(String, Long)].collect().toMap
+    val got = df.select("lang", "n_docs").as[(String, Long)].collect().toMap
+    assert(got === direct)
+  }
 }

@@ -136,4 +136,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.collect().toSeq ===
       Curation.curationPipeline(spark, dir).collect().toSeq)
   }
+
+  test("fingerprint gate: deterministic, collision-free, order-sensitive") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val (nDocs, nKeys, functionalOk, injectiveOk) =
+      TextAnalysis.fingerprintGate(spark, dir)
+        .as[(Long, Long, Int, Int)].collect().head
+    assert(nDocs === 520) // 500 docs + 20 reversed plants
+    assert(functionalOk === 1, "fp not a function of the token sequence")
+    // injectivity over the reversed plants is the order-sensitivity
+    // proof: an order-blind hash collides each plant with its original
+    assert(injectiveOk === 1, "fp collision (or order-insensitive hash)")
+    assert(nKeys >= 500)
+  }
+
+  test("contamination check finds every planted benchmark snippet") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.contaminationCheck(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    // all 20 planted docs detected, each sharing >= 1 8-gram with >= 1
+    // benchmark doc (natural overlaps may add docs/hits, never remove)
+    (50L to 69L).foreach { id =>
+      val r = byDoc.get(id)
+      assert(r.nonEmpty, s"planted doc $id not flagged")
+      assert(r.get._2 >= 1 && r.get._3 >= 1, s"doc $id counts: $r")
+    }
+  }
+
+  test("doc repetition: doubled docs repeat, ratio bounded in [0,1)") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.docRepetition(spark, dir)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (id, n, d, ratio) =>
+      assert(ratio >= 0.0 && ratio < 1.0, s"doc $id ratio $ratio")
+      if (id % 11 == 0 && n >= 6)
+        // text doubled => every 3-gram in the first copy recurs in the
+        // second (plus the seam grams), so under half are distinct
+        assert(ratio > 0.4, s"doubled doc $id ratio only $ratio")
+    }
+  }
+
+  test("top domains counts the 7 planted hosts and nothing else") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.topDomains(spark, dir)
+      .as[(String, Long)].collect()
+    val planted = rows.filter(_._1.matches("d[0-6]\\.example\\.com"))
+    assert(planted.length === 7)
+    // 125 docs are multiples of 4 in 0..499, one planted URL each
+    assert(planted.map(_._2).sum === 125)
+    assert(rows.map(_._2).sum === 125, s"unexpected natural URLs: $rows")
+  }
 }
