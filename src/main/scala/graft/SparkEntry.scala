@@ -237,6 +237,7 @@ object SparkEntry {
     "streamed_events_hourly" -> (graft.streaming.Streaming.streamedEventsHourly _),
     "streamed_segment_revenue" -> (graft.streaming.Streaming.streamedSegmentRevenue _),
     "streamed_conversions" -> (graft.streaming.Streaming.streamedConversions _),
+    "streamed_dedup_events" -> (graft.streaming.Streaming.streamedDedupEvents _),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // --- multimodal binary-column plumbing ---
@@ -718,6 +719,12 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // every event is streamed TWICE (self-union replay); the in-stream
+    // dedup restores exactly the distinct set, so the oracle is the plain
+    // batch count
+    "streamed_dedup_events" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id, unnest(generate_series(0, 999, 250)) AS frame_ms
         |FROM documents WHERE doc_id % 3 = 2

@@ -161,4 +161,25 @@ object Streaming {
         col("event_type"), col("n"), col("sum_value"))
     settle(agg, "graft_stream_hourly").orderBy("hour", "event_type")
   }
+
+  /** Driver-gated in-stream dedup: replay the events table through TWO
+    * identical file-stream legs — every event arrives exactly twice —
+    * and suppress the duplicates with [[dedupStream]]'s watermark-bounded
+    * state. The settled row set is exactly the distinct events, so the
+    * per-type counts the query returns equal a plain batch count —
+    * which is what the oracle recomputes. Dedup emits in append mode
+    * (it's a stateful filter, not an aggregation); the final count runs
+    * BATCH-side on the settled table, keeping the stream single-stateful-
+    * operator. At scale the state is O(events per watermark horizon),
+    * not O(stream history). */
+  def streamedDedupEvents(s: SparkSession, dir: String): DataFrame = {
+    val doubled = eventsStream(s, dir).unionAll(eventsStream(s, dir))
+      .withColumn("ekey", col("event_id").cast("string"))
+    val deduped = dedupStream(doubled, "ekey", "ts", "1 hour")
+    settle(deduped.select("event_type", "event_id"),
+        "graft_stream_dedup", mode = "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
 }

@@ -77,6 +77,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed double-replay dedup settles to the batch counts") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamedDedupEvents(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("streamed hourly agg settles to the batch result") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.streamedEventsHourly(spark, dir)
