@@ -120,6 +120,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("lshsignbits"), "native LshSignBits missing from plan")
   }
 
+  test("doc_repetition: scan-fused per-row math, zero exchanges") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.docRepetition(spark, dir))
+    // per-doc metrics must never shuffle the corpus; the only allowed
+    // exchange is the presentation orderBy's range partitioning
+    val ex = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).toSeq
+    assert(ex.size <= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
+  test("contamination_check: benchmark n-grams broadcast, corpus not shuffled pre-join") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.contaminationCheck(spark, dir))
+    // the gram-matching join must build on the (tiny) benchmark side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("partitioned sink scan: lang filter becomes PartitionFilters") {
+    val df = SparkEntry.queries("partitioned_lang_stats")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters"), p)
+    // a partition-column predicate must NOT degrade to a data filter
+    assert(!p.contains("PushedFilters: [In(lang"), p)
+  }
+
   test("native as-of join: AsOfJoinExec over shuffled, sorted children") {
     import graft.operators.AsOfJoin
     import graft.sources.Tables
