@@ -158,6 +158,9 @@ object SparkEntry {
         tau = 0.5, maxDist = 16)),
     "dedup_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.45)),
+    "dedup_components" -> ((s, dir) =>
+      Dedup.dedupComponents(Dedup.withNearDups(Tables.documents(s, dir)),
+        tau = 0.5)),
     // --- similarity search ---
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -651,6 +654,23 @@ object SparkEntry {
     // within the Hamming threshold, and the planted J >= 0.9 pairs all
     // sit within it, so exact ⋉ simhash == exact on this corpus.
     "dedup_simhash_agreement" -> ExactJaccardTierSql,
+    // recursive transitive closure over the SQL-recomputed pair set:
+    // comp(v) = min id reachable from v — the same fixpoint the Spark
+    // side reaches by iterative min-label propagation
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  ${ExactJaccardTierSql.replace("\n", "\n  ")}),
+         |edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.id_b FROM reach r
+         |  JOIN edges e ON r.dst = e.id_a)
+         |SELECT src AS doc_id, min(dst) AS comp
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     // the ANN gates re-state shape + recall-floor invariants as constants
     // (see Similarity.knnRecallGates): 10 queries × k=5, every query gets
     // its full k, and recall@5 vs the exact tier clears the floor

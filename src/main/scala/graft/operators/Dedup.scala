@@ -426,4 +426,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), sim.as("sim"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS so a pipeline can keep
+    * one representative per cluster (pairs alone can't: {a,b},{b,c} must
+    * collapse to ONE survivor, not two).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round it takes the min of its label and its neighbors'
+    * labels; fixpoint = each node carries the min id of its component.
+    * Rounds needed = graph diameter — near-dup graphs are overwhelmingly
+    * tiny cliques (diameter 1–2), so this converges in 2–3 rounds; the
+    * iteration cap bounds adversarial chains. Each round is one
+    * edge⋈label hash join + a min-aggregate — all shuffles keyed on node
+    * id, nothing quadratic — and labels are persisted + materialized per
+    * round so the lineage stays one round deep (the standard Spark
+    * iteration pattern; at 100 TB swap persist for checkpoint every few
+    * rounds). The classic refinement for skewed giant components is
+    * large-star/small-star [Kiveris et al., 2014]; min-propagation keeps
+    * the same join shape and is the right default for dedup graphs. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    labels.count() // materialize before the loop
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("id_b"), col("comp").as("nc")),
+          "id_b")
+        .groupBy(col("id_a").as("id"))
+        .agg(min("nc").as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("new_comp"))
+        .persist()
+      changed = next.filter(col("new_comp") =!= col("comp")).count()
+      val prev = labels
+      labels = next.select(col("id"), col("new_comp").as("comp")).persist()
+      labels.count()
+      prev.unpersist()
+      next.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+  }
+
+  /** Driver-gated clustering of the exact-Jaccard near-dup graph:
+    * components over [[jaccardPairsAuto]] pairs, labeled by min member
+    * id. The oracle recomputes the identical components with a recursive
+    * transitive-closure CTE over the same SQL-recomputed pair set, so
+    * the iterative propagation loop is hash-checked end to end. */
+  def dedupComponents(docs: DataFrame, tau: Double): DataFrame =
+    connectedComponents(jaccardPairsAuto(docs, tau))
 }

@@ -98,6 +98,29 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6)
   }
 
+  test("connected components: chains collapse, labels are component minima") {
+    // two chains and an isolated pair: {1,2,3,4} via 1-2,2-3,3-4 (diameter
+    // 3 exercises multi-round propagation), {10,11}, {20,21,22} a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup components label every planted pair with the original id") {
+    val comps = Dedup.dedupComponents(Dedup.withNearDups(docs), 0.5)
+      .as[(Long, Long)].collect().toMap
+    // every planted (i, i+offset) pair that passed the Jaccard tier must
+    // sit in one component labeled by an id <= i (the min member)
+    comps.foreach { case (docId, comp) => assert(comp <= docId) }
+    planted.foreach { case (a, b) =>
+      if (comps.contains(b)) assert(comps(b) === comps(a))
+    }
+  }
+
   test("simhash agreement at dist<=16 equals the exact jaccard tier") {
     val corpus = Dedup.withNearDups(docs)
     val exact = Dedup.jaccardPairsAuto(corpus, 0.5)
