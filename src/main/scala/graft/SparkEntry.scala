@@ -161,6 +161,9 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.dedupComponents(Dedup.withNearDups(Tables.documents(s, dir)),
         tau = 0.5)),
+    "neardup_pipeline" -> ((s, dir) =>
+      Dedup.nearDupPipeline(Dedup.withNearDups(Tables.documents(s, dir)),
+        tau = 0.5, k = 32, bands = 8, estTau = 0.4)),
     // --- similarity search ---
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -654,6 +657,31 @@ object SparkEntry {
     // within the Hamming threshold, and the planted J >= 0.9 pairs all
     // sit within it, so exact ⋉ simhash == exact on this corpus.
     "dedup_simhash_agreement" -> ExactJaccardTierSql,
+    // survivors = corpus minus non-min members of the pair-graph closure
+    // (LSH recall is 1 on this corpus, so verified pairs == exact tier)
+    "neardup_pipeline" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  ${ExactJaccardTierSql.replace("\n", "\n  ")}),
+         |edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.id_b FROM reach r
+         |  JOIN edges e ON r.dst = e.id_a),
+         |dropped AS (
+         |  SELECT src AS doc_id FROM reach
+         |  GROUP BY 1 HAVING min(dst) <> src),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+         |  FROM documents WHERE doc_id < 20)
+         |SELECT c.doc_id, md5(c.text) AS content_fp
+         |FROM corpus c ANTI JOIN dropped d ON c.doc_id = d.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     // recursive transitive closure over the SQL-recomputed pair set:
     // comp(v) = min id reachable from v — the same fixpoint the Spark
     // side reaches by iterative min-label propagation

@@ -484,4 +484,31 @@ object Dedup {
     * the iterative propagation loop is hash-checked end to end. */
   def dedupComponents(docs: DataFrame, tau: Double): DataFrame =
     connectedComponents(jaccardPairsAuto(docs, tau))
+
+  /** The full near-dup pipeline, end to end, as ONE query — the 100 TB
+    * architecture this module's scaladoc describes, actually composed:
+    *
+    *   1. candidate generation: MinHash LSH buckets, O(rows × bands);
+    *   2. exact verification: the Jaccard tier RESTRICTED to LSH
+    *      candidates by a semi-join (at corpus scale this is what keeps
+    *      the quadratic tier bounded);
+    *   3. clustering: connected components over the verified pairs;
+    *   4. keep-one: drop every doc whose component label isn't itself.
+    *
+    * Returns the surviving corpus (doc_id + content fingerprint). On the
+    * gated corpus LSH recall is 1, so survivors == corpus minus the
+    * non-min members of the exact tier's closure — which the oracle
+    * recomputes in SQL (pairs → recursive closure → EXCEPT). */
+  def nearDupPipeline(docs: DataFrame, tau: Double, k: Int, bands: Int,
+                      estTau: Double): DataFrame = {
+    val verified = jaccardPairsAuto(docs, tau)
+      .join(minhashLshPairs(docs, k, bands, estTau).select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi")
+    val dropped = connectedComponents(verified)
+      .filter(col("comp") =!= col("doc_id"))
+      .select(col("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_fp"))
+      .orderBy("doc_id")
+  }
 }

@@ -121,6 +121,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("neardup pipeline drops exactly the non-min cluster members") {
+    val corpus = Dedup.withNearDups(docs)
+    val survivors = Dedup.nearDupPipeline(corpus, 0.5, 32, 8, 0.4)
+      .as[(Long, String)].collect().map(_._1).toSet
+    val comps = Dedup.dedupComponents(corpus, 0.5)
+      .as[(Long, Long)].collect()
+    val dropped = comps.collect { case (id, c) if c != id => id }.toSet
+    val all = corpus.select("doc_id").as[Long].collect().toSet
+    assert(dropped.nonEmpty) // the plants guarantee real clusters
+    assert(survivors === all -- dropped)
+    // every cluster keeps exactly its min member (which may be a natural
+    // near-dup's smaller partner, not necessarily the planted original)
+    comps.groupBy(_._2).foreach { case (c, members) =>
+      assert(survivors.contains(c), s"component min $c was dropped")
+      members.filter(_._1 != c).foreach { case (id, _) =>
+        assert(!survivors.contains(id), s"non-min $id of comp $c survived")
+      }
+    }
+  }
+
   test("simhash agreement at dist<=16 equals the exact jaccard tier") {
     val corpus = Dedup.withNearDups(docs)
     val exact = Dedup.jaccardPairsAuto(corpus, 0.5)
