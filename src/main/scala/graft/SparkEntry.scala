@@ -213,6 +213,9 @@ object SparkEntry {
     // --- deterministic sampling (corpus curation) ---
     "sample_hash_docs" -> (Sampling.documentsSample _),
     "sample_stratified_lang" -> (Sampling.documentsStratified _),
+    "sample_mixture_lang" -> (Sampling.documentsMixture _),
+    "sequence_packing" -> ((s, dir) =>
+      TextAnalysis.sequencePacking(s, dir, windowTokens = 2048)),
     // --- explicit salting (skew fallback when AQE split isn't enough) ---
     "skewed_user_segment_stats" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -832,6 +835,27 @@ object SparkEntry {
         |      AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+    "sample_mixture_lang" ->
+      """SELECT doc_id, lang,
+        |  ((doc_id % 2147483648) * 2654435761) % 100 AS bucket
+        |FROM documents
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 100 <
+        |  CASE lang WHEN 'en' THEN 90 WHEN 'zh' THEN 40 ELSE 60 END
+        |ORDER BY doc_id""".stripMargin,
+    "sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len($DuckTokList) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT lang,
+         |  CAST(floor((cum - n_toks) / 2048) AS BIGINT) AS window_id,
+         |  count(*) AS n_docs, sum(n_toks) AS n_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "skewed_user_segment_stats" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  round(sum(value),2) AS sum_value

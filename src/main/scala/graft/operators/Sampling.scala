@@ -62,4 +62,28 @@ object Sampling {
     stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 10)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("lang", "doc_id")
+
+  /** Mixture sampling — the data-mixing knob every multi-source training
+    * corpus needs: a per-stratum keep RATE (not a per-stratum quota like
+    * [[stratifiedSample]]), so sources are re-weighted while the decision
+    * stays a pure per-row hash filter — scan-fused, zero shuffles, and
+    * reproducible across layouts exactly like [[hashSample]]. The rate
+    * lookup compiles to a literal CASE chain (#strata is small by
+    * definition), never a join. */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, pct)) =>
+        when(col(stratumCol) === k, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+
+  /** English-heavy corpus rebalanced: keep 90% en, 40% zh, 60% rest. */
+  def documentsMixture(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 90, "zh" -> 40), defaultPct = 60)
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id")).as("bucket"))
+      .orderBy("doc_id")
 }

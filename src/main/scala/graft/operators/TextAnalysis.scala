@@ -324,6 +324,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_urls"))
       .orderBy(desc("n_urls"), asc("domain"))
 
+  /** Context-window sequence packing — the pre-training step that packs
+    * documents into fixed token windows: docs are laid out in
+    * deterministic (shard, doc_id) order and each doc is assigned the
+    * window its first token lands in (`floor(cum_before / windowTokens)`).
+    * Packing is PER SHARD (here: lang) — a single global order would be
+    * one unpartitioned window over the corpus, which serializes at any
+    * scale; per-shard packing is how real pipelines do it (each shard
+    * becomes a training file), and the cumsum is one partition-local
+    * window pass after the shard shuffle. Emits per-window occupancy
+    * stats (doc count, token count, first doc). */
+  def sequencePacking(s: SparkSession, dir: String,
+                      windowTokens: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(toks).as("n_toks"))
+      .withColumn("cum", sum("n_toks").over(w))
+      .withColumn("window_id",
+        floor((col("cum") - col("n_toks")) / windowTokens).cast("long"))
+      .groupBy("lang", "window_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang", "window_id")
+  }
+
   /** Corpus-wide top-k bigrams (deterministic tie-break). */
   def topBigrams(s: SparkSession, dir: String, k: Int): DataFrame =
     Tables.documents(s, dir)

@@ -31,4 +31,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(s1.select("id").as[Long].collect().toSet ===
            s2.select("id").as[Long].collect().toSet)
   }
+
+  test("mixtureSample applies per-stratum rates, layout-independent") {
+    val rates = Map("0" -> 90, "1" -> 10)
+    val m1 = Sampling.mixtureSample(df, "grp", "id", rates, defaultPct = 50)
+    val m2 = Sampling.mixtureSample(df.repartition(11), "grp", "id",
+      rates, defaultPct = 50)
+    assert(m1.select("id").as[Long].collect().toSet ===
+           m2.select("id").as[Long].collect().toSet)
+    val kept = m1.groupBy("grp").count().as[(String, Long)].collect().toMap
+    val tot = df.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // rate ordering must hold with real margins: 90% > 50% > 10%
+    def frac(g: String) = kept.getOrElse(g, 0L).toDouble / tot(g)
+    assert(frac("0") > 0.75, s"grp0 ${frac("0")}")
+    assert(frac("1") < 0.25, s"grp1 ${frac("1")}")
+    assert(frac("2") > 0.3 && frac("2") < 0.7, s"grp2 ${frac("2")}")
+  }
 }

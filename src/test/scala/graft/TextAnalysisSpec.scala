@@ -181,6 +181,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: windows cover all tokens, ids contiguous per shard") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.sequencePacking(spark, dir, windowTokens = 512)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val totalTokens = rows.map(_._4).sum
+    val directTokens = graft.sources.Tables.documents(spark, dir)
+      .select(size(graft.functions.TextFunctions.tokenize(col("text")))
+        .as("n")).agg(sum("n")).as[Long].collect().head
+    assert(totalTokens === directTokens) // every token lands in a window
+    val docCounts = graft.sources.Tables.documents(spark, dir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (lang, ws) =>
+      assert(ws.map(_._2).min === 0L, lang) // packing starts at window 0
+      // every doc of the shard is assigned to exactly one window
+      assert(ws.map(_._3).sum === docCounts(lang), lang)
+      // occupancy per window is positive and ids are unique
+      assert(ws.map(_._2).distinct.length === ws.length, lang)
+      ws.foreach { case (_, _, nDocs, nToks, _) =>
+        assert(nDocs >= 1 && nToks >= 1)
+      }
+    }
+  }
+
   test("top domains counts the 7 planted hosts and nothing else") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
