@@ -57,6 +57,30 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Dedup.exactGroups(emptyDocs).count() === 0)
   }
 
+  test("clustering and round-4 text ops survive empty/1-row corpora") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(emptyPairs).count() === 0)
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      assert(Dedup.dedupComponents(docs, 0.5).count() === 0)
+      // no pairs → every doc survives the pipeline
+      assert(Dedup.nearDupPipeline(docs, 0.5, 32, 8, 0.4).count() ===
+        docs.count())
+      val dir = dirFor(docs)
+      assert(TextAnalysis.docRepetition(spark, dir).count() === docs.count())
+      assert(TextAnalysis.topDomains(spark, dir).count() <= 1)
+      assert(TextAnalysis.contaminationCheck(spark, dir).count() === 0)
+      assert(TextAnalysis.sequencePacking(spark, dir).count() ===
+        docs.count())
+      // 1 doc + its reversed plant: n_docs counts both, flags hold
+      val gate = TextAnalysis.fingerprintGate(spark, dir)
+        .as[(Long, Long, Int, Int)].collect().head
+      assert(gate._3 === 1 && gate._4 === 1)
+      assert(Sampling.mixtureSample(
+        graft.sources.Tables.documents(spark, dir), "lang", "doc_id",
+        Map("en" -> 100), 0).count() === docs.count())
+    }
+  }
+
   test("similarity tiers survive empty corpora and empty query sets") {
     assert(Similarity.knnBruteForce(emptyEmb, emptyEmb, 5).count() === 0)
     assert(Similarity.knnLsh(emptyEmb, emptyEmb, 5).count() === 0)
