@@ -184,6 +184,9 @@ object SparkEntry {
     }),
     "embedding_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(Tables.embeddings(s, dir))),
+    "kmeans_train_stats" -> ((s, dir) =>
+      Similarity.kmeansTrainStats(Tables.embeddings(s, dir),
+        cells = 8, iters = 3)),
     // --- as-of join (operator Spark lacks; composed, not ported) ---
     "asof_event_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
@@ -711,6 +714,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'lsh', 50, 10, 1, 1
         |ORDER BY method""".stripMargin,
+    // per-iteration k-means contract: every vector assigned (exact
+    // count), cells within bounds, Lloyd objective non-decreasing —
+    // float objective stays out of the hash (see kmeansTrainStats)
+    "kmeans_train_stats" ->
+      """SELECT CAST(i AS INTEGER) AS iter,
+        |  (SELECT count(*) FROM embeddings) AS n_assigned,
+        |  1 AS cells_ok, 1 AS improved
+        |FROM (SELECT unnest(generate_series(0, 2)) AS i) t
+        |ORDER BY iter""".stripMargin,
     // exact sides recomputed, sketch estimates asserted within budget
     // (see Grouping.approxStatsBounds)
     "approx_stats_bounds" ->

@@ -59,18 +59,51 @@ object Similarity {
     * query row — again pure column math. The only shuffles left are the
     * Lloyd mean (map-side combined to ≤ C×dim partials per task) and the
     * final per-query top-k window on the bounded candidate set. */
+  /** Unit-normalize (zero vectors pass through). */
+  private def unitize(a: Array[Double]): Array[Double] = {
+    val n = math.sqrt(a.map(x => x * x).sum)
+    if (n == 0) a else a.map(_ / n)
+  }
+
+  /** Seeded centroid init — a TakeOrdered of C rows, not a corpus sort. */
+  private def seedCentroids(e: DataFrame, cells: Int): Array[Array[Double]] =
+    e.orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
+      .limit(cells).select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Nearest cell by cosine = argmax of dot with UNIT-norm centroids (the
+    * row's own norm is constant across cells); ties resolve to the first
+    * (lowest) cell id via array_position — deterministic. Keeps the
+    * winning dot as `best_dot` (the spherical k-means objective's per-row
+    * term); callers that only need the cell drop it. Pure map fused into
+    * the scan — no explode, no window, no shuffle, any embedding dim. */
+  private def assignCells(df: DataFrame,
+                          cents: Array[Array[Double]]): DataFrame = {
+    val dots = array(cents.map(c =>
+      dot_native(col("v"), typedlit(c.toSeq))): _*)
+    df.withColumn("__d", dots)
+      .withColumn("cell",
+        (array_position(col("__d"), array_max(col("__d"))) - 1).cast("int"))
+      .withColumn("best_dot", array_max(col("__d")))
+      .drop("__d")
+  }
+
+  /** One Lloyd refinement: per-cell mean direction, re-unitized; empty
+    * cells simply drop out. The collect is C×dim codebook METADATA (the
+    * trained model), not data — the legitimate collect class. */
+  private def lloydStep(e: DataFrame, cents: Array[Array[Double]],
+                        dim: Int): Array[Array[Double]] =
+    assignCells(e, cents)
+      .groupBy("cell")
+      .agg(array((0 until dim).map(i =>
+        avg(element_at(col("v"), i + 1))): _*).as("cv"))
+      .orderBy("cell").collect()
+      .map(r => unitize(r.getSeq[Double](1).toArray))
+
   def knnIvf(emb: DataFrame, queries: DataFrame, k: Int,
              cells: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-
-    def unitize(a: Array[Double]): Array[Double] = {
-      val n = math.sqrt(a.map(x => x * x).sum)
-      if (n == 0) a else a.map(_ / n)
-    }
-    // seed selection is a TakeOrdered of C rows, not a corpus sort
-    val seeds = e.orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
-      .limit(cells).select("v").collect()
-      .map(_.getSeq[Double](0).toArray)
+    val seeds = seedCentroids(e, cells)
     if (seeds.isEmpty) {
       // degenerate empty corpus: no centroids to train — empty result
       // with the contract schema instead of a driver crash
@@ -81,27 +114,9 @@ object Similarity {
     }
     val dim = seeds.head.length // derived from the data, no fixed 64
 
-    // nearest cell by cosine = argmax of dot with UNIT-norm centroids
-    // (the row's own norm is constant across cells); ties resolve to the
-    // first (lowest) cell id via array_position — deterministic
-    def assign(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-      val dots = array(cents.map(c =>
-        dot_native(col("v"), typedlit(c.toSeq))): _*)
-      df.withColumn("__d", dots)
-        .withColumn("cell",
-          (array_position(col("__d"), array_max(col("__d"))) - 1).cast("int"))
-        .drop("__d")
-    }
+    val refined = lloydStep(e, seeds.map(unitize), dim)
 
-    // one Lloyd refinement step; empty cells simply drop out
-    val refined = assign(e, seeds.map(unitize))
-      .groupBy("cell")
-      .agg(array((0 until dim).map(i =>
-        avg(element_at(col("v"), i + 1))): _*).as("cv"))
-      .orderBy("cell").collect()
-      .map(r => unitize(r.getSeq[Double](1).toArray))
-
-    val assigned = assign(e, refined)
+    val assigned = assignCells(e, refined).drop("best_dot")
       .withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
 
     // top-nprobe cells per query: sort a C-element (dot, cell) struct
@@ -131,6 +146,47 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
       .orderBy("query_id", "rn")
+  }
+
+  /** Seeded spherical k-means training (Lloyd's) with a driver-checkable
+    * convergence contract — the codebook trainer behind [[knnIvf]],
+    * exposed standalone with multiple refinement iterations. Emits one
+    * row per iteration: every vector assigned (`n_assigned` — exact,
+    * SQL-recomputable), cell usage within bounds, and the spherical
+    * objective (Σ cos to assigned centroid) non-decreasing — Lloyd's
+    * guarantees monotonicity exactly (assignment maximizes per row,
+    * mean-direction update maximizes per cell), so `improved` is a real
+    * invariant, not a hope. Each iteration is one scan-fused assignment
+    * pass + a C×dim codebook collect; float-only outputs stay OUT of the
+    * hashed columns (flags + exact counts only). */
+  def kmeansTrainStats(emb: DataFrame, cells: Int = 8,
+                       iters: Int = 3): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vn", sqrt(dot_native(col("v"), col("v"))))
+    val seeds = seedCentroids(e, cells)
+    if (seeds.isEmpty)
+      return Seq.empty[(Int, Long, Int, Int)]
+        .toDF("iter", "n_assigned", "cells_ok", "improved")
+    val dim = seeds.head.length
+    var cents = seeds.map(unitize)
+    var prevObj = Double.NegativeInfinity
+    val out = (0 until iters).map { it =>
+      val r = assignCells(e, cents).agg(
+        count(lit(1)),
+        sum(when(col("vn") > 0, col("best_dot") / col("vn"))
+          .otherwise(lit(0.0))),
+        count_distinct(col("cell"))).head
+      val (n, obj, used) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+      val row = (it, n,
+        if (used >= 1 && used <= cells) 1 else 0,
+        if (obj >= prevObj - 1e-6) 1 else 0)
+      prevObj = obj
+      if (it < iters - 1) cents = lloydStep(e, cents, dim)
+      row
+    }
+    out.toDF("iter", "n_assigned", "cells_ok", "improved")
   }
 
   /** L2-normalize + symmetric int8 quantization of the embedding column —

@@ -165,6 +165,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans training: monotone objective, every vector assigned") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val rows = Similarity.kmeansTrainStats(emb, cells = 8, iters = 3)
+      .as[(Int, Long, Int, Int)].collect()
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2))
+    rows.foreach { case (i, na, cellsOk, improved) =>
+      assert(na === n, s"iter $i lost vectors")
+      assert(cellsOk === 1, s"iter $i cell usage out of bounds")
+      assert(improved === 1, s"iter $i objective regressed")
+    }
+  }
+
   test("int8 quantization stays in range and round-trips within half-step") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.normalizeQuantize(emb)

@@ -89,6 +89,9 @@ class DegenerateSpec extends AnyFunSuite {
     // empty corpus, non-empty queries: no neighbors, no crash
     assert(Similarity.knnIvf(emptyEmb, oneEmb, 5).count() === 0)
     assert(Similarity.normalizeQuantize(emptyEmb).count() === 0)
+    assert(Similarity.kmeansTrainStats(emptyEmb).count() === 0)
+    assert(Similarity.kmeansTrainStats(oneEmb, cells = 8, iters = 2)
+      .count() === 2)
     assert(Dedup.embeddingNearDupPairs(emptyEmb, 0.5).count() === 0)
     // a single vector has no pairs
     assert(Dedup.embeddingNearDupPairs(oneEmb, 0.5).count() === 0)
