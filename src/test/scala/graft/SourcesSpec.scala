@@ -98,6 +98,18 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("json-lines round trip preserves values under an explicit schema") {
+    val src = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    val out = tmp() + "/json"
+    src.write.mode("overwrite").json(out)
+    // explicit schema: JSON inference would widen/reorder types
+    val back = spark.read.schema(src.schema).json(out)
+    assert(back.count() === src.count())
+    assert(back.agg(sum("event_id")).as[Long].collect().head ===
+           src.agg(sum("event_id")).as[Long].collect().head)
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val out = tmp() + "/part"
     Tables.orders(spark, dir)
