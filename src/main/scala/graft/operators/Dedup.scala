@@ -102,7 +102,9 @@ object Dedup {
     * prefix-postings join (each doc's globally rarest features), then
     * true overlaps are recounted for candidates only. */
   def jaccardPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
-    val posts = bigramPostings(docs)
+    // the prefix plan reads the postings five ways (sizes, dfreq, prefix,
+    // and both recount sides) — checkpoint once, same as the auto path
+    val posts = bigramPostings(docs).localCheckpoint(true)
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     // global order: ascending document frequency, feature hash tiebreak
     val dfreq = posts.groupBy("feat").agg(count(lit(1)).as("df"))
@@ -143,7 +145,7 @@ object Dedup {
     * One driver-side `count()` sizes the dictionary — an adaptive plan
     * choice, not a data collect. */
   def jaccardPairsBitmap(docs: DataFrame, tau: Double): DataFrame = {
-    val posts = bigramPostings(docs)
+    val posts = bigramPostings(docs).localCheckpoint(true)
     val (vocab, nDocs) = postingStats(posts)
     if (vocab == 0) emptyPairs(docs.sparkSession, "jaccard")
     else if (!bitmapBroadcastFits(vocab, nDocs)) jaccardPairsFromPostings(posts, tau)
@@ -219,7 +221,13 @@ object Dedup {
     * into the chosen path — the postings are not re-counted there. */
   def jaccardPairsAuto(docs: DataFrame, tau: Double,
                        vocabLimit: Int = 4096): DataFrame = {
-    val posts = bigramPostings(docs)
+    // eager checkpoint: the postings feed the stats job AND 2-3 branches
+    // of the chosen pair plan (dict/bitmaps or sizes/self-join) — without
+    // it each branch re-tokenizes and re-shingles the corpus. Building
+    // the feature index once is also the right 100 TB shape: the exact
+    // tier runs on LSH-bounded candidates, so the index it checkpoints
+    // is candidate-sized, not corpus-sized.
+    val posts = bigramPostings(docs).localCheckpoint(true)
     val (vocab, nDocs) = postingStats(posts)
     if (vocab == 0) emptyPairs(docs.sparkSession, "jaccard")
     else if (vocab <= vocabLimit && bitmapBroadcastFits(vocab, nDocs))
