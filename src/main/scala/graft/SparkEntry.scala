@@ -379,13 +379,21 @@ object SparkEntry {
         |       substr(h, 2*(i % greatest(nb,1))+2, 1)) - 1) AS bv
         |  FROM b, LATERAL (SELECT unnest(generate_series(0, 4095)) AS i) g
         |  WHERE doc_id % 3 = 0),
-        |av AS (
+        |aud AS (
+        |  SELECT doc_id, 44 + 2*n AS n_bytes,
+        |    least(i // greatest(n // 8, 1), 7) AS lane,
+        |    abs(((doc_id*31 + i*17) % 20001) - 10000) AS bv
+        |  FROM (SELECT doc_id, 160 + (doc_id % 41) * 4 AS n
+        |        FROM documents WHERE doc_id % 3 = 1) d,
+        |  LATERAL (SELECT unnest(generate_series(0, n-1)) AS i) g),
+        |vid AS (
         |  SELECT doc_id, nb AS n_bytes, i % 8 AS lane,
         |    (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16 +
         |    (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1) AS bv
         |  FROM b, LATERAL (SELECT unnest(generate_series(0, nb-1)) AS i) g
-        |  WHERE doc_id % 3 <> 0),
-        |u AS (SELECT * FROM img UNION ALL SELECT * FROM av)
+        |  WHERE doc_id % 3 = 2),
+        |u AS (SELECT * FROM img UNION ALL SELECT * FROM aud
+        |      UNION ALL SELECT * FROM vid)
         |SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -811,21 +819,36 @@ object SparkEntry {
         |    16 AS width, 16 AS height
         |  FROM b, LATERAL (SELECT unnest(generate_series(0, 255)) AS i) g
         |  WHERE doc_id % 3 = 0 GROUP BY doc_id, nb),
-        |av AS (
-        |  SELECT b.doc_id,
-        |    CASE WHEN b.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
-        |      AS modality,
-        |    nb AS n_bytes,
+        |aud AS (
+        |  -- WAV bytes regenerated by formula: 1722 is the constant
+        |  -- header byte sum (RIFF/WAVE/fmt/data tags + fixed fields);
+        |  -- the two size fields and each LE sample contribute their
+        |  -- base-256 digit sums
+        |  SELECT d.doc_id, 'audio' AS modality, 44 + 2*n AS n_bytes,
+        |    1722 + ((36 + 2*n) % 256) + ((36 + 2*n) // 256)
+        |         + ((2*n) % 256) + ((2*n) // 256)
+        |         + coalesce(sum((u % 256) + (u // 256)), 0) AS byte_sum,
+        |    64 AS width, 64 AS height
+        |  FROM (SELECT doc_id, 160 + (doc_id % 41) * 4 AS n
+        |        FROM documents WHERE doc_id % 3 = 1) d,
+        |  LATERAL (SELECT unnest(generate_series(0, n-1)) AS i) g,
+        |  LATERAL (SELECT CASE WHEN sv < 0 THEN sv + 65536 ELSE sv END AS u
+        |           FROM (SELECT ((d.doc_id*31 + i*17) % 20001) - 10000
+        |                 AS sv) q) s
+        |  GROUP BY d.doc_id, n),
+        |vid AS (
+        |  SELECT b.doc_id, 'video' AS modality, nb AS n_bytes,
         |    coalesce(sum(
         |      (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16 +
         |      (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)), 0)
         |      AS byte_sum,
         |    64 AS width, 64 AS height
         |  FROM b, LATERAL (SELECT unnest(generate_series(0, nb-1)) AS i) g
-        |  WHERE b.doc_id % 3 <> 0 GROUP BY b.doc_id, nb)
+        |  WHERE b.doc_id % 3 = 2 GROUP BY b.doc_id, nb)
         |SELECT doc_id, modality, CAST(n_bytes AS INTEGER) AS n_bytes,
         |  CAST(byte_sum AS BIGINT) AS byte_sum, width, height
-        |FROM (SELECT * FROM img UNION ALL SELECT * FROM av) u
+        |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+        |      UNION ALL SELECT * FROM vid) u
         |ORDER BY doc_id""".stripMargin,
     "shipped_in_order_window" ->
       """SELECT o_orderkey, count(l.l_shipdate) AS n_shipped

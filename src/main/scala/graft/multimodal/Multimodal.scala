@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is real end-to-end: assets are Netpbm P5 (PGM) files —
   * a public, library-free format — and `Pgm.decode`/`resizeImage` are
   * genuine implementations (header parse, raster slice, nearest-neighbor
-  * resample, re-encode). Audio/video decoding would require external
-  * codecs this environment lacks, so those two modalities keep the
-  * declared deterministic byte-math stub (`decodeStub`): swap its body
-  * for a JNI/library call and nothing else changes.
+  * resample, re-encode). The AUDIO path is equally real: assets are
+  * canonical PCM WAV files (RIFF header + 16-bit LE mono samples) and
+  * `Wav.decode` genuinely parses them before frame-energy pooling — the
+  * oracle regenerates the deterministic samples by formula, so a codec
+  * bug breaks the hash. VIDEO decoding would need an external codec this
+  * environment lacks, so that one modality keeps the declared
+  * deterministic byte-math stub (`decodeStub`): swap its body for a
+  * JNI/library call and nothing else changes.
   *
   * Scale notes: decoding is per-row CPU work with no shuffle; batching
   * inside `mapPartitions` amortizes per-batch setup (the Scala analogue
@@ -65,7 +69,62 @@ object Multimodal {
     }
   }
 
-  /** STUB decode for audio/video (no codecs in this environment): a real
+  /** Canonical-layout PCM WAV (RIFF) codec — mono, 16-bit little-endian,
+    * 44-byte header + data. Public format (RIFF/WAVE PCM); pure JVM. */
+  object Wav {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val data = 2 * samples.length
+      val bb = ByteBuffer.allocate(44 + data)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(data)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** @return (sampleRate, samples) */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(exp: String): Unit = {
+        val a = new Array[Byte](4); bb.get(a)
+        require(new String(a, "US-ASCII") == exp, s"missing $exp chunk")
+      }
+      tag("RIFF"); bb.getInt(); tag("WAVE"); tag("fmt ")
+      require(bb.getInt() == 16, "unsupported fmt chunk")
+      require(bb.getShort() == 1, "not PCM")
+      require(bb.getShort() == 1, "not mono")
+      val rate = bb.getInt()
+      bb.getInt(); bb.getShort() // byte rate, block align
+      require(bb.getShort() == 16, "not 16-bit")
+      tag("data")
+      val n = bb.getInt() / 2
+      require(bytes.length >= 44 + 2 * n, "truncated WAV data")
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(); i += 1 }
+      (rate, out)
+    }
+  }
+
+  val AudioRate = 16000
+
+  /** Deterministic audio fixture — sample count and values are pure
+    * integer functions of doc_id so the DuckDB oracle can regenerate
+    * them in SQL and verify the REAL codec's round trip. */
+  def audioSampleCount(id: Long): Int =
+    160 + Math.floorMod(id, 41).toInt * 4
+
+  def audioSample(id: Long, i: Int): Short =
+    (Math.floorMod(id * 31L + i.toLong * 17L, 20001L) - 10000L).toShort
+
+  /** STUB decode for video (no video codecs in this environment): a real
     * implementation would decode the bytes and emit pooled features. The
     * fake is deterministic in the bytes so tests and reruns agree.
     *
@@ -79,6 +138,26 @@ object Multimodal {
     var i = 0
     while (i < row.content.length) {
       sums(i % FeatureDim) += (row.content(i) & 0xff)
+      i += 1
+    }
+    val feats = new Array[Float](FeatureDim)
+    var j = 0
+    while (j < FeatureDim) { feats(j) = sums(j) / 255.0f; j += 1 }
+    MediaFeatures(row.doc_id, row.modality, row.content.length, feats)
+  }
+
+  /** REAL audio decode + pooling: parse the WAV, sum |sample| over
+    * FeatureDim contiguous frames (frame j = samples [j·n/dim, …)) —
+    * integer frame energies with the same /255 contract as the other
+    * modalities (frame sums stay far below the float32 exactness bound). */
+  private def decodeAudioFeatures(row: MediaRow): MediaFeatures = {
+    val (rate, s) = Wav.decode(row.content)
+    require(rate == row.sample_rate, s"rate $rate != ${row.sample_rate}")
+    val frameLen = math.max(s.length / FeatureDim, 1)
+    val sums = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < s.length) {
+      sums(math.min(i / frameLen, FeatureDim - 1)) += math.abs(s(i).toLong)
       i += 1
     }
     val feats = new Array[Float](FeatureDim)
@@ -147,20 +226,31 @@ object Multimodal {
               }
             }
             Pgm.encode(ImgDim, ImgDim, plane)
+          } else if (modality == "audio") {
+            val n = audioSampleCount(id)
+            val s = new Array[Short](n)
+            var i = 0
+            while (i < n) { s(i) = audioSample(id, i); i += 1 }
+            Wav.encode(AudioRate, s)
           } else raw
-        MediaRow(id, modality, content, ImgDim, ImgDim, 16000)
+        MediaRow(id, modality, content, ImgDim, ImgDim, AudioRate)
       }.toDF()
   }
 
   /** Batch-shaped feature extraction: partition-local, grouped into
     * fixed-size batches (the decode library's preferred call shape).
-    * Images take the real PGM decode path; audio/video the stub. */
+    * Images take the real PGM decode path, audio the real WAV decode
+    * path; video keeps the declared stub. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
-        if (r.modality == "image") decodeImageFeatures(r) else decodeStub(r)
+        r.modality match {
+          case "image" => decodeImageFeatures(r)
+          case "audio" => decodeAudioFeatures(r)
+          case _ => decodeStub(r)
+        }
       }))
       .toDF()
   }

@@ -194,6 +194,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(7) === 0f)
   }
 
+  test("WAV codec round-trips; audio features are real frame energies") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.Wav
+    import spark.implicits._
+    val samples = Array.tabulate(16)(i => ((i - 8) * 1000).toShort)
+    val bytes = Wav.encode(16000, samples)
+    assert(bytes.length === 44 + 32)
+    val (rate, back) = Wav.decode(bytes)
+    assert(rate === 16000 && back.toSeq === samples.toSeq)
+    val df = Seq(Multimodal.MediaRow(1L, "audio", bytes, 64, 64, 16000))
+      .toDS().toDF()
+    val r0 = Multimodal.extractFeatures(df).collect()(0)
+    val feats = r0.getSeq[Float](r0.fieldIndex("features"))
+    // 16 samples, frameLen = max(16/8,1) = 2 → frame j = samples 2j,2j+1
+    assert(math.round(feats(0) * 255) === 8000 + 7000)
+    assert(math.round(feats(7) * 255) === 6000 + 7000)
+    // the fabricated fixture round-trips through the real codec
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val one = Multimodal.mediaFromDocuments(docs, Some("audio"))
+      .filter(col("doc_id") === 1).collect()(0)
+    val (r2, s2) = Wav.decode(one.getAs[Array[Byte]]("content"))
+    assert(r2 === Multimodal.AudioRate)
+    assert(s2.length === Multimodal.audioSampleCount(1L))
+    assert(s2.zipWithIndex.forall { case (s, i) =>
+      s === Multimodal.audioSample(1L, i) })
+  }
+
   test("frame sampling emits stride-spaced offsets for video rows only") {
     import graft.multimodal.Multimodal
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
