@@ -387,11 +387,12 @@ object SparkEntry {
         |        FROM documents WHERE doc_id % 3 = 1) d,
         |  LATERAL (SELECT unnest(generate_series(0, n-1)) AS i) g),
         |vid AS (
-        |  SELECT doc_id, nb AS n_bytes, i % 8 AS lane,
-        |    (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16 +
-        |    (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1) AS bv
-        |  FROM b, LATERAL (SELECT unnest(generate_series(0, nb-1)) AS i) g
-        |  WHERE doc_id % 3 = 2),
+        |  SELECT doc_id, frames * 4109 AS n_bytes, k AS lane,
+        |    (doc_id*7 + k*13 + i) % 256 AS bv
+        |  FROM (SELECT doc_id, 4 + (doc_id % 5) AS frames
+        |        FROM documents WHERE doc_id % 3 = 2) d,
+        |  LATERAL (SELECT unnest(generate_series(0, frames-1)) AS k) f,
+        |  LATERAL (SELECT unnest(generate_series(0, 4095)) AS i) g),
         |u AS (SELECT * FROM img UNION ALL SELECT * FROM aud
         |      UNION ALL SELECT * FROM vid)
         |SELECT doc_id,
@@ -796,13 +797,24 @@ object SparkEntry {
     "streamed_dedup_events" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sampled frame is regenerated by formula: 8 fps over 1 s, index
+    // clamped to the last frame, raster pixel = (id*7 + k*13 + i) % 256
     "multimodal_frame_sample" ->
-      """SELECT doc_id, unnest(generate_series(0, 999, 250)) AS frame_ms
-        |FROM documents WHERE doc_id % 3 = 2
-        |ORDER BY doc_id, frame_ms""".stripMargin,
+      """WITH v AS (SELECT doc_id, 4 + (doc_id % 5) AS frames
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |s AS (
+        |  SELECT doc_id, frames, ms,
+        |    CAST(least(ms // 125, frames - 1) AS INTEGER) AS frame_idx
+        |  FROM v, LATERAL (SELECT unnest(generate_series(0, 999, 250))
+        |                   AS ms) g)
+        |SELECT doc_id, CAST(ms AS INTEGER) AS frame_ms, frame_idx,
+        |  CAST((SELECT sum((s.doc_id*7 + s.frame_idx*13 + i) % 256)
+        |        FROM (SELECT unnest(generate_series(0, 4095)) AS i) px)
+        |       AS BIGINT) AS frame_sum
+        |FROM s ORDER BY doc_id, frame_ms""".stripMargin,
     // images: 13-byte resized header "P5\n16 16\n255\n" (ASCII sum 557)
     // + NN raster out(y,x) = plane[256y+4x], plane[k] = byte[k mod nb];
-    // audio/video: untouched raw bytes summed whole
+    // audio: WAV bytes by formula; video: motion-PGM bytes by formula
     "multimodal_resize" ->
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS h,
@@ -837,14 +849,17 @@ object SparkEntry {
         |                 AS sv) q) s
         |  GROUP BY d.doc_id, n),
         |vid AS (
-        |  SELECT b.doc_id, 'video' AS modality, nb AS n_bytes,
-        |    coalesce(sum(
-        |      (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16 +
-        |      (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)), 0)
-        |      AS byte_sum,
+        |  -- motion-PGM by formula: 563 is the per-frame header byte sum
+        |  -- ("P5\n64 64\n255\n"), 4109 the per-frame byte length
+        |  SELECT d.doc_id, 'video' AS modality, frames * 4109 AS n_bytes,
+        |    frames * 563 +
+        |      coalesce(sum((d.doc_id*7 + k*13 + i) % 256), 0) AS byte_sum,
         |    64 AS width, 64 AS height
-        |  FROM b, LATERAL (SELECT unnest(generate_series(0, nb-1)) AS i) g
-        |  WHERE b.doc_id % 3 = 2 GROUP BY b.doc_id, nb)
+        |  FROM (SELECT doc_id, 4 + (doc_id % 5) AS frames
+        |        FROM documents WHERE doc_id % 3 = 2) d,
+        |  LATERAL (SELECT unnest(generate_series(0, frames-1)) AS k) f,
+        |  LATERAL (SELECT unnest(generate_series(0, 4095)) AS i) g
+        |  GROUP BY d.doc_id, frames)
         |SELECT doc_id, modality, CAST(n_bytes AS INTEGER) AS n_bytes,
         |  CAST(byte_sum AS BIGINT) AS byte_sum, width, height
         |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud

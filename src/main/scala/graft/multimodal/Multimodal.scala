@@ -7,17 +7,20 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batch-shaped decode/feature-extract
   * operators.
   *
-  * The IMAGE path is real end-to-end: assets are Netpbm P5 (PGM) files —
-  * a public, library-free format — and `Pgm.decode`/`resizeImage` are
-  * genuine implementations (header parse, raster slice, nearest-neighbor
-  * resample, re-encode). The AUDIO path is equally real: assets are
-  * canonical PCM WAV files (RIFF header + 16-bit LE mono samples) and
-  * `Wav.decode` genuinely parses them before frame-energy pooling — the
-  * oracle regenerates the deterministic samples by formula, so a codec
-  * bug breaks the hash. VIDEO decoding would need an external codec this
-  * environment lacks, so that one modality keeps the declared
-  * deterministic byte-math stub (`decodeStub`): swap its body for a
-  * JNI/library call and nothing else changes.
+  * Every modality is decoded for real, with pure-JVM codecs for public,
+  * library-free formats (compressed formats like JPEG/MP3/H.264 would
+  * need external codecs this environment lacks; swapping a decode body
+  * for a JNI/library call changes nothing else):
+  *  - IMAGE: Netpbm P5 (PGM) — `Pgm.decode`/`resizeImage` genuinely
+  *    parse headers, slice rasters, nearest-neighbor resample, re-encode.
+  *  - AUDIO: canonical PCM WAV (RIFF, 16-bit LE mono) — `Wav.decode`
+  *    parses the chunks before frame-energy pooling.
+  *  - VIDEO: motion-PGM (back-to-back P5 frames, the Netpbm frame-stream
+  *    layout) — `MPgm.decodeFrames` walks the stream; `sampleFrames`
+  *    extracts the frame covering each sampled offset.
+  * All assets are deterministic integer functions of doc_id, so the
+  * DuckDB oracles regenerate them by formula — a codec bug on either
+  * side of encode/decode flips a driver hash.
   *
   * Scale notes: decoding is per-row CPU work with no shuffle; batching
   * inside `mapPartitions` amortizes per-batch setup (the Scala analogue
@@ -48,10 +51,16 @@ object Multimodal {
     }
 
     /** @return (width, height, raster) */
-    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5',
-        "not a P5 PGM")
-      var i = 2
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+      decodeAt(bytes, 0)._1
+
+    /** Offset-aware decode for concatenated-PGM streams.
+      * @return ((width, height, raster), offset past this frame) */
+    def decodeAt(bytes: Array[Byte], start: Int)
+        : ((Int, Int, Array[Byte]), Int) = {
+      require(bytes.length >= start + 2 &&
+        bytes(start) == 'P' && bytes(start + 1) == '5', "not a P5 PGM")
+      var i = start + 2
       def nextInt(): Int = {
         while (Character.isWhitespace(bytes(i))) i += 1
         var v = 0
@@ -65,9 +74,37 @@ object Multimodal {
       require(maxVal == 255, s"unsupported maxval $maxVal")
       i += 1 // exactly one whitespace byte separates header and raster
       require(bytes.length >= i + w * h, "truncated PGM raster")
-      (w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h))
+      ((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h)), i + w * h)
     }
   }
+
+  /** Motion-PGM "video": frames stored as back-to-back P5 PGMs with no
+    * container header — the simplest public frame-stream layout (the
+    * Netpbm tools themselves concatenate frames this way). Frame count
+    * derives from stream length at decode time. */
+  object MPgm {
+    def encode(frames: Array[Array[Byte]], w: Int, h: Int): Array[Byte] =
+      frames.flatMap(Pgm.encode(w, h, _))
+
+    def decodeFrames(bytes: Array[Byte]): Array[(Int, Int, Array[Byte])] = {
+      val out = Array.newBuilder[(Int, Int, Array[Byte])]
+      var off = 0
+      while (off < bytes.length) {
+        val (frame, next) = Pgm.decodeAt(bytes, off)
+        out += frame
+        off = next
+      }
+      out.result()
+    }
+  }
+
+  /** Deterministic video fixture — frame count and pixels are pure
+    * integer functions of doc_id so the oracle regenerates them in SQL.
+    * 8 fps over a 1-second asset: frame k covers [k·125, (k+1)·125) ms. */
+  val VideoFps = 8
+  def videoFrameCount(id: Long): Int = 4 + Math.floorMod(id, 5).toInt
+  def videoPixel(id: Long, k: Int, i: Int): Byte =
+    Math.floorMod(id * 7L + k.toLong * 13L + i.toLong, 256L).toByte
 
   /** Canonical-layout PCM WAV (RIFF) codec — mono, 16-bit little-endian,
     * 44-byte header + data. Public format (RIFF/WAVE PCM); pure JVM. */
@@ -124,21 +161,23 @@ object Multimodal {
   def audioSample(id: Long, i: Int): Short =
     (Math.floorMod(id * 31L + i.toLong * 17L, 20001L) - 10000L).toShort
 
-  /** STUB decode for video (no video codecs in this environment): a real
-    * implementation would decode the bytes and emit pooled features. The
-    * fake is deterministic in the bytes so tests and reruns agree.
-    *
-    * Lane sums accumulate in integers and divide by 255 exactly once at
-    * the end: `round(feature * 255)` then recovers the integer lane sum
-    * bit-exactly (float32 relative error ~6e-8 ≪ 0.5/laneSum for any
-    * asset below ~8 MB/lane), which is what the driver-facing oracle
-    * projection in SparkEntry relies on. */
-  private def decodeStub(row: MediaRow): MediaFeatures = {
+  /** REAL video decode + pooling: parse the motion-PGM stream, lane k =
+    * raster byte sum of frame k — per-frame energies with the same /255
+    * contract. (Lane sums accumulate in integers and divide by 255
+    * exactly once at the end: `round(feature * 255)` then recovers the
+    * integer lane sum bit-exactly — float32 relative error ~6e-8 ≪
+    * 0.5/laneSum for any asset below ~8 MB/lane — which is what the
+    * driver-facing oracle projection in SparkEntry relies on.) */
+  private def decodeVideoFeatures(row: MediaRow): MediaFeatures = {
+    val frames = MPgm.decodeFrames(row.content)
     val sums = new Array[Long](FeatureDim)
-    var i = 0
-    while (i < row.content.length) {
-      sums(i % FeatureDim) += (row.content(i) & 0xff)
-      i += 1
+    var k = 0
+    while (k < frames.length) {
+      val px = frames(k)._3
+      val lane = math.min(k, FeatureDim - 1)
+      var i = 0
+      while (i < px.length) { sums(lane) += (px(i) & 0xff); i += 1 }
+      k += 1
     }
     val feats = new Array[Float](FeatureDim)
     var j = 0
@@ -232,15 +271,24 @@ object Multimodal {
             var i = 0
             while (i < n) { s(i) = audioSample(id, i); i += 1 }
             Wav.encode(AudioRate, s)
-          } else raw
+          } else {
+            val frames = Array.tabulate(videoFrameCount(id)) { k =>
+              val px = new Array[Byte](ImgDim * ImgDim)
+              var i = 0
+              while (i < px.length) { px(i) = videoPixel(id, k, i); i += 1 }
+              px
+            }
+            MPgm.encode(frames, ImgDim, ImgDim)
+          }
         MediaRow(id, modality, content, ImgDim, ImgDim, AudioRate)
       }.toDF()
   }
 
   /** Batch-shaped feature extraction: partition-local, grouped into
     * fixed-size batches (the decode library's preferred call shape).
-    * Images take the real PGM decode path, audio the real WAV decode
-    * path; video keeps the declared stub. */
+    * Every modality takes a real decode path: PGM band pooling for
+    * images, WAV frame energy for audio, motion-PGM per-frame energy
+    * for video. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -249,7 +297,7 @@ object Multimodal {
         r.modality match {
           case "image" => decodeImageFeatures(r)
           case "audio" => decodeAudioFeatures(r)
-          case _ => decodeStub(r)
+          case _ => decodeVideoFeatures(r)
         }
       }))
       .toDF()
@@ -303,11 +351,27 @@ object Multimodal {
       .toDF("doc_id", "modality", "n_bytes", "byte_sum", "width", "height")
   }
 
-  /** Frame sampling for video rows: every strideMs milliseconds up to
-    * durationMs, exploded to one row per sampled frame offset. */
-  def sampleFrames(media: DataFrame, durationMs: Int, strideMs: Int): DataFrame =
-    media.filter(col("modality") === "video")
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(durationMs - 1), lit(strideMs)))
-          .as("frame_ms"))
+  /** REAL frame sampling for video rows: every strideMs milliseconds up
+    * to durationMs, DECODE the motion-PGM stream and emit the frame
+    * covering that offset (clamped to the last frame — the hold-last
+    * convention) with its decoded raster byte sum, one row per sampled
+    * offset. Per-row decode work, no shuffle; the sums make the
+    * extraction oracle-checkable against the fixture formula. */
+  def sampleFrames(media: DataFrame, durationMs: Int, strideMs: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "video").as[MediaRow]
+      .flatMap { r =>
+        val frames = MPgm.decodeFrames(r.content)
+        (0 until durationMs by strideMs).map { ms =>
+          val k = math.min(ms * VideoFps / 1000, frames.length - 1)
+          val px = frames(k)._3
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += (px(i) & 0xff); i += 1 }
+          (r.doc_id, ms, k, s)
+        }
+      }
+      .toDF("doc_id", "frame_ms", "frame_idx", "frame_sum")
+  }
 }

@@ -221,12 +221,39 @@ class MultimodalSpec extends AnyFunSuite {
       s === Multimodal.audioSample(1L, i) })
   }
 
-  test("frame sampling emits stride-spaced offsets for video rows only") {
+  test("frame sampling decodes the real frame at each sampled offset") {
     import graft.multimodal.Multimodal
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(docs), 1000, 250)
     val perDoc = frames.groupBy("doc_id").count().select("count").distinct()
     assert(perDoc.collect().map(_.getLong(0)).toSeq === Seq(4L))
+    // spot-check one doc against the fixture formula: 8 fps, clamped
+    val rows = frames.filter(col("doc_id") === 2)
+      .orderBy("frame_ms").collect()
+    val nFrames = Multimodal.videoFrameCount(2L)
+    rows.foreach { r =>
+      val ms = r.getAs[Int]("frame_ms")
+      val k = math.min(ms * Multimodal.VideoFps / 1000, nFrames - 1)
+      assert(r.getAs[Int]("frame_idx") === k)
+      val expected = (0 until 64 * 64).map(i =>
+        (Multimodal.videoPixel(2L, k, i) & 0xff).toLong).sum
+      assert(r.getAs[Long]("frame_sum") === expected)
+    }
+  }
+
+  test("motion-PGM round trip preserves every frame") {
+    import graft.multimodal.Multimodal.{MPgm, Pgm}
+    val frames = Array.tabulate(3)(k =>
+      Array.tabulate(16)(i => (k * 16 + i).toByte))
+    val stream = MPgm.encode(frames, 4, 4)
+    val back = MPgm.decodeFrames(stream)
+    assert(back.length === 3)
+    back.zipWithIndex.foreach { case ((w, h, px), k) =>
+      assert(w === 4 && h === 4 && px.toSeq === frames(k).toSeq)
+    }
+    // a single frame is still a plain valid PGM
+    assert(Pgm.decode(Pgm.encode(4, 4, frames(0)))._3.toSeq ===
+      frames(0).toSeq)
   }
 }
