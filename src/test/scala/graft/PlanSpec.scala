@@ -146,6 +146,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [In(lang"), p)
   }
 
+  test("sequence packing: one shard exchange, never a global sort") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.sequencePacking(spark, dir))
+    // the cumsum window partitions by lang — a hash exchange, not a
+    // single-partition global window (the scale-killer WindowExec warns
+    // about); presentation orderBy adds at most one range exchange
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("mixture sample is a scan-fused filter: zero exchanges") {
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val df = Sampling.mixtureSample(Tables.documents(spark, dir),
+      "lang", "doc_id", Map("en" -> 90), 50)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Filter"), p)
+  }
+
   test("native as-of join: AsOfJoinExec over shuffled, sorted children") {
     import graft.operators.AsOfJoin
     import graft.sources.Tables

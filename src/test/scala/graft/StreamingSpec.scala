@@ -77,6 +77,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental parquet sink accumulates the full stream") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-febatch").toString
+    val q = Streaming.eventsStream(spark, dir)
+      .select("event_id", "event_type")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$out/events")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val written = spark.read.parquet(s"$out/events")
+    val batchSide = graft.sources.Tables.events(spark, dir)
+    assert(written.count() === batchSide.count())
+    assert(written.select(sum("event_id")).collect()(0).getLong(0) ===
+      batchSide.select(sum("event_id")).collect()(0).getLong(0))
+  }
+
   test("streamed double-replay dedup settles to the batch counts") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.streamedDedupEvents(spark, dir)
