@@ -192,16 +192,24 @@ object Grouping {
     * this price distribution. The oracle emits the exact values and
     * literal 1s: a sketch drifting out of budget flips the hash red while
     * the algorithm-specific estimates themselves stay out of the hash. */
-  def approxStatsBounds(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
+  def approxStatsBounds(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // The single countDistinct forces the whole aggregate through a
+    // two-phase (flag, partkey) pre-aggregation — which would build and
+    // merge the sort-buffering exact-percentile (and HLL) buffers per
+    // FINE-GRAINED group, ~200k buffers instead of 3. Two lean
+    // aggregates joined on the 3-row key are ~2× cheaper and keep each
+    // plan's partial aggregation shape right.
+    val distinctSide = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val rest = li.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey")).as("ap"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
           .as("apct"),
         expr("percentile(l_extendedprice, array(0.5, 0.9))").as("epct"))
+    rest.join(distinctSide, "l_returnflag")
       .select(col("l_returnflag"), col("n"), col("exact_parts"),
         (abs(col("ap") - col("exact_parts")) <=
           lit(0.10) * col("exact_parts")).cast("int").as("parts_ok"),
@@ -210,6 +218,7 @@ object Grouping {
         (abs(element_at(col("apct"), 2) - element_at(col("epct"), 2)) <=
           lit(0.02) * element_at(col("epct"), 2)).cast("int").as("p90_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Collection aggregates: the distinct event types each user produced,
     * as a deterministic sorted CSV (collect_set is unordered by contract;
