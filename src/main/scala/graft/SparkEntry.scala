@@ -849,16 +849,18 @@ object SparkEntry {
         |                 AS sv) q) s
         |  GROUP BY d.doc_id, n),
         |vid AS (
-        |  -- motion-PGM by formula: 563 is the per-frame header byte sum
-        |  -- ("P5\n64 64\n255\n"), 4109 the per-frame byte length
-        |  SELECT d.doc_id, 'video' AS modality, frames * 4109 AS n_bytes,
-        |    frames * 563 +
-        |      coalesce(sum((d.doc_id*7 + k*13 + i) % 256), 0) AS byte_sum,
-        |    64 AS width, 64 AS height
+        |  -- per-frame NN resize by formula: each 64x64 frame resamples
+        |  -- to 16x16 (src index 256*(i//16) + 4*(i%16), like img), with
+        |  -- the 557-byte resized header and 269 bytes per frame
+        |  SELECT d.doc_id, 'video' AS modality, frames * 269 AS n_bytes,
+        |    frames * 557 +
+        |      coalesce(sum((d.doc_id*7 + k*13 +
+        |        (256*(i//16) + 4*(i%16))) % 256), 0) AS byte_sum,
+        |    16 AS width, 16 AS height
         |  FROM (SELECT doc_id, 4 + (doc_id % 5) AS frames
         |        FROM documents WHERE doc_id % 3 = 2) d,
         |  LATERAL (SELECT unnest(generate_series(0, frames-1)) AS k) f,
-        |  LATERAL (SELECT unnest(generate_series(0, 4095)) AS i) g
+        |  LATERAL (SELECT unnest(generate_series(0, 255)) AS i) g
         |  GROUP BY d.doc_id, frames)
         |SELECT doc_id, modality, CAST(n_bytes AS INTEGER) AS n_bytes,
         |  CAST(byte_sum AS BIGINT) AS byte_sum, width, height

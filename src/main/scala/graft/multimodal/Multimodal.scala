@@ -321,16 +321,37 @@ object Multimodal {
     row.copy(content = Pgm.encode(tw, th, out), width = tw, height = th)
   }
 
-  /** Resize image rows to targetW×targetH (other modalities pass through
-    * untouched). Same batch-shaped, shuffle-free execution as
-    * extractFeatures. */
+  /** Per-frame resize of a motion-PGM stream: decode each frame, NN
+    * resample with the same kernel as the still-image path, re-encode. */
+  private def resizeVideo(row: MediaRow, tw: Int, th: Int): MediaRow = {
+    val out = MPgm.decodeFrames(row.content).map { case (w, h, px) =>
+      val o = new Array[Byte](tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = y * h / th
+        var x = 0
+        while (x < tw) { o(y * tw + x) = px(sy * w + x * w / tw); x += 1 }
+        y += 1
+      }
+      o
+    }
+    row.copy(content = MPgm.encode(out, tw, th), width = tw, height = th)
+  }
+
+  /** Resize visual rows to targetW×targetH — still images directly,
+    * videos frame by frame; audio passes through untouched. Same
+    * batch-shaped, shuffle-free execution as extractFeatures. */
   def resizeImages(media: DataFrame, targetW: Int, targetH: Int,
                    batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
-        if (r.modality == "image") resizeImage(r, targetW, targetH) else r
+        r.modality match {
+          case "image" => resizeImage(r, targetW, targetH)
+          case "video" => resizeVideo(r, targetW, targetH)
+          case _ => r
+        }
       }))
       .toDF()
   }

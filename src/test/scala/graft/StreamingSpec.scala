@@ -185,9 +185,14 @@ class MultimodalSpec extends AnyFunSuite {
     // 13-byte PGM header ("P5\n16 16\n255\n") + 16×16 raster
     assert(images.filter(length(col("content")) =!= (13 + 256) ||
       col("width") =!= 16 || col("height") =!= 16).count() === 0)
-    // non-image rows untouched: bytes still the document text length
-    val others = resized.filter(col("modality") =!= "image")
-    assert(others.filter(col("width") =!= 64).count() === 0)
+    // audio passes through untouched; video resizes frame by frame
+    val audio = resized.filter(col("modality") === "audio")
+    assert(audio.filter(col("width") =!= 64).count() === 0)
+    val videos = resized.filter(col("modality") === "video")
+    assert(videos.filter(col("width") =!= 16 ||
+      col("height") =!= 16).count() === 0)
+    // every resized frame is a 269-byte 16x16 PGM, stream = k frames
+    assert(videos.filter(length(col("content")) % 269 =!= 0).count() === 0)
   }
 
   test("PGM codec round-trips; resize is exact nearest-neighbor") {
