@@ -516,7 +516,7 @@ object SparkEntry {
         |  CAST(sum_k AS DOUBLE) / n AS avg_k
         |FROM (
         |  SELECT event_type, count(*) AS n,
-        |    sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+        |    CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         |  FROM events GROUP BY 1) t
         |ORDER BY 1""".stripMargin,
     "events_hourly" ->
@@ -557,7 +557,7 @@ object SparkEntry {
     // the round trip through the partitioned sink is lossless, so the
     // oracle reads the original table directly
     "partitioned_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(length(text)) AS n_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents WHERE lang IN ('en', 'es')
         |GROUP BY 1 ORDER BY lang""".stripMargin,
@@ -905,7 +905,7 @@ object SparkEntry {
          |  FROM t)
          |SELECT lang,
          |  CAST(floor((cum - n_toks) / 2048) AS BIGINT) AS window_id,
-         |  count(*) AS n_docs, sum(n_toks) AS n_tokens,
+         |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc
          |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "skewed_user_segment_stats" ->

@@ -46,12 +46,16 @@ def main():
             print(f"[FAIL] {name}: rows {len(s)} vs {len(d)}")
             fails += 1
             continue
-        # exact compare after normalizing dtypes
+        # exact compare; the driver hashes stringified values, so a dtype
+        # disagreement (e.g. DuckDB HUGEINT -> float64 vs Spark int64
+        # stringifying "6.0" vs "6") is a FAILURE, not something to coerce
         mismatch = None
         for c in s.columns:
             sv, dv = s[c], d[c]
             try:
-                if sv.dtype.kind == 'f' or dv.dtype.kind == 'f':
+                if sv.dtype.kind != dv.dtype.kind:
+                    mismatch = f"{c} (dtype {sv.dtype} vs {dv.dtype})"; break
+                if sv.dtype.kind == 'f':
                     import numpy as np
                     if not np.allclose(sv.astype(float), dv.astype(float),
                                        rtol=0, atol=0, equal_nan=True):
