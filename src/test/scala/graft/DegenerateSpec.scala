@@ -96,4 +96,17 @@ class DegenerateSpec extends AnyFunSuite {
     // a single vector has no pairs
     assert(Dedup.embeddingNearDupPairs(oneEmb, 0.5).count() === 0)
   }
+
+  test("knn recall gates stay well-formed on an empty query set") {
+    // sum() over zero rows is NULL even with a coalesced argument — the
+    // gate must still emit one fully-populated row per method (0 hits of
+    // 0 needed = vacuously passing), not a NULL n_hits that would poison
+    // the driver's hash compare
+    val rows = Similarity.knnRecallGates(oneEmb, emptyEmb, 5)
+      .as[(String, Long, Long, Int, Int)].collect()
+    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh"))
+    rows.foreach { case (_, nRes, nQ, fullK, recallOk) =>
+      assert(nRes === 0L && nQ === 0L && fullK === 1 && recallOk === 1)
+    }
+  }
 }
