@@ -51,6 +51,10 @@ object SparkEntry {
     ()
   }
 
+  // sf dir → written-once .txt corpus dir for wordcount_textdir
+  private val textDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity: word count (SURVEY.md §2.1 O1-O7) ---
     "wordcount_ci" -> ((s, dir) =>
@@ -67,17 +71,21 @@ object SparkEntry {
     // token multiset (the tokenizer already treats newline as a space), so
     // the oracle over documents.text checks the whole O1→O7 chain.
     "wordcount_textdir" -> ((s, dir) => {
-      // per-call unique dir: a fixed path keyed on `dir` races when two
-      // processes (Bench + Verify, parallel CI) build this query over
-      // the same sf dir — one's overwrite deletes files mid-read of the
-      // other's lazy scan. Dirs are reaped at JVM exit (the returned
-      // DataFrame is lazy, so deleting any earlier could race a re-scan —
-      // Bench reruns the same plan for best-of-N).
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_textdir_").toString
-      reapAtExit(tmp)
-      Tables.documents(s, dir).select("text")
-        .write.mode("overwrite").text(tmp)
+      // one corpus write per (JVM, sf dir), cached: the per-JVM temp path
+      // keeps cross-PROCESS runs (Bench + Verify, parallel CI) isolated —
+      // a fixed path keyed on `dir` alone races, one process's overwrite
+      // deleting files mid-read of the other's lazy scan — while repeat
+      // in-process invocations (Bench best-of-N) reuse the files instead
+      // of rewriting them. Dirs are reaped at JVM exit (the returned
+      // DataFrame is lazy, so deleting any earlier could race a re-scan).
+      val tmp = textDirCache.computeIfAbsent(dir, d => {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft_textdir_").toString
+        reapAtExit(t)
+        Tables.documents(s, d).select("text")
+          .write.mode("overwrite").text(t)
+        t
+      })
       WordCount.wordCount(Tables.textDir(s, tmp), "line", caseSensitive = false)
         .orderBy("word")
     }),

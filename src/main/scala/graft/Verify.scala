@@ -17,11 +17,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query output dtypes, dumped as schema.json so driver-side
+    // tooling can diff Spark types against the oracle's without reading
+    // the parquet footers back
+    val schemas = scala.collection.mutable.LinkedHashMap[String, Seq[(String, String)]]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        schemas(name) =
+          df.schema.fields.toSeq.map(f => f.name -> f.dataType.catalogString)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -47,6 +56,11 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val schemaJson = schemas.map { case (n, fs) =>
+      s"${q(n)}: " +
+        fs.map { case (c, t) => s"${q(c)}: ${q(t)}" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/schema.json"), schemaJson)
     spark.stop()
   }
 }
