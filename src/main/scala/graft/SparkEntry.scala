@@ -169,6 +169,11 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.dedupComponents(Dedup.withNearDups(Tables.documents(s, dir)),
         tau = 0.5)),
+    // same clustering computed by the diameter-independent
+    // large-star/small-star tier — one oracle hash-checks BOTH algorithms
+    "dedup_components_star" -> ((s, dir) =>
+      Dedup.dedupComponentsStar(
+        Dedup.withNearDups(Tables.documents(s, dir)), tau = 0.5)),
     "neardup_pipeline" -> ((s, dir) =>
       Dedup.nearDupPipeline(Dedup.withNearDups(Tables.documents(s, dir)),
         tau = 0.5, k = 32, bands = 8, estTau = 0.4)),
@@ -195,6 +200,15 @@ object SparkEntry {
     "kmeans_train_stats" -> ((s, dir) =>
       Similarity.kmeansTrainStats(Tables.embeddings(s, dir),
         cells = 8, iters = 3)),
+    // SemDeDup-style pipeline: k-means cells bound the pair space, exact
+    // cosine verifies, star components keep one per cluster. Cell
+    // assignment isn't SQL-expressible → rows-only, with the hash-checked
+    // gate next asserting subset/recall/survivor invariants vs the exact
+    // global pair set
+    "semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(s, dir), tau = 0.45)),
+    "semantic_dedup_gate" -> ((s, dir) =>
+      Dedup.semanticDedupGate(Tables.embeddings(s, dir), tau = 0.45)),
     // --- as-of join (operator Spark lacks; composed, not ported) ---
     "asof_event_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
@@ -722,6 +736,22 @@ object SparkEntry {
          |  JOIN edges e ON r.dst = e.id_a)
          |SELECT src AS doc_id, min(dst) AS comp
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the closure oracle is algorithm-agnostic: the star tier must reach
+    // the identical fixpoint as min-label propagation
+    "dedup_components_star" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  ${ExactJaccardTierSql.replace("\n", "\n  ")}),
+         |edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.id_b FROM reach r
+         |  JOIN edges e ON r.dst = e.id_a)
+         |SELECT src AS doc_id, min(dst) AS comp
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     // the ANN gates re-state shape + recall-floor invariants as constants
     // (see Similarity.knnRecallGates): 10 queries × k=5, every query gets
     // its full k, and recall@5 vs the exact tier clears the floor
@@ -758,6 +788,24 @@ object SparkEntry {
         |       sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
         |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // exact quantities SQL-recomputed (corpus size, global τ-pair
+    // count); the cell-bounding invariants re-stated as constant flags —
+    // all deterministic (seeded codebook, ordered tie-breaks), measured
+    // recall 0.857/1.0/0.979 at sf0.001/0.01/0.1 vs the 0.75 floor
+    // (graft.tools.SemDedupSweep)
+    "semantic_dedup_gate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.45)
+        |SELECT (SELECT count(*) FROM e) AS n_vectors,
+        |  (SELECT count(*) FROM pairs) AS n_pairs_exact,
+        |  1 AS subset_ok, 1 AS recall_ok, 1 AS survivors_ok""".stripMargin,
     "knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -522,6 +522,79 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 
+  /** Connected components via alternating large-star/small-star
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014] — the diameter-INDEPENDENT tier. Min-label propagation
+    * ([[connectedComponents]]) needs `diameter` rounds, which is ideal
+    * for near-dup graphs (tiny cliques, diameter 1–2) but fails loud on
+    * adversarial chains; this converges in O(log² n) rounds regardless
+    * of topology, so it is the escalation path when the pair graph's
+    * shape is unknown — boilerplate-plate chains, template families, or
+    * giant skewed components at 100 TB.
+    *
+    *   large-star(u): connect every neighbor v > u to
+    *                  m = min(Γ(u) ∪ {u});
+    *   small-star(u): orient edges toward the smaller endpoint, then
+    *                  connect u and its smaller neighbors to their min.
+    *
+    * Both steps are one groupBy-min + one re-join keyed on node id —
+    * the same shuffle shape as a round of propagation, never quadratic,
+    * and skew-safe: large-star splits a high-degree hub's neighborhood
+    * across ITS OWN neighbors' keys instead of funnelling the whole
+    * component through one reducer. Fixpoint = the edge set is a star
+    * forest (every node points at its component min). Per-round eager
+    * `localCheckpoint` keeps plans constant-size (see
+    * [[connectedComponents]] for the rationale). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50)
+      : DataFrame = {
+    val init = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+    // canonical orientation u > v; `distinct` bounds the edge set by the
+    // input size every round (star steps can emit the same edge from two
+    // different neighborhoods)
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u")
+        .agg(least(min("v"), first("u")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      val withMin = e.join(m, "u")
+      // u and every smaller neighbor attach to the min; (m,m) self loops
+      // from v == m drop in canon()
+      withMin.select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+    }
+    var edges = canon(init).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = canon(smallStar(canon(largeStar(edges))))
+        .localCheckpoint(true)
+      // exact set comparison (a count tie is not a fixpoint proof);
+      // both sides are checkpointed so each except is two flat scans
+      converged = next.exceptAll(edges).isEmpty &&
+        edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        s"O(log² n) bound exceeded, which indicates a bug, not a deep " +
+        s"graph")
+    // fixpoint edges are (member, root) stars; roots label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("comp"))
+        .distinct())
+      .orderBy("doc_id")
+  }
+
   /** Driver-gated clustering of the exact-Jaccard near-dup graph:
     * components over [[jaccardPairsAuto]] pairs, labeled by min member
     * id. The oracle recomputes the identical components with a recursive
@@ -529,6 +602,109 @@ object Dedup {
     * the iterative propagation loop is hash-checked end to end. */
   def dedupComponents(docs: DataFrame, tau: Double): DataFrame =
     connectedComponents(jaccardPairsAuto(docs, tau))
+
+  /** [[dedupComponents]] computed by the star tier instead of min-label
+    * propagation — same contract, same oracle (the recursive-CTE closure
+    * is algorithm-agnostic), so the driver hash-checks that both
+    * algorithms produce the identical clustering. */
+  def dedupComponentsStar(docs: DataFrame, tau: Double): DataFrame =
+    connectedComponentsStar(jaccardPairsAuto(docs, tau))
+
+  /** Cell-bounded cosine near-dup pairs — the candidate+verify core of
+    * [[semanticDedup]]. K-means cells (multi-probe, see
+    * [[Similarity.cellAssignments]]) bound the pair space to same-cell
+    * candidates; exact cosine ≥ τ verifies, with the SAME 6-dp-rounded
+    * formula as [[embeddingNearDupPairs]], so the result is a SUBSET of
+    * the global pair set by construction — only boundary pairs whose two
+    * members share no probed cell can be missed. The self-join shuffles
+    * on cell id (never a cross join); per-cell candidate work is
+    * quadratic in CELL size, which is the knob: cells grows ~√N so cell
+    * populations stay bounded as the corpus scales. */
+  def semanticPairs(emb: DataFrame, tau: Double, cells: Int = 8,
+                    lloydIters: Int = 2, probes: Int = 3): DataFrame = {
+    import graft.functions.VectorExpressions.dot_native
+    val assigned =
+      Similarity.cellAssignments(emb, cells, lloydIters, probes)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    val sim =
+      round(dot_native(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    // τ inside the join condition: only passing pairs materialize; the
+    // distinct collapses pairs co-bucketed by more than one probed cell
+    a.join(b, col("cell") === col("cell_b") &&
+        col("id_a") < col("id_b") && sim >= tau)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** SemDeDup-style semantic deduplication [Abbas et al., 2023,
+    * arXiv:2303.09540]: embeddings → k-means cells → within-cell exact
+    * cosine pairs → connected components (star tier — diameter-safe) →
+    * keep the min-id representative per cluster. Returns the surviving
+    * vec_ids.
+    *
+    * This is the 100 TB shape for embedding dedup: the quadratic tier
+    * runs per cell, components run on the (sparse) verified pair graph,
+    * and everything upstream is scan-fused assignment. Approximate by
+    * design — a τ-pair can straddle cells; multi-probe assignment
+    * recovers boundary pairs, and [[semanticDedupGate]] measures exactly
+    * what the bounding cost vs the exact tier. */
+  def semanticDedup(emb: DataFrame, tau: Double, cells: Int = 8,
+                    lloydIters: Int = 2, probes: Int = 3): DataFrame = {
+    val dropped =
+      connectedComponentsStar(
+        semanticPairs(emb, tau, cells, lloydIters, probes))
+        .filter(col("comp") =!= col("doc_id"))
+        .select(col("doc_id").as("vec_id"))
+    emb.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** Driver-checkable invariants for [[semanticDedup]] — the same
+    * pattern as the ANN recall gates: the SQL oracle recomputes the
+    * exact quantities (corpus size, global τ-pair count) and re-states
+    * the invariants as constant flags, which hash-match exactly when
+    *
+    *  - `subset_ok`: every cell-bounded pair is in the global pair set
+    *    (must hold by construction — same τ, same rounded formula);
+    *  - `recall_ok`: the cell-bounded tier found ≥ `recallFloor` of the
+    *    global pairs (deterministic per corpus: seeded codebook,
+    *    ordered tie-breaks — corpus regeneration, not host variance, is
+    *    the only thing that can move it);
+    *  - `survivors_ok`: semantic survivors ⊇-count global-closure
+    *    survivors (missing a pair can only drop FEWER documents).
+    *
+    * Counts are driver-side scalars (gate metadata, not data). */
+  def semanticDedupGate(emb: DataFrame, tau: Double, cells: Int = 8,
+                        lloydIters: Int = 2, probes: Int = 3,
+                        recallFloor: Double = 0.75): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val globalPairs = embeddingNearDupPairs(emb, tau).select("id_a", "id_b")
+    val semPairs = semanticPairs(emb, tau, cells, lloydIters, probes)
+      .localCheckpoint(true) // reused by three gate quantities below
+    val nVec = emb.count()
+    val nExact = globalPairs.count()
+    val nExtra = semPairs.join(globalPairs, Seq("id_a", "id_b"),
+      "left_anti").count()
+    val nMissed = globalPairs.join(semPairs, Seq("id_a", "id_b"),
+      "left_anti").count()
+    val recall =
+      if (nExact == 0) 1.0 else (nExact - nMissed).toDouble / nExact
+    val semSurvivors =
+      nVec - connectedComponentsStar(semPairs)
+        .filter(col("comp") =!= col("doc_id")).count()
+    val globalSurvivors =
+      nVec - connectedComponentsStar(globalPairs)
+        .filter(col("comp") =!= col("doc_id")).count()
+    Seq((nVec, nExact,
+      if (nExtra == 0) 1 else 0,
+      if (recall >= recallFloor) 1 else 0,
+      if (semSurvivors >= globalSurvivors) 1 else 0))
+      .toDF("n_vectors", "n_pairs_exact", "subset_ok", "recall_ok",
+        "survivors_ok")
+  }
 
   /** The full near-dup pipeline, end to end, as ONE query — the 100 TB
     * architecture this module's scaladoc describes, actually composed:

@@ -171,6 +171,37 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Multi-probe cell assignment backing semantic dedup: trains the
+    * seeded spherical codebook ([[seedCentroids]] + Lloyd refinement) and
+    * assigns every vector to its `probes` nearest cells. Multi-probe
+    * trades duplicate candidate work (×probes) for boundary recall — a
+    * τ-pair split across two cells is still co-bucketed when either
+    * member's probe set reaches the other's home cell. Assignment is the
+    * same scan-fused per-row struct-sort as the IVF tier: no explode of
+    * the corpus against the codebook, no shuffle. Returns one row per
+    * (vector, probed cell): vec_id, v (double vector), norm, cell. */
+  private[operators] def cellAssignments(emb: DataFrame, cells: Int,
+      lloydIters: Int, probes: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val seeds = seedCentroids(e, cells)
+    if (seeds.isEmpty)
+      return e.withColumn("norm", lit(0.0))
+        .withColumn("cell", lit(0)).limit(0)
+    val dim = seeds.head.length
+    var refined = seeds.map(unitize)
+    if (lloydIters > 1) e.persist()
+    for (_ <- 0 until lloydIters) refined = lloydStep(e, refined, dim)
+    if (lloydIters > 1) e.unpersist(false)
+    val probeStructs = array(refined.indices.map(i =>
+      struct(dot_native(col("v"), typedlit(refined(i).toSeq)).as("d"),
+        lit(i).as("cell"))): _*)
+    e.withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(probeStructs)), 1, probes)))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("probe.cell").as("cell"))
+  }
+
   /** Seeded spherical k-means training (Lloyd's) with a driver-checkable
     * convergence contract — the codebook trainer behind [[knnIvf]],
     * exposed standalone with multiple refinement iterations. Emits one

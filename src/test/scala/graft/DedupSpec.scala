@@ -142,6 +142,54 @@ class DedupSpec extends AnyFunSuite {
     assert(got === (0L to 16L).map(_ -> 0L).toMap)
   }
 
+  test("star components match propagation and survive deep chains") {
+    // same mixed graph as the propagation test — identical fixpoint
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a 201-node path (diameter 200) needs 200 propagation rounds — far
+    // past that tier's cap — but the star tier's O(log² n) alternation
+    // collapses it well inside the default iteration budget, including
+    // with edges listed against the canonical orientation
+    val chain = (0L until 200L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 200L).map(_ -> 0L).toMap)
+  }
+
+  test("semantic dedup: cell-bounded pairs are a high-recall exact subset") {
+    val emb = Tables.embeddings(spark, dir)
+    val global = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = Dedup.semanticPairs(emb, 0.45)
+      .as[(Long, Long)].collect().toSet
+    // subset is structural (same τ, same rounded formula, fewer
+    // candidates); recall is deterministic per corpus — 0.857 here
+    assert(sem.subsetOf(global))
+    assert(sem.size.toDouble >= 0.75 * global.size)
+    // survivors: every vector minus non-min members of the sem-pair
+    // closure, and never fewer than the global closure leaves
+    val survivors = Dedup.semanticDedup(emb, 0.45)
+      .as[Long].collect().toSet
+    val semDropped = Dedup.connectedComponentsStar(sem.toSeq
+      .toDF("id_a", "id_b"))
+      .filter(col("comp") =!= col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.size === emb.count() - semDropped.size)
+    assert(semDropped.intersect(survivors).isEmpty)
+    val gate = Dedup.semanticDedupGate(emb, 0.45)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(gate.length === 1)
+    val (nVec, nExact, subsetOk, recallOk, survivorsOk) = gate.head
+    assert(nVec === emb.count())
+    assert(nExact === global.size)
+    assert(subsetOk === 1 && recallOk === 1 && survivorsOk === 1)
+  }
+
   test("dedup components label every planted pair with the original id") {
     val comps = Dedup.dedupComponents(Dedup.withNearDups(docs), 0.5)
       .as[(Long, Long)].collect().toMap

@@ -60,6 +60,7 @@ class DegenerateSpec extends AnyFunSuite {
   test("clustering and round-4 text ops survive empty/1-row corpora") {
     val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(emptyPairs).count() === 0)
+    assert(Dedup.connectedComponentsStar(emptyPairs).count() === 0)
     for (docs <- Seq(emptyDocs, oneDoc)) {
       assert(Dedup.dedupComponents(docs, 0.5).count() === 0)
       // no pairs → every doc survives the pipeline

@@ -111,6 +111,19 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 3, p)
   }
 
+  test("semantic dedup pairs: cell-key equi join, no cartesian blowup") {
+    import graft.operators.Dedup
+    val p = plan(Dedup.semanticPairs(Tables.embeddings(spark, dir), 0.45))
+    // the whole point of cell bounding: candidates meet through a
+    // hash-partitioned equi join on the cell id, never an all-pairs join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"))
+    // assignment is per-row math fused into the scan — no window, no
+    // explode-against-codebook
+    assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p).hasNext, p)
+  }
+
   test("knn_lsh: signature is the fused native expression, not HOFs") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.col
