@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args(1), "shingleLen"), intArg(args(2), "k"))))
 
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NormalizeExpression.NfcNormalize].getName,
+        "nfc_normalize"),
+      (args: Seq[Expression]) =>
+        graft.functions.NormalizeExpression.NfcNormalize(args(0))))
+
+    ext.injectFunction((
       FunctionIdentifier("simhash_features"),
       new ExpressionInfo(classOf[SimHashFeatures].getName,
         "simhash_features"),

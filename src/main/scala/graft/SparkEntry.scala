@@ -140,6 +140,14 @@ object SparkEntry {
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
+    "text_normalize" -> (TextAnalysis.textNormalize _),
+    "boilerplate_scrub" -> ((s, dir) =>
+      TextAnalysis.boilerplateScrub(s, dir, minDocs = 10)),
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(s, dir, chunkTokens = 64, stride = 48)),
+    "corpus_refresh" -> (Incremental.corpusRefresh _),
+    "heavy_hitter_gate" -> ((s, dir) =>
+      Grouping.heavyHitterGate(s, dir, k = 64)),
     // --- dedup (north-star LLM-pipeline operators) ---
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Dedup.withExactDups(Tables.documents(s, dir)))
@@ -651,6 +659,88 @@ object SparkEntry {
         |  count(*) AS n_urls
         |FROM urls GROUP BY 1
         |ORDER BY n_urls DESC, domain""".stripMargin,
+    // DuckDB ships the same Unicode tables (nfc_normalize); chr(769)
+    // rebuilds the planted combining-acute suffix byte-for-byte
+    "text_normalize" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN
+        |      text || ' cafe' || chr(769) || ' re' || chr(769) ||
+        |      'sume' || chr(769)
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(nfc_normalize(text) <> text AS INT) AS changed,
+        |  length(text) AS n_chars_raw,
+        |  length(nfc_normalize(text)) AS n_chars_nfc,
+        |  md5(nfc_normalize(text)) AS nfc_fp
+        |FROM corpus ORDER BY doc_id""".stripMargin,
+    "boilerplate_scrub" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'subscribe to our newsletter' || chr(10) || text ||
+        |      chr(10) || 'all rights reserved'
+        |    WHEN doc_id % 3 = 1 THEN text || chr(10) || 'all rights reserved'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+        |lines AS (
+        |  SELECT doc_id, len(ls) AS n_lines, i AS pos, ls[i] AS line
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ls)))
+        |                   AS i) g),
+        |freq AS (SELECT line FROM (
+        |  SELECT line, count(DISTINCT doc_id) AS nd FROM lines
+        |  GROUP BY 1) f WHERE nd >= 10),
+        |kept AS (SELECT * FROM lines
+        |         WHERE line NOT IN (SELECT line FROM freq))
+        |SELECT doc_id, CAST(max(n_lines) AS BIGINT) AS n_lines,
+        |  count(*) AS n_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_fp
+        |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+         |  FROM t)
+         |SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+         |  len(list_slice(toks, start, start + 63)) AS n_toks,
+         |  md5(array_to_string(list_slice(toks, start, start + 63), ' '))
+         |    AS chunk_fp
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "corpus_refresh" ->
+      """WITH delta AS (
+        |  SELECT doc_id, text || ' [revised]' AS text, lang, 'upsert' AS op
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text, lang, 'upsert'
+        |  FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id, NULL, lang, 'delete'
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+        |  CASE WHEN d.doc_id IS NULL THEN 'kept'
+        |       WHEN b.doc_id IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS row_status,
+        |  coalesce(d.lang, b.lang) AS lang,
+        |  md5(coalesce(d.text, b.text)) AS fp,
+        |  length(coalesce(d.text, b.text)) AS n_chars
+        |FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+        |WHERE d.op IS NULL OR d.op <> 'delete'
+        |ORDER BY doc_id""".stripMargin,
+    // the sketch itself is not ANSI-expressible; n_tokens/n_heavy are
+    // exact recomputations and the flags assert containment + the
+    // deterministic MG error bound (see Grouping.heavyHitterGate)
+    "heavy_hitter_gate" ->
+      s"""WITH w AS (SELECT lower(word) AS word FROM ($DuckTokens) t
+         |           WHERE regexp_matches(word, '\\S')),
+         |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM c)
+         |SELECT n_tokens,
+         |  (SELECT count(*) FROM c, n n2 WHERE cnt * 65 > n2.n_tokens)
+         |    AS n_heavy,
+         |  1 AS containment_ok, 1 AS bound_ok
+         |FROM n""".stripMargin,
     "top_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
          |pairs AS (

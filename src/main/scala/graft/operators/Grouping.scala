@@ -220,6 +220,70 @@ object Grouping {
       .orderBy("l_returnflag")
   }
 
+  /** Misra-Gries heavy hitters over a string column — the bounded-memory
+    * frequent-items sketch for columns whose EXACT count-by-key would
+    * need vocabulary-scale aggregation state (domains, n-grams, user ids
+    * at 100 TB). Per-partition streaming MG summaries of k counters each
+    * (mapPartitions is the right rung here: the sketch is imperative
+    * per-partition state, same justification as the multimodal batch
+    * decode), then ONE tiny shuffle of ≤ partitions×k summary rows merged
+    * by pointwise sum — never a corpus-scale shuffle. Mergeability is the
+    * Agarwal et al. (PODS 2012) result: summed MG summaries keep the
+    * deterministic guarantee, so the output (a) contains EVERY item with
+    * true count > n/(k+1), and (b) estimates undercount by at most
+    * n/(k+1). Both invariants are driver-hash-checked by
+    * [[heavyHitterGate]]. */
+  def heavyHitters(words: DataFrame, c: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val partials = words.select(col(c)).as[String](Encoders.STRING)
+      .mapPartitions({ it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { x =>
+          if (m.contains(x)) m(x) += 1L
+          else if (m.size < k) m(x) = 1L
+          else m.keysIterator.toArray.foreach { key =>
+            val v = m(key) - 1L
+            if (v == 0L) m.remove(key) else m(key) = v
+          }
+        }
+        m.iterator
+      })(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    partials.toDF(c, "est").groupBy(c).agg(sum("est").as("est"))
+  }
+
+  /** Driver-checkable invariants for the MG sketch, same shape as the
+    * dedup agreement gates: containment (every exactly-heavy word is a
+    * sketch candidate) and the deterministic error bound (no candidate
+    * overcounts, undercounts bounded by n/(k+1)). n_tokens/n_heavy are
+    * exact and SQL-recomputable; the flags are literal 1s in the oracle,
+    * so a broken decrement loop or merge flips the driver's hash red even
+    * though the sketch itself is not ANSI-expressible. */
+  def heavyHitterGate(s: SparkSession, dir: String, k: Int = 64)
+      : DataFrame = {
+    val words = WordCount.tokens(Tables.documents(s, dir), "text")
+      .select(lower(col("word")).as("word"))
+    val cand = heavyHitters(words, "word", k)
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    // outer coalesces keep the gate well-formed on an empty corpus
+    // (sum/max over zero rows are NULL) — same convention as
+    // Similarity.knnRecallGates after the round-5 advisory
+    val tot = counts
+      .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n_tokens"))
+    counts.join(cand, Seq("word"), "left")
+      .crossJoin(broadcast(tot))
+      .agg(
+        coalesce(max(col("n_tokens")), lit(0L)).as("n_tokens"),
+        count(when(col("cnt") * (k + 1) > col("n_tokens"), lit(1)))
+          .as("n_heavy"),
+        coalesce(min(when(col("cnt") * (k + 1) > col("n_tokens"),
+          col("est").isNotNull.cast("int"))), lit(1))
+          .as("containment_ok"),
+        coalesce(min(when(col("est").isNotNull,
+          (col("est") <= col("cnt") &&
+            (col("cnt") - col("est")) * (k + 1) <= col("n_tokens"))
+            .cast("int"))), lit(1)).as("bound_ok"))
+  }
+
   /** Collection aggregates: the distinct event types each user produced,
     * as a deterministic sorted CSV (collect_set is unordered by contract;
     * sort_array + concat_ws makes the result layout-independent AND

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus refresh — the MERGE/upsert primitive a continuously
+  * re-crawled training corpus needs: fold a change set (upserts + deletes)
+  * into the base snapshot keyed by document id.
+  *
+  * Scale shape: ONE co-partitioned shuffle join on the key — the canonical
+  * MERGE plan. Both sides hash-shuffle on doc_id (a full-outer join cannot
+  * broadcast), AQE handles skew; at 100 TB the base side is typically
+  * bucketed on the key so only the (much smaller) delta shuffles. The
+  * output is a full new snapshot — the lambda-architecture batch leg;
+  * the streaming leg of the same semantics is Streaming's watermarked
+  * dedup-at-ingest.
+  */
+object Incremental {
+
+  /** Deterministic synthetic change set over the documents table (the
+    * corpus ships no delta, so fabricate one the oracle can recompute —
+    * same fixture-by-construction pattern as TextAnalysis.withSyntheticPii):
+    * every 7th doc is revised, the first 25 docs re-arrive as new ids
+    * (+30000), every 13th doc is deleted. A doc divisible by both 7 and 13
+    * is a delete only, so each key appears at most once in the delta. */
+  def syntheticDelta(docs: DataFrame): DataFrame = {
+    val cols = Seq(col("doc_id"), col("text"), col("lang"), col("op"))
+    val revised = docs
+      .filter(pmod(col("doc_id"), lit(7L)) === 0 &&
+        pmod(col("doc_id"), lit(13L)) =!= 0)
+      .withColumn("text", concat(col("text"), lit(" [revised]")))
+      .withColumn("op", lit("upsert")).select(cols: _*)
+    val inserted = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 30000L)
+      .withColumn("op", lit("upsert")).select(cols: _*)
+    val deleted = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("op", lit("delete")).select(cols: _*)
+    revised.union(inserted).union(deleted)
+  }
+
+  /** MERGE: base FULL OUTER delta on `key`; delta rows win, deletes drop,
+    * unmatched base rows survive. `row_status` records what happened to
+    * each surviving row (kept / updated / inserted). Assumes each key
+    * appears at most once per side (snapshot + compacted delta — the
+    * MERGE precondition; ANSI MERGE raises on duplicate matches too). */
+  def mergeUpsert(base: DataFrame, delta: DataFrame, key: String)
+      : DataFrame = {
+    val b = base.select(col(key).as("b_key"),
+      col("text").as("b_text"), col("lang").as("b_lang"))
+    val d = delta.select(col(key).as("d_key"),
+      col("text").as("d_text"), col("lang").as("d_lang"), col("op"))
+    b.join(d, col("b_key") === col("d_key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(
+        coalesce(col("b_key"), col("d_key")).as(key),
+        when(col("d_key").isNull, "kept")
+          .when(col("b_key").isNull, "inserted")
+          .otherwise("updated").as("row_status"),
+        coalesce(col("d_lang"), col("b_lang")).as("lang"),
+        coalesce(col("d_text"), col("b_text")).as("text"))
+  }
+
+  /** The driver-gated query: merge the synthetic delta into the documents
+    * snapshot; md5 + length stand in for the text so every surviving
+    * row's exact content is hash-checked. */
+  def corpusRefresh(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    mergeUpsert(base, syntheticDelta(base), "doc_id")
+      .select(col("doc_id"), col("row_status"), col("lang"),
+        md5(col("text")).as("fp"), length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+}

@@ -349,6 +349,109 @@ object TextAnalysis {
       .orderBy("lang", "window_id")
   }
 
+  /** Unicode plant: the synthetic corpus is ASCII, so give the NFC
+    * normalizer real work — every 6th doc gets a DECOMPOSED-form suffix
+    * (e + U+0301 combining acute, the NFD spelling of é that web crawls
+    * emit when sources disagree on encoding form). The oracle rebuilds
+    * the identical byte sequence with chr(769). */
+  def withDecomposedPlants(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(6L)) === 0,
+        // NFD spelling: e + U+0301 combining acute (never precomposed)
+        concat(col("text"),
+          lit(" cafe\u0301 re\u0301sume\u0301")))
+        .otherwise(col("text")))
+
+  /** NFC text normalization — the canonicalization pass that must run
+    * before ANY content hashing (md5/MinHash/SimHash treat NFD and NFC
+    * spellings of the same text as different documents). Built on the
+    * native codegen'd [[graft.functions.NormalizeExpression]] (Spark has
+    * no built-in); pure per-row column math, scan-fused, zero shuffles.
+    * Emits char counts both sides plus the md5 of the normalized text so
+    * the exact output bytes are driver-hash-checked. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val nfc = graft.functions.NormalizeExpression.nfc_normalize(col("text"))
+    withDecomposedPlants(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        (nfc =!= col("text")).cast("int").as("changed"),
+        length(col("text")).as("n_chars_raw"),
+        length(nfc).as("n_chars_nfc"),
+        md5(nfc).as("nfc_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate plant: the corpus has single-line docs, so fabricate the
+    * multi-line shape line-level dedup exists for — a shared subscription
+    * header on every 3rd doc and a shared rights footer on two thirds of
+    * docs (both CCNet-style high-document-frequency lines), with the
+    * original text as the unique body line. Fixture-by-construction like
+    * withSyntheticPii: the oracle recomputes the same plant. */
+  def withPlantedBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit("subscribe to our newsletter\n"), col("text"),
+          lit("\nall rights reserved")))
+        .when(pmod(col("doc_id"), lit(3L)) === 1,
+          concat(col("text"), lit("\nall rights reserved")))
+        .otherwise(col("text")))
+
+  /** Line-level boilerplate removal (the CCNet-style pass web-corpus
+    * pipelines run before any quality filter): drop every line that
+    * appears verbatim in ≥ minDocs distinct documents — headers, footers,
+    * cookie banners — and rebuild each document from its surviving lines
+    * in original order.
+    *
+    * Scale shape: the line-frequency aggregation partial-aggregates
+    * map-side and its OUTPUT above threshold is tiny by construction
+    * (boilerplate is high-frequency, so there are at most n_docs/minDocs
+    * such lines) — it is BROADCAST into a left-anti join, so the corpus
+    * side is scanned twice but never shuffled on line content. The only
+    * corpus-scale shuffle is the per-doc rebuild groupBy on doc_id.
+    * Emits md5 of the rebuilt text so the result is hash-checkable
+    * without shipping the text. */
+  def boilerplateScrub(s: SparkSession, dir: String,
+                       minDocs: Int = 10): DataFrame = {
+    val lines = withPlantedBoilerplate(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"), size(col("ls")).as("n_lines"),
+        posexplode(col("ls")).as(Seq("pos", "line")))
+    val frequent = lines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line")
+    lines.join(broadcast(frequent), Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(max(col("n_lines")).cast("long").as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")))).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window document chunking with overlap — the retrieval /
+    * long-doc-training step that splits each document into fixed-size
+    * token windows every `stride` tokens (stride < chunkTokens ⇒
+    * consecutive chunks overlap by chunkTokens − stride). Pure per-row
+    * column math (sequence + posexplode + slice), scan-fused, ZERO
+    * shuffles at any scale; output size is rows × ⌈tokens/stride⌉. The
+    * md5 of each chunk makes every chunk's exact content hash-checkable
+    * without shipping the text. */
+  def chunkDocuments(s: SparkSession, dir: String,
+                     chunkTokens: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(stride))).as(Seq("chunk_id", "start")),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("start"), lit(chunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Corpus-wide top-k bigrams (deterministic tie-break). */
   def topBigrams(s: SparkSession, dir: String, k: Int): DataFrame =
     Tables.documents(s, dir)

@@ -82,6 +82,27 @@ class DegenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 pipeline ops survive empty/1-row corpora") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      val dir = dirFor(docs)
+      assert(TextAnalysis.boilerplateScrub(spark, dir).count() ===
+        docs.count())
+      // one doc → one chunk (empty corpus → none)
+      assert(TextAnalysis.chunkDocuments(spark, dir).count() ===
+        docs.count())
+      assert(graft.operators.Incremental.corpusRefresh(spark, dir)
+        .count() >= 0)
+      // gate stays well-formed: one row, flags vacuously 1
+      val g = Grouping.heavyHitterGate(spark, dir)
+        .as[(Long, Long, Int, Int)].collect()
+      assert(g.length === 1)
+      assert(g.head._3 === 1 && g.head._4 === 1)
+    }
+    // empty candidate sketch over an empty word set
+    assert(Grouping.heavyHitters(
+      Seq.empty[String].toDF("word"), "word", 8).count() === 0)
+  }
+
   test("similarity tiers survive empty corpora and empty query sets") {
     assert(Similarity.knnBruteForce(emptyEmb, emptyEmb, 5).count() === 0)
     assert(Similarity.knnLsh(emptyEmb, emptyEmb, 5).count() === 0)

@@ -109,6 +109,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(sh(a) >= 0L) // 62-bit packing keeps ANSI-long-safe positive
   }
 
+  test("nfc_normalize: NFD composes to NFC, NFC passes through, null-safe") {
+    import graft.functions.NormalizeExpression.nfc_normalize
+    val nfd = "cafe\u0301"   // e + combining acute (5 code points)
+    val nfc = "caf\u00e9"    // precomposed e-acute (4 code points)
+    val df = Seq(Some(nfd), Some(nfc), Some("plain ascii"), None)
+      .toDF("text")
+    val got = df.select(nfc_normalize(col("text"))).as[Option[String]]
+      .collect().toSeq
+    assert(got === Seq(Some(nfc), Some(nfc), Some("plain ascii"), None))
+    // idempotent; char counts shrink across composition
+    val lens = df.filter(col("text").isNotNull).select(
+      length(col("text")),
+      length(nfc_normalize(col("text"))),
+      length(nfc_normalize(nfc_normalize(col("text")))))
+      .as[(Int, Int, Int)].collect()
+    assert(lens.toSeq === Seq((5, 4, 4), (4, 4, 4), (11, 11, 11)))
+  }
+
+  test("nfc_normalize survives both codegen and interpreted evaluation") {
+    import graft.functions.NormalizeExpression.nfc_normalize
+    val df = Seq("a\u0301b\u0301", "x", "ascii only").toDF("text")
+    def run(codegen: String): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(nfc_normalize(col("text"))).as[String].collect().toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val cg = run("CODEGEN_ONLY")
+    assert(cg === run("NO_CODEGEN"))
+    // a+acute composes to U+00E1; b+acute has no precomposed form and
+    // stays decomposed (U+0062 U+0301) — NFC is not "strip the marks"
+    assert(cg === Seq("\u00e1b\u0301", "x", "ascii only"))
+  }
+
   test("sig_agree_count equals the composed zip_with form") {
     import graft.functions.MinHashExpression.sig_agree_count
     val df = Seq(

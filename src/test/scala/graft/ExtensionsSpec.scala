@@ -33,6 +33,13 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getLong(0)
       assert(sh >= 0L)
 
+      // the Scala escapes decode before SQL parsing: the literal reaching
+      // the parser is the DECOMPOSED e + U+0301, the result precomposed
+      val nfc = spark.sql(
+        "SELECT nfc_normalize('cafe\u0301') AS t")
+        .collect()(0).getString(0)
+      assert(nfc === "caf\u00e9")
+
       // bad arity / non-literal args produce analysis errors, not crashes
       val err = intercept[Exception] {
         spark.sql("SELECT minhash_signature('x', 'not-an-int', 8)").collect()

@@ -105,4 +105,44 @@ class GroupingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(mine === native)
   }
+
+  test("Misra-Gries sketch: containment + error bound on a skewed stream") {
+    // 1000×"hot" + 200 distinct words ×10 → n = 3000; with k = 10 every
+    // word with count > 3000/11 ≈ 272 (only "hot") MUST be a candidate,
+    // and every estimate undercounts by at most n/(k+1)
+    val k = 10
+    val words = ((1 to 1000).map(_ => "hot") ++
+      (1 to 200).flatMap(i => Seq.fill(10)(s"w$i")))
+    val df = words.toDF("word").repartition(7)
+    val cand = Grouping.heavyHitters(df, "word", k)
+      .as[(String, Long)].collect().toMap
+    assert(cand.contains("hot"), s"heavy item missing from $cand")
+    val n = words.length
+    cand.foreach { case (w, est) =>
+      val truth = words.count(_ == w).toLong
+      assert(est <= truth, s"$w overcounted: $est > $truth")
+      assert(truth - est <= n / (k + 1), s"$w est $est too far from $truth")
+    }
+  }
+
+  test("Misra-Gries gate flags hold across partition layouts") {
+    // the candidate SET is layout-dependent (decrement order differs);
+    // the gate's invariants must not be
+    for (p <- Seq(1, 7, 32)) {
+      val df = Tables.documents(spark, dir).select(
+        explode(graft.functions.TextFunctions.tokenize(
+          lower(col("text")))).as("word"))
+        .repartition(p)
+      val cand = Grouping.heavyHitters(df, "word", 64)
+        .as[(String, Long)].collect().toMap
+      val exact = df.groupBy("word").count()
+        .as[(String, Long)].collect().toMap
+      val n = exact.values.sum
+      val heavy = exact.filter { case (_, c) => c * 65 > n }.keySet
+      assert(heavy.subsetOf(cand.keySet), s"p=$p missing ${heavy -- cand.keySet}")
+      cand.foreach { case (w, est) =>
+        assert(est <= exact(w) && (exact(w) - est) * 65 <= n, s"p=$p $w")
+      }
+    }
+  }
 }

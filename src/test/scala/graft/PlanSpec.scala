@@ -179,6 +179,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p)
   }
 
+  test("boilerplate scrub: frequent-line set broadcast into an anti join") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.boilerplateScrub(spark, dir))
+    // the drop set is tiny by pigeonhole (≤ n_docs/minDocs lines) — it
+    // must arrive broadcast; the corpus must never sort-merge on line text
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("document chunking: scan-fused explode, zero corpus shuffles") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.chunkDocuments(spark, dir))
+    // per-row sequence/slice math + generate; the only exchange allowed
+    // is the presentation orderBy's range partitioning
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+  }
+
   test("native as-of join: AsOfJoinExec over shuffled, sorted children") {
     import graft.operators.AsOfJoin
     import graft.sources.Tables

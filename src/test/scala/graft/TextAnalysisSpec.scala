@@ -205,6 +205,69 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("boilerplate scrub drops exactly the high-frequency lines") {
+    import graft.operators.TextAnalysis
+    // 30 docs with unique bodies; the plant adds the shared header to
+    // doc_id % 3 == 0 (10 docs ≥ minDocs) and the shared footer to
+    // % 3 ∈ {0,1} (20 docs) — both must vanish, every body must survive
+    val df = (0L until 30L).map(i => (i, s"unique body $i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.boilerplateScrub(spark, tmp, minDocs = 10)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length === 30)
+    got.foreach { case (id, nLines, nKept, fp) =>
+      val expLines = if (id % 3 == 0) 3L else if (id % 3 == 1) 2L else 1L
+      assert(nLines === expLines, s"doc $id")
+      assert(nKept === 1L, s"doc $id kept $nKept lines")
+      assert(fp === md5Hex(s"unique body $id"), s"doc $id")
+    }
+  }
+
+  test("boilerplate scrub keeps sub-threshold shared lines") {
+    import graft.operators.TextAnalysis
+    // only 9 docs are % 3 == 0 among 27 → header df = 9 < minDocs = 10
+    // with 27 docs % 3 ∈ {0,1} giving footer df = 18 ≥ 10: the footer
+    // drops, the header SURVIVES — the threshold is doc frequency, not
+    // "looks like boilerplate"
+    val df = (0L until 27L).map(i => (i, s"body $i", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.boilerplateScrub(spark, tmp, minDocs = 10)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._3 === 2L) // header + body survive, footer dropped
+    assert(got(0L)._4 === md5Hex("subscribe to our newsletter\nbody 0"))
+    assert(got(1L)._3 === 1L) // footer-only plant → body alone
+    assert(got(2L)._3 === 1L) // unplanted
+  }
+
+  test("document chunking covers every token with the declared overlap") {
+    import graft.operators.TextAnalysis
+    val toks100 = (1 to 100).map(i => s"t$i")
+    val df = Seq((1L, toks100.mkString(" "), "en", "s", 10L),
+                 (2L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.chunkDocuments(spark, tmp, 64, 48)
+      .as[(Long, Long, Int, String)].collect()
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1, 49, 97 → sizes 64, 52, 4; consecutive chunks overlap 16
+    assert(d1.map(c => (c._2, c._3)).toSeq === Seq((0L, 64), (1L, 52), (2L, 4)))
+    assert(d1(0)._4 === md5Hex(toks100.slice(0, 64).mkString(" ")))
+    assert(d1(1)._4 === md5Hex(toks100.slice(48, 100).mkString(" ")))
+    assert(d1(2)._4 === md5Hex(toks100.slice(96, 100).mkString(" ")))
+    // short doc → one chunk, verbatim
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0L, 3, md5Hex("a b c"))))
+  }
+
   test("top domains counts the 7 planted hosts and nothing else") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
