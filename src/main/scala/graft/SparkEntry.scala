@@ -134,6 +134,11 @@ object SparkEntry {
     "fingerprint_gate" -> (TextAnalysis.fingerprintGate _),
     "contamination_check" -> ((s, dir) =>
       TextAnalysis.contaminationCheck(s, dir, n = 8)),
+    // the bloom-pruned + exact-confirmed two-tier variant must produce
+    // the IDENTICAL answer (bloom has no false negatives; the exact
+    // semi-join kills its false positives) — same oracle SQL
+    "contamination_bloom" -> ((s, dir) =>
+      TextAnalysis.contaminationCheckBloom(s, dir, n = 8)),
     "doc_repetition" -> (TextAnalysis.docRepetition _),
     "top_domains" -> (TextAnalysis.topDomains _),
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
@@ -354,6 +359,33 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB recomputation of benchmark contamination (shared by the
+    * exact one-tier path and the bloom-pruned two-tier path, whose
+    * result must be identical). */
+  private lazy val ContaminationSql: String =
+    s"""WITH snip AS (
+       |  SELECT doc_id + 50 AS t_id,
+       |    array_to_string(list_slice($DuckTokList, 1, 8), ' ') AS snippet
+       |  FROM documents WHERE doc_id < 20),
+       |corpus AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN s.snippet IS NOT NULL
+       |      THEN d.text || ' ' || s.snippet ELSE d.text END AS text
+       |  FROM documents d LEFT JOIN snip s ON d.doc_id = s.t_id),
+       |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(list_slice(toks, i, i+7), ' ') AS gram
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |                     greatest(len(toks)-7, 0))) AS i) g),
+       |bench AS (SELECT gram, doc_id AS bench_id FROM grams
+       |          WHERE doc_id < 50)
+       |SELECT g.doc_id, count(DISTINCT g.gram) AS n_grams_hit,
+       |  count(DISTINCT b.bench_id) AS n_bench_docs
+       |FROM grams g JOIN bench b USING (gram)
+       |WHERE g.doc_id >= 50
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "wordcount_ci" ->
@@ -606,29 +638,10 @@ object SparkEntry {
          |SELECT count(*) AS n_docs, count(DISTINCT tok_key) AS n_keys,
          |  1 AS functional_ok, 1 AS injective_ok
          |FROM k""".stripMargin,
-    "contamination_check" ->
-      s"""WITH snip AS (
-         |  SELECT doc_id + 50 AS t_id,
-         |    array_to_string(list_slice($DuckTokList, 1, 8), ' ') AS snippet
-         |  FROM documents WHERE doc_id < 20),
-         |corpus AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN s.snippet IS NOT NULL
-         |      THEN d.text || ' ' || s.snippet ELSE d.text END AS text
-         |  FROM documents d LEFT JOIN snip s ON d.doc_id = s.t_id),
-         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
-         |grams AS (
-         |  SELECT DISTINCT doc_id,
-         |    array_to_string(list_slice(toks, i, i+7), ' ') AS gram
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1,
-         |                     greatest(len(toks)-7, 0))) AS i) g),
-         |bench AS (SELECT gram, doc_id AS bench_id FROM grams
-         |          WHERE doc_id < 50)
-         |SELECT g.doc_id, count(DISTINCT g.gram) AS n_grams_hit,
-         |  count(DISTINCT b.bench_id) AS n_bench_docs
-         |FROM grams g JOIN bench b USING (gram)
-         |WHERE g.doc_id >= 50
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "contamination_check" -> ContaminationSql,
+    // bloom prune + exact confirm computes the identical answer — the
+    // equality with the one-tier exact path IS the check
+    "contamination_bloom" -> ContaminationSql,
     "doc_repetition" ->
       s"""WITH corpus AS (
          |  SELECT doc_id,

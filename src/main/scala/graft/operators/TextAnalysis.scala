@@ -274,6 +274,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The bloom-filter tier of benchmark decontamination — the promised
+    * degradation path when the benchmark/holdout n-gram set outgrows a
+    * broadcast hash set (deduplicating new data against a PRIOR TRAINING
+    * CORPUS means billions of grams: a 1%-fpp bloom is ~1.2 bytes/item
+    * vs ~50 for a hashed relation, a 40× smaller broadcast). Two tiers:
+    * the bloom (built by ONE aggregation job over the benchmark grams;
+    * the resulting binary is driver metadata, embedded as a literal the
+    * same way the k-means codebook is) prunes the corpus scan-side with
+    * zero false NEGATIVES, then the exact broadcast semi-join confirms
+    * survivors — bloom false positives die there, so the final answer is
+    * IDENTICAL to [[contaminationCheck]], and the driver hash-checks it
+    * against the very same oracle SQL. Spark's own codegen'd
+    * BloomFilterAggregate / BloomFilterMightContain (the runtime-filter
+    * machinery) do the sketch work; might_contain requires a foldable
+    * bloom side, which the literal satisfies. */
+  def contaminationCheckBloom(s: SparkSession, dir: String, n: Int = 8,
+                              estItems: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val grams = withPlantedContamination(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(wordNgrams(toks, n)).as("gram"))
+    val bench = grams.filter(col("doc_id") < 50)
+      .select(col("gram"), col("doc_id").as("bench_id")).distinct()
+
+    // ~9.6 bits/item ≈ 1% fpp; the binary is KBs-to-MBs of driver
+    // metadata, never a data-sized collect
+    val bloomAgg = Bridge.toColumn(new BloomFilterAggregate(
+      Bridge.toExpression(xxhash64(col("gram"))),
+      Literal(estItems), Literal(estItems * 10)).toAggregateExpression())
+    val bloomBytes = bench.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) {
+      // empty benchmark set → nothing can be contaminated
+      return grams.filter(lit(false))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_grams_hit"),
+          count(lit(1)).as("n_bench_docs"))
+    }
+    val mightContain = Bridge.toColumn(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      Bridge.toExpression(xxhash64(col("gram")))))
+
+    grams.filter(col("doc_id") >= 50)
+      .filter(mightContain)                  // tier 1: scan-fused prune
+      .join(broadcast(bench), "gram")        // tier 2: exact confirm
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_grams_hit"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition plant: every 11th doc has its text doubled — the classic
     * boilerplate/template-duplication failure mode repetition filters
     * exist to catch. */

@@ -70,6 +70,8 @@ class DegenerateSpec extends AnyFunSuite {
       assert(TextAnalysis.docRepetition(spark, dir).count() === docs.count())
       assert(TextAnalysis.topDomains(spark, dir).count() <= 1)
       assert(TextAnalysis.contaminationCheck(spark, dir).count() === 0)
+      // empty benchmark set → null bloom → empty result, no crash
+      assert(TextAnalysis.contaminationCheckBloom(spark, dir).count() === 0)
       assert(TextAnalysis.sequencePacking(spark, dir).count() ===
         docs.count())
       // 1 doc + its reversed plant: n_docs counts both, flags hold

@@ -179,6 +179,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p)
   }
 
+  test("bloom contamination: scan-fused might_contain prune before the exact join") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.contaminationCheckBloom(spark, dir))
+    // tier 1 must be a plain Filter (the bloom binary is a literal —
+    // codegen'd, no join, no shuffle); tier 2 the broadcast semi-match
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("boilerplate scrub: frequent-line set broadcast into an anti join") {
     import graft.operators.TextAnalysis
     val p = plan(TextAnalysis.boilerplateScrub(spark, dir))

@@ -205,6 +205,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-tier contamination equals the exact one-tier answer") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val exact = TextAnalysis.contaminationCheck(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val bloom = TextAnalysis.contaminationCheckBloom(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty) // the planted snippets must be found at all
+    assert(bloom === exact)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
