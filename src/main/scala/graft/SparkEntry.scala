@@ -146,6 +146,7 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
+    "lm_typicality" -> (TextAnalysis.lmTypicality _),
     "boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(s, dir, minDocs = 10)),
     "doc_chunks" -> ((s, dir) =>
@@ -672,6 +673,26 @@ object SparkEntry {
         |  count(*) AS n_urls
         |FROM urls GROUP BY 1
         |ORDER BY n_urls DESC, domain""".stripMargin,
+    // count-space LM scoring: integer sums are exact on both engines;
+    // the single final division is correctly rounded (see lmTypicality)
+    "lm_typicality" ->
+      s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g),
+         |big AS (SELECT bigram, count(*) AS c_big FROM grams GROUP BY 1),
+         |pre AS (SELECT split_part(bigram, ' ', 1) AS prefix,
+         |               count(*) AS c_pre FROM grams GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(c_big) AS BIGINT) AS sum_big,
+         |  CAST(sum(c_pre) AS BIGINT) AS sum_pre,
+         |  CAST(CAST(sum(c_big) AS BIGINT) AS DOUBLE) /
+         |    CAST(CAST(sum(c_pre) AS BIGINT) AS DOUBLE) AS typicality
+         |FROM grams g
+         |JOIN big USING (bigram)
+         |JOIN pre ON split_part(bigram, ' ', 1) = pre.prefix
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // DuckDB ships the same Unicode tables (nfc_normalize); chr(769)
     // rebuilds the planted combining-acute suffix byte-for-byte
     "text_normalize" ->

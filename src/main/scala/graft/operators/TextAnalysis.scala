@@ -506,6 +506,47 @@ object TextAnalysis {
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Statistical LM quality scoring, count-space formulation — the
+    * perplexity-style filter (score docs by how typical their n-grams
+    * are under a model trained on the corpus itself) with the log-space
+    * step deliberately replaced by integer count sums: Σ c(bigram) and
+    * Σ c(prefix) are EXACT BIGINTs both engines agree on bit-for-bit,
+    * while Σ ln(c_big/c_pre) hangs on last-ulp libm behavior (JVM
+    * Math.log vs DuckDB's libm are each ≤1 ulp but not the SAME ulp) —
+    * an order-of-summation and rounding minefield the driver's exact
+    * hash would step on. The ratio of the two sums is one final IEEE
+    * division (correctly rounded, deterministic): high = built from
+    * common continuations, low = rare/garbled text.
+    *
+    * Scale shape: the two model tables are n-gram-vocabulary-bounded
+    * aggregates (partial-agg map-side); here they broadcast into the
+    * per-occurrence lookup so the corpus side never shuffles on gram
+    * content — at a vocabulary too big to broadcast the same plan runs
+    * as a shuffle join with identical semantics. The per-doc
+    * re-aggregation is the only corpus-scale shuffle. */
+  def lmTypicality(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordNgrams(toks, 2)).as("bigram"))
+    val bigCounts = grams.groupBy("bigram")
+      .agg(count(lit(1)).as("c_big"))
+    val preCounts = grams
+      .select(substring_index(col("bigram"), " ", 1).as("prefix"))
+      .groupBy("prefix").agg(count(lit(1)).as("c_pre"))
+    grams
+      .join(broadcast(bigCounts), "bigram")
+      .join(broadcast(preCounts),
+        substring_index(col("bigram"), " ", 1) === col("prefix"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_big")).as("sum_big"),
+        sum(col("c_pre")).as("sum_pre"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_big"), col("sum_pre"),
+        (col("sum_big").cast("double") / col("sum_pre").cast("double"))
+          .as("typicality"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-wide top-k bigrams (deterministic tie-break). */
   def topBigrams(s: SparkSession, dir: String, k: Int): DataFrame =
     Tables.documents(s, dir)

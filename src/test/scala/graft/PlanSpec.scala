@@ -179,6 +179,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p)
   }
 
+  test("lm typicality: model tables broadcast, corpus never shuffles on grams") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.lmTypicality(spark, dir))
+    // both count tables are vocabulary-bounded → broadcast lookups; the
+    // only corpus-scale exchange is the per-doc re-aggregation
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("bloom contamination: scan-fused might_contain prune before the exact join") {
     import graft.operators.TextAnalysis
     val p = plan(TextAnalysis.contaminationCheckBloom(spark, dir))

@@ -205,6 +205,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("lm typicality: hand-computed count sums, rare continuations lower") {
+    import graft.operators.TextAnalysis
+    // corpus bigrams: "x y":2, "y x":1, "x z":1; prefix x:3, y:1
+    val df = Seq((1L, "x y x y", "en", "s", 7L), (2L, "x z", "en", "s", 3L),
+                 (3L, "solo", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.lmTypicality(spark, tmp)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: (2+1+2)/(3+1+3); doc 2: 1/3 — rarer continuation scores lower
+    assert(got(1L) === ((3L, 5L, 7L, 5.0 / 7.0)))
+    assert(got(2L) === ((1L, 1L, 3L, 1.0 / 3.0)))
+    assert(!got.contains(3L)) // single-token doc has no bigrams
+    assert(got(2L)._4 < got(1L)._4)
+  }
+
   test("bloom-tier contamination equals the exact one-tier answer") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
