@@ -183,6 +183,12 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.dedupComponents(Dedup.withNearDups(Tables.documents(s, dir)),
         tau = 0.5)),
+    // substring-level duplicate spans over the near-dup-planted corpus
+    // (Spark side works on native window HASHES, the oracle on the
+    // window strings — agreement also proves the hash kernel faithful)
+    "dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Dedup.withNearDups(Tables.documents(s, dir)),
+        windowLen = 40)),
     // same clustering computed by the diameter-independent
     // large-star/small-star tier — one oracle hash-checks BOTH algorithms
     "dedup_components_star" -> ((s, dir) =>
@@ -808,6 +814,35 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id
         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_jaccard_pairs" -> ExactJaccardTierSql,
+    // the oracle recomputes duplicate windows from the SUBSTRINGS
+    // themselves; output columns are position-difference invariant so
+    // 0- vs 1-based window starts cancel out
+    "dup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+        |  FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 40) AS w
+        |  FROM corpus, LATERAL (SELECT unnest(generate_series(1,
+        |                          length(text) - 39)) AS i) g
+        |  WHERE length(text) >= 40),
+        |dupset AS (SELECT w FROM (
+        |  SELECT w, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1) f
+        |  WHERE nd >= 2),
+        |dup AS (SELECT doc_id, pos FROM sh
+        |        WHERE w IN (SELECT w FROM dupset)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |    AS grp FROM dup),
+        |spans AS (SELECT doc_id, grp, max(pos) - min(pos) + 40
+        |            AS span_chars
+        |          FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_dup_spans,
+        |  CAST(sum(span_chars) AS BIGINT) AS n_dup_chars,
+        |  max(span_chars) AS max_span
+        |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // identical SQL to dedup_jaccard_pairs: the Spark side semi-joins the
     // exact tier against the MinHash LSH candidates, and on this corpus
     // (all passing pairs J >= 0.9) deterministic LSH recall is 1, so

@@ -28,6 +28,50 @@ object Dedup {
 
   val DupIdOffset = 10000L
 
+  /** Substring-level duplicate spans — the span-granularity dedup pass
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): document-level dedup misses boilerplate repeated
+    * INSIDE otherwise-distinct documents, so find every maximal run of
+    * `windowLen`-char windows whose content occurs in ≥ minDocs distinct
+    * documents, and report per-doc span statistics (count, covered
+    * chars, longest). Works on window HASHES end to end — the native
+    * one-pass `CharWindowHashes` kernel, never materialized window
+    * strings — because shuffling 8-byte keys instead of 40-char
+    * substrings is the difference that matters at corpus scale (a
+    * 64-bit collision is ~1e-6 likely per 10M windows; the Lee et al.
+    * pipeline makes the same trade).
+    *
+    * Scale shape: the duplicated-window set is found by one
+    * hash-partitioned aggregation over (window-hash, doc) — corpus-scale
+    * but on fixed-width keys with map-side partials; substring dedup is
+    * inherently a global-content comparison (suffix-array approaches
+    * sort the corpus too). The semi-join back and the islands window run
+    * per doc. Output columns are all position-DIFFERENCE invariant, so
+    * the 0-based Spark positions and the 1-based SQL oracle positions
+    * hash identically. */
+  def duplicateSpans(docs: DataFrame, windowLen: Int = 40,
+                     minDocs: Int = 2): DataFrame = {
+    val L = windowLen
+    val sh = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharWindowExpression
+          .char_window_hashes(col("text"), L)).as(Seq("pos", "h")))
+    val dupSet = sh.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    sh.join(dupSet, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg((max(col("pos")) - min(col("pos")) + L).as("span_chars"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_chars")).as("n_dup_chars"),
+        max(col("span_chars")).as("max_span"))
+      .orderBy("doc_id")
+  }
+
   /** documents ∪ exact copies of doc_id < 20 (new ids). */
   def withExactDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))

@@ -282,4 +282,34 @@ class DedupSpec extends AnyFunSuite {
         math.floor(x / norm * 127 + 0.5).toLong))).sum
     assert(qsum === qs0)
   }
+
+  test("duplicate spans: planted shared substring found, uniques silent") {
+    import spark.implicits._
+    // a 45-char run shared by docs 1 and 2 at different offsets inside
+    // otherwise-unique text → with 40-char windows, 6 consecutive dup
+    // window starts per doc = ONE span of 45 chars; doc 3 has none
+    val shared = "s" * 45
+    val df = Seq(
+      (1L, "a" * 10 + shared + "b" * 10),
+      (2L, "c" * 10 + shared + "d" * 10),
+      (3L, "e" * 65)).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, windowLen = 40)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(1L -> ((1L, 45L, 45)), 2L -> ((1L, 45L, 45))))
+  }
+
+  test("duplicate spans: two separated shared runs become two spans") {
+    import spark.implicits._
+    val s1 = "x" * 42
+    val s2 = "y" * 41
+    val df = Seq(
+      (1L, s1 + "a" * 30 + s2),
+      (2L, "b" * 5 + s1 + "c" * 50 + s2 + "d" * 5)).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, windowLen = 40)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // spans of 42 and 41 chars in each doc
+    assert(got === Map(1L -> ((2L, 83L, 42)), 2L -> ((2L, 83L, 42))))
+  }
 }

@@ -96,6 +96,8 @@ class DegenerateSpec extends AnyFunSuite {
         .count() >= 0)
       // empty corpus and a 1-token doc both have zero bigrams
       assert(TextAnalysis.lmTypicality(spark, dir).count() === 0)
+      // docs shorter than the window carry no spans
+      assert(Dedup.duplicateSpans(docs, 40).count() === 0)
       // gate stays well-formed: one row, flags vacuously 1
       val g = Grouping.heavyHitterGate(spark, dir)
         .as[(Long, Long, Int, Int)].collect()

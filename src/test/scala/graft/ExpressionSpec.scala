@@ -142,6 +142,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(cg === Seq("\u00e1b\u0301", "x", "ascii only"))
   }
 
+  test("char_window_hashes equals xxhash64 over substr windows, incl. multibyte") {
+    import graft.functions.CharWindowExpression.char_window_hashes
+    // multibyte chars make byte offsets diverge from char offsets — the
+    // boundary walk must stay char-aligned
+    val df = Seq("hello world", "aéb中文c", "ab", "").toDF("text")
+    def composed(n: Int) =
+      when(length(col("text")) < n, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(1), length(col("text")) - lit(n - 1)),
+          i => xxhash64(col("text").substr(i, lit(n)))))
+    for (n <- Seq(2, 3, 5)) {
+      val native = df.select(char_window_hashes(col("text"), n))
+        .as[Seq[Long]].collect().toSeq
+      val ref = df.select(composed(n)).as[Seq[Long]].collect().toSeq
+      assert(native === ref, s"n=$n")
+    }
+    // null propagates
+    assert(df.limit(1).select(char_window_hashes(
+      lit(null).cast("string"), 3)).collect()(0).isNullAt(0))
+  }
+
   test("sig_agree_count equals the composed zip_with form") {
     import graft.functions.MinHashExpression.sig_agree_count
     val df = Seq(
