@@ -255,6 +255,9 @@ object SparkEntry {
     }),
     // --- range join (binned interval-point equi-join rewrite) ---
     "shipped_in_order_window" -> (RangeJoin.shipmentsInOrderWindow _),
+    // interval-interval overlap (binned, first-instant dedup bin)
+    "concurrent_sessions" -> ((s, dir) =>
+      RangeJoin.concurrentSessions(s, dir, "30 minutes")),
     // --- deterministic sampling (corpus curation) ---
     "sample_hash_docs" -> (Sampling.documentsSample _),
     "sample_stratified_lang" -> (Sampling.documentsStratified _),
@@ -1170,6 +1173,34 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM s GROUP BY user_id, sess_id
         |ORDER BY user_id, session_start""".stripMargin,
+    // same session construction as user_sessions (proven equivalent to
+    // session_window there), then the exact overlap self-join the binned
+    // operator must reproduce; durations are integer second diffs
+    "concurrent_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess_id
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, sess_id, min(ts) AS st,
+        |    max(ts) + INTERVAL 30 MINUTE AS en
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  count(*) AS n_session_pairs,
+        |  CAST(sum(date_diff('second', greatest(a.st, b.st),
+        |                     least(a.en, b.en))) AS BIGINT)
+        |    AS overlap_seconds
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_type_pivot" ->
       """SELECT hour(ts) AS hod,
         |  coalesce(round(sum(value) FILTER (WHERE event_type='click'),2),0.0)

@@ -47,6 +47,57 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval–interval OVERLAP join, the general case of the same bin
+    * rewrite: both sides explode into the fixed-width bins they cover
+    * and the join runs hash-partitioned on the bin key. A pair can share
+    * several bins, so instead of a distinct pass each surviving pair is
+    * kept only in the bin containing the overlap's FIRST instant
+    * (`max(lStart, rStart)`) — that bin lies in both sides' ranges by
+    * construction, making the dedup a scan-local filter instead of a
+    * second shuffle. Intervals are end-exclusive; empty intervals drop. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    def binned(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s)).withColumn("__bin", explode(sequence(
+        expr(s"unix_timestamp(`$s`) div $binSeconds"),
+        expr(s"unix_timestamp(`$e`) div $binSeconds"))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq("__bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(expr(
+        s"greatest(unix_timestamp(`$lStart`), unix_timestamp(`$rStart`))" +
+          s" div $binSeconds") === col("__bin"))
+      .drop("__bin")
+  }
+
+  /** Concurrent-session analysis — the interval-overlap demo over the
+    * sessionization output: for every pair of users, how many of their
+    * sessions overlapped in time and for how long in total. Overlap
+    * durations are integer epoch-second differences (exact, no float
+    * summation order to disagree on). The naive formulation is a session
+    * self-CROSS-join on the overlap predicate; the bin rewrite keeps it
+    * a shuffle join. */
+  def concurrentSessions(s: SparkSession, dir: String,
+                         gap: String = "30 minutes"): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("st"), col("sw.end").as("en"))
+    val a = sess.select(col("user_id").as("user_a"),
+      col("st").as("st_a"), col("en").as("en_a"))
+    val b = sess.select(col("user_id").as("user_b"),
+      col("st").as("st_b"), col("en").as("en_b"))
+    intervalOverlap(a, "st_a", "en_a", b, "st_b", "en_b", 3600L)
+      .filter(col("user_a") < col("user_b")) // cross-user, each pair once
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_session_pairs"),
+        sum(expr("unix_timestamp(least(en_a, en_b))") -
+          expr("unix_timestamp(greatest(st_a, st_b))"))
+          .as("overlap_seconds"))
+      .orderBy("user_a", "user_b")
+  }
+
   /** Line items (any order's) shipped within one day after each order's
     * date, as a zero-preserving count per order. There is deliberately no
     * equi key between the two sides — this is the pure range-join case the
