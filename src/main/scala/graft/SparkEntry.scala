@@ -147,6 +147,12 @@ object SparkEntry {
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
     "lm_typicality" -> (TextAnalysis.lmTypicality _),
+    // BPE merge-table induction: iterative → rows-only; the gate next is
+    // the hash-checked companion
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMerges(s, dir, nMerges = 20)),
+    "bpe_merge_gate" -> ((s, dir) =>
+      TextAnalysis.bpeMergeGate(s, dir, nMerges = 20)),
     "boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(s, dir, minDocs = 10)),
     "doc_chunks" -> ((s, dir) =>
@@ -682,6 +688,21 @@ object SparkEntry {
         |  count(*) AS n_urls
         |FROM urls GROUP BY 1
         |ORDER BY n_urls DESC, domain""".stripMargin,
+    // only step 0 of BPE training is ANSI-recomputable (later steps see
+    // merged symbols); the gate pins it plus table-level invariants
+    "bpe_merge_gate" ->
+      s"""WITH w AS (SELECT lower(word) AS word, count(*) AS cnt
+         |           FROM ($DuckTokens) t
+         |           WHERE regexp_matches(word, '\\S') GROUP BY 1),
+         |prs AS (SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1)
+         |          AS b, cnt
+         |        FROM w, LATERAL (SELECT unnest(generate_series(1,
+         |                           length(word) - 1)) AS i) g),
+         |pc AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c
+         |       FROM prs GROUP BY 1, 2)
+         |SELECT a AS step0_a, b AS step0_b, c AS step0_count,
+         |  20 AS n_merges, 1 AS distinct_ok
+         |FROM pc ORDER BY c DESC, a, b LIMIT 1""".stripMargin,
     // count-space LM scoring: integer sums are exact on both engines;
     // the single final division is correctly rounded (see lmTypicality)
     "lm_typicality" ->

@@ -506,6 +506,84 @@ object TextAnalysis {
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
 
+  /** BPE tokenizer TRAINING on the corpus — the merge-table induction
+    * step every LLM pipeline runs before anything tokenizes: repeatedly
+    * find the most frequent adjacent symbol pair (count weighted by word
+    * frequency, ties broken lexicographically) and merge it, textbook
+    * Sennrich et al. 2016.
+    *
+    * Scale shape: the corpus collapses to the (word, count) vocabulary
+    * in ONE corpus-scale aggregation; every training iteration after
+    * that runs on the vocabulary-bounded symbol table (the standard
+    * formulation — pair counts are weighted by word frequency, so the
+    * corpus is never re-scanned). Each iteration is a pair-count
+    * aggregation plus one argmax row to the driver (the winning pair is
+    * metadata, like the k-means codebook), and the merge itself is the
+    * native codegen'd [[graft.functions.BpeMergeExpression]] applied to
+    * the symbol arrays, with an eager localCheckpoint truncating the
+    * per-iteration lineage (same pathology as connected components).
+    * Not ANSI-expressible beyond step 0 → rows-only; [[bpeMergeGate]]
+    * is the hash-checked companion. */
+  def bpeTrainMerges(s: SparkSession, dir: String,
+                     nMerges: Int = 20): DataFrame = {
+    val words = WordCount.tokens(Tables.documents(s, dir), "text")
+      .select(lower(col("word")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // explicit per-char split (split(word, "") has trailing-empty
+    // surprises under Java's limit=-1 semantics)
+    var vocab = words.select(
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"),
+      col("cnt"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(desc("pc"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, a, b, pc))
+        vocab = vocab.select(
+          graft.functions.BpeMergeExpression
+            .bpe_merge_pair(col("syms"), a, b).as("syms"),
+          col("cnt")).localCheckpoint()
+        step += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("step", "pair_a", "pair_b", "pair_count")
+      .orderBy("step")
+  }
+
+  /** Driver-checkable side of the BPE trainer: step 0's winning pair IS
+    * ANSI-recomputable (most frequent adjacent CHARACTER pair in the
+    * word-frequency table, lex tie-break), the merge count is the
+    * requested constant on this corpus, and the merge table must never
+    * repeat a pair (symbols are never split, so a consumed adjacency
+    * cannot re-form — a repeat means the merge step is broken). */
+  def bpeMergeGate(s: SparkSession, dir: String,
+                   nMerges: Int = 20): DataFrame = {
+    val m = bpeTrainMerges(s, dir, nMerges)
+    m.agg(
+      min(when(col("step") === 0, col("pair_a"))).as("step0_a"),
+      min(when(col("step") === 0, col("pair_b"))).as("step0_b"),
+      min(when(col("step") === 0, col("pair_count"))).as("step0_count"),
+      count(lit(1)).cast("int").as("n_merges"),
+      (count(lit(1)) === countDistinct(col("pair_a"), col("pair_b")))
+        .cast("int").as("distinct_ok"))
+  }
+
   /** Statistical LM quality scoring, count-space formulation — the
     * perplexity-style filter (score docs by how typical their n-grams
     * are under a model trained on the corpus itself) with the log-space

@@ -98,6 +98,11 @@ class DegenerateSpec extends AnyFunSuite {
       assert(TextAnalysis.lmTypicality(spark, dir).count() === 0)
       // docs shorter than the window carry no spans
       assert(Dedup.duplicateSpans(docs, 40).count() === 0)
+      // BPE training exhausts gracefully; the gate row stays well-formed
+      assert(TextAnalysis.bpeTrainMerges(spark, dir, 5).count() <= 5)
+      val bg = TextAnalysis.bpeMergeGate(spark, dir, 5)
+        .select("n_merges", "distinct_ok").as[(Int, Int)].collect().head
+      assert(bg._2 === 1)
       // gate stays well-formed: one row, flags vacuously 1
       val g = Grouping.heavyHitterGate(spark, dir)
         .as[(Long, Long, Int, Int)].collect()

@@ -142,6 +142,23 @@ class ExpressionSpec extends AnyFunSuite {
     assert(cg === Seq("\u00e1b\u0301", "x", "ascii only"))
   }
 
+  test("bpe_merge_pair: greedy left-to-right, non-overlapping") {
+    import graft.functions.BpeMergeExpression.bpe_merge_pair
+    val df = Seq(
+      Seq("a", "a", "a"),        // greedy: first pair merges, third stays
+      Seq("a", "b", "a", "b"),   // both pairs merge
+      Seq("x"),                  // too short
+      Seq("b", "a")              // wrong order: untouched
+    ).toDF("s")
+    val got = df.select(bpe_merge_pair(col("s"), "a", "a")).as[Seq[String]]
+      .collect()(0)
+    assert(got === Seq("aa", "a"))
+    val ab = df.select(bpe_merge_pair(col("s"), "a", "b")).as[Seq[String]]
+      .collect().toSeq
+    assert(ab === Seq(Seq("a", "a", "a"), Seq("ab", "ab"), Seq("x"),
+      Seq("b", "a")))
+  }
+
   test("char_window_hashes equals xxhash64 over substr windows, incl. multibyte") {
     import graft.functions.CharWindowExpression.char_window_hashes
     // multibyte chars make byte offsets diverge from char offsets — the

@@ -205,6 +205,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe training reproduces the textbook merge sequence and stops dry") {
+    import graft.operators.TextAnalysis
+    // words: aaab×2, aab×1 → pair counts (a,a)=5, (a,b)=3
+    // step0 (a,a,5) → aaab=[aa,a,b], aab=[aa,b]
+    // step1: (aa,a)=2 ties (a,b)=2 → lex: (a,b) wins → aaab=[aa,ab]
+    // step2: (aa,ab)=2 → aaab=[aaab]
+    // step3: (aa,b)=1 → aab=[aab]; nothing left → early stop
+    val df = Seq((1L, "aaab aaab aab", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.bpeTrainMerges(spark, tmp, nMerges = 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((0, "a", "a", 5L), (1, "a", "b", 2L),
+      (2, "aa", "ab", 2L), (3, "aa", "b", 1L)))
+  }
+
   test("lm typicality: hand-computed count sums, rare continuations lower") {
     import graft.operators.TextAnalysis
     // corpus bigrams: "x y":2, "y x":1, "x z":1; prefix x:3, y:1
