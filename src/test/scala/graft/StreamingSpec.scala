@@ -31,6 +31,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static anti join drops base docs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Seq("seen one", "seen two").toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text")
+      .withColumn("content_hash", md5(col("text")))
+      .join(broadcast(base), Seq("content_hash"), "left_anti")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("base_dedup")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, "seen one"), (2L, "fresh a"))
+      q.processAllAvailable()
+      assert(spark.table("base_dedup").as[Long].collect().toSet === Set(2L))
+      // the static side keeps filtering later micro-batches too
+      source.addData((3L, "seen two"), (4L, "fresh b"))
+      q.processAllAvailable()
+      assert(spark.table("base_dedup").as[Long].collect().toSet ===
+        Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("sliding windows place each event in windowLen/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
