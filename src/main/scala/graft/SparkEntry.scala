@@ -121,6 +121,7 @@ object SparkEntry {
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "big_spenders" -> (Relational.bigSpenders _),
     "events_json_stats" -> (Relational.eventsJsonStats _),
+    "events_variant_stats" -> (Relational.eventsVariantStats _),
     "events_hourly" -> (Relational.eventsHourly _),
     "part_brand_revenue" -> (Relational.partBrandRevenue _),
     "nation_coverage" -> (Relational.nationCoverage _),
@@ -599,6 +600,15 @@ object SparkEntry {
         |    CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         |  FROM events GROUP BY 1) t
         |ORDER BY 1""".stripMargin,
+    // the VARIANT-typed extraction must agree with string extraction;
+    // min/max stay INTEGER (Spark int), only the sum needs the BIGINT cast
+    "events_variant_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value

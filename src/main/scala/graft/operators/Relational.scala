@@ -223,6 +223,21 @@ object Relational {
       .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
       .orderBy("event_type")
 
+  /** Same aggregation through Spark 4's VARIANT type: parse_json builds
+    * the binary variant encoding once, variant_get does a TYPED path
+    * extraction — for repeated multi-path access this beats re-parsing
+    * the JSON text per path (get_json_object parses per call). The
+    * engine-facing point is coverage of the modern semi-structured
+    * column path; values must equal the string-extraction query's. */
+  def eventsVariantStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Full-outer join: per-nation customer AND supplier counts, keeping
     * nations that have only one side. Same shuffle contract as an inner
     * hash join (both pre-aggregated sides are nation-sized — tiny). */

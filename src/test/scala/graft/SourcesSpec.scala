@@ -110,6 +110,25 @@ class SourcesSpec extends AnyFunSuite {
            src.agg(sum("event_id")).as[Long].collect().head)
   }
 
+  test("small-file compaction: fragmented table → bounded file count, lossless") {
+    // the 100 TB operational chore: streaming/incremental sinks leave
+    // thousands of small files; compaction is a repartition-rewrite with
+    // a per-file row cap, and must preserve the rows exactly
+    val docs = Tables.documents(spark, dir)
+    val frag = tmp() + "/frag"
+    docs.repartition(64).write.parquet(frag)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) === 64)
+    val compact = tmp() + "/compact"
+    spark.read.parquet(frag).repartition(4)
+      .write.option("maxRecordsPerFile", 100000).parquet(compact)
+    assert(parquetFiles(compact) === 4)
+    assert(spark.read.parquet(compact).as[(Long, String, String, String, Long)]
+      .collect().toSet ===
+      docs.as[(Long, String, String, String, Long)].collect().toSet)
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val out = tmp() + "/part"
     Tables.orders(spark, dir)
