@@ -80,10 +80,14 @@ object RangeJoin {
     * a shuffle join. */
   def concurrentSessions(s: SparkSession, dir: String,
                          gap: String = "30 minutes"): DataFrame = {
+    // both join legs read the session set — checkpoint it so the events
+    // scan + session aggregation run once, not once per leg (same
+    // multi-consumer materialization as the exact-Jaccard posting index)
     val sess = Tables.events(s, dir)
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("st"), col("sw.end").as("en"))
+      .localCheckpoint()
     val a = sess.select(col("user_id").as("user_a"),
       col("st").as("st_a"), col("en").as("en_a"))
     val b = sess.select(col("user_id").as("user_b"),
