@@ -204,6 +204,9 @@ object SparkEntry {
     "neardup_pipeline" -> ((s, dir) =>
       Dedup.nearDupPipeline(Dedup.withNearDups(Tables.documents(s, dir)),
         tau = 0.5, k = 32, bands = 8, estTau = 0.4)),
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(
+        Dedup.withNearDups(Tables.documents(s, dir)), tau = 0.5)),
     // --- similarity search ---
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -931,6 +934,25 @@ object SparkEntry {
          |  JOIN edges e ON r.dst = e.id_a)
          |SELECT src AS doc_id, min(dst) AS comp
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // histogram over the same closure: component → size → size → count
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  ${ExactJaccardTierSql.replace("\n", "\n  ")}),
+         |edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.id_b FROM reach r
+         |  JOIN edges e ON r.dst = e.id_a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS comp
+         |         FROM reach GROUP BY 1),
+         |sizes AS (SELECT comp, count(*) AS cluster_size
+         |          FROM comp GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     // the closure oracle is algorithm-agnostic: the star tier must reach
     // the identical fixpoint as min-label propagation
     "dedup_components_star" ->

@@ -647,6 +647,19 @@ object Dedup {
   def dedupComponents(docs: DataFrame, tau: Double): DataFrame =
     connectedComponents(jaccardPairsAuto(docs, tau))
 
+  /** Cluster-size histogram over the dedup components — the curation
+    * observability view that answers "how duplicated is this corpus"
+    * before committing to a keep-one pass (a histogram dominated by huge
+    * clusters means boilerplate/template contamination, not organic
+    * near-dups). Two vocabulary-bounded re-aggregations over the (tiny)
+    * component labels — the corpus-scale work is all in the upstream
+    * component computation. */
+  def clusterSizeHistogram(docs: DataFrame, tau: Double): DataFrame =
+    dedupComponents(docs, tau)
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** [[dedupComponents]] computed by the star tier instead of min-label
     * propagation — same contract, same oracle (the recursive-CTE closure
     * is algorithm-agnostic), so the driver hash-checks that both

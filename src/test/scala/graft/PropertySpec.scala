@@ -72,6 +72,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("round-6 per-doc operators are invariant under input partitioning") {
+    // deterministic-by-content is the contract that keeps 100 TB results
+    // reproducible across cluster sizes and file splits: re-partitioning
+    // the SAME corpus must leave every result row identical
+    import graft.operators.{Dedup, TextAnalysis}
+    val base = (0L until 60L)
+      .map(i => (i, s"alpha beta g$i delta " * 3, "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def results(parts: Int): Seq[Set[String]] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inv").toString
+      base.repartition(parts).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      Seq(
+        TextAnalysis.boilerplateScrub(spark, tmp),
+        TextAnalysis.chunkDocuments(spark, tmp),
+        TextAnalysis.lmTypicality(spark, tmp),
+        TextAnalysis.textNormalize(spark, tmp),
+        Dedup.duplicateSpans(graft.sources.Tables.documents(spark, tmp), 20)
+      ).map(_.collect().map(_.toString).toSet)
+    }
+    assert(results(1) === results(13))
+  }
+
   test("int8 quantization: bounds and half-step round-trip on any vector") {
     import graft.operators.Similarity
     val vecGen = Gen.chooseNum(1, 24).flatMap(n =>
