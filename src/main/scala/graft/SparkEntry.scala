@@ -159,6 +159,7 @@ object SparkEntry {
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(s, dir, chunkTokens = 64, stride = 48)),
     "corpus_refresh" -> (Incremental.corpusRefresh _),
+    "scd2_customer_priority" -> (Incremental.scd2CustomerPriority _),
     "heavy_hitter_gate" -> ((s, dir) =>
       Grouping.heavyHitterGate(s, dir, k = 64)),
     // --- dedup (north-star LLM-pipeline operators) ---
@@ -343,6 +344,10 @@ object SparkEntry {
           graft.multimodal.Multimodal.mediaFromDocuments(
             Tables.documents(s, dir)), targetW = 16, targetH = 16))
         .orderBy("doc_id")),
+    // --- graph / link analysis (crawl-graph scoring tier) ---
+    // fixed-point integer PageRank: bit-identical across engines and
+    // partition layouts because every sum is an integer sum
+    "pagerank_suppliers" -> ((s, dir) => Graph.pageRankTop(s, dir)),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -409,7 +414,37 @@ object SparkEntry {
        |WHERE g.doc_id >= 50
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One unrolled fixed-point PageRank sweep for the DuckDB oracle —
+    * the same BIGINT arithmetic as Graph.pageRank (integer division is
+    * identical for non-negative operands: Spark DIV truncates, DuckDB
+    * `//` floors). */
+  private def duckPageRankIter(i: Int): String =
+    s"""r$i AS (
+       |  SELECT d.node,
+       |    150000000 + (85 * coalesce(s.contrib, 0)) // 100 AS pr
+       |  FROM deg d LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |      CAST(sum(r.pr // g.outdeg) AS BIGINT) AS contrib
+       |    FROM edges e
+       |    JOIN r${i - 1} r ON e.src = r.node
+       |    JOIN deg g ON e.src = g.node
+       |    GROUP BY e.dst) s ON d.node = s.node)"""
+
   def oracleSql: Map[String, String] = Map(
+    "pagerank_suppliers" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey AS c,
+         |    l.l_suppkey + 10000000000 AS sp
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |edges AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL SELECT sp AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src AS node, count(*) AS outdeg
+         |        FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+         |${(1 to 5).map(duckPageRankIter).mkString(",\n")}
+         |SELECT node, pr FROM r5
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
     "wordcount_ci" ->
       s"""SELECT lower(word) AS word, count(*) AS cnt
          |FROM ($DuckTokens) t
@@ -807,6 +842,34 @@ object SparkEntry {
         |FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
         |WHERE d.op IS NULL OR d.op <> 'delete'
         |ORDER BY doc_id""".stripMargin,
+    // same gaps-and-islands shape; version numbering is deterministic
+    // because o_orderkey breaks orderdate ties in every window
+    "scd2_customer_priority" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |numbered AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev IS NULL
+        |        OR prev <> o_orderpriority THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT o_custkey AS custkey, version,
+        |    min(o_orderpriority) AS priority,
+        |    min(o_orderdate) AS vf_ts,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT custkey, version, priority,
+        |  strftime(vf_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(lead(vf_ts) OVER (PARTITION BY custkey
+        |      ORDER BY version), '%Y-%m-%d %H:%M:%S'),
+        |    '9999-12-31 00:00:00') AS valid_to,
+        |  n_orders
+        |FROM islands ORDER BY custkey, version""".stripMargin,
     // the sketch itself is not ANSI-expressible; n_tokens/n_heavy are
     // exact recomputations and the flags assert containment + the
     // deterministic MG error bound (see Grouping.heavyHitterGate)

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative link-analysis over graphs derived from the relational data —
+  * the "crawl-graph scoring" stage of a training-data pipeline (PageRank
+  * over a web graph decides which documents are worth keeping long before
+  * any text filter runs).
+  *
+  * All rank arithmetic is **fixed-point integer** (rank scaled by 1e9,
+  * damping applied as `(85 * x) DIV 100`): integer sums are associative
+  * and order-independent, so the result is bit-identical across partition
+  * layouts, retries, and engines — a float PageRank can never be
+  * hash-compared because `sum(double)` depends on reduction order.
+  *
+  * Scale notes (100 TB stance):
+  *  - The edge list is the big side: it is hash-partitioned by `src`
+  *    ONCE and checkpointed; `localCheckpoint` preserves the physical
+  *    partitioning in the `LogicalRDD`, so every per-iteration join
+  *    reshuffles only the O(|V|) rank table, never the O(|E|) edges.
+  *  - Per-iteration eager `localCheckpoint` on the rank table truncates
+  *    lineage: plans stay constant-size over any iteration count (same
+  *    pathology fix as connected components, Dedup.scala).
+  *  - Degree and rank tables are O(|V|) — they stay distributed; nothing
+  *    is collected to the driver.
+  */
+object Graph {
+
+  /** Supplier node ids are offset into a disjoint range so customers and
+    * suppliers share one node-id space. */
+  val SupplierOffset: Long = 10000000000L
+
+  /** Fixed-point scale: rank 1.0 == 1e9. */
+  val Scale: Long = 1000000000L
+
+  /** Symmetric customer<->supplier edge list: an edge per distinct
+    * (customer, supplier) pair connected through an order's lineitems.
+    * Both directions are emitted so every node has out-degree >= 1 (no
+    * dangling-mass correction needed). */
+  def customerSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + SupplierOffset).as("sp"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sp").as("dst"))
+      .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
+  }
+
+  /** Fixed-point PageRank over an edge list `(src: long, dst: long)`.
+    *
+    * Node set = distinct `src` (callers must pass a graph where every
+    * node appears as a source; the symmetric builders above guarantee
+    * it). Update rule, all in BIGINT:
+    *
+    *   contrib(v) = sum over in-edges (u,v) of  rank(u) DIV outdeg(u)
+    *   rank'(v)   = (100-damp)*scale DIV 100  +  (damp * contrib(v)) DIV 100
+    */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = Scale,
+               damp: Long = 85L): DataFrame = {
+    require(iters >= 0 && damp >= 0 && damp <= 100)
+    // one shuffle of the big side, ever; partitioning survives checkpoint
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val base = (100L - damp) * scale / 100L
+    var ranks = deg.select(col("node"), lit(scale).as("pr"))
+    var i = 0
+    while (i < iters) {
+      val give = ranks.join(deg, "node")
+        .select(col("node").as("src"), expr("pr DIV outdeg").as("give"))
+      val contrib = e.join(give, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("give").as("contrib"))
+      ranks = deg.select("node")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($damp * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100"))
+            .as("pr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** Gated query: top-k nodes of the customer<->supplier graph by rank
+    * after `iters` sweeps; deterministic tiebreak on node id. */
+  def pageRankTop(s: SparkSession, dir: String, iters: Int = 5,
+                  k: Int = 20): DataFrame =
+    pageRank(customerSupplierEdges(s, dir), iters)
+      .orderBy(desc("pr"), asc("node")).limit(k)
+}

@@ -62,6 +62,49 @@ object Incremental {
         coalesce(col("d_text"), col("b_text")).as("text"))
   }
 
+  /** Slowly-changing-dimension Type 2 build: compress each customer's
+    * order-priority history into effective-dated version rows
+    * (valid_from inclusive, valid_to exclusive, open versions closed
+    * with the 9999-12-31 sentinel). Classic gaps-and-islands:
+    * change-flag via lag → running sum numbers the islands → one
+    * aggregate per island → lead closes each interval.
+    *
+    * Scale shape: every window is partitioned by the dimension key —
+    * ONE hash shuffle on o_custkey, then all three window passes and
+    * the island aggregate run within the same partitioning (no second
+    * exchange; pinned in IncrementalSpec). No global window, no
+    * driver-side state; skewed keys are bounded by a customer's own
+    * order count. */
+  def scd2History(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byOrder = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val islands = orders
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+      .withColumn("prev", lag("o_orderpriority", 1).over(byOrder))
+      .withColumn("chg",
+        when(col("prev").isNull ||
+          col("prev") =!= col("o_orderpriority"), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(byOrder))
+      .groupBy(col("o_custkey").as("custkey"), col("version"))
+      .agg(min("o_orderpriority").as("priority"),
+        min("o_orderdate").as("vf_ts"),
+        count(lit(1)).as("n_orders"))
+    val byVersion = Window.partitionBy("custkey").orderBy("version")
+    islands
+      .withColumn("vt_ts", lead("vf_ts", 1).over(byVersion))
+      .select(col("custkey"), col("version"), col("priority"),
+        date_format(col("vf_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("vt_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("n_orders"))
+      .orderBy("custkey", "version")
+  }
+
+  /** Driver-gated query over the orders table. */
+  def scd2CustomerPriority(s: SparkSession, dir: String): DataFrame =
+    scd2History(Tables.orders(s, dir))
+
   /** The driver-gated query: merge the synthetic delta into the documents
     * snapshot; md5 + length stand in for the text so every surviving
     * row's exact content is hash-checked. */

@@ -56,4 +56,64 @@ class IncrementalSpec extends AnyFunSuite {
       .collect().toMap
     assert(texts(5L) === "text 5")
   }
+
+  private def scdOrders = Seq(
+    // cust 1: HIGH, HIGH, LOW, HIGH → 3 versions
+    (1L, 10L, "2024-01-01 00:00:00", "HIGH"),
+    (1L, 11L, "2024-02-01 00:00:00", "HIGH"),
+    (1L, 12L, "2024-03-01 00:00:00", "LOW"),
+    (1L, 13L, "2024-04-01 00:00:00", "HIGH"),
+    // cust 2: a single never-changing priority → 1 open version
+    (2L, 20L, "2024-01-15 00:00:00", "MED"),
+    (2L, 21L, "2024-05-15 00:00:00", "MED"),
+    // cust 3: same-timestamp orders — orderkey breaks the tie, so the
+    // LOW (key 31) follows the HIGH (key 30) deterministically
+    (3L, 30L, "2024-06-01 00:00:00", "HIGH"),
+    (3L, 31L, "2024-06-01 00:00:00", "LOW"))
+    .toDF("o_custkey", "o_orderkey", "ts", "o_orderpriority")
+    .withColumn("o_orderdate", col("ts").cast("timestamp"))
+    .drop("ts")
+
+  test("scd2History compresses runs into effective-dated versions") {
+    val rows = Incremental.scd2History(scdOrders)
+      .as[(Long, Long, String, String, String, Long)].collect()
+    val c1 = rows.filter(_._1 == 1L)
+    assert(c1.map(r => (r._2, r._3, r._4, r._5, r._6)).toSeq === Seq(
+      (1L, "HIGH", "2024-01-01 00:00:00", "2024-03-01 00:00:00", 2L),
+      (2L, "LOW", "2024-03-01 00:00:00", "2024-04-01 00:00:00", 1L),
+      (3L, "HIGH", "2024-04-01 00:00:00", "9999-12-31 00:00:00", 1L)))
+    // stable priority: one open-ended version covering both orders
+    val c2 = rows.filter(_._1 == 2L)
+    assert(c2.map(r => (r._2, r._3, r._5, r._6)).toSeq ===
+      Seq((1L, "MED", "9999-12-31 00:00:00", 2L)))
+    // tie on timestamp: key order decides, intervals still contiguous
+    val c3 = rows.filter(_._1 == 3L)
+    assert(c3.map(r => (r._2, r._3, r._6)).toSeq ===
+      Seq((1L, "HIGH", 1L), (2L, "LOW", 1L)))
+    assert(c3(0)._5 === c3(1)._4) // v1.valid_to == v2.valid_from
+  }
+
+  test("scd2 versions chain: valid_to always meets the next valid_from") {
+    val rows = Incremental
+      .scd2History(graft.sources.Tables.orders(spark,
+        "/root/testdata/sf0.001"))
+      .as[(Long, Long, String, String, String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.head._2 === 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 === b._4)
+        case _ =>
+      }
+      assert(sorted.last._5 === "9999-12-31 00:00:00")
+    }
+  }
+
+  test("scd2 plan shuffles once on the dimension key") {
+    val plan = Incremental.scd2History(scdOrders)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1,
+      s"windows + island agg should share one key shuffle:\n$plan")
+  }
 }
