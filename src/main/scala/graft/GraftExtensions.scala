@@ -70,5 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash_features"),
       (args: Seq[Expression]) => SimHashFeatures(args(0),
         intArg(args(1), "bits"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(
+        classOf[graft.functions.ZOrderExpression.InterleaveBits].getName,
+        "interleave_bits"),
+      (args: Seq[Expression]) =>
+        graft.functions.ZOrderExpression.InterleaveBits(args(0), args(1))))
   }
 }

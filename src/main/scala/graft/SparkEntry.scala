@@ -348,6 +348,8 @@ object SparkEntry {
     // fixed-point integer PageRank: bit-identical across engines and
     // partition layouts because every sum is an integer sum
     "pagerank_suppliers" -> ((s, dir) => Graph.pageRankTop(s, dir)),
+    // --- data layout (Z-order multi-dimensional clustering) ---
+    "zorder_bucket_stats" -> (Layout.zorderBucketStats _),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -445,6 +447,34 @@ object SparkEntry {
          |${(1 to 5).map(duckPageRankIter).mkString(",\n")}
          |SELECT node, pr FROM r5
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+    // the Morton interleave re-derived in pure SQL bit-twiddling (the
+    // classic mask-shift spread, one CTE per step)
+    "zorder_bucket_stats" ->
+      """WITH t0 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    l_partkey & 4294967295 AS a0,
+        |    l_suppkey & 4294967295 AS b0
+        |  FROM lineitem),
+        |t1 AS (SELECT *,
+        |  (a0 | (a0 << 16)) & 281470681808895 AS a1,
+        |  (b0 | (b0 << 16)) & 281470681808895 AS b1 FROM t0),
+        |t2 AS (SELECT *,
+        |  (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+        |  (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM t1),
+        |t3 AS (SELECT *,
+        |  (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+        |  (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM t2),
+        |t4 AS (SELECT *,
+        |  (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+        |  (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM t3),
+        |t5 AS (SELECT *,
+        |  (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
+        |  (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM t4),
+        |z AS (SELECT l_partkey, l_suppkey, a5 | (b5 << 1) AS zv FROM t5)
+        |SELECT zv // 65536 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "wordcount_ci" ->
       s"""SELECT lower(word) AS word, count(*) AS cnt
          |FROM ($DuckTokens) t

@@ -40,6 +40,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getString(0)
       assert(nfc === "caf\u00e9")
 
+      val zo = spark.sql("SELECT interleave_bits(5, 9) AS z")
+        .collect()(0).getLong(0)
+      assert(zo === 147L)
+
       // bad arity / non-literal args produce analysis errors, not crashes
       val err = intercept[Exception] {
         spark.sql("SELECT minhash_signature('x', 'not-an-int', 8)").collect()
