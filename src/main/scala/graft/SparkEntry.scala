@@ -145,6 +145,7 @@ object SparkEntry {
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
+    "dict_encode_stats" -> (TextAnalysis.dictEncodeStats _),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
     "lm_typicality" -> (TextAnalysis.lmTypicality _),
@@ -937,6 +938,27 @@ object SparkEntry {
          |               tf.term) AS rn
          |  FROM tf JOIN df USING(term) CROSS JOIN n) x
          |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    // the oracle's global row_number() IS the spec the distributed
+    // local-rank+offset id assignment must reproduce
+    "dict_encode_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lower(word) AS word
+         |  FROM (SELECT doc_id, unnest($DuckTokList) AS word
+         |        FROM documents) t),
+         |vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+         |ids AS (
+         |  SELECT word,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, word) - 1
+         |      AS BIGINT) AS id
+         |  FROM vocab)
+         |SELECT t.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(i.id) AS BIGINT) AS id_sum,
+         |  min(i.id) AS id_min,
+         |  max(i.id) AS id_max,
+         |  CAST(count(DISTINCT i.id) AS BIGINT) AS n_distinct
+         |FROM toks t JOIN ids i USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact_groups" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -671,4 +671,54 @@ object TextAnalysis {
               col("tfidf"), col("rn"))
       .orderBy("doc_id", "rn")
   }
+
+  /** Distributed dense ids for a keyed count table, ordered by
+    * (cnt DESC, key ASC) — the vocabulary-construction step of tokenizer
+    * training (id 0 = most frequent term).
+    *
+    * A naive `row_number() OVER (ORDER BY ...)` is a single-partition
+    * global window — the one shape that cannot scale. This is the
+    * distributed equivalent: range-repartition by the rank keys, number
+    * locally per partition, then add per-partition offsets (a tiny
+    * aggregate, broadcast back). Ids are independent of where the range
+    * boundaries land, because local_rank + offset telescopes to the
+    * global rank for ANY boundary placement — so the sampling-based
+    * range partitioner introduces no nondeterminism. */
+  def denseIdsByCount(counts: DataFrame, key: String): DataFrame = {
+    val parted = counts.repartitionByRange(desc("cnt"), asc(key))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("local_rank",
+      row_number().over(
+        Window.partitionBy("pid").orderBy(desc("cnt"), asc(key)))
+        .cast("long"))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum("n").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset") // one row per partition: broadcast-tiny
+    local.join(broadcast(offsets), "pid")
+      .select(col(key), col("cnt"),
+        (col("offset") + col("local_rank") - 1L).as("id"))
+  }
+
+  /** Dictionary-encode the corpus: every (lowercased) token mapped to
+    * its frequency-rank id, then per-document stats over the id stream —
+    * integer sums only, so the result is exactly hash-comparable. The
+    * id table joins back to the token stream by broadcast (vocabulary
+    * << corpus by Heaps' law). */
+  def dictEncodeStats(s: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .select(col("doc_id"), lower(col("word")).as("word"))
+    val vocab = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val ids = denseIdsByCount(vocab, "word").select("word", "id")
+    tokens.join(broadcast(ids), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum("id").as("id_sum"),
+        min("id").as("id_min"),
+        max("id").as("id_max"),
+        countDistinct("id").as("n_distinct"))
+      .orderBy("doc_id")
+  }
 }

@@ -325,4 +325,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(planted.map(_._2).sum === 125)
     assert(rows.map(_._2).sum === 125, s"unexpected natural URLs: $rows")
   }
+
+  test("denseIdsByCount equals a global row_number, any partitioning") {
+    import graft.operators.TextAnalysis
+    // 40 words, counts 40..1 → id i for the word with count 40-i
+    val counts = (0 until 40)
+      .map(i => (f"w$i%02d", (40 - i).toLong))
+      .toDF("word", "cnt")
+    val expected = (0 until 40).map(i => f"w$i%02d" -> i.toLong).toMap
+    for (reshaped <- Seq(counts.repartition(1), counts.repartition(13),
+        counts.orderBy(desc("word")))) {
+      val ids = TextAnalysis.denseIdsByCount(reshaped, "word")
+        .select("word", "id").as[(String, Long)].collect().toMap
+      assert(ids === expected)
+    }
+    // count ties broken by key: ids still dense and deterministic
+    val tied = Seq(("b", 5L), ("a", 5L), ("c", 5L)).toDF("word", "cnt")
+    val got = TextAnalysis.denseIdsByCount(tied, "word")
+      .select("word", "id").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("dictEncodeStats: id 0 is the corpus mode; stats are consistent") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.dictEncodeStats(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (id, nToks, idSum, idMin, idMax, nDistinct) =>
+      assert(nToks >= nDistinct, s"doc $id")
+      assert(idMin <= idMax && idSum >= idMax, s"doc $id")
+    }
+    // at least one document contains the globally most frequent token
+    assert(rows.exists(_._4 === 0L))
+  }
 }
