@@ -146,6 +146,7 @@ object SparkEntry {
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
     "dict_encode_stats" -> (TextAnalysis.dictEncodeStats _),
+    "url_canonical" -> (TextAnalysis.urlCanonical _),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
     "lm_typicality" -> (TextAnalysis.lmTypicality _),
@@ -298,6 +299,8 @@ object SparkEntry {
     "order_grouping_sets" -> (Grouping.orderGroupingSets _),
     "rolling_7d_revenue" -> (Grouping.rolling7dRevenue _),
     "order_gaps_quartiles" -> (Grouping.orderGapsQuartiles _),
+    "order_rank_stats" -> (Grouping.orderRankStats _),
+    "robust_price_stats" -> (Grouping.robustPriceStats _),
     "user_event_type_sets" -> (Grouping.userEventTypeSets _),
     "approx_lineitem_stats" -> (Grouping.approxLineitemStats _),
     "approx_stats_bounds" -> (Grouping.approxStatsBounds _),
@@ -959,6 +962,42 @@ object SparkEntry {
          |  CAST(count(DISTINCT i.id) AS BIGINT) AS n_distinct
          |FROM toks t JOIN ids i USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the planted raw spellings are recomputed by formula (fixture-by-
+    // construction), then canonicalized with the same regex pipeline
+    "url_canonical" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'https://d' || (doc_id % 7) ||
+        |        '.example.com/p/' || (doc_id % 20) || '?ref=a'
+        |      WHEN 1 THEN 'HTTPS://WWW.d' || (doc_id % 7) ||
+        |        '.EXAMPLE.COM:443/p/' || (doc_id % 20) ||
+        |        '?utm_source=x&ref=a'
+        |      ELSE 'https://D' || (doc_id % 7) ||
+        |        '.example.com/p/' || (doc_id % 20) || '?ref=a#frag'
+        |    END AS url
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |parts AS (
+        |  SELECT url,
+        |    array_to_string(list_filter(string_split(
+        |      regexp_extract(url, '[?]([^#]*)', 1), '&'),
+        |      x -> NOT regexp_matches(x, '^utm_') AND x <> ''), '&')
+        |      AS qs
+        |  FROM planted),
+        |canon AS (
+        |  SELECT
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |      ':(443|80)$', ''), '^www\.', '') ||
+        |    regexp_extract(regexp_extract(url,
+        |      '^[A-Za-z]+://[^/?#]+([^#]*)', 1), '^([^?]*)', 1) ||
+        |    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url,
+        |    url
+        |  FROM parts)
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact_groups" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -1332,6 +1371,43 @@ object SparkEntry {
         |  round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
         |  round(avg(l_discount),6) AS avg_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "order_rank_stats" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  round(o_totalprice, 2) AS price,
+        |  round(percent_rank() OVER w_asc, 6) AS price_pct_rank,
+        |  round(cume_dist() OVER w_asc, 6) AS price_cume_dist,
+        |  first_value(o_orderkey) OVER w_desc AS top_order
+        |FROM orders
+        |WINDOW
+        |  w_asc AS (PARTITION BY o_custkey
+        |            ORDER BY o_totalprice, o_orderkey),
+        |  w_desc AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY custkey, orderkey""".stripMargin,
+    // medians doubled-then-cast stay exact over integers (interpolation
+    // is always .0/.5); the 3x-MAD test is a pure BIGINT comparison
+    "robust_price_stats" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+        |  FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT c.l_returnflag, abs(2 * cents - med2) AS dev2, med2
+        |  FROM c JOIN m USING (l_returnflag)),
+        |md AS (
+        |  SELECT l_returnflag,
+        |    CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM d GROUP BY 1)
+        |SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  min(d.med2) AS med2, min(md.mad4) AS mad4,
+        |  CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "user_sessions" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,

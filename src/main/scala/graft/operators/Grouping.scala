@@ -335,4 +335,54 @@ object Grouping {
         date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
+
+  /** Distribution-rank window breadth: percent_rank / cume_dist /
+    * running first over one per-customer partitioning (one shuffle, two
+    * sort passes within it). The rank values are exact small-integer
+    * ratios, so the doubles are bit-identical across engines. */
+  def orderRankStats(s: SparkSession, dir: String): DataFrame = {
+    val asc_ = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val desc_ = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"),
+      col("o_orderkey").as("orderkey"),
+      round(col("o_totalprice"), 2).as("price"),
+      round(percent_rank().over(asc_), 6).as("price_pct_rank"),
+      round(cume_dist().over(asc_), 6).as("price_cume_dist"),
+      first("o_orderkey").over(desc_).as("top_order"))
+      .orderBy("custkey", "orderkey")
+  }
+
+  /** Robust (median/MAD) outlier statistics — **entirely in integers**.
+    * Prices quantize to cents; medians are doubled before casting so the
+    * midpoint interpolation (always .0 or .5 over integers) stays exact;
+    * deviations and the 3×MAD outlier test then compare BIGINTs — no
+    * float ever reaches the hashed output, so the result is bit-exact
+    * under any summation order and any engine.
+    *
+    * Shape: three aggregation passes (median → MAD → outlier count) with
+    * the tiny per-group medians broadcast back between passes — the
+    * honest dataflow for exact two-level order statistics; at 100 TB
+    * each pass is one scan + one bounded-key aggregate. */
+  def robustPriceStats(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_extendedprice") * 100d, 0).cast("long").as("cents"))
+    val med = cents.groupBy("l_returnflag")
+      .agg(expr("CAST(2 * percentile(cents, 0.5D) AS BIGINT)").as("med2"))
+    val dev = cents.join(broadcast(med), "l_returnflag")
+      .withColumn("dev2", abs(lit(2L) * col("cents") - col("med2")))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min("med2").as("med2"),
+        min("mad4").as("mad4"),
+        sum(when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
 }

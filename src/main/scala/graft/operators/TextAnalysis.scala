@@ -672,6 +672,67 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Case-insensitive URL matcher (raw corpora carry shouting URLs). */
+  val MessyUrlRe: String = "(?i)https?://[^\\s]+"
+
+  /** Three deterministic raw spellings of the same logical URL, planted
+    * on every 4th doc: clean / WWW+default-port+utm-tracking / mixed-case
+    * host+fragment. doc_id%7 picks the host, doc_id%20 the path, so
+    * distinct docs collapse onto shared canonical URLs. */
+  def withMessyUrls(docs: DataFrame): DataFrame = {
+    val k = pmod(col("doc_id"), lit(7L)).cast("string")
+    val p = pmod(col("doc_id"), lit(20L)).cast("string")
+    val url = when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit("https://d"), k, lit(".example.com/p/"), p,
+          lit("?ref=a")))
+      .when(pmod(col("doc_id"), lit(3L)) === 1,
+        concat(lit("HTTPS://WWW.d"), k, lit(".EXAMPLE.COM:443/p/"), p,
+          lit("?utm_source=x&ref=a")))
+      .otherwise(
+        concat(lit("https://D"), k, lit(".example.com/p/"), p,
+          lit("?ref=a#frag")))
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(col("text"), lit(" see "), url))
+        .otherwise(col("text")))
+  }
+
+  /** Canonicalize one URL: lowercase scheme+host, strip `www.` and
+    * default ports, drop the fragment, drop `utm_*` tracking params
+    * (order of surviving params preserved — reordering would conflate
+    * semantically different URLs on servers that care). Pure column
+    * regex math: scan-fused, no UDF. */
+  def canonicalizeUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":(443|80)$", ""),
+      "^www\\.", "")
+    val rest = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val qs = array_join(
+      filter(split(regexp_extract(rest, "\\?(.*)$", 1), "&"),
+        t => !t.rlike("^utm_") && t.rlike(".")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup view: canonical URL → occurrence count + how many
+    * raw spellings collapsed onto it. The step before URL-keyed crawl
+    * dedup; one aggregation shuffle on the canonical key. */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame =
+    withMessyUrls(Tables.documents(s, dir))
+      .select(explode(
+        regexp_extract_all(col("text"), lit(MessyUrlRe), lit(0)))
+        .as("url"))
+      .select(canonicalizeUrl(col("url")).as("canon_url"), col("url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("url").as("n_variants"))
+      .orderBy("canon_url")
+
   /** Distributed dense ids for a keyed count table, ordered by
     * (cnt DESC, key ASC) — the vocabulary-construction step of tokenizer
     * training (id 0 = most frequent term).

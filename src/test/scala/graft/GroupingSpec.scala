@@ -145,4 +145,44 @@ class GroupingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("robustPriceStats: integer medians bound the data; MAD sane") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Grouping.robustPriceStats(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    val cents = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("rf"),
+        round(col("l_extendedprice") * 100d, 0).cast("long").as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (rf, n, med2, mad4, nOut) =>
+      val vals = cents(rf).map(_._2).sorted
+      assert(n === vals.length.toLong)
+      // doubled median sits between doubled min and max, parity exact
+      assert(med2 >= 2 * vals.head && med2 <= 2 * vals.last, rf)
+      // reference median on the driver: exact same fixed-point rule
+      val lo = vals((vals.length - 1) / 2)
+      val hi = vals(vals.length / 2)
+      assert(med2 === lo + hi, rf)
+      assert(mad4 >= 0 && nOut >= 0 && nOut < n, rf)
+      // an outlier exists iff some deviation exceeds 1.5x mad4 in
+      // quarter-cent units
+      val someDev = vals.map(v => math.abs(2 * v - med2))
+      assert((nOut > 0) === someDev.exists(d => 2 * d > 3 * mad4), rf)
+    }
+  }
+
+  test("orderRankStats ranks are consistent per customer") {
+    val rows = Grouping.orderRankStats(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double, Double, Long)].collect()
+    rows.groupBy(_._1).foreach { case (ck, os) =>
+      // top_order is constant per customer and is the priciest order
+      assert(os.map(_._6).toSet.size === 1, s"cust $ck")
+      val top = os.maxBy(o => (o._3, -o._2))._2
+      assert(os.head._6 === top, s"cust $ck")
+      // cume_dist ends at 1.0; percent_rank starts at 0.0
+      assert(os.map(_._5).max === 1.0, s"cust $ck")
+      assert(os.map(_._4).min === 0.0, s"cust $ck")
+    }
+  }
 }

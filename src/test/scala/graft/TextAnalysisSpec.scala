@@ -326,6 +326,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum === 125, s"unexpected natural URLs: $rows")
   }
 
+  test("canonicalizeUrl: scheme/host case, www, ports, utm, fragments") {
+    import graft.operators.TextAnalysis
+    val urls = Seq(
+      "HTTPS://WWW.Site.COM:443/p/1?utm_source=x&ref=a#frag",
+      "https://site.com/p/1?ref=a",
+      "http://site.com:80/p/1",
+      "http://site.com:8080/p/1",          // non-default port survives
+      "https://site.com/P/1",              // path case preserved
+      "https://site.com/p/1?utm_a=1&utm_b=2", // all params tracking
+      "https://site.com/p/1?b=2&a=1")      // param order preserved
+      .toDF("url")
+    val got = urls
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String]
+      .collect().toSeq
+    assert(got === Seq(
+      "https://site.com/p/1?ref=a",
+      "https://site.com/p/1?ref=a",
+      "http://site.com/p/1",
+      "http://site.com:8080/p/1",
+      "https://site.com/P/1",
+      "https://site.com/p/1",
+      "https://site.com/p/1?b=2&a=1"))
+  }
+
+  test("urlCanonical collapses the three planted spellings") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.urlCanonical(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every canonical URL is fully lowered scheme+host, no tracking
+    rows.foreach { case (u, n, v) =>
+      assert(u.startsWith("https://d"), u)
+      assert(!u.contains("utm_") && !u.contains("#") && !u.contains("www."), u)
+      assert(n >= v && v >= 1, s"$u: $n/$v")
+    }
+    // doc_id % 4 == 0 plants cycle through % 3 forms: some canonical
+    // URL collects at least two distinct raw spellings
+    assert(rows.exists(_._3 >= 2), rows.take(5).mkString(","))
+  }
+
   test("denseIdsByCount equals a global row_number, any partitioning") {
     import graft.operators.TextAnalysis
     // 40 words, counts 40..1 → id i for the word with count 40-i
