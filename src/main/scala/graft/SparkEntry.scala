@@ -156,6 +156,10 @@ object SparkEntry {
       TextAnalysis.bpeTrainMerges(s, dir, nMerges = 20)),
     "bpe_merge_gate" -> ((s, dir) =>
       TextAnalysis.bpeMergeGate(s, dir, nMerges = 20)),
+    "bpe_encode_stats" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeStats(s, dir, nMerges = 20)),
+    "bpe_encode_gate" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeGate(s, dir, nMerges = 20)),
     "boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(s, dir, minDocs = 10)),
     "doc_chunks" -> ((s, dir) =>
@@ -787,6 +791,18 @@ object SparkEntry {
          |SELECT a AS step0_a, b AS step0_b, c AS step0_count,
          |  20 AS n_merges, 1 AS distinct_ok
          |FROM pc ORDER BY c DESC, a, b LIMIT 1""".stripMargin,
+    // exact word/char counts recomputed; the encode invariants
+    // (symbol concat round-trips the word, counts in [1, n_chars])
+    // are pinned at 1 — a broken merge flips them and fails the hash
+    "bpe_encode_gate" ->
+      s"""SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |  1 AS roundtrip_ok, 1 AS bounds_ok
+         |FROM (SELECT doc_id, lower(word) AS word
+         |      FROM (SELECT doc_id, unnest($DuckTokList) AS word
+         |            FROM documents) u) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // count-space LM scoring: integer sums are exact on both engines;
     // the single final division is correctly rounded (see lmTypicality)
     "lm_typicality" ->

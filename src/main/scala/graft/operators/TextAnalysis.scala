@@ -581,6 +581,65 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Encode side of the tokenizer: apply the trained merge table to
+    * every corpus word. The merge list is tiny (nMerges rows, collected
+    * once per JVM by the cached trainer) and is compiled INTO the plan
+    * as a chain of nMerges native bpe_merge_pair calls — per-row column
+    * math, codegen'd, no join and no shuffle; the only exchange in the
+    * downstream stats is the per-doc aggregate. That is exactly how a
+    * production pipeline ships a tokenizer: the merge table is a
+    * broadcast constant, the corpus never moves. */
+  private def bpeEncoded(s: SparkSession, dir: String,
+                         nMerges: Int): DataFrame = {
+    val pairs = bpeCache
+      .computeIfAbsent((dir, nMerges), _ => trainBpe(s, dir, nMerges))
+      .map(m => (m._2, m._3))
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("word"))
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    val syms = pairs.foldLeft(chars)((c, p) =>
+      graft.functions.BpeMergeExpression.bpe_merge_pair(c, p._1, p._2))
+    words.withColumn("syms", syms)
+  }
+
+  /** Per-doc encoding stats (rows-only: the symbol counts depend on the
+    * learned merges, which ANSI SQL cannot re-train; bpe_encode_gate is
+    * the hash-checked companion). */
+  def bpeEncodeStats(s: SparkSession, dir: String,
+                     nMerges: Int = 20): DataFrame =
+    bpeEncoded(s, dir, nMerges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_syms"),
+        sum(length(col("word"))).as("n_chars"))
+      .withColumn("syms_per_word",
+        round(col("n_syms").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+
+  /** Hash-checked gate for the encoder: exact per-doc word/char counts
+    * (ANSI-recomputable) plus two invariants the oracle pins at 1 —
+    * concatenating a word's symbols must reproduce the word (merges
+    * never lose or reorder characters), and the symbol count must lie in
+    * [1, n_chars] per word. A broken merge flips a flag to 0 and the
+    * driver's hash compare catches it. */
+  def bpeEncodeGate(s: SparkSession, dir: String,
+                    nMerges: Int = 20): DataFrame =
+    bpeEncoded(s, dir, nMerges)
+      .select(col("doc_id"), col("word"),
+        (concat_ws("", col("syms")) === col("word")).as("rt"),
+        (size(col("syms")) >= 1 &&
+          size(col("syms")) <= length(col("word"))).as("bd"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        min(when(col("rt"), 1).otherwise(0)).cast("int")
+          .as("roundtrip_ok"),
+        min(when(col("bd"), 1).otherwise(0)).cast("int")
+          .as("bounds_ok"))
+      .orderBy("doc_id")
+
   /** Driver-checkable side of the BPE trainer: step 0's winning pair IS
     * ANSI-recomputable (most frequent adjacent CHARACTER pair in the
     * word-frequency table, lex tie-break), the merge count is the

@@ -326,6 +326,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum === 125, s"unexpected natural URLs: $rows")
   }
 
+  test("bpeEncode: round-trip + bounds hold; merges shrink the corpus") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val gate = TextAnalysis.bpeEncodeGate(spark, dir)
+      .as[(Long, Long, Long, Int, Int)].collect()
+    assert(gate.length === 500)
+    assert(gate.forall(r => r._4 === 1 && r._5 === 1))
+    val stats = TextAnalysis.bpeEncodeStats(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    stats.foreach { case (id, nWords, nSyms, nChars, spw) =>
+      assert(nWords <= nSyms && nSyms <= nChars, s"doc $id")
+      assert(spw >= 1.0, s"doc $id")
+    }
+    // 20 merges must actually compress: total symbols < total chars
+    assert(stats.map(_._3).sum < stats.map(_._4).sum)
+  }
+
   test("canonicalizeUrl: scheme/host case, www, ports, utm, fragments") {
     import graft.operators.TextAnalysis
     val urls = Seq(
