@@ -166,6 +166,7 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(s, dir, chunkTokens = 64, stride = 48)),
     "corpus_refresh" -> (Incremental.corpusRefresh _),
     "scd2_customer_priority" -> (Incremental.scd2CustomerPriority _),
+    "cascade_delete_audit" -> (Relational.cascadeDeleteAudit _),
     "heavy_hitter_gate" -> ((s, dir) =>
       Grouping.heavyHitterGate(s, dir, k = 64)),
     // --- dedup (north-star LLM-pipeline operators) ---
@@ -920,6 +921,40 @@ object SparkEntry {
         |    '9999-12-31 00:00:00') AS valid_to,
         |  n_orders
         |FROM islands ORDER BY custkey, version""".stripMargin,
+    "cascade_delete_audit" ->
+      """WITH doomed AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |dorders AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM doomed)),
+        |c AS (
+        |  SELECT 'customer' AS tbl,
+        |    (SELECT count(*) FROM customer) AS nb, count(*) AS na,
+        |    coalesce(CAST(sum(c_custkey) AS BIGINT), 0) AS ks
+        |  FROM customer WHERE c_custkey NOT IN (SELECT k FROM doomed)),
+        |e AS (
+        |  SELECT 'events' AS tbl,
+        |    (SELECT count(*) FROM events) AS nb, count(*) AS na,
+        |    coalesce(CAST(sum(event_id) AS BIGINT), 0) AS ks
+        |  FROM events WHERE user_id NOT IN (SELECT k FROM doomed)),
+        |o AS (
+        |  SELECT 'orders' AS tbl,
+        |    (SELECT count(*) FROM orders) AS nb, count(*) AS na,
+        |    coalesce(CAST(sum(o_orderkey) AS BIGINT), 0) AS ks
+        |  FROM orders WHERE o_custkey NOT IN (SELECT k FROM doomed)),
+        |l AS (
+        |  SELECT 'lineitem' AS tbl,
+        |    (SELECT count(*) FROM lineitem) AS nb, count(*) AS na,
+        |    coalesce(CAST(sum(l_orderkey) AS BIGINT), 0) AS ks
+        |  FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT k FROM dorders))
+        |SELECT tbl, CAST(nb AS BIGINT) AS n_before,
+        |  CAST(na AS BIGINT) AS n_after,
+        |  CAST(nb - na AS BIGINT) AS n_purged,
+        |  ks AS key_sum_after
+        |FROM (SELECT * FROM c UNION ALL SELECT * FROM e
+        |      UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l) u
+        |ORDER BY tbl""".stripMargin,
     // the sketch itself is not ANSI-expressible; n_tokens/n_heavy are
     // exact recomputations and the flags assert containment + the
     // deterministic MG error bound (see Grouping.heavyHitterGate)

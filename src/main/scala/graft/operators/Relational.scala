@@ -24,6 +24,49 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Right-to-be-forgotten cascade: purge a deleted-user set and audit
+    * the blast radius across every table that references it — directly
+    * (customer, events, orders) or transitively (lineitem through its
+    * order's customer). At training-corpus scale this is THE compliance
+    * primitive: deletes arrive as a small key set, so every purge is an
+    * anti-join with the key side broadcast; lineitem's transitive purge
+    * anti-joins against the (still small) doomed-order key set rather
+    * than re-joining the full orders table. Counts and surviving-key
+    * checksums are integers — exactly hash-checkable.
+    */
+  def cascadeDeleteAudit(s: SparkSession, dir: String): DataFrame = {
+    val doomedUsers = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey").as("k"))
+    val doomedOrders = Tables.orders(s, dir)
+      .join(broadcast(doomedUsers), col("o_custkey") === col("k"))
+      .select(col("o_orderkey").as("k"))
+
+    // purgeKey drives the anti-join; sumKey is the surviving-row
+    // checksum (the table's own id, not the foreign key)
+    def audit(name: String, df: DataFrame, purgeKey: String,
+              sumKey: String, doomed: DataFrame): DataFrame = {
+      val survivors = df.join(broadcast(doomed),
+        col(purgeKey) === col("k"), "left_anti")
+      val before = df.agg(count(lit(1)).as("n_before"))
+      val after = survivors.agg(count(lit(1)).as("n_after"),
+        sum(col(sumKey)).as("key_sum_after"))
+      before.crossJoin(after).select(
+        lit(name).as("tbl"), col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).as("n_purged"),
+        coalesce(col("key_sum_after"), lit(0L)).as("key_sum_after"))
+    }
+
+    audit("customer", Tables.customer(s, dir),
+        "c_custkey", "c_custkey", doomedUsers)
+      .unionAll(audit("events", Tables.events(s, dir),
+        "user_id", "event_id", doomedUsers))
+      .unionAll(audit("orders", Tables.orders(s, dir),
+        "o_custkey", "o_orderkey", doomedUsers))
+      .unionAll(audit("lineitem", Tables.lineitem(s, dir),
+        "l_orderkey", "l_orderkey", doomedOrders))
+      .orderBy("tbl")
+  }
+
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
   /** Revenue expression used by several queries (TPC-H style). */

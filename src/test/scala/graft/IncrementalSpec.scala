@@ -109,6 +109,45 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("cascadeDeleteAudit purges transitively and checksums survivors") {
+    import graft.operators.Relational
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val rows = Relational.cascadeDeleteAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set("customer", "events", "orders", "lineitem"))
+    // recompute expectations independently
+    val doomed = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(doomed.nonEmpty, "fixture needs at least one doomed user")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+    val doomedOrders = orders.filter(o => doomed(o._2)).map(_._1).toSet
+    assert(rows("customer")._4 === doomed.size.toLong)
+    assert(rows("orders")._4 === doomedOrders.size.toLong)
+    val li = Tables.lineitem(spark, dir).select("l_orderkey")
+      .as[Long].collect()
+    assert(rows("lineitem")._4 === li.count(doomedOrders).toLong)
+    assert(rows("lineitem")._5 ===
+      li.filterNot(doomedOrders).sum)
+    // conservation: before = after + purged, everywhere
+    rows.values.foreach { r =>
+      assert(r._2 === r._3 + r._4, r._1)
+    }
+  }
+
+  test("cascade purge joins broadcast the doomed key sets") {
+    import graft.operators.Relational
+    val plan = Relational.cascadeDeleteAudit(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    // 4 anti-joins + the doomed-order derivation, all broadcast — a
+    // shuffled purge join would mean moving the 100 TB side
+    assert(bhj >= 5, s"expected broadcast anti-joins:\n$plan")
+  }
+
   test("scd2 plan shuffles once on the dimension key") {
     val plan = Incremental.scd2History(scdOrders)
       .queryExecution.executedPlan.toString
