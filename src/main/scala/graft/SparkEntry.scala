@@ -111,6 +111,26 @@ object SparkEntry {
     "pricing_summary" -> (Relational.pricingSummary _),
     "top_revenue_orders" -> (Relational.topRevenueOrders _),
     "region_revenue" -> (Relational.regionRevenue _),
+    // the SQL frontend end-to-end: temp-view catalog + spark.sql text;
+    // Catalyst plans it exactly like the DataFrame form (same pushdown,
+    // same broadcasts) — asserted equivalent here by its own oracle
+    "sql_frontend_revenue" -> ((s, dir) => {
+      graft.sources.Views.register(s, dir)
+      // revenue summed in per-row-rounded integer cents: double sums
+      // reduce in partition order and can differ in the last ulp right
+      // at a .005 rounding boundary — integer sums cannot
+      s.sql("""
+        SELECT c_mktsegment,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                   AS BIGINT)) AS rev_cents,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")
+    }),
     "order_priority" -> (Relational.orderPriority _),
     "top_orders_per_customer" -> (Relational.topOrdersPerCustomer _),
     "running_customer_spend" -> (Relational.runningCustomerSpend _),
@@ -601,6 +621,16 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY rev DESC, n_name""".stripMargin,
+    "sql_frontend_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

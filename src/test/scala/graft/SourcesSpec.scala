@@ -164,4 +164,22 @@ class SourcesSpec extends AnyFunSuite {
     val got = df.select("lang", "n_docs").as[(String, Long)].collect().toMap
     assert(got === direct)
   }
+
+  test("Views.register exposes every table to the SQL frontend") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Views.register(spark, dir)
+    val n = spark.sql("SELECT count(*) AS n FROM lineitem")
+      .as[Long].collect().head
+    assert(n === Tables.lineitem(spark, dir).count())
+    // the events view carries the normalized timestamp, not raw nanos
+    assert(spark.sql("SELECT ts FROM events LIMIT 1").schema("ts")
+      .dataType.typeName === "timestamp")
+    // a join through the catalog plans with the same pushdown as the
+    // DataFrame form: filters reach the parquet scan
+    val plan = spark.sql(
+      """SELECT count(*) FROM orders JOIN customer
+        |ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'
+        |""".stripMargin).queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
 }
