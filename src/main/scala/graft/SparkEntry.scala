@@ -379,6 +379,9 @@ object SparkEntry {
     "pagerank_suppliers" -> ((s, dir) => Graph.pageRankTop(s, dir)),
     // --- data layout (Z-order multi-dimensional clustering) ---
     "zorder_bucket_stats" -> (Layout.zorderBucketStats _),
+    "zorder_scaled_stats" -> (Layout.zorderScaledStats _),
+    // --- data profiling (pre-training corpus audit) ---
+    "documents_profile" -> (Profile.documentsProfile _),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -461,7 +464,45 @@ object SparkEntry {
        |    JOIN deg g ON e.src = g.node
        |    GROUP BY e.dst) s ON d.node = s.node)"""
 
+  /** Shared Morton-spread CTE chain: expects a prior CTE `t0` exposing
+    * `a0`/`b0` (32-bit-masked dimensions) plus passthrough columns;
+    * yields `z` with the interleaved code as `zv`. Constants are the
+    * classic mask-shift ladder, identical to InterleaveBits' codegen. */
+  private val DuckMortonSpread: String =
+    """t1 AS (SELECT *,
+      |  (a0 | (a0 << 16)) & 281470681808895 AS a1,
+      |  (b0 | (b0 << 16)) & 281470681808895 AS b1 FROM t0),
+      |t2 AS (SELECT *,
+      |  (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+      |  (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM t1),
+      |t3 AS (SELECT *,
+      |  (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+      |  (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM t2),
+      |t4 AS (SELECT *,
+      |  (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+      |  (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM t3),
+      |t5 AS (SELECT *,
+      |  (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
+      |  (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM t4),
+      |z AS (SELECT *, a5 | (b5 << 1) AS zv FROM t5)""".stripMargin
+
+  /** One per-column profile leg for the documents-profile oracle. */
+  private def duckProfileLeg(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_v,
+       |  CAST(max($c) AS VARCHAR) AS max_v
+       |FROM documents"""
+
   def oracleSql: Map[String, String] = Map(
+    "documents_profile" ->
+      s"""SELECT * FROM (
+         |${Seq("doc_id", "text", "lang", "source", "n_chars")
+             .map(duckProfileLeg).mkString("\nUNION ALL\n")}
+         |) p ORDER BY col_name""".stripMargin,
     "pagerank_suppliers" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT o.o_custkey AS c,
@@ -479,30 +520,34 @@ object SparkEntry {
     // the Morton interleave re-derived in pure SQL bit-twiddling (the
     // classic mask-shift spread, one CTE per step)
     "zorder_bucket_stats" ->
-      """WITH t0 AS (
+      s"""WITH t0 AS (
         |  SELECT l_partkey, l_suppkey,
         |    l_partkey & 4294967295 AS a0,
         |    l_suppkey & 4294967295 AS b0
         |  FROM lineitem),
-        |t1 AS (SELECT *,
-        |  (a0 | (a0 << 16)) & 281470681808895 AS a1,
-        |  (b0 | (b0 << 16)) & 281470681808895 AS b1 FROM t0),
-        |t2 AS (SELECT *,
-        |  (a1 | (a1 << 8)) & 71777214294589695 AS a2,
-        |  (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM t1),
-        |t3 AS (SELECT *,
-        |  (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
-        |  (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM t2),
-        |t4 AS (SELECT *,
-        |  (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
-        |  (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM t3),
-        |t5 AS (SELECT *,
-        |  (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
-        |  (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM t4),
-        |z AS (SELECT l_partkey, l_suppkey, a5 | (b5 << 1) AS zv FROM t5)
+        |$DuckMortonSpread
         |SELECT zv // 65536 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same spread, over dimensions first range-scaled onto [0, 2^16)
+    // with the same integer affine map as Layout.scaledZ
+    "zorder_scaled_stats" ->
+      s"""WITH b AS (
+        |  SELECT min(l_orderkey) AS xmin, max(l_orderkey) AS xmax,
+        |    min(l_partkey) AS ymin, max(l_partkey) AS ymax
+        |  FROM lineitem),
+        |t0 AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    ((l_orderkey - xmin) * 65535) // greatest(xmax - xmin, 1)
+        |      AS a0,
+        |    ((l_partkey - ymin) * 65535) // greatest(ymax - ymin, 1)
+        |      AS b0
+        |  FROM lineitem, b),
+        |$DuckMortonSpread
+        |SELECT zv // 16777216 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |  min(l_orderkey) AS min_ord, max(l_orderkey) AS max_ord,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "wordcount_ci" ->
       s"""SELECT lower(word) AS word, count(*) AS cnt

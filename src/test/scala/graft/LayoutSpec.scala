@@ -76,6 +76,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(zSpan <= 32L, s"z-order y-span $zSpan")
   }
 
+  test("scaled z-order bounds BOTH unequal-width dims per bucket") {
+    // orderkey range is ~30x partkey's at every sf; after scaling, the
+    // top 8 interleaved bits give 4 bits per dim → every bucket spans
+    // <= 1/16 of each range (+1 scaling quantum)
+    val stats = Layout.zorderScaledStats(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(stats.length > 16)
+    val gOrd = stats.map(_.getLong(3)).max - stats.map(_.getLong(2)).min
+    val gPart = stats.map(_.getLong(5)).max - stats.map(_.getLong(4)).min
+    stats.foreach { r =>
+      val ordSpan = r.getLong(3) - r.getLong(2)
+      val partSpan = r.getLong(5) - r.getLong(4)
+      assert(ordSpan <= gOrd / 16 + gOrd / 65535 + 1,
+        s"bucket ${r.getLong(0)} ord-span $ordSpan of $gOrd")
+      assert(partSpan <= gPart / 16 + gPart / 65535 + 1,
+        s"bucket ${r.getLong(0)} part-span $partSpan of $gPart")
+    }
+  }
+
   test("zorderBucketStats boxes are tight: bucket spans both keys") {
     // sf0.01: partkey <= 1999, so buckets (z DIV 2^16) fix partkey's
     // bits >= 8 — every bucket's part-span is < 256 against a ~2000

@@ -216,6 +216,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
   }
 
+  test("documents_profile: every union leg scans exactly one column") {
+    val p = plan(graft.operators.Profile.documentsProfile(spark, dir))
+    // one pruned FileScan per profiled column — a leg reading the whole
+    // table would repeat the widest ReadSchema five times
+    for (c <- Seq("doc_id", "lang", "source", "n_chars")) {
+      assert(p.contains(s"ReadSchema: struct<$c:"), s"leg for $c not pruned:\n$p")
+    }
+    // text leg prunes too (text plus nothing else)
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
+  test("zorder bucket stats: morton math stays in one codegen stage") {
+    val p = plan(graft.operators.Layout.zorderBucketStats(spark, dir))
+    // scan-fused: no join, a single exchange for the bucket aggregate
+    assert(!p.contains("Join"), p)
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 2, p)
+  }
+
   test("native as-of join: AsOfJoinExec over shuffled, sorted children") {
     import graft.operators.AsOfJoin
     import graft.sources.Tables
