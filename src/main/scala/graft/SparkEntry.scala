@@ -382,6 +382,7 @@ object SparkEntry {
     "zorder_scaled_stats" -> (Layout.zorderScaledStats _),
     // --- data profiling (pre-training corpus audit) ---
     "documents_profile" -> (Profile.documentsProfile _),
+    "price_histogram" -> ((s, dir) => Profile.priceHistogram(s, dir)),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -503,6 +504,16 @@ object SparkEntry {
          |${Seq("doc_id", "text", "lang", "source", "n_chars")
              .map(duckProfileLeg).mkString("\nUNION ALL\n")}
          |) p ORDER BY col_name""".stripMargin,
+    "price_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS cmin, max(cents) AS cmax FROM c)
+        |SELECT least((cents - cmin) * 32 // greatest(cmax - cmin + 1, 1),
+        |         31) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM c, b GROUP BY 1 ORDER BY 1""".stripMargin,
     "pagerank_suppliers" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT o.o_custkey AS c,

@@ -33,4 +33,25 @@ object Profile {
   def documentsProfile(s: SparkSession, dir: String): DataFrame =
     columnProfile(Tables.documents(s, dir),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** Fixed-width histogram of a monetary column — the distribution view
+    * next to the profile. Bucketing runs on integer cents with integer
+    * division against broadcast min/max scalars, so bucket boundaries
+    * are bit-exact on every engine (a float `floor((x-min)/w)` flips at
+    * representation boundaries). Two passes: the tiny bounds aggregate,
+    * then one scan + one bucket-count shuffle. */
+  def priceHistogram(s: SparkSession, dir: String,
+                     nBuckets: Int = 32): DataFrame = {
+    val cents = Tables.lineitem(s, dir).select(
+      round(col("l_extendedprice") * 100d, 0).cast("long").as("cents"))
+    val bounds = cents.agg(min("cents").as("cmin"), max("cents").as("cmax"))
+    cents.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        s"least((cents - cmin) * $nBuckets DIV " +
+          s"greatest(cmax - cmin + 1, 1), ${nBuckets - 1})"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+      .orderBy("bucket")
+  }
 }

@@ -95,6 +95,70 @@ class PropertySpec extends AnyFunSuite {
     assert(results(1) === results(13))
   }
 
+  test("scd2History matches a driver-side reference on random streams") {
+    import graft.operators.Incremental
+    val prioGen = Gen.oneOf("LOW", "MED", "HIGH")
+    val orderGen = for {
+      cust <- Gen.chooseNum(1L, 6L)
+      day <- Gen.chooseNum(0, 60)
+      prio <- prioGen
+    } yield (cust, day, prio)
+    check("scd2")(forAll(Gen.nonEmptyListOf(orderGen)) { raw =>
+      // unique orderkeys; timestamps derived from the day offset
+      val orders = raw.zipWithIndex.map { case ((c, d, p), i) =>
+        (c, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:00:00").toInstant
+          .plusSeconds(d * 86400L), p)
+      }
+      val df = orders
+        .map { case (c, k, t, p) => (c, k, java.sql.Timestamp.from(t), p) }
+        .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+      val got = Incremental.scd2History(df)
+        .as[(Long, Long, String, String, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+      // reference: per customer, order by (ts, key), run-length compress
+      val want = orders.groupBy(_._1).map { case (c, os) =>
+        val sorted = os.sortBy(o => (o._3, o._2))
+        val runs = sorted.foldLeft(List.empty[(String, java.time.Instant, Long)]) {
+          case (acc, (_, _, t, p)) => acc match {
+            case (pp, vf, n) :: tail if pp == p => (pp, vf, n + 1) :: tail
+            case _ => (p, t, 1L) :: acc
+          }
+        }.reverse
+        c -> runs
+      }
+      got.keySet == want.keySet && want.forall { case (c, runs) =>
+        val vs = got(c)
+        vs.length == runs.length &&
+          vs.zip(runs).zipWithIndex.forall {
+            case (((_, ver, prio, vf, vt, n), (rp, rvf, rn)), idx) =>
+              val fmt = java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss")
+                .withZone(java.time.ZoneOffset.UTC)
+              ver == idx + 1 && prio == rp && n == rn &&
+                vf == fmt.format(rvf) &&
+                (if (idx == runs.length - 1) vt == "9999-12-31 00:00:00"
+                 else vt == fmt.format(runs(idx + 1)._2))
+          }
+      }
+    })
+  }
+
+  test("price histogram: partitioning-invariant, complete, ordered") {
+    import graft.operators.Profile
+    val dir = "/root/testdata/sf0.001"
+    val rows = Profile.priceHistogram(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = graft.sources.Tables.lineitem(spark, dir).count()
+    assert(rows.map(_._2).sum === n)          // every row lands somewhere
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // bucket cent-ranges are disjoint and ordered
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"$a overlaps $b")
+      case _ =>
+    }
+  }
+
   test("int8 quantization: bounds and half-step round-trip on any vector") {
     import graft.operators.Similarity
     val vecGen = Gen.chooseNum(1, 24).flatMap(n =>
