@@ -95,6 +95,51 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered parquet prunes row groups for second-dim predicates") {
+    // end-to-end: write the same rows in two layouts with tiny row
+    // groups, filter on the SECOND dimension only, and compare how many
+    // rows parquet's min/max row-group pruning lets through the scan
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+      .toString
+    val grid = (for { x <- 0 until 256; y <- 0 until 256 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val rg = Map("parquet.block.size" -> "65536",
+      "parquet.page.size" -> "8192")
+    Layout.zorderRepartition(grid, col("x"), col("y"), 1)
+      .withColumn("z", interleave_bits(col("x"), col("y")))
+      .sortWithinPartitions("z").drop("z")
+      .write.options(rg).mode("overwrite").parquet(s"$tmp/zorder")
+    grid.repartition(1).sortWithinPartitions("x")
+      .write.options(rg).mode("overwrite").parquet(s"$tmp/xsort")
+
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("y") === 7)
+      df.collect() // run the scan so metrics populate
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val ns = plan.collect {
+        case l: org.apache.spark.sql.execution.LeafExecNode
+          if l.metrics.contains("numOutputRows") =>
+          l.metrics("numOutputRows").value
+      }
+      assert(ns.nonEmpty, s"no scan metric in:\n$plan")
+      ns.head
+    }
+    val zRows = scannedRows(s"$tmp/zorder")
+    val xRows = scannedRows(s"$tmp/xsort")
+    // correctness identical...
+    assert(spark.read.parquet(s"$tmp/zorder").filter(col("y") === 7)
+      .count() === 256)
+    // ...but the x-sorted layout has y spanning 0..255 in EVERY row
+    // group (no pruning: full 64k rows surface), while z-order bounds y
+    // per row group and the scan skips most of the file
+    assert(xRows === 65536L, s"x-sort scanned $xRows")
+    assert(zRows < 65536L / 2, s"z-order scanned $zRows, want < 32768")
+  }
+
   test("zorderBucketStats boxes are tight: bucket spans both keys") {
     // sf0.01: partkey <= 1999, so buckets (z DIV 2^16) fix partkey's
     // bits >= 8 — every bucket's part-span is < 256 against a ~2000
