@@ -21,7 +21,10 @@ object Profile {
     cols.map { c =>
       df.agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        // coalesce: sum() over zero rows is NULL — an empty table has
+        // zero nulls, not an unknown number of them
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null"),
         countDistinct(col(c)).as("n_distinct"),
         min(col(c)).cast("string").as("min_v"),
         max(col(c)).cast("string").as("max_v"))

@@ -130,6 +130,38 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Dedup.embeddingNearDupPairs(oneEmb, 0.5).count() === 0)
   }
 
+  test("round-6 second-wave operators survive empty/degenerate inputs") {
+    // pagerank: empty edge list → empty ranks; self-loop graph converges
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(emptyEdges, 3).count() === 0)
+    val selfLoop = Seq((1L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(selfLoop, 3).as[(Long, Long)].collect()
+    assert(r.length === 1 && r.head._2 > 0)
+    // dense ids: empty counts → empty ids; single word → id 0
+    assert(TextAnalysis.denseIdsByCount(
+      Seq.empty[(String, Long)].toDF("word", "cnt"), "word").count() === 0)
+    assert(TextAnalysis.denseIdsByCount(
+      Seq(("w", 3L)).toDF("word", "cnt"), "word")
+      .select("id").as[Long].collect().toSeq === Seq(0L))
+    // scd2: empty orders → empty history
+    val emptyOrders = Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    assert(Incremental.scd2History(emptyOrders).count() === 0)
+    // scaledZ: constant column → greatest(range,1) guard, all zx equal
+    val const = Seq((5L, 1L), (5L, 2L), (5L, 9L)).toDF("x", "y")
+    val zs = Layout.scaledZ(const, "x", "y").select("zx").as[Long]
+      .collect().toSet
+    assert(zs === Set(0L))
+    // profile: empty frame → one row per column with zero counts
+    val prof = Profile.columnProfile(emptyDocs, Seq("doc_id", "lang"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect()
+    assert(prof.length === 2)
+    prof.foreach { case (_, n, nn, nd, mn, mx) =>
+      assert(n === 0 && nn === 0 && nd === 0 && mn.isEmpty && mx.isEmpty)
+    }
+  }
+
   test("knn recall gates stay well-formed on an empty query set") {
     // sum() over zero rows is NULL even with a coalesced argument — the
     // gate must still emit one fully-populated row per method (0 hits of
