@@ -180,6 +180,10 @@ object SparkEntry {
       TextAnalysis.bpeEncodeStats(s, dir, nMerges = 20)),
     "bpe_encode_gate" -> ((s, dir) =>
       TextAnalysis.bpeEncodeGate(s, dir, nMerges = 20)),
+    "ffd_pack_stats" -> ((s, dir) =>
+      TextAnalysis.ffdPackStats(s, dir, capacity = 256)),
+    "ffd_pack_gate" -> ((s, dir) =>
+      TextAnalysis.ffdPackGate(s, dir, capacity = 256)),
     "boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(s, dir, minDocs = 10)),
     "doc_chunks" -> ((s, dir) =>
@@ -889,6 +893,16 @@ object SparkEntry {
          |FROM (SELECT doc_id, lower(word) AS word
          |      FROM (SELECT doc_id, unnest($DuckTokList) AS word
          |            FROM documents) u) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact per-shard doc/token counts recomputed; the FFD invariants
+    // (capacity, ceil lower bound, ≤1 half-empty bin) pinned at 1
+    "ffd_pack_gate" ->
+      s"""SELECT lang AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_toks,
+         |  1 AS occupancy_ok, 1 AS lower_bound_ok, 1 AS half_empty_ok
+         |FROM (SELECT lang, len($DuckTokList) AS n_toks FROM documents) t
+         |WHERE n_toks > 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // count-space LM scoring: integer sums are exact on both engines;
     // the single final division is correctly rounded (see lmTypicality)

@@ -403,6 +403,102 @@ object TextAnalysis {
       .orderBy("lang", "window_id")
   }
 
+  /** First-fit-decreasing bin packing — the occupancy-optimal tier
+    * above `sequencePacking`'s greedy cumsum (which never revisits a
+    * window: short docs strand capacity behind long ones). FFD sorts
+    * each shard's docs by descending token count and places each into
+    * the first bin that still fits, opening a new bin otherwise; docs
+    * longer than the capacity get a dedicated bin (truncation is a
+    * separate concern).
+    *
+    * This is the one operator shape where `mapPartitions` is the honest
+    * answer (SURVEY §8.6's Misra-Gries justification): FFD is
+    * inherently sequential per shard — bin state must be consulted for
+    * every placement. The shard is the parallelism unit: one hash
+    * shuffle co-locates each shard, the partition-local sort fixes the
+    * deterministic order, and the per-partition walk keeps O(#bins)
+    * state. At 100 TB, shards are training files (bounded); a shard too
+    * big for one task gets pre-split by a deterministic doc_id salt and
+    * packed per split — the FFD guarantees hold per split.
+    *
+    * Classic FFD invariants hash-checked by `ffd_pack_gate`: every
+    * non-dedicated bin ≤ capacity; bins ≥ ⌈total/capacity⌉; at most ONE
+    * bin per shard is ≤ half-full (two half-empty bins would have been
+    * merged by first-fit).
+    */
+  def ffdPack(docs: DataFrame, capacity: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("lang").as("shard"),
+        size(toks).as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .as[(Long, String, Int)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_toks").desc,
+        col("doc_id"))
+      .mapPartitions { it =>
+        // one partition holds whole shards (hash-partitioned), rows
+        // grouped by the sort; reset bin state at each shard boundary
+        var shard: String = null
+        var remaining = scala.collection.mutable.ArrayBuffer[Int]()
+        it.map { case (docId, sh, n) =>
+          if (sh != shard) { shard = sh; remaining.clear() }
+          val bin =
+            if (n > capacity) { remaining += 0; remaining.length - 1 }
+            else {
+              val i = remaining.indexWhere(_ >= n)
+              if (i >= 0) { remaining(i) -= n; i }
+              else { remaining += (capacity - n); remaining.length - 1 }
+            }
+          (sh, bin.toLong, docId, n)
+        }
+      }
+      .toDF("shard", "bin_id", "doc_id", "n_toks")
+  }
+
+  /** Rows-only view: per-bin occupancy. */
+  def ffdPackStats(s: SparkSession, dir: String,
+                   capacity: Int = 256): DataFrame =
+    ffdPack(Tables.documents(s, dir), capacity)
+      .groupBy("shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("bin_toks"))
+      .orderBy("shard", "bin_id")
+
+  /** Hash-checked gate: exact per-shard doc/token counts (ANSI-
+    * recomputable) plus the three FFD invariants pinned at 1. */
+  def ffdPackGate(s: SparkSession, dir: String,
+                  capacity: Int = 256): DataFrame = {
+    val packed = ffdPack(Tables.documents(s, dir), capacity)
+    val bins = packed.groupBy("shard", "bin_id")
+      .agg(sum("n_toks").as("bin_toks"),
+        max("n_toks").as("max_doc_toks"))
+    bins.groupBy("shard")
+      .agg(
+        // the ceil bound holds for the in-capacity SUB-instance only:
+        // a dedicated oversize bin holds > capacity tokens, so the
+        // all-tokens bound would overcount required bins
+        sum(when(col("max_doc_toks") <= capacity, 1L).otherwise(0L))
+          .as("n_cap_bins"),
+        coalesce(sum(when(col("max_doc_toks") <= capacity,
+          col("bin_toks")).otherwise(0L)), lit(0L)).as("cap_toks"),
+        min(when(col("max_doc_toks") <= capacity &&
+          col("bin_toks") > capacity, 0).otherwise(1)).cast("int")
+          .as("occupancy_ok"),
+        sum(when(col("bin_toks") * 2 <= capacity &&
+          col("max_doc_toks") <= capacity, 1L).otherwise(0L))
+          .as("n_half_empty"))
+      .join(packed.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks")),
+        Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("total_toks"),
+        col("occupancy_ok"),
+        (col("n_cap_bins") >=
+          ceil(col("cap_toks").cast("double") / capacity))
+          .cast("int").as("lower_bound_ok"),
+        (col("n_half_empty") <= 1).cast("int").as("half_empty_ok"))
+      .orderBy("shard")
+  }
+
   /** Unicode plant: the synthetic corpus is ASCII, so give the NFC
     * normalizer real work — every 6th doc gets a DECOMPOSED-form suffix
     * (e + U+0301 combining acute, the NFD spelling of é that web crawls

@@ -326,6 +326,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum === 125, s"unexpected natural URLs: $rows")
   }
 
+  test("ffdPack: hand-traced first-fit-decreasing placement") {
+    import graft.operators.TextAnalysis
+    def doc(id: Long, n: Int, lang: String = "en") =
+      (id, Seq.fill(n)("w").mkString(" "), lang, "s", n.toLong)
+    val docs = Seq(doc(1, 5), doc(2, 4), doc(3, 3), doc(4, 3),
+      doc(5, 2), doc(6, 2), doc(7, 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.ffdPack(docs, capacity = 8)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    // FFD on sizes 5,4,3,3,2,2,1 with C=8: bins {5,3} {4,3,1} {2,2}
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L))
+
+    // oversize docs get dedicated bins that accept nothing else
+    val big = Seq(doc(8, 10), doc(1, 5), doc(2, 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gotBig = TextAnalysis.ffdPack(big, capacity = 8)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(gotBig === Map(8L -> 0L, 1L -> 1L, 2L -> 2L))
+
+    // shard isolation: same sizes in two langs pack independently
+    val sharded = Seq(doc(1, 5), doc(2, 4), doc(11, 5, "es"),
+      doc(12, 4, "es")).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gotSh = TextAnalysis.ffdPack(sharded, capacity = 8)
+      .select("shard", "doc_id", "bin_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(gotSh === Set(("en", 1L, 0L), ("en", 2L, 1L),
+      ("es", 11L, 0L), ("es", 12L, 1L)))
+
+    // deterministic under any input layout
+    val a = TextAnalysis.ffdPack(docs.repartition(7), 8)
+      .collect().map(_.toString).toSet
+    val b = TextAnalysis.ffdPack(docs.repartition(1), 8)
+      .collect().map(_.toString).toSet
+    assert(a === b)
+  }
+
+  test("ffdPackGate invariants hold on the real corpus") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.ffdPackGate(spark, "/root/testdata/sf0.001",
+      capacity = 64).as[(String, Long, Long, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sh, n, tot, occ, lb, he) =>
+      assert(n > 0 && tot > 0, sh)
+      assert(occ === 1 && lb === 1 && he === 1, sh)
+    }
+    // bins are populated and every in-capacity bin respects the cap
+    val bins = TextAnalysis.ffdPackStats(spark, "/root/testdata/sf0.001",
+      capacity = 64).as[(String, Long, Long, Long)].collect()
+    assert(bins.nonEmpty)
+    assert(bins.forall(_._3 >= 1))
+  }
+
   test("bpeEncode: round-trip + bounds hold; merges shrink the corpus") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
