@@ -143,6 +143,10 @@ object SparkEntry {
     "events_json_stats" -> (Relational.eventsJsonStats _),
     "events_variant_stats" -> (Relational.eventsVariantStats _),
     "events_hourly" -> (Relational.eventsHourly _),
+    // --- event-sequence analytics (telemetry views) ---
+    "funnel_counts" -> (EventAnalytics.funnelCounts _),
+    "retention_cohorts" -> (EventAnalytics.retentionCohorts _),
+    "resample_ffill" -> (EventAnalytics.resampleForwardFill _),
     "part_brand_revenue" -> (Relational.partBrandRevenue _),
     "nation_coverage" -> (Relational.nationCoverage _),
     "above_average_orders" -> (Relational.aboveAverageOrders _),
@@ -1021,6 +1025,69 @@ object SparkEntry {
         |    '9999-12-31 00:00:00') AS valid_to,
         |  n_orders
         |FROM islands ORDER BY custkey, version""".stripMargin,
+    "funnel_counts" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS stage_name,
+        |  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'view>click',
+        |  CAST((SELECT count(*) FROM c) AS BIGINT)
+        |UNION ALL SELECT 3, 'view>click>purchase',
+        |  CAST((SELECT count(*) FROM p) AS BIGINT)
+        |ORDER BY stage""".stripMargin,
+    // integer week indexes (day-diff DIV 7): engine-portable, no
+    // week-of-year calendar semantics
+    "retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) // 7
+        |      AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT f.cohort_week, e.week - f.cohort_week
+        |    AS week_offset, e.user_id
+        |  FROM e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT)
+        |  AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS day,
+        |    ts, value
+        |  FROM events),
+        |byday AS (
+        |  SELECT user_id, day, value AS obs FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM e) t
+        |  WHERE rn = 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |grid AS (
+        |  SELECT u.user_id, g.day
+        |  FROM (SELECT DISTINCT user_id FROM byday) u, span,
+        |    LATERAL (SELECT unnest(generate_series(d0, d1)) AS day) g),
+        |filled AS (
+        |  SELECT g.user_id, g.day, b.obs,
+        |    last_value(b.obs IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+        |  FROM grid g LEFT JOIN byday b
+        |    ON g.user_id = b.user_id AND g.day = b.day)
+        |SELECT user_id, day, round(f, 6) AS value,
+        |  CAST(CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS observed
+        |FROM filled WHERE f IS NOT NULL
+        |ORDER BY user_id, day""".stripMargin,
     "cascade_delete_audit" ->
       """WITH doomed AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

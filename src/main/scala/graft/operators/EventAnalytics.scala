@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the stream table: ordered funnels,
+  * retention cohorts, and gap-filled resampling — the product-analytics
+  * views a training-data platform runs over its own telemetry.
+  *
+  * Scale notes (100 TB stance):
+  *  - Every operator's only corpus-scale exchange is ONE hash shuffle on
+  *    user_id (funnel stage joins are per-user aggregates joined on the
+  *    already-shuffled key; cohorts and resampling window per user).
+  *  - Week/day indexes are INTEGER day-diffs (`DIV`), never calendar
+  *    week-of-year — engine-portable, timezone-free, hash-exact.
+  *  - The resample grid explodes per user with a bounded span; filled
+  *    values are pass-through doubles (no arithmetic), so hashing is
+  *    safe.
+  */
+object EventAnalytics {
+
+  private val Epoch = "2024-01-01"
+
+  /** Ordered funnel: users whose first 'view' precedes a later 'click'
+    * that precedes a later 'purchase'. Strictly ordered timestamps —
+    * a click before the first view does not count. Emits per-stage
+    * reached-user counts. */
+  def funnelCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val v = stage("view").groupBy("user_id").agg(min("ts").as("t1"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def cnt(df: DataFrame, n: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("n_users"))
+    cnt(v, 1, "view").unionAll(cnt(c, 2, "view>click"))
+      .unionAll(cnt(p, 3, "view>click>purchase"))
+      .orderBy("stage")
+  }
+
+  /** Retention cohorts: users grouped by first-seen week (integer weeks
+    * since the epoch), counted per week offset they remain active. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      expr(s"datediff(ts, DATE '$Epoch') DIV 7").as("week"))
+    val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(first, "user_id")
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Daily resample with forward fill: each user's value series sampled
+    * onto a continuous day grid (global span), carrying the last
+    * observed per-day closing value forward across gap days. The classic
+    * time-series regularization before any windowed feature extraction. */
+  def resampleForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr(s"datediff(ts, DATE '$Epoch')").as("day"),
+      col("ts"), col("value"))
+    // per (user, day) closing value: last event of the day wins,
+    // event_id breaking exact-timestamp ties
+    val byDay = ev.withColumn("rn",
+        row_number().over(Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("obs"))
+    val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = byDay.select("user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = grid.join(byDay, Seq("user_id", "day"), "left")
+      .withColumn("filled",
+        last("obs", ignoreNulls = true).over(
+          Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled.select(col("user_id"), col("day"),
+        round(col("filled"), 6).as("value"),
+        col("obs").isNotNull.cast("int").as("observed"))
+      .filter(col("value").isNotNull) // days before a user's first event
+      .orderBy("user_id", "day")
+  }
+}
