@@ -64,28 +64,30 @@ object Graph {
     require(iters >= 0 && damp >= 0 && damp <= 100)
     // one shuffle of the big side, ever; partitioning survives checkpoint
     val e = edges.repartition(col("src")).localCheckpoint(true)
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
     val base = (100L - damp) * scale / 100L
-    var ranks = deg.select(col("node"), lit(scale).as("pr"))
+    // outdeg rides inside the rank table: one join per sweep instead of
+    // a ranks-deg join plus a deg-contrib join
+    var ranks = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .withColumn("pr", lit(scale))
+      .localCheckpoint(true)
     var i = 0
     while (i < iters) {
-      val give = ranks.join(deg, "node")
+      val give = ranks
         .select(col("node").as("src"), expr("pr DIV outdeg").as("give"))
       val contrib = e.join(give, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum("give").as("contrib"))
-      ranks = deg.select("node")
+      ranks = ranks.drop("pr")
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (lit(base) +
             expr(s"($damp * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100"))
             .as("pr"))
         .localCheckpoint(true)
       i += 1
     }
-    ranks
+    ranks.select("node", "pr")
   }
 
   /** Gated query: top-k nodes of the customer<->supplier graph by rank
