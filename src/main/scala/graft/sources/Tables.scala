@@ -42,4 +42,23 @@ object Tables {
     */
   def textDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.textFile(s"$dir/*.txt").toDF("line")
+
+  /** Missing-input tolerance, reference-exact: the reference skips
+    * nonexistent inputs and yields empty output rather than failing
+    * (client.py:41-42 `os.path.exists` skip; README.md:98 — surplus map
+    * tasks receive `files=''` and do nothing). Spark's glob read throws
+    * on an empty match instead, so probe first and return an empty
+    * relation with the same schema. */
+  def textDirTolerant(spark: SparkSession, dir: String): DataFrame = {
+    val glob = new org.apache.hadoop.fs.Path(s"$dir/*.txt")
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched =
+      try Option(fs.globStatus(glob)).exists(_.nonEmpty)
+      catch { case _: java.io.IOException => false }
+    if (matched) textDir(spark, dir)
+    else {
+      import spark.implicits._
+      spark.emptyDataset[String].toDF("line")
+    }
+  }
 }

@@ -165,6 +165,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(got === direct)
   }
 
+  test("textDirTolerant: missing inputs yield empty output, not errors") {
+    // reference semantics (client.py:41-42): nonexistent inputs are
+    // skipped; a job over no files produces empty output
+    assert(Tables.textDirTolerant(spark, "/nonexistent/nowhere")
+      .count() === 0)
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-empty").toString
+    assert(Tables.textDirTolerant(spark, empty).count() === 0)
+    // schema identical to the throwing reader
+    assert(Tables.textDirTolerant(spark, empty).schema.fieldNames
+      .toSeq === Seq("line"))
+    // and with files present it IS the plain reader
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$empty/a.txt"), "one line\ntwo line")
+    assert(Tables.textDirTolerant(spark, empty).count() === 2)
+  }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-evolve").toString
+    // v1 writer: (doc_id, text); v2 adds a quality column
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/t/batch=1")
+    Seq((3L, "c", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$tmp/t/batch=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    assert(df.schema.fieldNames.sorted.toSeq ===
+      Seq("batch", "doc_id", "quality", "text"))
+    val rows = df.select("doc_id", "quality")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows(1L).isEmpty && rows(3L).contains(0.9))
+    assert(df.count() === 3)
+  }
+
   test("Views.register exposes every table to the SQL frontend") {
     val dir = "/root/testdata/sf0.001"
     graft.sources.Views.register(spark, dir)
