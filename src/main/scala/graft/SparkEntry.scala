@@ -194,6 +194,7 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(s, dir, chunkTokens = 64, stride = 48)),
     "corpus_refresh" -> (Incremental.corpusRefresh _),
     "scd2_customer_priority" -> (Incremental.scd2CustomerPriority _),
+    "event_priority_stats" -> (Incremental.eventPriorityStats _),
     "cascade_delete_audit" -> (Relational.cascadeDeleteAudit _),
     "heavy_hitter_gate" -> ((s, dir) =>
       Grouping.heavyHitterGate(s, dir, k = 64)),
@@ -1025,6 +1026,38 @@ object SparkEntry {
         |    '9999-12-31 00:00:00') AS valid_to,
         |  n_orders
         |FROM islands ORDER BY custkey, version""".stripMargin,
+    // the same islands derivation, joined point-in-time onto events
+    "event_priority_stats" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |numbered AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev IS NULL
+        |        OR prev <> o_orderpriority THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT o_custkey AS custkey, version,
+        |    min(o_orderpriority) AS priority,
+        |    min(o_orderdate) AS vf_ts
+        |  FROM numbered GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT custkey, priority, vf_ts,
+        |    lead(vf_ts) OVER (PARTITION BY custkey ORDER BY version)
+        |      AS vt_ts
+        |  FROM islands)
+        |SELECT d.priority, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events e JOIN dim d
+        |  ON e.user_id = d.custkey AND e.ts >= d.vf_ts
+        |  AND (d.vt_ts IS NULL OR e.ts < d.vt_ts)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "funnel_counts" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -75,7 +75,19 @@ object Incremental {
     * exchange; pinned in IncrementalSpec). No global window, no
     * driver-side state; skewed keys are bounded by a customer's own
     * order count. */
-  def scd2History(orders: DataFrame): DataFrame = {
+  def scd2History(orders: DataFrame): DataFrame =
+    scd2Intervals(orders)
+      .select(col("custkey"), col("version"), col("priority"),
+        date_format(col("vf_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("vt_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("n_orders"))
+      .orderBy("custkey", "version")
+
+  /** Timestamp-typed form of the SCD2 dimension (open versions keep a
+    * NULL valid_to) — the join-side face; scd2History is the formatted
+    * report face. */
+  def scd2Intervals(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byOrder = Window.partitionBy("o_custkey")
       .orderBy("o_orderdate", "o_orderkey")
@@ -91,14 +103,30 @@ object Incremental {
         min("o_orderdate").as("vf_ts"),
         count(lit(1)).as("n_orders"))
     val byVersion = Window.partitionBy("custkey").orderBy("version")
-    islands
-      .withColumn("vt_ts", lead("vf_ts", 1).over(byVersion))
-      .select(col("custkey"), col("version"), col("priority"),
-        date_format(col("vf_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
-        coalesce(date_format(col("vt_ts"), "yyyy-MM-dd HH:mm:ss"),
-          lit("9999-12-31 00:00:00")).as("valid_to"),
-        col("n_orders"))
-      .orderBy("custkey", "version")
+    islands.withColumn("vt_ts", lead("vf_ts", 1).over(byVersion))
+  }
+
+  /** Point-in-time dimension join: enrich each event with the
+    * customer's order-priority AS OF the event timestamp — the
+    * dimensional-correctness pattern every feature-extraction job needs
+    * (joining today's attributes onto yesterday's facts is label
+    * leakage). Equi-join on the customer key carries the work; the
+    * validity-interval predicate is a per-key filter over that
+    * customer's handful of versions, so no range-join machinery is
+    * needed. Events before a customer's first version drop (inner).
+    * All-integer output (per-row-rounded value cents). */
+  def eventPriorityStats(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Intervals(Tables.orders(s, dir))
+    Tables.events(s, dir)
+      .join(dim, col("user_id") === col("custkey") &&
+        col("ts") >= col("vf_ts") &&
+        (col("vt_ts").isNull || col("ts") < col("vt_ts")))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)"))
+          .as("value_cents"))
+      .orderBy("priority")
   }
 
   /** Driver-gated query over the orders table. */
