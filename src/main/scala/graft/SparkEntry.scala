@@ -392,6 +392,14 @@ object SparkEntry {
     // --- data profiling (pre-training corpus audit) ---
     "documents_profile" -> (Profile.documentsProfile _),
     "price_histogram" -> ((s, dir) => Profile.priceHistogram(s, dir)),
+    "fk_integrity_audit" -> (Profile.fkIntegrityAudit _),
+    "spend_deciles" -> (Profile.spendDeciles _),
+    // --- entity resolution (blocked edit-distance matching) ---
+    "fuzzy_part_match" -> (FuzzyMatch.fuzzyPartMatch _),
+    // --- one-pass distributed model fitting ---
+    "ols_chars_per_token" -> (Regression.olsCharsPerToken _),
+    // --- graph cohesion (ordered-wedge triangle counting) ---
+    "supplier_triangles" -> (Graph.supplierTriangles _),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -1880,5 +1888,87 @@ object SparkEntry {
          |  AND lower(word) NOT IN
          |    ('${TextAnalysis.Stopwords.mkString("','")}')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fk_integrity_audit" -> {
+      def leg(name: String, child: String, fk: String,
+              parent: String, pk: String): String =
+        s"""SELECT '$name' AS edge,
+           |  CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_orphans,
+           |  CAST(count(DISTINCT CASE WHEN p.$pk IS NULL THEN c.$fk END)
+           |    AS BIGINT) AS n_orphan_keys
+           |FROM $child c
+           |LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON c.$fk = p.$pk""".stripMargin
+      Seq(
+        leg("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        leg("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        leg("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        leg("lineitem->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        leg("customer->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        leg("supplier->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        leg("nation->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        leg("events->customer", "events", "user_id",
+          "customer", "c_custkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) a ORDER BY edge")
+    },
+    "spend_deciles" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT spend_cents,
+        |        CAST(ntile(10) OVER (ORDER BY spend_cents, o_custkey)
+        |          AS INTEGER) AS decile
+        |      FROM sp)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |  min(spend_cents) AS lo_cents, max(spend_cents) AS hi_cents,
+        |  CAST(sum(spend_cents) AS BIGINT) AS sum_cents
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fuzzy_part_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS a, b.p_name AS b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM n a, n b
+        |WHERE a.p_name < b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a, b""".stripMargin,
+    "ols_chars_per_token" ->
+      s"""WITH t AS (SELECT lang, len($DuckTokList) AS x,
+         |             length(text) AS y FROM documents),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx,
+         |        CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy
+         |      FROM t GROUP BY 1)
+         |SELECT lang, n,
+         |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+         |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+         |FROM a ORDER BY lang""".stripMargin,
+    "supplier_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM e e1
+        |        JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |nd AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes
+        |       FROM (SELECT a AS v FROM e
+        |             UNION ALL SELECT b AS v FROM e) u)
+        |SELECT n_nodes, n_edges, n_triangles FROM nd, st, tri""".stripMargin,
   )
 }

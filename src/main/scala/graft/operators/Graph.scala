@@ -96,4 +96,53 @@ object Graph {
                   k: Int = 20): DataFrame =
     pageRank(customerSupplierEdges(s, dir), iters)
       .orderBy(desc("pr"), asc("node")).limit(k)
+
+  /** Undirected supplier co-occurrence graph: an edge per supplier pair
+    * that ships lines of the same order, kept once as `a < b`. The
+    * ordered representation IS the triangle-counting optimization: with
+    * every edge stored low→high, each triangle {x<y<z} appears exactly
+    * once as the path (x,y),(y,z) closed by (x,z) — no ÷6 correction,
+    * no double counting. */
+  def supplierCoEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("rk"),
+      col("l_suppkey").as("sk"))
+    li.join(l2, col("l_orderkey") === col("rk") &&
+        col("l_suppkey") < col("sk"))
+      .select(col("l_suppkey").as("a"), col("sk").as("b"))
+      .distinct()
+  }
+
+  /** Triangle count over an ordered edge list `(a < b)` — the classic
+    * graph-cohesion metric (clustering coefficient's numerator).
+    *
+    * Two shuffled equi joins: wedges = edges ⋈ edges on the middle
+    * node, then a semi join probes each wedge's closing edge. Both run
+    * hash-partitioned on their keys — the distributed compact-forward
+    * algorithm. The ordering bounds wedge fan-out by each node's
+    * FORWARD degree (≈ half the degree on average; the skew-dominant
+    * high-degree hubs generate wedges only toward higher ids), and the
+    * closing probe is a LEFT SEMI join so non-closing wedges never
+    * materialize output. Scale: wedge count Σ fwd_deg(v)² is the known
+    * cost envelope; a salting pass on residual hub skew composes here
+    * exactly as in SkewJoin. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val wedges = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+    val closed = wedges.join(
+      e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"),
+      "left_semi")
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val stats = e.agg(count(lit(1)).as("n_edges"))
+    val nodes = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .agg(countDistinct("v").as("n_nodes"))
+    tri.crossJoin(stats).crossJoin(nodes)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Gated query: cohesion of the supplier co-shipment graph. */
+  def supplierTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleCount(supplierCoEdges(s, dir))
 }

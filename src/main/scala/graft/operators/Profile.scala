@@ -57,4 +57,84 @@ object Profile {
         min("cents").as("lo_cents"), max("cents").as("hi_cents"))
       .orderBy("bucket")
   }
+
+  /** Referential-integrity audit across every foreign-key edge of the
+    * star schema — the ingest gate that catches a bad upstream export
+    * before a broken join silently drops (inner) or NULL-pads (outer)
+    * rows in every downstream query.
+    *
+    * Per edge: child row count, orphan rows (child rows whose FK value
+    * has no parent), and distinct orphan key values. Each edge is one
+    * left join + conditional aggregate: the child scan is pruned to the
+    * FK column, the parent to its key. At 100 TB the parent key sets of
+    * the dimension edges are broadcast; the fact-fact edge
+    * (lineitem→orders) shuffles on the join key like any other big join
+    * and AQE handles skew. All counts are integers — exactly
+    * hash-checkable. */
+  def fkIntegrityAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val p = parent.select(col(pk)).distinct()
+      child.select(col(fk))
+        .join(p, child(fk) === p(pk), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          coalesce(sum(when(col(pk).isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"),
+          countDistinct(when(col(pk).isNull, col(fk))).as("n_orphan_keys"))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+          col("n_orphan_keys"))
+    }
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val nat = Tables.nation(s, dir)
+    Seq(
+      edge("orders->customer", ord, "o_custkey", cust, "c_custkey"),
+      edge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey", Tables.part(s, dir),
+        "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey", Tables.supplier(s, dir),
+        "s_suppkey"),
+      edge("customer->nation", cust, "c_nationkey", nat, "n_nationkey"),
+      edge("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
+        nat, "n_nationkey"),
+      edge("nation->region", nat, "n_regionkey", Tables.region(s, dir),
+        "r_regionkey"),
+      edge("events->customer", Tables.events(s, dir), "user_id",
+        cust, "c_custkey"))
+      .reduce(_ unionAll _)
+      .orderBy("edge")
+  }
+
+  /** Equi-depth (quantile) histogram of customer lifetime spend: decile
+    * boundaries plus per-decile population and totals — the complement
+    * of `priceHistogram`'s equi-width view, and the standard shape for
+    * "how concentrated is spend" questions.
+    *
+    * Spend is per-order-rounded integer cents summed per customer
+    * (exact under any reduction order), deciles are `ntile(10)` over
+    * `(spend, custkey)` — the key tiebreak makes the tile assignment a
+    * total order, so it is deterministic and engine-independent. The
+    * global-order window is the scale caveat: ntile needs a total sort,
+    * fine for the O(|customers|) aggregate here (customers are ~1e4×
+    * smaller than lineitems); for a fact-sized input swap in the GK
+    * sketch tier (`approx_stats_bounds`) for approximate boundaries. */
+  def spendDeciles(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100d, 0).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(sum("cents").as("spend_cents"))
+    spend
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("spend_cents"), col("o_custkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        min("spend_cents").as("lo_cents"),
+        max("spend_cents").as("hi_cents"),
+        sum("spend_cents").as("sum_cents"))
+      .orderBy("decile")
+  }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.{FuzzyMatch, Graph, Profile, Regression}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the round-6 third-wave operators: blocked fuzzy
+  * matching (completeness of the length-band blocking), integer-exact
+  * OLS (known closed forms, layout invariance), ordered-wedge triangle
+  * counting (hand-counted graphs), and the integrity/decile audits over
+  * the sf0.001 tables. */
+class FuzzyRegressionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // --- FuzzyMatch -------------------------------------------------------
+
+  test("fuzzy: finds pairs whose edit touches the FIRST char (no prefix blocking)") {
+    val df = Seq("widget", "xidget", "stonework").toDF("v")
+    val got = FuzzyMatch.similarPairs(df, "v", 2)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(got === Set(("widget", "xidget"))) // stonework is far away
+  }
+
+  test("fuzzy: length difference of exactly k crosses the bin boundary") {
+    // "ab" (len 2, bin 1) vs "abcd" (len 4, bin 2): distance 2, found
+    // only because the right side probes adjacent bins
+    val df = Seq("ab", "abcd", "abcdefgh").toDF("v")
+    val got = FuzzyMatch.similarPairs(df, "v", 2)
+      .select("a", "b", "dist").as[(String, String, Int)].collect().toSet
+    assert(got === Set(("ab", "abcd", 2)))
+  }
+
+  test("fuzzy: blocking is complete — matches the brute-force answer") {
+    val vals = Seq("alpha", "alphas", "alpya", "beta", "betta", "bletta",
+      "gamma", "gam", "gramma", "delta")
+    val df = vals.toDF("v")
+    val brute = (for {
+      a <- vals; b <- vals if a < b
+      d = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b).intValue
+      if d <= 2
+    } yield (a, b, d)).toSet
+    val got = FuzzyMatch.similarPairs(df, "v", 2)
+      .select("a", "b", "dist").as[(String, String, Int)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  // --- Regression -------------------------------------------------------
+
+  test("ols: perfect line y = 3x + 2 gives an exactly proportional fraction") {
+    val df = Seq((1L, 5L), (2L, 8L), (3L, 11L), (4L, 14L))
+      .map { case (x, y) => ("g", x, y) }.toDF("grp", "x", "y")
+    val r = Regression.olsByGroup(df, "grp", "x", "y")
+      .select("n", "slope_num", "slope_den")
+      .as[(Long, Long, Long)].collect().head
+    assert(r._1 === 4L)
+    assert(r._3 > 0L)
+    assert(r._2 === 3L * r._3) // slope == exactly 3
+  }
+
+  test("ols: constant x surfaces as slope_den = 0, not a crash") {
+    val df = Seq(("g", 7L, 1L), ("g", 7L, 9L)).toDF("grp", "x", "y")
+    val r = Regression.olsByGroup(df, "grp", "x", "y")
+      .select("slope_num", "slope_den").as[(Long, Long)].collect().head
+    assert(r === ((0L, 0L)))
+  }
+
+  test("ols: result is partition-layout invariant (integer sums)") {
+    val base = (1 to 500).map(i => ("g" + (i % 3), i.toLong, (i * 7 + 3).toLong))
+    val a = Regression.olsByGroup(base.toDF("grp", "x", "y"), "grp", "x", "y")
+      .orderBy("grp").collect().toSeq
+    val b = Regression.olsByGroup(
+        base.toDF("grp", "x", "y").repartition(17), "grp", "x", "y")
+      .orderBy("grp").collect().toSeq
+    assert(a === b)
+  }
+
+  // --- Triangle counting ------------------------------------------------
+
+  test("triangles: K4 plus a dangling edge counts 4 triangles once each") {
+    // K4 over {1,2,3,4} = 4 triangles; edge (4,5) closes nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = Graph.triangleCount(edges)
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((5L, 7L, 4L)))
+  }
+
+  test("triangles: triangle-free bipartite-ish graph counts zero") {
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L)).toDF("a", "b")
+    val r = Graph.triangleCount(edges)
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((4L, 4L, 0L)))
+  }
+
+  // --- Audits over sf0.001 ---------------------------------------------
+
+  test("fk audit: every edge of the star schema is orphan-free") {
+    val rows = Profile.fkIntegrityAudit(spark, dir)
+      .select("edge", "n_child", "n_orphans", "n_orphan_keys")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === 8)
+    assert(rows.forall(r => r._2 > 0L), "every child table is non-empty")
+    assert(rows.forall(r => r._3 == 0L && r._4 == 0L),
+      s"orphans found: ${rows.filter(_._3 != 0).mkString(",")}")
+  }
+
+  test("spend deciles: partition the customers, monotone boundaries") {
+    val rows = Profile.spendDeciles(spark, dir)
+      .select("decile", "n_customers", "lo_cents", "hi_cents", "sum_cents")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    val nCust = graft.sources.Tables.orders(spark, dir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum === nCust)
+    // equi-depth: tile sizes differ by at most 1
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // boundaries are non-overlapping and ordered
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"decile ${lo._1} hi > decile ${hi._1} lo")
+    }
+    assert(rows.forall(r => r._3 <= r._4))
+  }
+}
