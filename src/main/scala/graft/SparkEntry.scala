@@ -400,6 +400,11 @@ object SparkEntry {
     "ols_chars_per_token" -> (Regression.olsCharsPerToken _),
     // --- graph cohesion (ordered-wedge triangle counting) ---
     "supplier_triangles" -> (Graph.supplierTriangles _),
+    // --- sequence + collocation statistics ---
+    "event_transitions" -> (EventAnalytics.eventTransitions _),
+    "collocations_pmi" -> ((s, dir) => TextAnalysis.collocationsPmi(s, dir)),
+    // --- migration validation (engine-portable checksums) ---
+    "corpus_checksums" -> (Profile.corpusChecksums _),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -1970,5 +1975,67 @@ object SparkEntry {
         |       FROM (SELECT a AS v FROM e
         |             UNION ALL SELECT b AS v FROM e) u)
         |SELECT n_nodes, n_edges, n_triangles FROM nd, st, tri""".stripMargin,
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS src_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.cnt,
+        |  CAST(c.cnt * 1000000 // t.src_total AS BIGINT) AS p_millionths
+        |FROM c JOIN t ON c.src = t.src
+        |ORDER BY 1, 2""".stripMargin,
+    "collocations_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
+         |uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wc
+         |  FROM (SELECT unnest(toks) AS w FROM t) u GROUP BY 1),
+         |bi AS (
+         |  SELECT toks[i] AS x, toks[i+1] AS y,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g
+         |  GROUP BY 1, 2),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_bi FROM bi)
+         |SELECT x, y, cnt,
+         |  CAST(cnt * n_bi * 1000000 // (ux.wc * uy.wc) AS BIGINT)
+         |    AS pmi_scaled
+         |FROM bi JOIN uni ux ON bi.x = ux.w
+         |JOIN uni uy ON bi.y = uy.w
+         |CROSS JOIN n
+         |WHERE cnt >= 5
+         |ORDER BY pmi_scaled DESC, x, y LIMIT 30""".stripMargin,
+    "corpus_checksums" -> {
+      def leg(tbl: String, cols: String): String =
+        s"""SELECT '$tbl' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(coalesce(bit_xor(CAST('0x' ||
+           |    substr(md5(concat_ws('|', $cols)), 1, 14) AS BIGINT)), 0)
+           |    AS BIGINT) AS xor56
+           |FROM $tbl""".stripMargin
+      def cents(c: String) = s"CAST(round($c * 100, 0) AS BIGINT)"
+      Seq(
+        leg("region", "r_regionkey, r_name"),
+        leg("nation", "n_nationkey, n_name, n_regionkey"),
+        leg("customer", s"c_custkey, c_name, c_nationkey, " +
+          s"${cents("c_acctbal")}, c_mktsegment"),
+        leg("supplier",
+          s"s_suppkey, s_name, s_nationkey, ${cents("s_acctbal")}"),
+        leg("part", s"p_partkey, p_name, p_brand, p_type, p_size, " +
+          s"${cents("p_retailprice")}"),
+        leg("orders", s"o_orderkey, o_custkey, o_orderstatus, " +
+          s"${cents("o_totalprice")}, epoch_us(o_orderdate), " +
+          s"o_orderpriority"),
+        leg("lineitem", s"l_orderkey, l_linenumber, l_partkey, " +
+          s"l_suppkey, CAST(l_quantity AS BIGINT), " +
+          s"${cents("l_extendedprice")}, epoch_us(l_shipdate)"),
+        leg("documents", "doc_id, lang, source, n_chars, text"),
+        leg("events", "event_id, user_id, event_type, epoch_us(ts)"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) a ORDER BY tbl")
+    },
   )
 }

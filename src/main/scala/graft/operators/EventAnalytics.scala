@@ -93,4 +93,30 @@ object EventAnalytics {
       .filter(col("value").isNotNull) // days before a user's first event
       .orderBy("user_id", "day")
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every (src → dst) consecutive pair, its count and transition
+    * probability in integer millionths (`cnt·1e6 DIV src_total` — exact
+    * on every engine; a float ratio could differ in the last ulp).
+    *
+    * The per-user sequencing (lead over `ts, event_id` — the id makes
+    * equal-timestamp ordering total and deterministic) is the one
+    * corpus-scale exchange, on user_id. The pair table is
+    * |event_type|²-bounded, so its aggregate and the per-src totals
+    * re-aggregate are vocabulary-sized, and the totals join is a
+    * broadcast. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    val cnt = pairs.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("src").agg(sum("cnt").as("src_total"))
+    cnt.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"), col("cnt"),
+        expr("cnt * 1000000 DIV src_total").as("p_millionths"))
+      .orderBy("src", "dst")
+  }
 }

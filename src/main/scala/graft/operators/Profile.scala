@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data profiling — the "look before you train" audit every corpus
@@ -136,5 +136,67 @@ object Profile {
         max("spend_cents").as("hi_cents"),
         sum("spend_cents").as("sum_cents"))
       .orderBy("decile")
+  }
+
+  /** Engine-portable table checksum: row count + XOR of a 56-bit md5
+    * prefix of each row's canonical string — the migration/replication
+    * validation primitive ("did the copy land intact") that works
+    * across engines because both sides agree on md5 of an agreed
+    * serialization. XOR is the right combiner at scale: commutative
+    * and associative like an integer sum but with NO overflow, so the
+    * aggregate is a single map-side-combined pass with an O(1) result
+    * regardless of table size. 56 bits (not 64) keeps the value inside
+    * a signed BIGINT on every engine.
+    *
+    * Caller supplies the canonical columns: integers/strings/dates
+    * serialize identically everywhere; doubles must be pre-converted
+    * (e.g. to cents) because float-to-string formatting is
+    * engine-specific. */
+  def tableChecksum(df: DataFrame, name: String,
+                    cols: Seq[Column]): DataFrame =
+    df.select(concat_ws("|", cols: _*).as("row_str"))
+      .select(expr(
+        "cast(conv(substr(md5(row_str), 1, 14), 16, 10) as bigint)")
+        .as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("xor56"))
+      .select(lit(name).as("tbl"), col("n_rows"), col("xor56"))
+
+  /** Gated query: checksums of every table in the corpus. Monetary
+    * doubles enter as per-row-rounded integer cents; timestamps
+    * as epoch micros (string-formatting a timestamp is engine-specific,
+    * an epoch integer is not). */
+  def corpusChecksums(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: String) = round(col(c) * 100d, 0).cast("long")
+    Seq(
+      tableChecksum(Tables.region(s, dir), "region",
+        Seq(col("r_regionkey"), col("r_name"))),
+      tableChecksum(Tables.nation(s, dir), "nation",
+        Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+      tableChecksum(Tables.customer(s, dir), "customer",
+        Seq(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          cents("c_acctbal"), col("c_mktsegment"))),
+      tableChecksum(Tables.supplier(s, dir), "supplier",
+        Seq(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          cents("s_acctbal"))),
+      tableChecksum(Tables.part(s, dir), "part",
+        Seq(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"), cents("p_retailprice"))),
+      tableChecksum(Tables.orders(s, dir), "orders",
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          cents("o_totalprice"), expr("unix_micros(cast(o_orderdate as timestamp))"),
+          col("o_orderpriority"))),
+      tableChecksum(Tables.lineitem(s, dir), "lineitem",
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity").cast("long"),
+          cents("l_extendedprice"), expr("unix_micros(cast(l_shipdate as timestamp))"))),
+      tableChecksum(Tables.documents(s, dir), "documents",
+        Seq(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))),
+      tableChecksum(Tables.events(s, dir), "events",
+        Seq(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)"))))
+      .reduce(_ unionAll _)
+      .orderBy("tbl")
   }
 }

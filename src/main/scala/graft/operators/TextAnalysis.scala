@@ -804,6 +804,40 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("bigram"))
       .limit(k)
 
+  /** PMI collocations: bigrams ranked by pointwise mutual information —
+    * the "new york"/"machine learning" detector that raw frequency
+    * (`topBigrams`) drowns under stopword pairs. PMI =
+    * log(c_xy·N / (c_x·c_y)); log is monotone, so ranking by the exact
+    * integer `c_xy·N·1e6 DIV (c_x·c_y)` orders identically while
+    * staying hash-exact (the log itself would differ in float ulps).
+    *
+    * One token scan feeds both the unigram and bigram counts; both
+    * aggregates are vocabulary-sized after map-side partial agg, the
+    * unigram side is broadcast into the bigram table twice (x and y
+    * legs), and N is a broadcast scalar re-aggregated from the bigram
+    * counts — no second corpus pass. `minCount` guards the classic PMI
+    * pathology (hapax pairs score highest). Top-k is
+    * TakeOrderedAndProject with a full (score, x, y) tiebreak. */
+  def collocationsPmi(s: SparkSession, dir: String, minCount: Int = 5,
+                      k: Int = 30): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val biAll = docs.select(explode(wordNgrams(toks, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val n = biAll.agg(sum("cnt").as("n_bi"))
+    val bi = biAll.filter(col("cnt") >= minCount)
+      .withColumn("x", split(col("bigram"), " ")(0))
+      .withColumn("y", split(col("bigram"), " ")(1))
+    bi.join(broadcast(uni.select(col("w").as("x"), col("wc").as("xc"))), "x")
+      .join(broadcast(uni.select(col("w").as("y"), col("wc").as("yc"))), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("cnt"),
+        expr("cnt * n_bi * 1000000 DIV (xc * yc)").as("pmi_scaled"))
+      .orderBy(desc("pmi_scaled"), asc("x"), asc("y"))
+      .limit(k)
+  }
+
   /** TF-IDF, top-k terms per document.
     * tf = in-doc term count; idf = ln(N / df). Two bounded shuffles:
     * (doc,term) agg and term-level df agg; N is a broadcast scalar. */

@@ -125,4 +125,45 @@ class FuzzyRegressionSpec extends AnyFunSuite {
     }
     assert(rows.forall(r => r._3 <= r._4))
   }
+
+  // --- Wave 2: transitions, PMI, checksums ------------------------------
+
+  test("event transitions: probabilities bounded, per-src counts consistent") {
+    val rows = graft.operators.EventAnalytics.eventTransitions(spark, dir)
+      .select("src", "dst", "cnt", "p_millionths")
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 > 0 && r._4 >= 0 && r._4 <= 1000000))
+    // per src, sum of floor-divided millionths is within rowcount of 1e6
+    rows.groupBy(_._1).foreach { case (srcName, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 1000000 && s > 1000000 - rs.length,
+        s"src $srcName millionths sum $s out of range")
+    }
+  }
+
+  test("collocations: scores non-increasing, minCount honored") {
+    val rows = graft.operators.TextAnalysis.collocationsPmi(spark, dir)
+      .select("cnt", "pmi_scaled").as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_._1 >= 5))
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("table checksum: layout-invariant, order-invariant, mutation-sensitive") {
+    val base = (1 to 200).map(i => (i.toLong, s"name_$i")).toDF("id", "nm")
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profile.tableChecksum(df, "t",
+        Seq(col("id"), col("nm")))
+        .select("n_rows", "xor56").as[(Long, Long)].collect().head
+    val a = sum(base)
+    val b = sum(base.repartition(13))
+    val c = sum(base.orderBy(desc("id")))
+    assert(a === b && a === c, "checksum depends on layout/order")
+    val mutated = base.withColumn("nm",
+      when(col("id") === 77L, lit("name_77x")).otherwise(col("nm")))
+    assert(sum(mutated) !== a, "single-row mutation not detected")
+    val empty = sum(base.filter(col("id") < 0L))
+    assert(empty === ((0L, 0L)))
+  }
 }

@@ -249,4 +249,37 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Sort\\b".r.findAllIn(p).size >= 2)
     assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size >= 2)
   }
+
+  test("fuzzy match: length-band blocking plans as an equi join, not NLJ") {
+    import graft.operators.FuzzyMatch
+    val p = plan(FuzzyMatch.similarPairs(
+      Tables.part(spark, dir), "p_name", 2))
+    // the whole point of the blocking: candidate generation must be a
+    // hash/merge join on the bin key, never a nested-loop over n^2 pairs
+    assert(!p.contains("BroadcastNestedLoopJoin"), "fuzzy match fell back to NLJ")
+    assert(!p.contains("CartesianProduct"), "fuzzy match fell back to cartesian")
+    assert(p.contains("__bin"))
+  }
+
+  test("triangle count: closing probe stays a LEFT SEMI join") {
+    import graft.operators.Graph
+    val p = plan(Graph.triangleCount(Graph.supplierCoEdges(spark, dir)))
+    // non-closing wedges must never materialize output rows
+    assert(p.contains("LeftSemi"), "closing probe lost its semi-join shape")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("event transitions: one corpus exchange (user window), totals broadcast") {
+    import graft.operators.EventAnalytics
+    val p = plan(EventAnalytics.eventTransitions(spark, dir))
+    assert(p.contains("BroadcastExchange"), "src totals should broadcast")
+    assert(p.contains("Window"))
+  }
+
+  test("corpus checksums: per-table single aggregate, no join, no window") {
+    import graft.operators.Profile
+    val p = plan(Profile.corpusChecksums(spark, dir))
+    assert(!p.contains("Join"), "a checksum leg grew a join")
+    assert(!p.contains("Window"), "a checksum leg grew a window")
+  }
 }
