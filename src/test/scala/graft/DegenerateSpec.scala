@@ -174,4 +174,38 @@ class DegenerateSpec extends AnyFunSuite {
       assert(nRes === 0L && nQ === 0L && fullK === 1 && recallOk === 1)
     }
   }
+
+  test("round-6 third-wave operators survive empty/degenerate inputs") {
+    // fuzzy: empty value set, single value, all-equal values (distinct
+    // collapses them; no self-pairs because a < b is strict)
+    assert(FuzzyMatch.similarPairs(
+      Seq.empty[String].toDF("v"), "v", 2).count() === 0)
+    assert(FuzzyMatch.similarPairs(
+      Seq("solo").toDF("v"), "v", 2).count() === 0)
+    assert(FuzzyMatch.similarPairs(
+      Seq("dup", "dup", "dup").toDF("v"), "v", 2).count() === 0)
+
+    // OLS: empty input → zero groups; single point → den = 0
+    assert(Regression.olsByGroup(
+      Seq.empty[(String, Long, Long)].toDF("grp", "x", "y"),
+      "grp", "x", "y").count() === 0)
+    val single = Regression.olsByGroup(
+      Seq(("g", 5L, 9L)).toDF("grp", "x", "y"), "grp", "x", "y")
+      .select("slope_num", "slope_den").as[(Long, Long)].collect().head
+    assert(single === ((0L, 0L)))
+
+    // triangles: empty edge list → one well-formed zero row (an empty
+    // result would poison a downstream join on the metrics)
+    val t = Graph.triangleCount(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+      .as[(Long, Long, Long)].collect()
+    assert(t.toSeq === Seq((0L, 0L, 0L)))
+
+    // checksum of an empty table: (0, 0), not NULL
+    val ck = Profile.tableChecksum(
+      Seq.empty[(Long, String)].toDF("id", "nm"), "t",
+      Seq(col("id"), col("nm")))
+      .select("n_rows", "xor56").as[(Long, Long)].collect().head
+    assert(ck === ((0L, 0L)))
+  }
 }
