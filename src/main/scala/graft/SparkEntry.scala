@@ -405,6 +405,8 @@ object SparkEntry {
     "collocations_pmi" -> ((s, dir) => TextAnalysis.collocationsPmi(s, dir)),
     // --- migration validation (engine-portable checksums) ---
     "corpus_checksums" -> (Profile.corpusChecksums _),
+    // --- ANSI set operations (INTERSECT / EXCEPT / UNION) ---
+    "nation_part_overlap" -> ((s, dir) => Relational.nationPartOverlap(s, dir)),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -2037,5 +2039,25 @@ object SparkEntry {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) a ORDER BY tbl")
     },
+    "nation_part_overlap" ->
+      """WITH pa AS (
+        |  SELECT DISTINCT l.l_partkey FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_1'),
+        |pb AS (
+        |  SELECT DISTINCT l.l_partkey FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_2')
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pa) AS n_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pb) AS n_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT * FROM pa INTERSECT SELECT * FROM pb) i) AS n_both,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT * FROM pa EXCEPT SELECT * FROM pb) x) AS n_only_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT * FROM pa UNION SELECT * FROM pb) u) AS n_union""".stripMargin,
   )
 }

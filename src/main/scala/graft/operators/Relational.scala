@@ -339,4 +339,33 @@ object Relational {
       .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
+
+  /** ANSI set operations (INTERSECT / EXCEPT / UNION) on the part sets
+    * two supplier nations ship — "assortment overlap" between two
+    * sub-corpora. Spark plans `intersect` as distinct + LEFT SEMI and
+    * `except` as distinct + LEFT ANTI — keyed shuffle joins that scale
+    * like any aggregate, never row-by-row comparison. The nation filter
+    * reaches each scan through the broadcast dim join; both part sets
+    * are distinct'd BEFORE the set ops so the semi/anti probes run on
+    * |parts|, not |lineitem|. */
+  def nationPartOverlap(s: SparkSession, dir: String,
+                        na: String = "NATION_1",
+                        nb: String = "NATION_2"): DataFrame = {
+    def partsOf(nm: String) = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === nm).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("l_partkey").distinct()
+    val a = partsOf(na)
+    val b = partsOf(nb)
+    def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    n(a, "n_a")
+      .crossJoin(n(b, "n_b"))
+      .crossJoin(n(a.intersect(b), "n_both"))
+      .crossJoin(n(a.except(b), "n_only_a"))
+      .crossJoin(n(a.union(b).distinct(), "n_union"))
+  }
 }

@@ -166,4 +166,27 @@ class FuzzyRegressionSpec extends AnyFunSuite {
     val empty = sum(base.filter(col("id") < 0L))
     assert(empty === ((0L, 0L)))
   }
+
+  test("triangles: dense bitmap tier matches the wedge join exactly") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val bip = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L)).toDF("a", "b")
+    val co = Graph.supplierCoEdges(spark, dir).localCheckpoint(true)
+    for (g <- Seq(k4, bip, co)) {
+      val sparse = Graph.triangleCount(g).collect().head
+      val dense = Graph.triangleCountDense(g).collect().head
+      assert(dense === sparse)
+    }
+    // sparse node-id space (non-contiguous ids must reindex correctly)
+    val sparseIds = Seq((100L, 5000L), (100L, 999999L), (5000L, 999999L))
+      .toDF("a", "b")
+    assert(Graph.triangleCountDense(sparseIds).collect().head ===
+      Graph.triangleCount(sparseIds).collect().head)
+    // empty through the dense tier and the auto selector
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.triangleCountDense(none)
+      .as[(Long, Long, Long)].collect().head === ((0L, 0L, 0L)))
+    assert(Graph.triangleCountAuto(none)
+      .as[(Long, Long, Long)].collect().head === ((0L, 0L, 0L)))
+  }
 }

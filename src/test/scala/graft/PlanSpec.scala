@@ -269,6 +269,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dense triangle tier: bitmap probes arrive broadcast, never merge-joined") {
+    import graft.operators.Graph
+    val p = plan(Graph.triangleCountDense(Graph.supplierCoEdges(spark, dir)))
+    // the point of the tier: the O(V) bitmap table broadcasts into the
+    // edge stream; a SortMergeJoin would mean the edges shuffled anyway
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "edge stream shuffled for a bitmap probe")
+  }
+
   test("event transitions: one corpus exchange (user window), totals broadcast") {
     import graft.operators.EventAnalytics
     val p = plan(EventAnalytics.eventTransitions(spark, dir))
