@@ -738,9 +738,13 @@ object Dedup {
                         recallFloor: Double = 0.75): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val globalPairs = embeddingNearDupPairs(emb, tau).select("id_a", "id_b")
+    // both pair tiers feed several gate actions below (counts, two
+    // anti-joins, closures) — checkpoint each ONCE or the exact tier,
+    // the most expensive subquery here, re-runs per action
+    val globalPairs = embeddingNearDupPairs(emb, tau)
+      .select("id_a", "id_b").localCheckpoint(true)
     val semPairs = semanticPairs(emb, tau, cells, lloydIters, probes)
-      .localCheckpoint(true) // reused by three gate quantities below
+      .localCheckpoint(true)
     val nVec = emb.count()
     val nExact = globalPairs.count()
     val nExtra = semPairs.join(globalPairs, Seq("id_a", "id_b"),
