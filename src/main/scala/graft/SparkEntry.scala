@@ -407,6 +407,9 @@ object SparkEntry {
     "corpus_checksums" -> (Profile.corpusChecksums _),
     // --- ANSI set operations (INTERSECT / EXCEPT / UNION) ---
     "nation_part_overlap" -> ((s, dir) => Relational.nationPartOverlap(s, dir)),
+    // --- tokenizer sizing + eval integrity ---
+    "vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
+    "split_leakage_audit" -> ((s, dir) => Sampling.splitLeakageAudit(s, dir)),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -2059,5 +2062,35 @@ object SparkEntry {
         |    (SELECT * FROM pa EXCEPT SELECT * FROM pb) x) AS n_only_a,
         |  (SELECT CAST(count(*) AS BIGINT) FROM
         |    (SELECT * FROM pa UNION SELECT * FROM pb) u) AS n_union""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest(toks) AS w FROM
+         |  (SELECT $DuckTokList AS toks FROM documents) t),
+         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM toks GROUP BY 1),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn
+         |      FROM c),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |               CAST(count(*) AS BIGINT) AS n_vocab FROM c),
+         |ks AS (SELECT unnest([100, 1000, 5000]) AS k)
+         |SELECT k, n_vocab, n_tokens,
+         |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS covered,
+         |  CAST(CAST(coalesce(sum(cnt), 0) AS BIGINT) * 1000000
+         |    // n_tokens AS BIGINT) AS coverage_millionths
+         |FROM ks LEFT JOIN r ON r.rn <= ks.k CROSS JOIN tot
+         |GROUP BY k, n_vocab, n_tokens ORDER BY k""".stripMargin,
+    "split_leakage_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    ((doc_id % 2147483648) * 2654435761) % 100 AS b
+        |  FROM documents),
+        |te AS (SELECT doc_id AS test_id, fp FROM d WHERE b < 10),
+        |tr AS (SELECT doc_id AS train_id, fp FROM d WHERE b >= 10),
+        |lk AS (SELECT te.test_id FROM te JOIN tr ON te.fp = tr.fp)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM te) AS n_test,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lk) AS n_leak_pairs,
+        |  (SELECT CAST(count(DISTINCT test_id) AS BIGINT) FROM lk)
+        |    AS n_leaky_test_docs""".stripMargin,
   )
 }

@@ -86,4 +86,36 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         hashBucket(col("doc_id")).as("bucket"))
       .orderBy("doc_id")
+
+  /** Train/test split leakage audit: hash-split the corpus (same
+    * deterministic bucket as [[hashSample]] — membership is a pure
+    * function of doc_id, never of layout), then count exact-content
+    * collisions ACROSS the split: the eval-integrity gate every
+    * training pipeline runs before trusting a held-out score, because a
+    * test document whose exact duplicate sits in train measures
+    * memorization, not generalization.
+    *
+    * One scan computes fingerprint + bucket; the cross-split join runs
+    * hash-partitioned on the md5 fingerprint (content-uniform, no skew
+    * beyond true duplicate mass). Near-dup leakage is the same audit
+    * with the LSH candidate tier upstream (see nearDupPipeline) — this
+    * query gates the exact tier, whose zero-false-positive answer is
+    * SQL-recomputable. */
+  def splitLeakageAudit(s: SparkSession, dir: String,
+                        testPct: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        hashBucket(col("doc_id")).as("b"))
+    val test = docs.filter(col("b") < testPct)
+      .select(col("doc_id").as("test_id"), col("fp"))
+    val train = docs.filter(col("b") >= testPct)
+      .select(col("doc_id").as("train_id"), col("fp"))
+    val leaks = test.join(train, "fp")
+    test.agg(count(lit(1)).as("n_test"))
+      .crossJoin(train.agg(count(lit(1)).as("n_train")))
+      .crossJoin(leaks.agg(count(lit(1)).as("n_leak_pairs"),
+        countDistinct("test_id").as("n_leaky_test_docs")))
+      .select(col("n_train"), col("n_test"), col("n_leak_pairs"),
+        col("n_leaky_test_docs"))
+  }
 }

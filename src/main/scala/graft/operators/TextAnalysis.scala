@@ -838,6 +838,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve: what fraction of all token occurrences
+    * the top-K most frequent words cover, for several K — the stat that
+    * sizes a tokenizer vocabulary (expected OOV rate of a K-word vocab
+    * is `1 − coverage(K)`). Ranking ties break on the word itself, so
+    * the curve is a deterministic function of the corpus. Coverage is
+    * emitted in integer millionths (`covered·1e6 DIV total`).
+    *
+    * The corpus-scale work is the one vocabulary aggregate (map-side
+    * combined); the ranking window and the K-threshold join run on the
+    * vocabulary table, which is orders of magnitude smaller than the
+    * corpus and shrinks relative to it as the corpus grows (Heaps'
+    * law). */
+  def vocabCoverage(s: SparkSession, dir: String,
+                    ks: Seq[Int] = Seq(100, 1000, 5000)): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+    val tot = counts.agg(sum("cnt").as("n_tokens"),
+      count(lit(1)).as("n_vocab"))
+    val ksDf = ks.toDF("k")
+    broadcast(ksDf).join(ranked, col("rn") <= col("k"), "left")
+      .groupBy("k")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_vocab"), col("n_tokens"), col("covered"),
+        expr("covered * 1000000 DIV n_tokens").as("coverage_millionths"))
+      .orderBy("k")
+  }
+
   /** TF-IDF, top-k terms per document.
     * tf = in-doc term count; idf = ln(N / df). Two bounded shuffles:
     * (doc,term) agg and term-level df agg; N is a broadcast scalar. */

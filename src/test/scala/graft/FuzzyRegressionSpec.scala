@@ -189,4 +189,37 @@ class FuzzyRegressionSpec extends AnyFunSuite {
     assert(Graph.triangleCountAuto(none)
       .as[(Long, Long, Long)].collect().head === ((0L, 0L, 0L)))
   }
+
+  test("vocab coverage: monotone in k, bounded by total") {
+    val rows = graft.operators.TextAnalysis.vocabCoverage(spark, dir)
+      .select("k", "n_tokens", "covered", "coverage_millionths")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(100, 1000, 5000))
+    assert(rows.forall(r => r._3 <= r._2 && r._4 <= 1000000L))
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "coverage must be monotone in k")
+  }
+
+  test("split leakage: partitions the corpus, detects a planted cross-split dup") {
+    val base = graft.operators.Sampling.splitLeakageAudit(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().head
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    assert(base._1 + base._2 === n, "split must partition the corpus")
+
+    // plant one duplicate across the split: find a test-bucket id and a
+    // train-bucket id with the same formula the operator uses
+    def bucket(id: Long) = ((id % 2147483648L) * 2654435761L) % 100L
+    val testId = (1L to 500L).find(bucket(_) < 10).get
+    val trainId = (1L to 500L).find(bucket(_) >= 10).get
+    val tmp = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    Seq((testId, "the shared document text", "en", "t", 23L),
+        (trainId, "the shared document text", "en", "t", 23L),
+        (trainId + 1000000L, "something else entirely", "en", "t", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = graft.operators.Sampling.splitLeakageAudit(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(planted._3 >= 1L && planted._4 >= 1L,
+      s"planted cross-split duplicate not detected: $planted")
+  }
 }
