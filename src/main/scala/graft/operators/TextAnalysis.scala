@@ -877,8 +877,10 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
     val terms = docs.select(col("doc_id"), explode(toks).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // tf rows ARE the distinct (doc, term) pairs — df is a vocab-sized
+    // re-aggregation of tf, not a second explode+distinct corpus pass,
+    // and ReuseExchange serves both consumers from one tf shuffle
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("tfidf"), asc("term"))
