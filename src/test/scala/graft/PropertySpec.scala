@@ -177,4 +177,22 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("fuzzy blocking is complete on arbitrary string sets") {
+    import graft.operators.FuzzyMatch
+    val sGen = Gen.chooseNum(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def lev(a: String, b: String): Int =
+      org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b).intValue
+    check("fuzzy-complete")(forAll(Gen.nonEmptyListOf(sGen)) { raw =>
+      val vals = raw.distinct
+      val brute = (for {
+        a <- vals; b <- vals if a < b && lev(a, b) <= 2
+      } yield (a, b)).toSet
+      val got = FuzzyMatch.similarPairs(vals.toDF("v"), "v", 2)
+        .select("a", "b").as[(String, String)].collect().toSet
+      got == brute
+    })
+  }
 }
