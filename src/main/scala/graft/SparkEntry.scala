@@ -410,6 +410,9 @@ object SparkEntry {
     // --- tokenizer sizing + eval integrity ---
     "vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     "split_leakage_audit" -> ((s, dir) => Sampling.splitLeakageAudit(s, dir)),
+    // --- streaming ordered per-key state (flatMapGroupsWithState) ---
+    "streamed_transitions" ->
+      ((s, dir) => graft.streaming.Streaming.streamedTransitions(s, dir)),
   )
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
@@ -2092,5 +2095,14 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM lk) AS n_leak_pairs,
         |  (SELECT CAST(count(DISTINCT test_id) AS BIGINT) FROM lk)
         |    AS n_leaky_test_docs""".stripMargin,
+    "streamed_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events)
+        |SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+        |FROM seq WHERE dst IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

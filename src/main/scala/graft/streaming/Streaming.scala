@@ -216,4 +216,64 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type")
   }
+
+  case class TransEvent(user_id: Long, ts_us: Long, event_id: Long,
+                        event_type: String)
+  case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
+  case class Transition(src: String, dst: String)
+
+  /** Streaming first-order transition counts: per-user ORDERED state via
+    * flatMapGroupsWithState — the state is just the last-seen event, so
+    * the store is O(|active users|) regardless of stream length. Each
+    * micro-batch sorts its per-user slice by (event-time micros,
+    * event_id) — the SAME total order as the batch operator
+    * (EventAnalytics.eventTransitions), micros not millis so no two
+    * distinct instants collapse — and chains it onto the carried last
+    * event, emitting one (src → dst) row per consecutive pair. Settled
+    * over AvailableNow replay, the pair multiset equals the batch
+    * window's exactly, which is what the oracle recomputes; the count
+    * aggregate runs BATCH-side on the settled table (single-stateful-
+    * operator stream, same pattern as streamedDedupEvents). Ordering
+    * caveat shared with sessionize: batches must not split a user's
+    * timeline out of order — AvailableNow over the static table replays
+    * in one batch; a live deployment keys ingestion time. */
+  /** The stateful core, exposed for MemoryStream-driven specs: emits
+    * one (src → dst) row per consecutive per-user pair, carrying the
+    * last-seen event across micro-batches. */
+  def transitionPairs(ev: org.apache.spark.sql.Dataset[TransEvent])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stEnc: Encoder[LastEvent] = Encoders.product[LastEvent]
+    implicit val trEnc: Encoder[Transition] = Encoders.product[Transition]
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[TransEvent],
+         state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(l.event_type, e.event_type))
+            last = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  def streamedTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val evEnc: Encoder[TransEvent] = Encoders.product[TransEvent]
+    val ev = eventsStream(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent]
+    settle(transitionPairs(ev).toDF(), "graft_stream_transitions",
+        mode = "append")
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("src", "dst")
+  }
 }

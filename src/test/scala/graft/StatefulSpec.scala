@@ -31,6 +31,31 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transition state carries across micro-batches and sorts within them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streaming
+    import graft.streaming.Streaming.{TransEvent, Transition}
+    val source = MemoryStream[TransEvent]
+    val q = Streaming.transitionPairs(source.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      // batch 1 arrives OUT of time order: view(t=1) then click(t=2)
+      // delivered reversed; the in-batch sort must restore view->click
+      source.addData(TransEvent(1, 2, 11, "click"), TransEvent(1, 1, 10, "view"))
+      q.processAllAvailable()
+      val b1 = spark.table("transitions").as[Transition].collect().toSeq
+      assert(b1 === Seq(Transition("view", "click")))
+      // batch 2: the carried last event (click) must chain to purchase
+      source.addData(TransEvent(1, 3, 12, "purchase"))
+      q.processAllAvailable()
+      val all = spark.table("transitions").as[Transition].collect().toSeq
+      assert(all.sortBy(t => (t.src, t.dst)) ===
+        Seq(Transition("click", "purchase"), Transition("view", "click")))
+    } finally q.stop()
+  }
+
   test("typed aggregators: count and Welford variance match built-ins") {
     import spark.implicits._
     val words = Seq("a", "b", "a", "c", "a").toDS()
