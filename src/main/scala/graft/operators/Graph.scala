@@ -212,11 +212,13 @@ object Graph {
     * (uniform-degree estimate) — bitmaps win when E > V²/64, provided
     * the O(V)-row bitmap table fits the broadcast budget. */
   def triangleCountAuto(edges: DataFrame): DataFrame = {
-    val st = edges.agg(count(lit(1)).as("e"),
-      approx_count_distinct("a").as("va"),
-      approx_count_distinct("b").as("vb")).collect()(0)
-    val nE = st.getLong(0)
-    val nV = st.getLong(1) + st.getLong(2) // upper bound; ± the overlap
+    val nE = edges.count()
+    // stacked endpoints, not per-side sums: va+vb would double-count
+    // every node that appears on both sides (~2x on a symmetric-ish
+    // graph) and make the crossover 4x stricter than intended
+    val nV = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .agg(approx_count_distinct("v")).collect()(0).getLong(0)
     val nWords = math.max(1L, (nV + 63) / 64)
     val fits = nV * (nWords * 8 + 48) <= MaxBitmapBroadcastBytes
     if (nE > nV * nV / 64 && fits) triangleCountDense(edges)
