@@ -10,6 +10,18 @@ import org.apache.spark.sql.SparkSession
   * projections we want to measure). A warmup query runs first so JVM/
   * session startup and parquet footer caching don't land on the first
   * measured query.
+  *
+  * Noise strategy: the host exhibits multi-minute slow windows (the
+  * same untouched query has measured 1 s and 37 s across runs, and
+  * r6's back-to-back best-of-2 recorded 3-5x phantom regressions on a
+  * contiguous alphabetical block because both tries landed inside one
+  * window). The fix is INTERLEAVING, not more retries: run the whole
+  * query set twice end-to-end, so a query's two timings are separated
+  * by the full duration of a pass (minutes), longer than a slow
+  * window. Per-query result is the min of the passes; queries whose
+  * max/min ratio still exceeds 2x get a third targeted retry and are
+  * reported in a "noisy" list so a reader can tell residual host noise
+  * from a real regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,7 +32,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Double = {
+    def force(name: String, pass: Int): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -29,39 +41,54 @@ object Bench {
         return -1.0
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      System.err.println(f"[bench] p$pass $name%-28s $dt%8.2f s")
       dt
     }
 
     // warmup: absorb session/codegen/footer-cache startup cost
-    force("pricing_summary")
+    force("pricing_summary", 0)
 
-    // Best-of-N: single passes are contaminated by JIT/GC and transient
-    // host stalls (the same query was observed at 1 s and 37 s across
-    // runs); the min is the stable throughput number. Every query gets a
-    // second run; a third only when the best still looks stall-shaped
-    // (>30 s). The 120 s guard bounds wall time if a query is genuinely
-    // that slow.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      var best = force(n)
-      var tries = 1
-      while (best >= 0 && best < 120 && tries < 3 &&
-             (tries < 2 || best > 30)) {
-        val r = force(n)
-        tries += 1
-        if (r >= 0 && r < best) best = r
-      }
-      n -> best
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val pass1 = names.map(n => n -> force(n, 1)).toMap
+    val pass2 = names.map(n => n -> force(n, 2)).toMap
+
+    // A failed run (-1) must not win the min; if both passes failed the
+    // query reports -1 and is excluded from the total like before.
+    def valid(d: Double): Boolean = d >= 0
+    val merged = names.map { n =>
+      val ts = Seq(pass1(n), pass2(n)).filter(valid)
+      n -> ts
+    }.toMap
+
+    // Third targeted retry for queries the two passes disagree on by
+    // >2x — by this point the slow window that inflated one pass has
+    // usually moved on; the retry pass is tiny (only flagged queries).
+    def ratio(ts: Seq[Double]): Double =
+      if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
+    val flagged = names.filter(n => ratio(merged(n)) > 2.0)
+    val retried = flagged.map(n => n -> force(n, 3)).toMap
+
+    val results = names.map { n =>
+      val ts = merged(n) ++ retried.get(n).filter(valid)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
+    // Residual noise flag: still >2x spread after the retry. A query
+    // here means "distrust this number", not "this query regressed".
+    val noisy = names.filter { n =>
+      val ts = merged(n) ++ retried.get(n).filter(valid)
+      ratio(ts) > 2.0
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(valid).sum
     // Verbose per-query line first (distinct metric name so a consumer
     // that sums or de-dupes "total" lines never double-counts), then the
     // compact driver-contract line LAST: the per-query map is ~2 KB and
     // can fall off the head of a bounded tail window, so the final line
     // a tail-only parser sees must be the canonical total.
-    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"noisy":$noisyJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

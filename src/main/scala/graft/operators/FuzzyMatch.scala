@@ -41,12 +41,15 @@ object FuzzyMatch {
     val right = names
       .select(col("v").as("b"),
         explode(sequence(bin - 1, bin + 1)).as("__bin"))
+    // Join only on the cheap bin + ordering predicates; the edit
+    // distance is computed once per candidate in a post-join projection
+    // and filtered there — same shuffle, half the levenshtein work that
+    // evaluating it in both the join condition and the output costs.
     left.join(right,
-        left("__bin") === right("__bin") &&
-          col("a") < col("b") &&
-          levenshtein(col("a"), col("b")) <= maxDist)
+        left("__bin") === right("__bin") && col("a") < col("b"))
       .select(col("a"), col("b"),
         levenshtein(col("a"), col("b")).as("dist"))
+      .where(col("dist") <= maxDist)
   }
 
   /** Gated query: near-identical part names (edit distance <= 2) — the
