@@ -382,6 +382,23 @@ object SparkEntry {
           graft.multimodal.Multimodal.mediaFromDocuments(
             Tables.documents(s, dir)), targetW = 16, targetH = 16))
         .orderBy("doc_id")),
+    // --- multimodal perceptual near-dup (dHash-style tier) ---
+    // rows-only: the banded Hamming bucket join isn't ANSI-expressible;
+    // the companion gate below is the hash-checked invariant. Pairs are
+    // between exact-signature REPRESENTATIVES (sigGroups collapses
+    // Hamming-0 classes first), so output stays linear even on a corpus
+    // with huge duplicate classes.
+    "multimodal_neardup_pairs" -> ((s, dir) => {
+      val m = graft.multimodal.Multimodal
+      val media = m.mediaFromDocuments(Tables.documents(s, dir))
+      m.nearDupPairs(media.unionByName(m.plantedPerceptualDups(media)),
+        m.GateMaxDist)
+    }),
+    // recall gate on planted perceptual twins — oracle is the planted
+    // pair formula, so a codec/signature/banding bug flips the hash
+    "multimodal_neardup_gate" -> ((s, dir) =>
+      graft.multimodal.Multimodal.nearDupGate(Tables.documents(s, dir),
+        graft.multimodal.Multimodal.GateMaxDist)),
     // --- graph / link analysis (crawl-graph scoring tier) ---
     // fixed-point integer PageRank: bit-identical across engines and
     // partition layouts because every sum is an integer sum
@@ -1505,6 +1522,13 @@ object SparkEntry {
         |FROM documents
         |WHERE md5(text) NOT IN (SELECT h FROM base)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // the perceptual-twin gate's correct answer IS the planted-pair
+    // formula: every doc_id % 5 = 0 row gets a perturbed twin at
+    // id + 10000000, and the recall semi-join must keep all of them
+    "multimodal_neardup_gate" ->
+      """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
     // the sampled frame is regenerated by formula: 8 fps over 1 s, index
     // clamped to the last frame, raster pixel = (id*7 + k*13 + i) % 256
     "multimodal_frame_sample" ->

@@ -372,6 +372,204 @@ object Multimodal {
       .toDF("doc_id", "modality", "n_bytes", "byte_sum", "width", "height")
   }
 
+  // -------------------------------------------------------------------
+  // Perceptual near-dup tier: dHash-style 62-bit signatures over the
+  // DECODED modalities, feeding the same pigeonhole-banded Hamming
+  // bucket join the text SimHash tier uses (Dedup.simhashPairsFromSig,
+  // grouped by modality so an image never buckets against a WAV).
+  //
+  // Signature = 63 pooled cell MEANS (fixed-point, ×2^20), bit i =
+  // mean(cell i+1) > mean(cell i) — the gradient-sign construction of
+  // dHash. Comparing MEANS (not sums) makes the signature exactly
+  // invariant to a uniform brightness shift even though edge cells have
+  // different areas: every cell mean moves by the same +delta·2^20.
+  // Images pool over a 9×7 spatial grid; video accumulates every
+  // decoded frame into the same grid (time-pooled spatial gradient);
+  // audio pools |sample| over 63 contiguous frames (energy envelope).
+  //
+  // Scale: signatures are one decode + O(asset) integer work per row,
+  // no shuffle; candidate generation is the banded equi join —
+  // O(rows × (maxDist+1)) shuffle rows, never an all-pairs compare.
+  // -------------------------------------------------------------------
+
+  val SigGridW = 9
+  val SigGridH = 7
+  /** 63 cells -> 62 adjacent-difference bits (62 keeps the packed value
+    * positive under ANSI long arithmetic, matching the text SimHash). */
+  val SigCells: Int = SigGridW * SigGridH
+  private val SigScale = 1L << 20
+
+  private def signatureFromCells(sums: Array[Long],
+                                 areas: Array[Long]): Long = {
+    val means = new Array[Long](SigCells)
+    var i = 0
+    while (i < SigCells) {
+      means(i) = if (areas(i) == 0) 0L else sums(i) * SigScale / areas(i)
+      i += 1
+    }
+    var sh = 0L
+    i = 0
+    while (i < SigCells - 1) {
+      if (means(i + 1) > means(i)) sh |= (1L << i)
+      i += 1
+    }
+    sh
+  }
+
+  /** Accumulate one w×h raster into the 9×7 cell sums (block pooling —
+    * every pixel lands in exactly one cell). */
+  private def accumulateRaster(w: Int, h: Int, px: Array[Byte],
+                               sums: Array[Long], areas: Array[Long]): Unit = {
+    var i = 0
+    while (i < px.length) {
+      val y = i / w
+      val x = i - y * w
+      val c = math.min(y * SigGridH / h, SigGridH - 1) * SigGridW +
+        math.min(x * SigGridW / w, SigGridW - 1)
+      sums(c) += (px(i) & 0xff)
+      areas(c) += 1
+      i += 1
+    }
+  }
+
+  /** 62-bit perceptual signature of one media row (decodes for real). */
+  def perceptualSig(row: MediaRow): Long = {
+    val sums = new Array[Long](SigCells)
+    val areas = new Array[Long](SigCells)
+    row.modality match {
+      case "image" =>
+        val (w, h, px) = Pgm.decode(row.content)
+        accumulateRaster(w, h, px, sums, areas)
+      case "video" =>
+        MPgm.decodeFrames(row.content).foreach { case (w, h, px) =>
+          accumulateRaster(w, h, px, sums, areas)
+        }
+      case _ =>
+        val (_, s) = Wav.decode(row.content)
+        val frameLen = math.max(s.length / SigCells, 1)
+        var i = 0
+        while (i < s.length) {
+          val c = math.min(i / frameLen, SigCells - 1)
+          sums(c) += math.abs(s(i).toLong)
+          areas(c) += 1
+          i += 1
+        }
+    }
+    signatureFromCells(sums, areas)
+  }
+
+  /** (doc_id, modality, sh) signature frame — shuffle-free scan tier. */
+  def perceptualSigs(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .map(r => (r.doc_id, r.modality, perceptualSig(r)))
+      .toDF("doc_id", "modality", "sh")
+  }
+
+  /** Every PlantEvery-th doc gets a perceptually-perturbed twin. */
+  val PlantEvery = 5
+  val PlantIdOffset = 10000000L
+
+  /** A perceptual (not byte-level) perturbation per modality: +2
+    * saturating brightness for rasters (UTF-8-derived image bytes never
+    * reach 254, so the image shift never actually saturates and its
+    * signature distance is exactly 0; video pixels span 0..255, so its
+    * clipped cells drift a few fixed-point units), ×51/50 amplitude for
+    * audio (uniform scaling preserves envelope order up to truncation
+    * ties). Each goes through a real decode→transform→encode round trip. */
+  private def perturbRow(r: MediaRow): MediaRow = r.modality match {
+    case "image" =>
+      val (w, h, px) = Pgm.decode(r.content)
+      val out = px.map(b => math.min((b & 0xff) + 2, 255).toByte)
+      r.copy(doc_id = r.doc_id + PlantIdOffset,
+        content = Pgm.encode(w, h, out))
+    case "video" =>
+      val frames = MPgm.decodeFrames(r.content)
+      val out = frames.map { case (_, _, px) =>
+        px.map(b => math.min((b & 0xff) + 2, 255).toByte)
+      }
+      r.copy(doc_id = r.doc_id + PlantIdOffset,
+        content = MPgm.encode(out, frames.head._1, frames.head._2))
+    case _ =>
+      val (rate, s) = Wav.decode(r.content)
+      val out = s.map(v => ((v * 51) / 50).toShort)
+      r.copy(doc_id = r.doc_id + PlantIdOffset,
+        content = Wav.encode(rate, out))
+  }
+
+  /** Perturbed twins of every PlantEvery-th media row (the testdata has
+    * no organic media duplicates, so gates plant their own — the same
+    * convention as Dedup.withNearDups, and the planted id formula is
+    * trivially SQL-expressible for the oracle). */
+  def plantedPerceptualDups(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .filter(r => Math.floorMod(r.doc_id, PlantEvery.toLong) == 0L)
+      .map(perturbRow)
+      .toDF()
+  }
+
+  /** Exact-signature tier: collapse identical (modality, sh) rows to a
+    * representative (min doc_id) with the class size. This runs BEFORE
+    * the banded Hamming join — a duplicate class of c rows contributes
+    * one representative instead of c²/2 pairs, the difference between
+    * linear and quadratic output on a corpus with large exact classes
+    * (the audio fixture's ~34 envelope classes here; boilerplate media
+    * at 100 TB). Same architecture as text dedup: exact tier first,
+    * near-dup candidates only among distinct survivors. */
+  def sigGroups(media: DataFrame): DataFrame =
+    perceptualSigs(media).groupBy("modality", "sh")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_rows"))
+
+  /** Near-duplicate pairs BETWEEN exact-signature representatives with
+    * 1 ≤ Hamming ≤ maxDist — banded bucket join, never all-pairs.
+    * Together with [[sigGroups]] (whose classes are the Hamming-0
+    * pairs, kept implicit) this is the full near-dup relation. */
+  def nearDupPairs(media: DataFrame, maxDist: Int): DataFrame =
+    graft.operators.Dedup.simhashPairsFromSig(
+      sigGroups(media).select(col("rep").as("doc_id"), col("sh"),
+        col("modality")),
+      maxDist, groupCols = Seq("modality"))
+
+  /** Driver-checkable gate: every planted perceptual twin must be
+    * recovered by the two-tier near-dup pipeline — either its signature
+    * is exactly its original's (same [[sigGroups]] class; the image
+    * perturbation lands here) or their representatives appear in the
+    * banded [[nearDupPairs]] join (pigeonhole-exact within maxDist).
+    * The oracle is the planted-pair formula itself
+    * (doc_id % PlantEvery = 0 → (id, id + offset)); a codec, signature,
+    * grouping, banding, or Hamming-threshold bug drops rows from the
+    * output and flips the driver's hash check. */
+  def nearDupGate(docs: DataFrame, maxDist: Int): DataFrame = {
+    val media = mediaFromDocuments(docs)
+    val all = media.unionByName(plantedPerceptualDups(media))
+    val withRep = perceptualSigs(all)
+      .join(sigGroups(all), Seq("modality", "sh"))
+      .select(col("doc_id"), col("rep"))
+    val repPairs = nearDupPairs(all, maxDist)
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"))
+    val o = withRep.filter(col("doc_id") < PlantIdOffset &&
+        pmod(col("doc_id"), lit(PlantEvery.toLong)) === 0)
+      .select(col("doc_id").as("id_a"), col("rep").as("rep_o"))
+    val t = withRep.filter(col("doc_id") >= PlantIdOffset)
+      .select(col("doc_id").as("id_b"), col("rep").as("rep_t"))
+    val plantedPairs = o.join(t, o("id_a") + PlantIdOffset === t("id_b"))
+    val sameClass = plantedPairs.filter(col("rep_o") === col("rep_t"))
+    val crossClass = plantedPairs.filter(col("rep_o") =!= col("rep_t"))
+      .withColumn("rep_a", least(col("rep_o"), col("rep_t")))
+      .withColumn("rep_b", greatest(col("rep_o"), col("rep_t")))
+      .join(repPairs, Seq("rep_a", "rep_b"), "left_semi")
+    sameClass.select("id_a", "id_b")
+      .unionByName(crossClass.select("id_a", "id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Hamming budget for the gate: planted twins measure ≤ 3 (spec-pinned),
+    * so 6 gives ~2× corpus-drift margin, mirroring the text SimHash gate. */
+  val GateMaxDist = 6
+
   /** REAL frame sampling for video rows: every strideMs milliseconds up
     * to durationMs, DECODE the motion-PGM stream and emit the frame
     * covering that offset (clamped to the last frame — the hold-last

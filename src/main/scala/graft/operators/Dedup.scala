@@ -414,8 +414,16 @@ object Dedup {
   /** The banding + bucket-join stage of [[simhashPairs]] over a
     * precomputed `(doc_id, sh)` signature frame — split out so tests can
     * plant adversarial fingerprints at exact Hamming distances (the
-    * text→signature hash makes that impossible upstream). */
-  def simhashPairsFromSig(sigs: DataFrame, maxDist: Int): DataFrame = {
+    * text→signature hash makes that impossible upstream).
+    *
+    * `groupCols` (optional) restricts pairing to rows that agree on the
+    * named columns — e.g. the multimodal tier passes `modality` so an
+    * image fingerprint is never bucketed against an audio one. Group
+    * columns join by equality alongside the chunk key (so they also
+    * shrink the buckets) and ride through to the output, taken from the
+    * `a` side. */
+  def simhashPairsFromSig(sigs: DataFrame, maxDist: Int,
+                          groupCols: Seq[String] = Nil): DataFrame = {
     val nChunks = maxDist + 1
     require(nChunks <= 62,
       s"maxDist=$maxDist needs $nChunks chunks; a 62-bit fingerprint supports at most 62")
@@ -424,7 +432,8 @@ object Dedup {
     // self-join, recomputing it nChunks×2 times per doc (32 s → 3 s at
     // sf0.1); with it each signature is computed once pre-shuffle and
     // ReuseExchange shares the exchange across both join sides
-    val withSig = sigs.select(col("doc_id"), col("sh"))
+    val withSig = sigs
+      .select(col("doc_id") +: col("sh") +: groupCols.map(col): _*)
       .repartition(col("doc_id"))
     val bounds = (0 until nChunks).map { i =>
       val lo = i * 62 / nChunks
@@ -432,11 +441,12 @@ object Dedup {
       struct(lit(i).as("chunk"), lit(lo).as("lo"),
         lit((1L << (hi - lo)) - 1).as("mask"))
     }
-    val chunked = withSig.select(col("doc_id"), col("sh"),
-        explode(array(bounds: _*)).as("c"))
-      .select(col("doc_id"), col("sh"), col("c.chunk").as("chunk"),
+    val chunked = withSig.select(Seq(col("doc_id"), col("sh"),
+        explode(array(bounds: _*)).as("c")) ++ groupCols.map(col): _*)
+      .select(Seq(col("doc_id"), col("sh"), col("c.chunk").as("chunk"),
         call_function("shiftrightunsigned", col("sh"), col("c.lo"))
-          .bitwiseAND(col("c.mask")).as("chunk_key"))
+          .bitwiseAND(col("c.mask")).as("chunk_key")) ++
+        groupCols.map(col): _*)
     // the hamming threshold goes INTO the join condition: chunk keys are
     // only `2^chunkBits` distinct values, so buckets are big and the raw
     // bucket join yields O(bucket²) candidate rows — evaluating the
@@ -444,14 +454,17 @@ object Dedup {
     // (the XOR+popcount runs per probed pair either way; what it saves
     // is copying millions of losing candidates downstream into distinct)
     val hamming = bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
-    chunked.as("a")
-      .join(chunked.as("b"),
+    val joinCond = groupCols.foldLeft(
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_key") === col("b.chunk_key") &&
         col("a.doc_id") < col("b.doc_id") &&
-        hamming <= maxDist)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        hamming.as("hamming"))
+        hamming <= maxDist) { (c, g) =>
+      c && col(s"a.$g") === col(s"b.$g")
+    }
+    chunked.as("a")
+      .join(chunked.as("b"), joinCond)
+      .select(Seq(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")) ++
+        groupCols.map(g => col(s"a.$g").as(g)) ++ Seq(hamming.as("hamming")): _*)
       .distinct()
       .orderBy("id_a", "id_b")
   }
