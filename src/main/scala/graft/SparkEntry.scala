@@ -154,6 +154,10 @@ object SparkEntry {
     "token_stats" -> (TextAnalysis.tokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
     "lang_id" -> (TextAnalysis.langId _),
+    // trained count-space Naive Bayes over the marker-planted corpus:
+    // integer-millionth log weights make the argmax hash-exact
+    "lang_id_nb" -> (TextAnalysis.langIdNb _),
+    "lang_id_nb_gate" -> ((s, dir) => TextAnalysis.langIdNbGate(s, dir)),
     "fingerprint_md5" -> (TextAnalysis.fingerprintMd5 _),
     "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
     "fingerprint_gate" -> (TextAnalysis.fingerprintGate _),
@@ -469,6 +473,55 @@ object SparkEntry {
        |WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB retraining of the count-space NB language-ID model — the
+    * identical marker plant, counts, smoothing, integer-millionth log
+    * weights, and (score DESC, lang ASC) argmax as
+    * TextAnalysis.nbScores. Float work is confined to one ln per
+    * distinct (token, lang) weight, floored to BIGINT millionths before
+    * any sum, so both engines aggregate identical integers. */
+  private lazy val NbScoresSql: String =
+    s"""corpus AS (
+       |  SELECT doc_id, lang,
+       |    text || ' ' || repeat('qq' || CAST(li AS VARCHAR) || ' ', 6) ||
+       |    'qq' || CAST((li + 1) % 5 AS VARCHAR) ||
+       |    ' qq' || CAST((li + 2) % 5 AS VARCHAR) AS text
+       |  FROM (SELECT doc_id, lang, text,
+       |          CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1
+       |               WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS li
+       |        FROM documents) d),
+       |tk AS (SELECT doc_id, lang, $DuckTokList AS toks FROM corpus),
+       |tok AS (SELECT doc_id, lang AS lang_label, unnest(toks) AS w
+       |        FROM tk),
+       |cnt AS (SELECT lang_label AS l, w, count(*) AS c
+       |        FROM tok GROUP BY 1, 2),
+       |tots AS (SELECT lang_label AS l, count(*) AS tot
+       |         FROM tok GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
+       |pri AS (
+       |  SELECT lang AS l,
+       |    CAST(floor(ln(count(*)::DOUBLE /
+       |      (SELECT count(*)::DOUBLE FROM corpus)) * 1000000.0)
+       |      AS BIGINT) AS prior
+       |  FROM corpus GROUP BY 1),
+       |langs AS (SELECT DISTINCT lang AS l FROM corpus),
+       |scores AS (
+       |  SELECT t.doc_id, t.lang_label, lg.l, pr.prior +
+       |    CAST(sum(CAST(floor(ln(
+       |      (coalesce(c.c, 0) + 1)::DOUBLE / (tt.tot + vb.v)::DOUBLE)
+       |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score
+       |  FROM tok t
+       |  CROSS JOIN langs lg
+       |  LEFT JOIN cnt c ON c.l = lg.l AND c.w = t.w
+       |  JOIN tots tt ON tt.l = lg.l
+       |  CROSS JOIN vocab vb
+       |  JOIN pri pr ON pr.l = lg.l
+       |  GROUP BY t.doc_id, t.lang_label, lg.l, pr.prior),
+       |pred AS (
+       |  SELECT doc_id, lang_label, l AS lang_pred, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, l ASC) AS rn
+       |  FROM scores)""".stripMargin
+
   /** DuckDB recomputation of benchmark contamination (shared by the
     * exact one-tier path and the bloom-pruned two-tier path, whose
     * result must be identical). */
@@ -642,6 +695,20 @@ object SparkEntry {
         |         / greatest(length(text), 1) > 0.01 THEN 'es'
         |    ELSE 'en' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id_nb" ->
+      s"""WITH $NbScoresSql
+         |SELECT doc_id, lang_label, lang_pred, score
+         |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "lang_id_nb_gate" ->
+      s"""WITH $NbScoresSql
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN lang_pred = lang_label THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_correct,
+         |  CASE WHEN sum(CASE WHEN lang_pred = lang_label
+         |                     THEN 1 ELSE 0 END) * 1000
+         |            >= count(*) * 950
+         |       THEN 1 ELSE 0 END AS acc_ok
+         |FROM pred WHERE rn = 1""".stripMargin,
     // Recompute the decode's integer lane sums from the UTF-8 bytes
     // (hex-pair extraction). Image rows (doc_id%3=0) are real 64×64 PGM:
     // raster pixel k = byte[k mod nb], lane = horizontal band k div 512,

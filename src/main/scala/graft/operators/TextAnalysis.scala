@@ -92,6 +92,113 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Lang index for the trained-NB plant — the fixed alphabetical corpus
+    * languages. Kept as a CASE expression (not a collected map) so the
+    * oracle SQL states the identical formula. */
+  private def langIdx = when(col("lang") === "de", 0)
+    .when(col("lang") === "en", 1)
+    .when(col("lang") === "es", 2)
+    .when(col("lang") === "fr", 3)
+    .otherwise(4)
+
+  /** Labeled training corpus for the trained language-ID model. The
+    * testdata's `lang` labels carry NO textual signal (token frequencies
+    * are proportional across labels — verified), so, per the same
+    * convention as Dedup's planted duplicates, each doc gets a
+    * deterministic marker suffix: 6 copies of its own language's marker
+    * token plus one copy of each of the two cyclically-next markers
+    * (overlap keeps the classification non-degenerate). The formula is
+    * trivially SQL-expressible, so the oracle can regenerate the corpus
+    * and retrain the identical model. */
+  def nbCorpus(docs: DataFrame): DataFrame = {
+    val li = langIdx
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"), lit(" "),
+        repeat(concat(lit("qq"), li.cast("string"), lit(" ")), 6),
+        lit("qq"), ((li + 1) % 5).cast("string"),
+        lit(" qq"), ((li + 2) % 5).cast("string")).as("text"))
+  }
+
+  /** Trained count-space Naive Bayes language ID. Training is one
+    * vocabulary-sized aggregation (map-side combined); the model —
+    * per-(lang, token) counts, per-lang totals, vocabulary size, priors —
+    * is a few hundred rows, broadcast into the scoring scan. Scoring
+    * sums INTEGER weights: each smoothed log-likelihood is rounded to
+    * millionths (`floor(ln((c+1)/(tot+V))·1e6)` AS BIGINT) BEFORE the
+    * per-doc sum, so the sum is exact integer arithmetic — order- and
+    * engine-independent — and the argmax is hash-exact cross-engine
+    * (the `lm_typicality` fixed-point trick applied to log space; float
+    * error is confined to one floor per distinct (token, lang) weight,
+    * never accumulated).
+    *
+    * 100 TB shape: tokens never shuffle by token for scoring — the only
+    * corpus-sized movement is the per-(doc, lang) partial-aggregated
+    * weight sum, keyed by doc_id. Training's count tables are
+    * vocabulary-sized. The 5-row lang dimension rides a broadcast
+    * nested-loop (one output row per token×lang, combined map-side). */
+  private def nbScores(docs: DataFrame): DataFrame = {
+    val corpus = nbCorpus(docs)
+    val tok = corpus.select(col("doc_id"), col("lang").as("lang_label"),
+      explode(toks).as("w"))
+    val counts = tok.groupBy(col("lang_label").as("l"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tots = tok.groupBy(col("lang_label").as("l"))
+      .agg(count(lit(1)).as("tot"))
+    val vocab = tok.agg(count_distinct(col("w")).as("v"))
+    val nAll = corpus.agg(count(lit(1)).as("n_all"))
+    val priors = corpus.groupBy(col("lang").as("l"))
+      .agg(count(lit(1)).as("n_l"))
+      .crossJoin(broadcast(nAll))
+      .select(col("l"),
+        floor(log(col("n_l").cast("double") / col("n_all").cast("double"))
+          * lit(1000000.0d)).as("prior"))
+    val langs = corpus.select(col("lang").as("l")).distinct()
+    tok.crossJoin(broadcast(langs))
+      .join(broadcast(counts), Seq("l", "w"), "left")
+      .join(broadcast(tots), Seq("l"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang_label"), col("l"),
+        floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tot") + col("v")).cast("double")) * lit(1000000.0d))
+          .as("wgt"))
+      .groupBy("doc_id", "lang_label", "l")
+      .agg(sum("wgt").as("sum_w"))
+      .join(broadcast(priors), Seq("l"))
+      .select(col("doc_id"), col("lang_label"), col("l"),
+        (col("prior") + col("sum_w")).as("score"))
+  }
+
+  /** Per-doc NB prediction: argmax lang with (score DESC, lang ASC)
+    * tie-break, plus the winning integer score. */
+  def langIdNb(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("l").asc)
+    nbScores(Tables.documents(s, dir))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang_label"), col("l").as("lang_pred"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-checkable accuracy gate for the trained NB: n_correct is an
+    * exact integer (predictions are hash-exact), and acc_ok pins the
+    * floor — marker signal puts true accuracy at ~1.0, the 0.95 floor
+    * leaves corpus-drift margin. */
+  def langIdNbGate(s: SparkSession, dir: String,
+                   floorMillis: Int = 950): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("l").asc)
+    nbScores(Tables.documents(s, dir))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("l") === col("lang_label")).cast("long")).as("n_correct"))
+      .select(col("n_docs"), col("n_correct"),
+        (col("n_correct") * 1000 >= col("n_docs") * floorMillis)
+          .cast("int").as("acc_ok"))
+  }
+
   /** Exact content fingerprint (md5) — the cheap exact-dedup key. */
   def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

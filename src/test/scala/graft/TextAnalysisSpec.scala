@@ -468,4 +468,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     // at least one document contains the globally most frequent token
     assert(rows.exists(_._4 === 0L))
   }
+
+  test("trained NB language ID: perfect on the marker-planted corpus") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.langIdNb(spark, dir)
+      .as[(Long, String, String, Long)].collect()
+    assert(rows.length === 500)
+    // 6-vs-1 marker frequency dominates the flat base-token noise, so
+    // classify-on-train accuracy should be exact, not just >= the gate
+    // floor — a drop below 1.0 means the model or plant regressed
+    assert(rows.forall(r => r._2 === r._3))
+    // every language is actually predicted (no prior-argmax collapse)
+    assert(rows.map(_._3).distinct.sorted === Seq("de", "en", "es", "fr", "zh"))
+  }
+
+  test("NB gate emits exact counts and a green accuracy flag") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val (nDocs, nCorrect, accOk) = TextAnalysis.langIdNbGate(spark, dir)
+      .as[(Long, Long, Int)].head()
+    assert(nDocs === 500 && nCorrect === 500 && accOk === 1)
+  }
 }
