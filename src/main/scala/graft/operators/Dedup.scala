@@ -315,11 +315,18 @@ object Dedup {
     // the bucket self-join carries only scalars — (doc_id, band, key) is
     // ~24 bytes/row, vs shuffling the k-long signature array bands× per
     // doc on both sides; candidate ids dedup as bare scalar pairs
+    // explicit-N repartition on the bucket keys: the keys frame is MBs
+    // of scalars, so AQE would coalesce the bucket self-join to one
+    // partition and serialize the in-bucket probing (same hazard the
+    // simhash tier measured at 23 s → 1.8 s); explicit numPartitions is
+    // exempt from coalescing and ReuseExchange still shares the exchange
+    val spread = docs.sparkSession.sessionState.conf.numShufflePartitions
     val keys = sigs.select(col("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)"))
           .as("band_key"))
+      .repartition(spread, col("band"), col("band_key"))
     val cand = keys.as("a")
       .join(keys.as("b"),
         col("a.band") === col("b.band") &&
@@ -396,9 +403,16 @@ object Dedup {
       wordNgrams(tokenize(text), 2), bits)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
-    * banding the fingerprint into (maxDist+1) chunks — pigeonhole: any
-    * pair within maxDist agrees on ≥1 whole chunk, so candidates come
-    * from equal-chunk buckets, never a cross join.
+    * multi-index banding: the fingerprint splits into m = maxDist + r
+    * contiguous chunks and buckets key on every r-combination of chunks
+    * — pigeonhole: ≤ maxDist differing bits hit ≤ maxDist chunks, so ≥ r
+    * chunks agree and some whole r-combo matches; candidates come from
+    * equal-key buckets, never a cross join. r auto-escalates past 1 only
+    * when the wider key pays for the extra combo rows
+    * ([[chooseChunksPerKey]]): at small maxDist the single-chunk key is
+    * 62/(maxDist+1) bits — few enough distinct values that every doc
+    * collides with every other, which is what turned the bucket join
+    * quadratic on the 10× ScaleStress corpus.
     *
     * The 62 bits are partitioned into CONTIGUOUS VARIABLE-WIDTH chunks
     * with boundaries `i*62/nChunks` (integer division), so every chunk is
@@ -422,51 +436,125 @@ object Dedup {
     * columns join by equality alongside the chunk key (so they also
     * shrink the buckets) and ride through to the output, taken from the
     * `a` side. */
+  /** Pick how many chunks each bucket key concatenates (the multi-index
+    * width r): splitting into m = maxDist + r chunks and keying on every
+    * C(m, r) combination keeps the pigeonhole guarantee (≤ maxDist
+    * differing chunks ⇒ ≥ r agreeing chunks ⇒ some r-combo agrees
+    * wholly) while the key widens from 62/(maxDist+1) to r·62/(maxDist+r)
+    * bits. The in-bucket probe cost coefficient is
+    * C(m,r) / 2^(r·62/m) · n² — escalate r only while the combo count
+    * stays shuffle-sane (≤ 64 rows per doc) and the probe coefficient
+    * improves ≥ 4× (for maxDist=8: r=2 gives 45 combos and a 9× probe
+    * reduction; for maxDist=16, C(18,2)=153 buys only 1.07× — stay r=1). */
+  private[graft] def chooseChunksPerKey(maxDist: Int): Int = {
+    def combos(r: Int) = (1 to r).map(i => (maxDist + r - i + 1).toDouble / i).product
+    def coeff(r: Int) = combos(r) / math.pow(2.0, r * 62.0 / (maxDist + r))
+    (2 to 3).foldLeft(1) { (best, r) =>
+      if (maxDist + r <= 62 && combos(r) <= 64 && coeff(r) < coeff(best) / 4) r
+      else best
+    }
+  }
+
   def simhashPairsFromSig(sigs: DataFrame, maxDist: Int,
-                          groupCols: Seq[String] = Nil): DataFrame = {
-    val nChunks = maxDist + 1
+                          groupCols: Seq[String] = Nil,
+                          chunksPerKey: Int = 0): DataFrame = {
+    val r = if (chunksPerKey > 0) chunksPerKey else chooseChunksPerKey(maxDist)
+    val nChunks = maxDist + r
     require(nChunks <= 62,
-      s"maxDist=$maxDist needs $nChunks chunks; a 62-bit fingerprint supports at most 62")
+      s"maxDist=$maxDist with $r chunks per key needs $nChunks chunks; a 62-bit fingerprint supports at most 62")
     // repartition = a materialization fence: without it CollapseProject
     // pushes the simhash expression below the chunk explode and the
-    // self-join, recomputing it nChunks×2 times per doc (32 s → 3 s at
+    // joins, recomputing it nChunks×2 times per doc (32 s → 3 s at
     // sf0.1); with it each signature is computed once pre-shuffle and
-    // ReuseExchange shares the exchange across both join sides
-    val withSig = sigs
+    // ReuseExchange shares the one exchange across every consumer below.
+    // Keyed on (sh, groupCols) so the class aggregate, the within-class
+    // self-join, and both member-expansion joins all reuse the same
+    // partitioning instead of shuffling the corpus again.
+    val classKeys = col("sh") +: groupCols.map(col)
+    val members = sigs
       .select(col("doc_id") +: col("sh") +: groupCols.map(col): _*)
-      .repartition(col("doc_id"))
-    val bounds = (0 until nChunks).map { i =>
+      .repartition(classKeys: _*)
+    // Hamming-0 class collapse: rows with an IDENTICAL fingerprint (and
+    // group columns) band identically, so the bucket join needs only one
+    // representative per distinct signature. A class of c near-identical
+    // rows (mass boilerplate, replicated media, exact re-crawls)
+    // contributes 1 banded row instead of c — in-bucket probe work drops
+    // from Σ(member-bucket)² to Σ(class-bucket)², which is what turned
+    // quadratic at 10× on the dup-heavy ScaleStress corpus. The full
+    // pair set is reconstructed EXACTLY below: within-class pairs are
+    // Hamming 0 by definition, and every cross-class member pair has its
+    // reps' distance (equal fingerprints ⇒ equal XOR).
+    val classes = members.select(classKeys: _*).distinct()
+    // one bucket space per r-combination of chunks; the key hashes the
+    // combo's chunk values together (a hash collision only ADDS a
+    // candidate — the in-join hamming filter rejects it — never loses
+    // one, so exactness is untouched)
+    def chunkVal(i: Int): Column = {
       val lo = i * 62 / nChunks
       val hi = (i + 1) * 62 / nChunks
-      struct(lit(i).as("chunk"), lit(lo).as("lo"),
-        lit((1L << (hi - lo)) - 1).as("mask"))
+      call_function("shiftrightunsigned", col("sh"), lit(lo))
+        .bitwiseAND(lit((1L << (hi - lo)) - 1))
     }
-    val chunked = withSig.select(Seq(col("doc_id"), col("sh"),
-        explode(array(bounds: _*)).as("c")) ++ groupCols.map(col): _*)
-      .select(Seq(col("doc_id"), col("sh"), col("c.chunk").as("chunk"),
-        call_function("shiftrightunsigned", col("sh"), col("c.lo"))
-          .bitwiseAND(col("c.mask")).as("chunk_key")) ++
-        groupCols.map(col): _*)
-    // the hamming threshold goes INTO the join condition: chunk keys are
-    // only `2^chunkBits` distinct values, so buckets are big and the raw
-    // bucket join yields O(bucket²) candidate rows — evaluating the
+    val spaces = (0 until nChunks).combinations(r).zipWithIndex.map {
+      case (combo, id) =>
+        struct(lit(id).as("space"),
+          xxhash64(lit(id) +: combo.map(chunkVal): _*).as("chunk_key"))
+    }.toSeq
+    // explicit-N repartition on the bucket keys: the chunked frame is a
+    // few MB of scalar rows, so AQE's partition coalescing folds the
+    // bucket self-join to ONE partition and serializes the O(bucket²)
+    // probe work — measured 23 s → 1.8 s at ScaleStress 10× from this
+    // re-spread alone (same hazard the embedding pair scan documents).
+    // Explicit numPartitions is exempt from AQE coalescing; both join
+    // sides read the same exchange via ReuseExchange.
+    val spread = sigs.sparkSession.sessionState.conf.numShufflePartitions
+    val chunked = classes.select(Seq(col("sh"),
+        explode(array(spaces: _*)).as("c")) ++ groupCols.map(col): _*)
+      .select(Seq(col("sh"), col("c.space").as("space"),
+        col("c.chunk_key").as("chunk_key")) ++ groupCols.map(col): _*)
+      .repartition(spread, col("space"), col("chunk_key"))
+    // the hamming threshold goes INTO the join condition: chunk keys
+    // span only `2^keyBits` distinct values, so buckets are big and the
+    // raw bucket join yields O(bucket²) candidate rows — evaluating the
     // distance inside the join materializes only true near-dup rows
     // (the XOR+popcount runs per probed pair either way; what it saves
     // is copying millions of losing candidates downstream into distinct)
     val hamming = bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
     val joinCond = groupCols.foldLeft(
-        col("a.chunk") === col("b.chunk") &&
+        col("a.space") === col("b.space") &&
         col("a.chunk_key") === col("b.chunk_key") &&
-        col("a.doc_id") < col("b.doc_id") &&
+        col("a.sh") < col("b.sh") &&
         hamming <= maxDist) { (c, g) =>
       c && col(s"a.$g") === col(s"b.$g")
     }
-    chunked.as("a")
+    // distinct classes within a group have distinct sh, so `a.sh < b.sh`
+    // yields each unordered class pair once; distinct() dedups only
+    // multi-chunk matches of the SAME class pair (classes-sized, not
+    // members-sized)
+    val repPairs = chunked.as("a")
       .join(chunked.as("b"), joinCond)
-      .select(Seq(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")) ++
+      .select(Seq(col("a.sh").as("sh_a"), col("b.sh").as("sh_b")) ++
         groupCols.map(g => col(s"a.$g").as(g)) ++ Seq(hamming.as("hamming")): _*)
       .distinct()
-      .orderBy("id_a", "id_b")
+    def memb(side: String) = members.select(
+      col("doc_id").as(s"${side}_id") +: col("sh").as(s"sh_$side") +:
+        groupCols.map(col): _*)
+    val cross = repPairs
+      .join(memb("a"), "sh_a" +: groupCols)
+      .join(memb("b"), "sh_b" +: groupCols)
+      .select(Seq(least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b")) ++
+        groupCols.map(col) ++ Seq(col("hamming")): _*)
+    val within = members.as("x")
+      .join(members.as("y"), groupCols.foldLeft(
+          col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id")) { (c, g) =>
+        c && col(s"x.$g") === col(s"y.$g")
+      })
+      .select(Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")) ++
+        groupCols.map(g => col(s"x.$g").as(g)) ++
+        Seq(lit(0).as("hamming")): _*)
+    cross.unionByName(within).orderBy("id_a", "id_b")
   }
 
   /** Embedding near-dup: all pairs with cosine ≥ tau. Brute-force

@@ -1,0 +1,101 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale stress harness: materializes a builder-owned corpus ~10×
+  * the size of sf0.1 (50k documents / 20k embeddings) under
+  * `target/scale10/` — never touching the read-only testdata — and runs
+  * the dedup pipeline, ANN tiers, and connected components end-to-end,
+  * printing one JSON line of wall times and output counts. SURVEY §9's
+  * scaling table quotes these numbers; the point is converting the
+  * 100 TB plan-shape arguments into measured slope (≈linear wall time
+  * from sf0.1 → 10×, no memory cliff at local[32]).
+  *
+  * Corpus shape: each base doc appears in a 10-copy near-dup cluster
+  * (copy k drops the k leading tokens — bigram Jaccard ≥ τ for the
+  * adjacent copies, mirroring the withNearDups plant), so the dedup
+  * tiers see realistic cluster structure, not iid noise. Embedding
+  * copy k bumps coordinate k by +0.15 — cosine ≈ 0.99 clusters (pure
+  * scaling would be cosine-invariant and too easy).
+  */
+object ScaleStress {
+
+  val CopyStride = 1000000L
+
+  def docs10(base: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + lit(k * CopyStride)).as("doc_id"),
+        regexp_replace(col("text"), s"^([^ ]+ ){$k}", "").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+  def emb10(base: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("vec_id") + lit(k * CopyStride)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === (k - 1), x + lit(0.15f)).otherwise(x))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = s"target/scale$mult"
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsPath = s"$outDir/documents.parquet"
+    val embPath = s"$outDir/embeddings.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      docs10(spark.read.parquet(s"$baseDir/documents.parquet"), mult)
+        .repartition(32).write.mode("overwrite").parquet(docsPath)
+      emb10(spark.read.parquet(s"$baseDir/embeddings.parquet"), mult)
+        .repartition(32).write.mode("overwrite").parquet(embPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+    val emb = spark.read.parquet(embPath)
+    System.err.println(s"[stress] docs=${docs.count()} emb=${emb.count()}")
+
+    def timed(name: String)(df: => DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stress] $name%-24s $dt%8.2f s  rows=$n")
+      (name, dt, n)
+    }
+
+    val results = Seq(
+      timed("exact_groups") { Dedup.exactGroups(docs) },
+      timed("minhash_lsh_pairs") { Dedup.minhashLshPairs(docs, 32, 8, 0.4) },
+      timed("simhash_pairs") { Dedup.simhashPairs(docs, 8) },
+      timed("neardup_pipeline") { Dedup.nearDupPipeline(docs, 0.5, 32, 8, 0.4) },
+      timed("components_star") { Dedup.dedupComponentsStar(docs, 0.5) },
+      timed("semantic_dedup") { Dedup.semanticDedup(emb, 0.45) },
+      timed("knn_bruteforce") {
+        Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 10), 5) },
+      timed("knn_lsh") {
+        Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), 5) },
+      timed("knn_ivf") {
+        Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), 5) },
+      timed("multimodal_neardup") {
+        graft.multimodal.Multimodal.nearDupPairs(
+          graft.multimodal.Multimodal.mediaFromDocuments(docs),
+          graft.multimodal.Multimodal.GateMaxDist) }
+    )
+    val qs = results.map { case (n, t, c) =>
+      s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"scale_stress","mult":$mult,"total_sec":$total,"queries":$qs}""")
+    spark.stop()
+  }
+}
