@@ -563,7 +563,6 @@ object Multimodal {
       .join(repPairs, Seq("rep_a", "rep_b"), "left_semi")
     sameClass.select("id_a", "id_b")
       .unionByName(crossClass.select("id_a", "id_b"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Hamming budget for the gate: planted twins measure ≤ 3 (spec-pinned),

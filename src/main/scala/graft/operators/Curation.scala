@@ -42,6 +42,5 @@ object Curation {
       .filter(Sampling.hashBucket(col("doc_id")) < pct)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("quality_score"), col("scrubbed_fp"))
-      .orderBy("doc_id")
   }
 }

@@ -69,7 +69,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("span_chars")).as("n_dup_chars"),
         max(col("span_chars")).as("max_span"))
-      .orderBy("doc_id")
   }
 
   /** documents ∪ exact copies of doc_id < 20 (new ids). */
@@ -255,7 +254,6 @@ object Dedup {
         lit(tau) * greatest(col("sa"), col("sb"))
     a.join(broadcast(b), col("id_a") < col("id_b") && sizeOk && jac >= tau)
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Pick the exact-Jaccard implementation from corpus statistics: dense
@@ -289,7 +287,6 @@ object Dedup {
           (col("sa") + col("sb") - col("n_inter")), 6))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
 
   /** MinHash signature: k min-hashes over 5-byte sliding-window shingles,
     * fused into one codegen'd expression (see MinHashTextSignature — the
@@ -348,7 +345,6 @@ object Dedup {
           .cast("double") / k, 6))
       .filter(col("est_jaccard") >= tau)
       .select("id_a", "id_b", "est_jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** Driver-checkable MinHash invariant: the exact-Jaccard tier (J ≥ tau)
@@ -373,7 +369,6 @@ object Dedup {
     jaccardPairsAuto(docs, tau)
       .join(minhashLshPairs(docs, k, bands, estTau).select("id_a", "id_b"),
         Seq("id_a", "id_b"), "left_semi")
-      .orderBy("id_a", "id_b")
 
   /** Driver-checkable SimHash invariant — same shape as
     * [[minhashAgreement]]: the exact-Jaccard tier semi-joined against the
@@ -390,7 +385,6 @@ object Dedup {
     jaccardPairsAuto(docs, tau)
       .join(simhashPairs(docs, maxDist).select("id_a", "id_b"),
         Seq("id_a", "id_b"), "left_semi")
-      .orderBy("id_a", "id_b")
 
   /** 62-bit SimHash over the word-bigram multiset (62 keeps the packed
     * value positive under ANSI long arithmetic). Bit b is the sign of
@@ -554,7 +548,7 @@ object Dedup {
       .select(Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")) ++
         groupCols.map(g => col(s"x.$g").as(g)) ++
         Seq(lit(0).as("hamming")): _*)
-    cross.unionByName(within).orderBy("id_a", "id_b")
+    cross.unionByName(within)
   }
 
   /** Embedding near-dup: all pairs with cosine ≥ tau. Brute-force
@@ -599,7 +593,6 @@ object Dedup {
       if (nVec * (dim * 8L + 48) <= MaxBroadcastBytes) broadcast(b) else b
     a.join(build, col("id_a") < col("id_b") && sim >= tau)
       .select(col("id_a"), col("id_b"), sim.as("sim"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Connected components over an undirected pair graph — the step that
@@ -664,7 +657,7 @@ object Dedup {
         s"($changed labels still changing); the pair graph has a chain " +
         s"longer than maxIter — raise maxIter or pre-cluster with " +
         s"large-star/small-star")
-    labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+    labels.select(col("id").as("doc_id"), col("comp"))
   }
 
   /** Connected components via alternating large-star/small-star
@@ -737,7 +730,6 @@ object Dedup {
     edges.select(col("u").as("doc_id"), col("v").as("comp"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("comp"))
         .distinct())
-      .orderBy("doc_id")
   }
 
   /** Driver-gated clustering of the exact-Jaccard near-dup graph:
@@ -816,7 +808,6 @@ object Dedup {
         .filter(col("comp") =!= col("doc_id"))
         .select(col("doc_id").as("vec_id"))
     emb.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
-      .orderBy("vec_id")
   }
 
   /** Driver-checkable invariants for [[semanticDedup]] — the same
@@ -892,6 +883,5 @@ object Dedup {
       .select(col("doc_id"))
     docs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("content_fp"))
-      .orderBy("doc_id")
   }
 }

@@ -91,7 +91,6 @@ object EventAnalytics {
         round(col("filled"), 6).as("value"),
         col("obs").isNotNull.cast("int").as("observed"))
       .filter(col("value").isNotNull) // days before a user's first event
-      .orderBy("user_id", "day")
   }
 
   /** First-order Markov transition matrix over per-user event sequences:

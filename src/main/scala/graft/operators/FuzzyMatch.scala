@@ -56,5 +56,4 @@ object FuzzyMatch {
     * catalog-cleaning pass that finds typo'd duplicate product entries. */
   def fuzzyPartMatch(s: SparkSession, dir: String): DataFrame =
     similarPairs(Tables.part(s, dir), "p_name", maxDist = 2)
-      .orderBy("a", "b")
 }

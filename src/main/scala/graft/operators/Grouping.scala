@@ -27,7 +27,6 @@ object Grouping {
       Seq("user_id"), 1, Seq(desc("value"), asc("event_id")))
       .select(col("user_id"), col("event_id"), col("event_type"),
               round(col("value"), 6).as("value"), col("rn"))
-      .orderBy("user_id")
 
   /** CUBE over (o_orderstatus, o_orderpriority) as hierarchical
     * re-aggregation (same rationale as Relational.rollupRevenue: no
@@ -295,7 +294,6 @@ object Grouping {
         concat_ws(",", sort_array(collect_set(col("event_type"))))
           .as("event_types"),
         countDistinct(col("event_type")).as("n_types"))
-      .orderBy("user_id")
 
   /** Sequential-window breadth (lag + ntile): per-customer order recency
     * gap and in-customer spend quartile. Both windows share the customer
@@ -317,7 +315,6 @@ object Grouping {
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
         col("gap_days"), col("spend_quartile"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Session windows over the event stream: events of a user belong to
@@ -334,7 +331,6 @@ object Grouping {
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("session_value"))
-      .orderBy("user_id", "session_start")
 
   /** Distribution-rank window breadth: percent_rank / cume_dist /
     * running first over one per-customer partitioning (one shuffle, two
@@ -352,7 +348,6 @@ object Grouping {
       round(percent_rank().over(asc_), 6).as("price_pct_rank"),
       round(cume_dist().over(asc_), 6).as("price_cume_dist"),
       first("o_orderkey").over(desc_).as("top_order"))
-      .orderBy("custkey", "orderkey")
   }
 
   /** Robust (median/MAD) outlier statistics — **entirely in integers**.

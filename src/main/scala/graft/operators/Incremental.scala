@@ -82,7 +82,6 @@ object Incremental {
         coalesce(date_format(col("vt_ts"), "yyyy-MM-dd HH:mm:ss"),
           lit("9999-12-31 00:00:00")).as("valid_to"),
         col("n_orders"))
-      .orderBy("custkey", "version")
 
   /** Timestamp-typed form of the SCD2 dimension (open versions keep a
     * NULL valid_to) — the join-side face; scd2History is the formatted
@@ -141,6 +140,5 @@ object Incremental {
     mergeUpsert(base, syntheticDelta(base), "doc_id")
       .select(col("doc_id"), col("row_status"), col("lang"),
         md5(col("text")).as("fp"), length(col("text")).as("n_chars"))
-      .orderBy("doc_id")
   }
 }

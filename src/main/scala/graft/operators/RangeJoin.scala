@@ -99,7 +99,6 @@ object RangeJoin {
         sum(expr("unix_timestamp(least(en_a, en_b))") -
           expr("unix_timestamp(greatest(st_a, st_b))"))
           .as("overlap_seconds"))
-      .orderBy("user_a", "user_b")
   }
 
   /** Line items (any order's) shipped within one day after each order's
@@ -124,6 +123,5 @@ object RangeJoin {
     ord.select("o_orderkey").join(counts, Seq("o_orderkey"), "left")
       .select(col("o_orderkey"),
         coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
-      .orderBy("o_orderkey")
   }
 }

@@ -146,7 +146,6 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .orderBy("o_custkey", "rn")
   }
 
   /** Window: running per-customer spend (cumulative sum). */
@@ -158,7 +157,6 @@ object Relational {
       col("o_custkey"), col("o_orderkey"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
       round(sum("o_totalprice").over(w), 2).as("running_spend"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Distinct aggregation + plain aggs per order status. */
@@ -210,7 +208,6 @@ object Relational {
     o.select(col("o_custkey").as("custkey")).distinct()
       .except(o.filter(col("o_totalprice") > 300000.0)
         .select(col("o_custkey").as("custkey")).distinct())
-      .orderBy("custkey")
   }
 
   /** Set op INTERSECT: customers active in both years. */
@@ -221,7 +218,6 @@ object Relational {
       .intersect(
         o.filter(year(col("o_orderdate")) === 2000)
           .select(col("o_custkey").as("custkey")))
-      .orderBy("custkey")
   }
 
   /** Anti join: customers with no 1995 orders, counted per nation. */
@@ -246,7 +242,6 @@ object Relational {
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("total_spend"),
               col("n_orders"))
-      .orderBy(desc("total_spend"), asc("c_custkey"))
 
   /** JSON extraction from the events.props payload column.
     *
@@ -338,7 +333,6 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
-      .orderBy("hour", "event_type")
 
   /** ANSI set operations (INTERSECT / EXCEPT / UNION) on the part sets
     * two supplier nations ship — "assortment overlap" between two

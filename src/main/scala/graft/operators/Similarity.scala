@@ -43,7 +43,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
-      .orderBy("query_id", "rn")
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into ≤`cells` cells
@@ -168,7 +167,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
-      .orderBy("query_id", "rn")
   }
 
   /** Multi-probe cell assignment backing semantic dedup: trains the
@@ -270,7 +268,6 @@ object Similarity {
         aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
         array_min(col("qv")).as("q_min"),
         array_max(col("qv")).as("q_max"))
-      .orderBy("vec_id")
 
   /** Driver-checkable ANN invariants: one row per approximate method with
     * result-shape counts and a recall floor vs the exact brute-force tier,
@@ -353,6 +350,5 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rn"))
-      .orderBy("query_id", "rn")
   }
 }

@@ -34,7 +34,6 @@ object TextAnalysis {
       .filter(!array_contains(sw, col("word")))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("word")
   }
 
   /** Per-document token statistics. */
@@ -49,7 +48,6 @@ object TextAnalysis {
         round(
           aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
             .cast("double") / size(col("toks")), 4).as("avg_token_len"))
-      .orderBy("doc_id")
 
   /** Per-document quality score from length/stopword/diversity ratios —
     * the classic cheap pre-filters for LLM training corpora. */
@@ -70,7 +68,6 @@ object TextAnalysis {
       .withColumn("quality_score",
         round(lit(0.4) * col("stop_ratio") +
               lit(0.6) * col("distinct_ratio"), 4))
-      .orderBy("doc_id")
   }
 
   /** Language-ID heuristic: character-class evidence first (CJK, kana,
@@ -89,7 +86,6 @@ object TextAnalysis {
           .when(ratio("[\\x{0400}-\\x{04FF}]") > 0.05, "ru")
           .when(ratio("[áéíóúñ¿¡]") > 0.01, "es")
           .otherwise("en").as("lang_pred"))
-      .orderBy("doc_id")
   }
 
   /** Lang index for the trained-NB plant — the fixed alphabetical corpus
@@ -178,7 +174,6 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang_label"), col("l").as("lang_pred"),
         col("score"))
-      .orderBy("doc_id")
   }
 
   /** Driver-checkable accuracy gate for the trained NB: n_correct is an
@@ -203,7 +198,6 @@ object TextAnalysis {
   def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(col("text")).as("fp"))
-      .orderBy("doc_id")
 
   /** The rolling-fingerprint fold over a token array — shared by the
     * standalone query and the driver gate so the hash semantics exist in
@@ -224,7 +218,6 @@ object TextAnalysis {
   def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), rollingFpExpr(toks).as("fp"))
-      .orderBy("doc_id")
 
   /** Corpus plant for [[fingerprintGate]]: 20 token-REVERSED variants.
     * A reversed token list is the adversarial case for an order-
@@ -281,7 +274,6 @@ object TextAnalysis {
         size(col("wt")).as("n_ws_tokens"),
         round(size(col("bt")).cast("double") /
           greatest(size(col("wt")), lit(1)), 4).as("bpe_per_word"))
-      .orderBy("doc_id")
 
   /** Email/URL patterns, kept RE2-compatible (no lookahead/backrefs) so
     * the DuckDB oracle runs the byte-identical regexes. */
@@ -338,7 +330,6 @@ object TextAnalysis {
           .as("n_urls"),
         md5(scrubbed).as("scrubbed_fp"),
         length(scrubbed).as("n_chars_scrubbed"))
-      .orderBy("doc_id")
   }
 
   /** Contamination plant: training docs 50–69 get the first 8 tokens of
@@ -378,7 +369,6 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_grams_hit"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
-      .orderBy("doc_id")
   }
 
   /** The bloom-filter tier of benchmark decontamination — the promised
@@ -432,7 +422,6 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_grams_hit"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
-      .orderBy("doc_id")
   }
 
   /** Repetition plant: every 11th doc has its text doubled — the classic
@@ -459,7 +448,6 @@ object TextAnalysis {
         size(array_distinct(col("g"))).as("n_distinct"),
         (lit(1.0) - size(array_distinct(col("g"))).cast("double") /
           greatest(size(col("g")), lit(1))).as("rep_ratio"))
-      .orderBy("doc_id")
 
   /** URL plant for [[topDomains]]: every 4th doc cites one of 7 distinct
     * synthetic hosts (separate from withSyntheticPii so the PII oracle
@@ -483,7 +471,6 @@ object TextAnalysis {
       .select(regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_urls"))
-      .orderBy(desc("n_urls"), asc("domain"))
 
   /** Context-window sequence packing — the pre-training step that packs
     * documents into fixed token windows: docs are laid out in
@@ -507,7 +494,6 @@ object TextAnalysis {
       .groupBy("lang", "window_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
         min("doc_id").as("first_doc"))
-      .orderBy("lang", "window_id")
   }
 
   /** First-fit-decreasing bin packing — the occupancy-optimal tier
@@ -569,7 +555,6 @@ object TextAnalysis {
     ffdPack(Tables.documents(s, dir), capacity)
       .groupBy("shard", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("bin_toks"))
-      .orderBy("shard", "bin_id")
 
   /** Hash-checked gate: exact per-shard doc/token counts (ANSI-
     * recomputable) plus the three FFD invariants pinned at 1. */
@@ -634,7 +619,6 @@ object TextAnalysis {
         length(col("text")).as("n_chars_raw"),
         length(nfc).as("n_chars_nfc"),
         md5(nfc).as("nfc_fp"))
-      .orderBy("doc_id")
   }
 
   /** Boilerplate plant: the corpus has single-line docs, so fabricate the
@@ -683,7 +667,6 @@ object TextAnalysis {
         md5(concat_ws("\n",
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")))).as("kept_fp"))
-      .orderBy("doc_id")
   }
 
   /** Context-window document chunking with overlap — the retrieval /
@@ -707,7 +690,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).as("n_toks"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_id")
 
   /** BPE tokenizer TRAINING on the corpus — the merge-table induction
     * step every LLM pipeline runs before anything tokenizes: repeatedly
@@ -819,7 +801,6 @@ object TextAnalysis {
         sum(length(col("word"))).as("n_chars"))
       .withColumn("syms_per_word",
         round(col("n_syms").cast("double") / col("n_words"), 4))
-      .orderBy("doc_id")
 
   /** Hash-checked gate for the encoder: exact per-doc word/char counts
     * (ANSI-recomputable) plus two invariants the oracle pins at 1 —
@@ -841,7 +822,6 @@ object TextAnalysis {
           .as("roundtrip_ok"),
         min(when(col("bd"), 1).otherwise(0)).cast("int")
           .as("bounds_ok"))
-      .orderBy("doc_id")
 
   /** Driver-checkable side of the BPE trainer: step 0's winning pair IS
     * ANSI-recomputable (most frequent adjacent CHARACTER pair in the
@@ -899,7 +879,6 @@ object TextAnalysis {
         col("sum_big"), col("sum_pre"),
         (col("sum_big").cast("double") / col("sum_pre").cast("double"))
           .as("typicality"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-wide top-k bigrams (deterministic tie-break). */
@@ -999,7 +978,6 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
               col("tfidf"), col("rn"))
-      .orderBy("doc_id", "rn")
   }
 
   /** Case-insensitive URL matcher (raw corpora carry shouting URLs). */
@@ -1061,7 +1039,6 @@ object TextAnalysis {
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_urls"),
         countDistinct("url").as("n_variants"))
-      .orderBy("canon_url")
 
   /** Distributed dense ids for a keyed count table, ordered by
     * (cnt DESC, key ASC) — the vocabulary-construction step of tokenizer
@@ -1110,6 +1087,5 @@ object TextAnalysis {
         min("id").as("id_min"),
         max("id").as("id_max"),
         countDistinct("id").as("n_distinct"))
-      .orderBy("doc_id")
   }
 }

@@ -130,7 +130,6 @@ object Streaming {
          unix_timestamp(col("click_ts"))).as("delay_s"),
         round(col("value"), 6).as("value"))
     settle(joined, "graft_stream_conv", mode = "append")
-      .orderBy("click_id", "purchase_id")
   }
 
   /** Stream-static join: the events stream enriched with the static
@@ -159,7 +158,7 @@ object Streaming {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
-    settle(agg, "graft_stream_hourly").orderBy("hour", "event_type")
+    settle(agg, "graft_stream_hourly")
   }
 
   /** File-source stream over the documents parquet table (same shape as

@@ -134,16 +134,16 @@ class StreamingSpec extends AnyFunSuite {
   test("streamed hourly agg settles to the batch result") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.streamedEventsHourly(spark, dir)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("hour", "event_type").collect().map(_.toSeq).toSeq
     val batch = graft.operators.Relational.eventsHourly(spark, dir)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("hour", "event_type").collect().map(_.toSeq).toSeq
     assert(streamed === batch)
   }
 
   test("stream-stream join settles to the batch self-join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.streamedConversions(spark, dir)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("click_id", "purchase_id").collect().map(_.toSeq).toSeq
     val ev = graft.sources.Tables.events(spark, dir)
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"),
