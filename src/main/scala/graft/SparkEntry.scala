@@ -59,10 +59,10 @@ object SparkEntry {
     // --- reference parity: word count (SURVEY.md §2.1 O1-O7) ---
     "wordcount_ci" -> ((s, dir) =>
       WordCount.wordCount(Tables.documents(s, dir), "text", caseSensitive = false)
-        .orderBy("word")),
+        ),
     "wordcount_cs" -> ((s, dir) =>
       WordCount.wordCount(Tables.documents(s, dir), "text", caseSensitive = true)
-        .orderBy("word")),
+        ),
     "wordcount_topk" -> ((s, dir) =>
       WordCount.topK(Tables.documents(s, dir), "text", 50)),
     // Reference input format end-to-end (O1 text-dir scan → O7): write the
@@ -87,7 +87,6 @@ object SparkEntry {
         t
       })
       WordCount.wordCount(Tables.textDir(s, tmp), "line", caseSensitive = false)
-        .orderBy("word")
     }),
     // Hive-style partitioned parquet sink + partition-PRUNED re-scan: the
     // scan's PartitionFilters eliminate every non-matching lang directory
@@ -205,7 +204,7 @@ object SparkEntry {
     // --- dedup (north-star LLM-pipeline operators) ---
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Dedup.withExactDups(Tables.documents(s, dir)))
-        .orderBy("content_hash")),
+        ),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsAuto(Dedup.withNearDups(Tables.documents(s, dir)), 0.5)),
     "dedup_minhash_pairs" -> ((s, dir) =>
@@ -290,7 +289,6 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("asof.o_orderkey").as("o_orderkey"),
           col("asof.o_totalprice").as("o_totalprice"))
-        .orderBy("event_id")
     }),
     // same semantics through the native physical operator (plans.AsOfJoinExec)
     "asof_event_order_native" -> ((s, dir) => {
@@ -302,7 +300,6 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("o_orderkey"), col("o_totalprice"))
-        .orderBy("event_id")
     }),
     // --- range join (binned interval-point equi-join rewrite) ---
     "shipped_in_order_window" -> (RangeJoin.shipmentsInOrderWindow _),
@@ -313,6 +310,12 @@ object SparkEntry {
     "sample_hash_docs" -> (Sampling.documentsSample _),
     "sample_stratified_lang" -> (Sampling.documentsStratified _),
     "sample_mixture_lang" -> (Sampling.documentsMixture _),
+    // deterministic global shuffle into trainer shards + balance audit
+    "training_shards" -> ((s, dir) => Sampling.documentsShards(s, dir, 16)),
+    "shard_stats" -> ((s, dir) => Sampling.shardStats(s, dir, 16)),
+    // mixture-to-token-budget materialization (epochs + hash remainder)
+    "mixture_budget" -> ((s, dir) => Sampling.mixtureBudget(s, dir,
+      Map("en" -> 500000L, "zh" -> 150000L), defaultWeight = 100000L)),
     "sequence_packing" -> ((s, dir) =>
       TextAnalysis.sequencePacking(s, dir, windowTokens = 2048)),
     // --- explicit salting (skew fallback when AQE split isn't enough) ---
@@ -367,7 +370,6 @@ object SparkEntry {
           .cast("long").as(s"f$j"))
       feats.select(Seq(col("doc_id"), col("modality"),
           col("n_bytes").cast("long").as("n_bytes")) ++ lanes: _*)
-        .orderBy("doc_id")
     }),
     // modality pushed INTO mediaFromDocuments: the video predicate runs
     // before asset fabrication, so no image raster is built just to be
@@ -377,7 +379,7 @@ object SparkEntry {
         graft.multimodal.Multimodal.mediaFromDocuments(
           Tables.documents(s, dir), modality = Some("video")),
         durationMs = 1000, strideMs = 250)
-        .orderBy("doc_id", "frame_ms")),
+        ),
     // byte_sum checks the actual resampled BYTES (header + NN raster for
     // images), not just shapes — the oracle recomputes both from text
     "multimodal_resize" -> ((s, dir) =>
@@ -385,7 +387,7 @@ object SparkEntry {
         graft.multimodal.Multimodal.resizeImages(
           graft.multimodal.Multimodal.mediaFromDocuments(
             Tables.documents(s, dir)), targetW = 16, targetH = 16))
-        .orderBy("doc_id")),
+        ),
     // --- multimodal perceptual near-dup (dHash-style tier) ---
     // rows-only: the banded Hamming bucket join isn't ANSI-expressible;
     // the companion gate below is the hash-checked invariant. Pairs are
@@ -1693,6 +1695,64 @@ object SparkEntry {
         |WHERE ((doc_id % 2147483648) * 2654435761) % 100 <
         |  CASE lang WHEN 'en' THEN 90 WHEN 'zh' THEN 40 ELSE 60 END
         |ORDER BY doc_id""".stripMargin,
+    "training_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hkey
+        |  FROM documents),
+        |s AS (SELECT doc_id, hkey, hkey % 16 AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY hkey, doc_id) AS INTEGER) AS pos, hkey
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "shard_stats" ->
+      s"""WITH t AS (
+         |  SELECT ((doc_id % 2147483648) * 2654435761) % 2147483648 % 16
+         |      AS shard,
+         |    len($DuckTokList) AS n_toks
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS shard_toks
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+    "mixture_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(len($DuckTokList) AS BIGINT) AS n_toks,
+         |    ((doc_id % 2147483648) * 2654435761) % 1000000 AS bm
+         |  FROM documents),
+         |b AS (SELECT CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM d),
+         |a AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS available_toks,
+         |        CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY lang),
+         |r AS (
+         |  SELECT lang, available_toks, n_docs,
+         |    (budget // 1000000) * w + ((budget % 1000000) * w) // 1000000
+         |      AS target_toks
+         |  FROM (SELECT a.*, b.budget,
+         |      CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 150000
+         |        ELSE 100000 END AS BIGINT) AS w
+         |    FROM a, b) t),
+         |r2 AS (
+         |  SELECT lang, available_toks, n_docs, target_toks,
+         |    target_toks // available_toks AS full_epochs,
+         |    CAST(least(999999, CASE WHEN available_toks < 8796093022208
+         |        THEN ((target_toks % available_toks) * 1000000)
+         |          // available_toks
+         |        ELSE (target_toks % available_toks)
+         |          // greatest(available_toks // 1000000, 1) END) AS BIGINT)
+         |      AS rem_rate_millionths
+         |  FROM r),
+         |k AS (
+         |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs_sampled,
+         |    CAST(sum(d.n_toks) AS BIGINT) AS sampled_toks
+         |  FROM d JOIN r2 ON d.lang = r2.lang
+         |  WHERE d.bm < r2.rem_rate_millionths GROUP BY d.lang)
+         |SELECT r2.lang, available_toks, n_docs, target_toks, full_epochs,
+         |  rem_rate_millionths,
+         |  COALESCE(n_docs_sampled, 0) AS n_docs_sampled,
+         |  COALESCE(sampled_toks, 0) AS sampled_toks,
+         |  full_epochs * available_toks + COALESCE(sampled_toks, 0)
+         |    AS achieved_toks
+         |FROM r2 LEFT JOIN k ON r2.lang = k.lang
+         |ORDER BY r2.lang""".stripMargin,
     "sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($DuckTokList) AS n_toks

@@ -55,13 +55,11 @@ object Sampling {
     hashSample(Tables.documents(s, dir), "doc_id", 20)
       .select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"),
         col("lang"), col("n_chars"))
-      .orderBy("doc_id")
 
   /** 10 docs per language, deterministic across runs and layouts. */
   def documentsStratified(s: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 10)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .orderBy("lang", "doc_id")
 
   /** Mixture sampling — the data-mixing knob every multi-source training
     * corpus needs: a per-stratum keep RATE (not a per-stratum quota like
@@ -85,7 +83,133 @@ object Sampling {
         Map("en" -> 90, "zh" -> 40), defaultPct = 60)
       .select(col("doc_id"), col("lang"),
         hashBucket(col("doc_id")).as("bucket"))
-      .orderBy("doc_id")
+
+  /** Full-range deterministic order key in [0, 2^31) — the "global
+    * shuffle" position source for shard assignment. Same fold-then-
+    * multiply as [[hashBucket]] (and the same overflow guard) but keeps
+    * all 31 bits instead of collapsing to 100 buckets, so it totally
+    * orders a corpus with negligible collision mass. */
+  def hashOrderKey(id: Column): Column =
+    pmod(pmod(id, lit(1L << 31)) * lit(Mult), lit(1L << 31))
+
+  /** Millionth-resolution deterministic bucket in [0, 1e6) — the rate
+    * knob for [[mixtureBudget]], where 1-in-100 granularity is too
+    * coarse to hit a token budget. */
+  def bucketMillionths(id: Column): Column =
+    pmod(pmod(id, lit(1L << 31)) * lit(Mult), lit(1000000L))
+
+  /** Deterministic global shuffle into training shards — the step that
+    * turns a curated corpus into the shard files a trainer streams:
+    * every doc gets a (shard, pos) such that reading shards in pos
+    * order is a pseudo-random permutation of the corpus.
+    *
+    * Scale shape: shard assignment is a pure per-row hash (scan-fused,
+    * zero shuffle); only the within-shard position needs data movement
+    * — ONE shuffle on the shard key and a per-shard sort, which is
+    * embarrassingly parallel across shards (at 100 TB you run
+    * thousands of shards, so a shard is a few GB and the sort is
+    * in-memory per task). Never a global row_number — a single-
+    * partition window is the non-scalable version of this operator.
+    * Determinism: (hkey, id) is a total order on docs independent of
+    * layout, cluster size, or engine — re-runs produce byte-identical
+    * shards. */
+  def trainingShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hkey"), col(idCol))
+    df.select(col(idCol), hashOrderKey(col(idCol)).as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** Per-doc shard assignment for the documents table. */
+  def documentsShards(s: SparkSession, dir: String,
+                      nShards: Int = 16): DataFrame =
+    trainingShards(Tables.documents(s, dir), "doc_id", nShards)
+      .select(col("doc_id"), col("shard"), col("pos"), col("hkey"))
+
+  /** Per-shard doc/token totals — the balance audit for
+    * [[documentsShards]] (a trainer wants near-equal shard sizes; the
+    * multiplicative hash delivers them without any balancing pass).
+    * One scan + one tiny aggregate, no window. */
+  def shardStats(s: SparkSession, dir: String,
+                 nShards: Int = 16): DataFrame =
+    Tables.documents(s, dir)
+      .select(pmod(hashOrderKey(col("doc_id")), lit(nShards.toLong))
+          .as("shard"),
+        size(graft.functions.TextFunctions.tokenize(col("text")))
+          .as("n_toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_toks"))
+      .orderBy("shard")
+
+  /** Domain-mixture materialization to a TOKEN BUDGET — the "data
+    * mixing" step of corpus assembly: given target mixture weights per
+    * source (here: lang, in millionths) and a total token budget, each
+    * source gets target = budget·w/1e6 tokens, delivered as
+    * `full_epochs` whole passes over the source (upsampling — sources
+    * smaller than their target repeat, the standard multi-epoch trick)
+    * plus a deterministic hash-sampled remainder at
+    * `rem_rate_millionths`. The budget is self-scaling (half the
+    * corpus's total tokens) so the operator exercises both the
+    * upsample and downsample paths at every SF.
+    *
+    * All arithmetic is int64: rates are computed as
+    * `rem DIV max(avail DIV 1e6, 1)` rather than `rem·1e6 DIV avail` —
+    * same value to ±1 millionth, but the numerator never multiplies a
+    * token count by 1e6, which would overflow int64 exactly at the
+    * 100 TB corpora this is for (2.5e13 tokens · 1e6 > 2^63). Plan
+    * shape: one token-count aggregate over the corpus (map-side
+    * combined), a langs-sized rate table broadcast back onto the scan,
+    * and a per-row hash decision — the corpus never shuffles. */
+  def mixtureBudget(s: SparkSession, dir: String,
+                    weights: Map[String, Long],
+                    defaultWeight: Long = 100000L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokenize(col("text")))
+          .cast("long").as("n_toks"),
+        bucketMillionths(col("doc_id")).as("bm"))
+    val wcol = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (k, m)) => when(col("lang") === k, lit(m)).otherwise(acc)
+    }
+    val avail = docs.groupBy("lang")
+      .agg(sum("n_toks").as("available_toks"), count(lit(1)).as("n_docs"))
+    val budget = docs.agg(expr("sum(n_toks) DIV 2").as("budget"))
+    // target = budget·w/1e6 in two overflow-safe int64 terms: the naive
+    // budget*w product exceeds 2^63 exactly at 100 TB token counts
+    val rates = avail.crossJoin(budget)
+      .withColumn("w", wcol)
+      .withColumn("target_toks",
+        expr("(budget DIV 1000000) * w + ((budget % 1000000) * w) DIV 1000000"))
+      .select(col("lang"), col("available_toks"), col("n_docs"),
+        col("target_toks"),
+        expr("target_toks DIV available_toks").as("full_epochs"),
+        // exact rem·1e6/avail while the product fits int64 (avail < 2^43
+        // tokens — any per-source slice below ~9e12 tokens); above that,
+        // divide-first: ±1-millionth precision there is invisible, but
+        // losing 1e6× precision at SMALL scale (the exact regime) is not
+        least(lit(999999L), expr(
+          s"""CASE WHEN available_toks < ${1L << 43}
+             |  THEN ((target_toks % available_toks) * 1000000)
+             |    DIV available_toks
+             |  ELSE (target_toks % available_toks)
+             |    DIV greatest(available_toks DIV 1000000, 1) END""".stripMargin))
+          .as("rem_rate_millionths"))
+    val kept = docs.join(broadcast(rates.select(col("lang"),
+        col("rem_rate_millionths"))), "lang")
+      .filter(col("bm") < col("rem_rate_millionths"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_sampled"),
+        sum("n_toks").as("sampled_toks"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("available_toks"), col("n_docs"),
+        col("target_toks"), col("full_epochs"), col("rem_rate_millionths"),
+        coalesce(col("n_docs_sampled"), lit(0L)).as("n_docs_sampled"),
+        coalesce(col("sampled_toks"), lit(0L)).as("sampled_toks"),
+        (col("full_epochs") * col("available_toks") +
+          coalesce(col("sampled_toks"), lit(0L))).as("achieved_toks"))
+      .orderBy("lang")
+  }
 
   /** Train/test split leakage audit: hash-split the corpus (same
     * deterministic bucket as [[hashSample]] — membership is a pure

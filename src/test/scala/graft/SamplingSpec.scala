@@ -47,4 +47,48 @@ class SamplingSpec extends AnyFunSuite {
     assert(frac("1") < 0.25, s"grp1 ${frac("1")}")
     assert(frac("2") > 0.3 && frac("2") < 0.7, s"grp2 ${frac("2")}")
   }
+
+  test("trainingShards is an exact layout-independent permutation") {
+    val s1 = Sampling.trainingShards(df, "id", 8)
+    val s2 = Sampling.trainingShards(df.repartition(17), "id", 8)
+    // byte-identical shard layout regardless of input partitioning
+    assert(s1.collect().map(_.toSeq).toSet ===
+           s2.collect().map(_.toSeq).toSet)
+    val rows = s1.select("id", "shard", "pos")
+      .as[(Long, Long, Int)].collect()
+    // every doc exactly once
+    assert(rows.map(_._1).toSet === (0L until 1000L).toSet)
+    // positions are contiguous 1..n within every shard (a trainer can
+    // stream a shard as a dense file)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.size),
+        s"shard $shard positions not contiguous")
+    }
+    // multiplicative hash balances shards without a balancing pass
+    val sizes = rows.groupBy(_._2).values.map(_.size)
+    assert(sizes.max - sizes.min < 100,
+      s"shard imbalance: min=${sizes.min} max=${sizes.max}")
+    // within a shard, pos order must NOT be id order (it's a shuffle)
+    val firstShard = rows.filter(_._2 == rows.head._2).sortBy(_._3).map(_._1)
+    assert(firstShard.toSeq !== firstShard.sorted.toSeq)
+  }
+
+  test("mixtureBudget meets per-source token targets via epochs + remainder") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Sampling.mixtureBudget(SparkTestSession.spark, dir,
+        Map("en" -> 500000L, "zh" -> 150000L), defaultWeight = 100000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(8))).toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (lang, avail, target, epochs, rate, achieved) =>
+      // decomposition invariant: epochs·avail ≤ target < (epochs+1)·avail
+      assert(epochs * avail <= target && target < (epochs + 1) * avail,
+        s"$lang epochs decomposition")
+      assert(rate >= 0 && rate < 1000000, s"$lang rate $rate")
+      // achieved tracks target within sampling noise of a small stratum
+      // (each doc is ~0.5-3% of its stratum at sf0.001)
+      assert(math.abs(achieved - target) <= math.max(target / 4, 200L),
+        s"$lang achieved=$achieved vs target=$target")
+    }
+  }
 }
