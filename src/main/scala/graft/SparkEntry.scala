@@ -433,6 +433,10 @@ object SparkEntry {
     // --- tokenizer sizing + eval integrity ---
     "vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     "split_leakage_audit" -> ((s, dir) => Sampling.splitLeakageAudit(s, dir)),
+    // near-dup tier of the leakage audit: asymmetric LSH across the split
+    "split_leakage_neardup" -> ((s, dir) =>
+      Sampling.splitLeakageNearDup(
+        Dedup.withNearDups(Tables.documents(s, dir)))),
     // --- streaming ordered per-key state (flatMapGroupsWithState) ---
     "streamed_transitions" ->
       ((s, dir) => graft.streaming.Streaming.streamedTransitions(s, dir)),
@@ -2246,6 +2250,45 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM lk) AS n_leak_pairs,
         |  (SELECT CAST(count(DISTINCT test_id) AS BIGINT) FROM lk)
         |    AS n_leaky_test_docs""".stripMargin,
+    "split_leakage_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+         |  FROM documents WHERE doc_id < 20),
+         |d AS (
+         |  SELECT doc_id, text,
+         |    ((doc_id % 2147483648) * 2654435761) % 100 < 10 AS is_test
+         |  FROM corpus),
+         |t AS (SELECT doc_id, is_test, $DuckTokList AS toks FROM d),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, is_test,
+         |    toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.is_test AS ta, count(*) AS n_inter
+         |  FROM feats a JOIN feats b
+         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
+         |   AND a.is_test <> b.is_test
+         |  GROUP BY 1,2,3),
+         |lk AS (
+         |  SELECT CASE WHEN ta THEN id_a ELSE id_b END AS test_id
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+         |    >= 0.5)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d WHERE NOT is_test)
+         |    AS n_train,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d WHERE is_test)
+         |    AS n_test,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lk) AS n_neardup_pairs,
+         |  (SELECT CAST(count(DISTINCT test_id) AS BIGINT) FROM lk)
+         |    AS n_leaky_test_docs""".stripMargin,
     "streamed_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS src,

@@ -295,35 +295,76 @@ object Dedup {
   def minhashSignature(text: Column, k: Int): Column =
     graft.functions.MinHashExpression.minhash_signature(text, 5, k)
 
+  /** Shared LSH banding tier for the self-join dedup path and the
+    * asymmetric cross-split audit path.
+    *
+    * The `repartition(doc_id)` is a materialization fence: ONE exchange
+    * materializes each signature once, and every consumer (band keys +
+    * both estimate-join sides) reads that exchange instead of re-running
+    * the minhash (same CollapseProject hazard the simhash path
+    * documents). Band keys carry only scalars — (doc_id, band, key) is
+    * ~24 bytes/row vs shuffling the k-long signature array bands× per
+    * doc. The explicit-N repartition on the bucket keys defeats AQE
+    * coalescing: the keys frame is MBs of scalars, so AQE would fold
+    * the bucket join to one partition and serialize the in-bucket
+    * probing (measured 23 s → 1.8 s on the simhash tier); explicit
+    * numPartitions is exempt, and ReuseExchange still shares the
+    * exchange. `extraCols` ride through both frames. */
+  private def minhashKeyed(docs: DataFrame, k: Int, bands: Int,
+                           extraCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = docs.select(col("doc_id") +:
+        minhashSignature(col("text"), k).as("sig") +: extraCols.map(col): _*)
+      .repartition(col("doc_id"))
+    val spread = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = sigs.select(Seq(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig")) ++
+        extraCols.map(col): _*)
+      .select(Seq(col("doc_id"), col("band"),
+        xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)"))
+          .as("band_key")) ++ extraCols.map(col): _*)
+      .repartition(spread, col("band"), col("band_key"))
+    (sigs, keys)
+  }
+
+  /** Asymmetric MinHash+LSH: near-dup candidate pairs ACROSS a boolean
+    * split (test vs train) — the candidate tier of the near-dup leakage
+    * audit. Band keys of the small test side join band keys of the train
+    * side, so the bucket join is |test|·bucket-sized, never corpus²:
+    * at 100 TB the test set is a fixed eval suite and this plan touches
+    * each train bucket once per colliding test doc. Same banding, same
+    * exchange reuse, same estimate verify as [[minhashLshPairs]]. */
+  def minhashLshPairsAcross(docs: DataFrame, isTestCol: String, k: Int,
+                            bands: Int, estTau: Double): DataFrame = {
+    val (sigs, keys) = minhashKeyed(docs, k, bands, Seq(isTestCol))
+    val t = keys.filter(col(isTestCol)).drop(isTestCol)
+    val tr = keys.filter(!col(isTestCol)).drop(isTestCol)
+    val cand = t.as("a")
+      .join(tr.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("test_id"), col("b.doc_id").as("train_id"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("test_id"), col("sig").as("sig_a")),
+        "test_id")
+      .join(sigs.select(col("doc_id").as("train_id"), col("sig").as("sig_b")),
+        "train_id")
+      .withColumn("est_jaccard",
+        round(graft.functions.MinHashExpression
+          .sig_agree_count(col("sig_a"), col("sig_b"))
+          .cast("double") / k, 6))
+      .filter(col("est_jaccard") >= estTau)
+      .select("test_id", "train_id", "est_jaccard")
+  }
+
   /** MinHash+LSH near-dup pairs: band the k-wide signature into `bands`
     * rows-per-band groups, bucket-join on (band index, band hash), then
     * keep candidates whose signature-equality fraction estimates
     * Jaccard ≥ tau. No cross join: candidates only from equal buckets. */
   def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, tau: Double): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    // repartition fence: ONE exchange materializes each signature once,
-    // and every consumer below (band keys + both sides of the estimate
-    // join) reads that exchange instead of re-running the minhash
-    // (same CollapseProject hazard the simhash path documents)
-    val sigs = docs.select(col("doc_id"),
-        minhashSignature(col("text"), k).as("sig"))
-      .repartition(col("doc_id"))
-    // the bucket self-join carries only scalars — (doc_id, band, key) is
-    // ~24 bytes/row, vs shuffling the k-long signature array bands× per
-    // doc on both sides; candidate ids dedup as bare scalar pairs
-    // explicit-N repartition on the bucket keys: the keys frame is MBs
-    // of scalars, so AQE would coalesce the bucket self-join to one
-    // partition and serialize the in-bucket probing (same hazard the
-    // simhash tier measured at 23 s → 1.8 s); explicit numPartitions is
-    // exempt from coalescing and ReuseExchange still shares the exchange
-    val spread = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val keys = sigs.select(col("doc_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)"))
-          .as("band_key"))
-      .repartition(spread, col("band"), col("band_key"))
+    val (sigs, keys) = minhashKeyed(docs, k, bands)
     val cand = keys.as("a")
       .join(keys.as("b"),
         col("a.band") === col("b.band") &&

@@ -242,4 +242,43 @@ object Sampling {
       .select(col("n_train"), col("n_test"), col("n_leak_pairs"),
         col("n_leaky_test_docs"))
   }
+
+  /** NEAR-dup tier of the split leakage audit — [[splitLeakageAudit]]
+    * catches only byte-identical leaks; a paraphrased or lightly edited
+    * test document in train is the same eval-integrity hole and needs
+    * the similarity machinery: asymmetric LSH candidates across the
+    * split ([[Dedup.minhashLshPairsAcross]] — |test|·bucket-sized, never
+    * corpus²), then exact Jaccard verification restricted to candidate
+    * docs only (a semi-join bounds the expensive tier to the handful of
+    * docs LSH implicated).
+    *
+    * The gated query runs on the planted near-dup corpus (the
+    * dedup-family convention, SQL-regenerable) so the audit provably
+    * catches cross-split near-dups at every SF. Same corpus-dependence
+    * note as `minhashAgreement`: equality with the exact DuckDB
+    * recompute holds because planted pairs sit at J ≥ 0.9 where LSH
+    * recall is ~1-2e-4; a red row right after a testdata regen means
+    * corpus drift, not a banding bug. */
+  def splitLeakageNearDup(docs: DataFrame,
+                          testPct: Int = 10, tau: Double = 0.5): DataFrame = {
+    val flagged = docs.withColumn("__is_test",
+      hashBucket(col("doc_id")) < testPct)
+    val cand = Dedup.minhashLshPairsAcross(flagged, "__is_test", 32, 8, 0.4)
+    val candDocs = docs.join(
+      cand.select(explode(array(col("test_id"), col("train_id")))
+        .as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val verified = cand
+      .withColumn("id_a", least(col("test_id"), col("train_id")))
+      .withColumn("id_b", greatest(col("test_id"), col("train_id")))
+      .join(Dedup.jaccardPairsAuto(candDocs, tau).select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi")
+    flagged.filter(col("__is_test")).agg(count(lit(1)).as("n_test"))
+      .crossJoin(flagged.filter(!col("__is_test"))
+        .agg(count(lit(1)).as("n_train")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_neardup_pairs"),
+        countDistinct("test_id").as("n_leaky_test_docs")))
+      .select(col("n_train"), col("n_test"), col("n_neardup_pairs"),
+        col("n_leaky_test_docs"))
+  }
 }

@@ -222,4 +222,31 @@ class FuzzyRegressionSpec extends AnyFunSuite {
     assert(planted._3 >= 1L && planted._4 >= 1L,
       s"planted cross-split duplicate not detected: $planted")
   }
+
+  test("near-dup leakage: detects a planted cross-split near-duplicate") {
+    // a NEAR-dup (one word dropped, J >> 0.5) crossing the split must be
+    // caught by the LSH→exact tier while the exact-fp audit misses it
+    def bucket(id: Long) = ((id % 2147483648L) * 2654435761L) % 100L
+    val testId = (1L to 500L).find(bucket(_) < 10).get
+    val trainId = (1L to 500L).find(bucket(_) >= 10).get
+    val text = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi ") * 3
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nleak").toString
+    val corpus = Seq((testId, text),
+        (trainId, text.replaceFirst("alpha ", "")),
+        (trainId + 100L, "unrelated text about completely other things"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Sampling.splitLeakageNearDup(corpus)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._3 >= 1L && r._4 >= 1L,
+      s"planted cross-split near-dup not detected: $r")
+    corpus
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val exact = graft.operators.Sampling.splitLeakageAudit(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(exact._3 === 0L,
+      "near-dup must be invisible to the exact-fingerprint tier")
+  }
 }
