@@ -1704,15 +1704,16 @@ object SparkEntry {
         |  SELECT doc_id,
         |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hkey
         |  FROM documents),
-        |s AS (SELECT doc_id, hkey, hkey % 16 AS shard FROM h)
+        |s AS (SELECT doc_id, hkey,
+        |        (hkey * 16) // 2147483648 AS shard FROM h)
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY hkey, doc_id) AS INTEGER) AS pos, hkey
         |FROM s ORDER BY doc_id""".stripMargin,
     "shard_stats" ->
       s"""WITH t AS (
-         |  SELECT ((doc_id % 2147483648) * 2654435761) % 2147483648 % 16
-         |      AS shard,
+         |  SELECT (((doc_id % 2147483648) * 2654435761) % 2147483648 * 16)
+         |      // 2147483648 AS shard,
          |    len($DuckTokList) AS n_toks
          |  FROM documents)
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,

@@ -92,6 +92,20 @@ object Sampling {
   def hashOrderKey(id: Column): Column =
     pmod(pmod(id, lit(1L << 31)) * lit(Mult), lit(1L << 31))
 
+  /** Shard from the HIGH bits of [[hashOrderKey]]: range-slice [0, 2^31)
+    * into nShards equal intervals, i.e. `(hkey·nShards) DIV 2^31`.
+    * The low bits of a multiplicative hash are NOT hash-random: Mult ≡ 1
+    * (mod 16), so `hkey % 16 == id % 16` exactly and any power-of-two
+    * modulus reduces to a fixed permutation of `id mod nShards` — id
+    * spaces with stride divisible by nShards (planted-twin offsets,
+    * copy strides) would collapse every copy into its base doc's shard.
+    * The high bits are the textbook output of Knuth's method (three-
+    * distance equidistribution), and the range-slice form works for any
+    * nShards, not just powers of two. hkey < 2^31 and nShards is small,
+    * so the product stays far below 2^63. */
+  def shardOf(hkey: Column, nShards: Int): Column =
+    shiftright(hkey * lit(nShards.toLong), 31)
+
   /** Millionth-resolution deterministic bucket in [0, 1e6) — the rate
     * knob for [[mixtureBudget]], where 1-in-100 granularity is too
     * coarse to hit a token budget. */
@@ -117,7 +131,7 @@ object Sampling {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("hkey"), col(idCol))
     df.select(col(idCol), hashOrderKey(col(idCol)).as("hkey"))
-      .withColumn("shard", pmod(col("hkey"), lit(nShards.toLong)))
+      .withColumn("shard", shardOf(col("hkey"), nShards))
       .withColumn("pos", row_number().over(w))
   }
 
@@ -134,8 +148,7 @@ object Sampling {
   def shardStats(s: SparkSession, dir: String,
                  nShards: Int = 16): DataFrame =
     Tables.documents(s, dir)
-      .select(pmod(hashOrderKey(col("doc_id")), lit(nShards.toLong))
-          .as("shard"),
+      .select(shardOf(hashOrderKey(col("doc_id")), nShards).as("shard"),
         size(graft.functions.TextFunctions.tokenize(col("text")))
           .as("n_toks"))
       .groupBy("shard")
