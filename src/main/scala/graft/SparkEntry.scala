@@ -311,8 +311,9 @@ object SparkEntry {
     "sample_stratified_lang" -> (Sampling.documentsStratified _),
     "sample_mixture_lang" -> (Sampling.documentsMixture _),
     // deterministic global shuffle into trainer shards + balance audit
-    "training_shards" -> ((s, dir) => Sampling.documentsShards(s, dir, 16)),
-    "shard_stats" -> ((s, dir) => Sampling.shardStats(s, dir, 16)),
+    // (ShardN is the single source for both engines' shard formula)
+    "training_shards" -> ((s, dir) => Sampling.documentsShards(s, dir, ShardN)),
+    "shard_stats" -> ((s, dir) => Sampling.shardStats(s, dir, ShardN)),
     // mixture-to-token-budget materialization (epochs + hash remainder)
     "mixture_budget" -> ((s, dir) => Sampling.mixtureBudget(s, dir,
       Map("en" -> 500000L, "zh" -> 150000L), defaultWeight = 100000L)),
@@ -355,6 +356,10 @@ object SparkEntry {
       (graft.streaming.Streaming.streamedDedupAgainstBase _),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
+    // --- corpus-assembly capstone: raw documents in, sharded training
+    // set out (curation → near-dup dedup → decontamination → mixture
+    // budget → shard assignment, composed as ONE plan) ---
+    "corpus_assembly" -> ((s, dir) => CorpusAssembly.corpusAssembly(s, dir)),
     // --- multimodal binary-column plumbing ---
     // The operator returns features as array<float>; the driver's pandas
     // harness can't sort/hash array cells (round-1 crash), so the query
@@ -441,6 +446,14 @@ object SparkEntry {
     "streamed_transitions" ->
       ((s, dir) => graft.streaming.Streaming.streamedTransitions(s, dir)),
   )
+
+  /** Shard count for training_shards/shard_stats — interpolated into the
+    * DuckDB oracles so both engines derive the shard formula from ONE
+    * value (ADVICE r8). */
+  private val ShardN = 16
+
+  /** 2^31, the fold modulus of Sampling.hashOrderKey, as oracle text. */
+  private val Fold31 = 1L << 31
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
   private val DuckTokList: String =
@@ -1699,21 +1712,24 @@ object SparkEntry {
         |WHERE ((doc_id % 2147483648) * 2654435761) % 100 <
         |  CASE lang WHEN 'en' THEN 90 WHEN 'zh' THEN 40 ELSE 60 END
         |ORDER BY doc_id""".stripMargin,
+    // $ShardN and $Fold31 interpolate the SAME constants the Spark side
+    // uses (Sampling.shardOf / ADVICE r8: a default-shard-count change
+    // must not silently desync the oracle)
     "training_shards" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hkey
-        |  FROM documents),
-        |s AS (SELECT doc_id, hkey,
-        |        (hkey * 16) // 2147483648 AS shard FROM h)
-        |SELECT doc_id, shard,
-        |  CAST(row_number() OVER (PARTITION BY shard
-        |    ORDER BY hkey, doc_id) AS INTEGER) AS pos, hkey
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ((doc_id % $Fold31) * 2654435761) % $Fold31 AS hkey
+         |  FROM documents),
+         |s AS (SELECT doc_id, hkey,
+         |        (hkey * $ShardN) // $Fold31 AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY hkey, doc_id) AS INTEGER) AS pos, hkey
+         |FROM s ORDER BY doc_id""".stripMargin,
     "shard_stats" ->
       s"""WITH t AS (
-         |  SELECT (((doc_id % 2147483648) * 2654435761) % 2147483648 * 16)
-         |      // 2147483648 AS shard,
+         |  SELECT (((doc_id % $Fold31) * 2654435761) % $Fold31 * $ShardN)
+         |      // $Fold31 AS shard,
          |    len($DuckTokList) AS n_toks
          |  FROM documents)
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2033,6 +2049,135 @@ object SparkEntry {
          |FROM k
          |WHERE rn = 1 AND ((doc_id % 2147483648) * 2654435761) % 100 < 50
          |ORDER BY doc_id""".stripMargin,
+    // full capstone recompute: quality gate → scrub → exact dedup →
+    // exact-Jaccard closure → 8-gram decontamination → mixture rates →
+    // replica explode → shard/pos from the hash high bits. Stage
+    // arithmetic is copied from the per-stage oracles above (quality/
+    // scrub from curation_pipeline, pairs+closure from neardup_pipeline,
+    // grams from ContaminationSql, rates from mixture_budget, shard
+    // formula from training_shards) so one definition per stage holds
+    // across BOTH engines. rep_id factor 22 = maxEpochs(20) + 2.
+    "corpus_assembly" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(
+         |      regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g') AS ctext
+         |  FROM (SELECT doc_id, lang, text, $DuckTokList AS toks
+         |        FROM documents) t0
+         |  WHERE round(0.4 * round(len(list_filter(toks,
+         |        x -> list_contains(
+         |          ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
+         |        / len(toks), 4)
+         |      + 0.6 * round(len(list_distinct(toks))::DOUBLE
+         |        / len(toks), 4), 4) >= 0.3),
+         |e AS (
+         |  SELECT doc_id, lang, ctext FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY md5(ctext)
+         |                                   ORDER BY doc_id) AS rn
+         |    FROM q) f
+         |  WHERE rn = 1),
+         |tk AS (SELECT doc_id, $DuckTokList AS toks
+         |       FROM (SELECT doc_id, ctext AS text FROM e) x),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                    AS i) g),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM feats a JOIN feats b
+         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+         |    >= 0.5),
+         |edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.src, e2.id_b FROM reach r
+         |  JOIN edges e2 ON r.dst = e2.id_a),
+         |dropped AS (
+         |  SELECT src AS doc_id FROM reach
+         |  GROUP BY 1 HAVING min(dst) <> src),
+         |strain AS (
+         |  SELECT doc_id, lang, ctext FROM e
+         |  WHERE doc_id >= 50
+         |    AND doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |ttk AS (SELECT doc_id, $DuckTokList AS toks
+         |        FROM (SELECT doc_id, ctext AS text FROM strain) x),
+         |bg AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i+7), ' ')
+         |    AS gram
+         |  FROM (SELECT $DuckTokList AS toks FROM (
+         |          SELECT regexp_replace(
+         |            regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |            '<EMAIL>', 'g') AS text
+         |          FROM documents WHERE doc_id < 50) b0) b1,
+         |    LATERAL (SELECT unnest(generate_series(1,
+         |               greatest(len(toks)-7, 0))) AS i) g),
+         |tg AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(toks, i, i+7), ' ') AS gram
+         |  FROM ttk, LATERAL (SELECT unnest(generate_series(1,
+         |               greatest(len(toks)-7, 0))) AS i) g),
+         |contam AS (SELECT DISTINCT tg.doc_id FROM tg
+         |           JOIN bg USING (gram)),
+         |train AS (
+         |  SELECT s.doc_id, s.lang, CAST(len(tt.toks) AS BIGINT) AS n_toks,
+         |    ((s.doc_id % 2147483648) * 2654435761) % 1000000 AS bm
+         |  FROM strain s JOIN ttk tt USING (doc_id)
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |b AS (SELECT CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM train),
+         |a2 AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS available_toks
+         |       FROM train GROUP BY lang),
+         |r2 AS (
+         |  SELECT lang,
+         |    CAST(least(target_toks // available_toks, 20) AS BIGINT)
+         |      AS full_epochs,
+         |    CAST(least(999999, CASE WHEN available_toks < 8796093022208
+         |        THEN ((target_toks % available_toks) * 1000000)
+         |          // available_toks
+         |        ELSE (target_toks % available_toks)
+         |          // greatest(available_toks // 1000000, 1) END) AS BIGINT)
+         |      AS rem_rate_millionths
+         |  FROM (SELECT lang, available_toks,
+         |          (budget // 1000000) * w + ((budget % 1000000) * w)
+         |            // 1000000 AS target_toks
+         |        FROM (SELECT a2.*, b.budget,
+         |            CAST(CASE lang WHEN 'en' THEN 500000
+         |              WHEN 'zh' THEN 150000 WHEN 'de' THEN 600000
+         |              ELSE 100000 END AS BIGINT) AS w
+         |          FROM a2, b) t1) t2),
+         |cop AS (
+         |  SELECT train.doc_id, train.lang, train.n_toks,
+         |    full_epochs + CASE WHEN bm < rem_rate_millionths
+         |      THEN 1 ELSE 0 END AS copies
+         |  FROM train JOIN r2 USING (lang)),
+         |expd AS (
+         |  SELECT doc_id, lang, n_toks,
+         |    unnest(generate_series(0, copies - 1)) AS epoch
+         |  FROM cop WHERE copies > 0),
+         |h AS (
+         |  SELECT doc_id, epoch, lang, n_toks,
+         |    doc_id * 22 + epoch AS rep_id,
+         |    (((doc_id * 22 + epoch) % 2147483648) * 2654435761)
+         |      % 2147483648 AS hkey
+         |  FROM expd)
+         |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch, lang, n_toks,
+         |  (hkey * 8) // 2147483648 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY (hkey * 8) // 2147483648
+         |    ORDER BY hkey, rep_id) AS INTEGER) AS pos
+         |FROM h ORDER BY doc_id, epoch""".stripMargin,
     "user_event_type_sets" ->
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type)
@@ -2280,8 +2425,10 @@ object SparkEntry {
          |  FROM inter
          |  JOIN sizes sa ON sa.doc_id = id_a
          |  JOIN sizes sb ON sb.doc_id = id_b
+         |  -- pinned to the planted J >= 0.9 band (LSH miss prob <= 2e-4
+         |  -- there), so an organic mid-Jaccard pair can't flip this gate
          |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
-         |    >= 0.5)
+         |    >= 0.9)
          |SELECT
          |  (SELECT CAST(count(*) AS BIGINT) FROM d WHERE NOT is_test)
          |    AS n_train,

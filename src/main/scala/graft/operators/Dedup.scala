@@ -665,14 +665,14 @@ object Dedup {
     // constant-size; blocks are reclaimed by the ContextCleaner once
     // unreferenced. It also makes the edge union read the (possibly
     // expensive) pair query once, not once per branch. A cluster
-    // deployment can switch to reliable checkpoint() every few rounds
-    // for executor-loss tolerance — same shape.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val edges = p
-      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // deployment sets spark.graft.checkpointDir to make every round a
+    // RELIABLE checkpoint for executor-loss tolerance (Checkpoints).
+    val p = Checkpoints.materialize(pairs.select(col("id_a"), col("id_b")))
+    val edges = Checkpoints.materialize(p
+      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    var labels = Checkpoints.materialize(
+      edges.select(col("id_a").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -681,11 +681,11 @@ object Dedup {
           "id_b")
         .groupBy(col("id_a").as("id"))
         .agg(min("nc").as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("new_comp"))
-        .localCheckpoint(true)
+      val next = Checkpoints.materialize(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("comp"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+              .as("new_comp")))
       changed = next.filter(col("new_comp") =!= col("comp")).count()
       labels = next.select(col("id"), col("new_comp").as("comp"))
       iter += 1
@@ -750,12 +750,12 @@ object Dedup {
       withMin.select(col("v").as("u"), col("m").as("v"))
         .union(withMin.select(col("u"), col("m").as("v")))
     }
-    var edges = canon(init).localCheckpoint(true)
+    var edges = Checkpoints.materialize(canon(init))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = canon(smallStar(canon(largeStar(edges))))
-        .localCheckpoint(true)
+      val next = Checkpoints.materialize(
+        canon(smallStar(canon(largeStar(edges)))))
       // exact set comparison (a count tie is not a fixpoint proof);
       // both sides are checkpointed so each except is two flat scans
       converged = next.exceptAll(edges).isEmpty &&

@@ -64,14 +64,14 @@ object Graph {
                damp: Long = 85L): DataFrame = {
     require(iters >= 0 && damp >= 0 && damp <= 100)
     // one shuffle of the big side, ever; partitioning survives checkpoint
-    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val e = Checkpoints.materialize(edges.repartition(col("src")))
     val base = (100L - damp) * scale / 100L
     // outdeg rides inside the rank table: one join per sweep instead of
     // a ranks-deg join plus a deg-contrib join
-    var ranks = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
-      .withColumn("pr", lit(scale))
-      .localCheckpoint(true)
+    var ranks = Checkpoints.materialize(
+      e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+        .withColumn("pr", lit(scale)))
     var i = 0
     while (i < iters) {
       val give = ranks
@@ -79,13 +79,12 @@ object Graph {
       val contrib = e.join(give, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum("give").as("contrib"))
-      ranks = ranks.drop("pr")
+      ranks = Checkpoints.materialize(ranks.drop("pr")
         .join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           (lit(base) +
             expr(s"($damp * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100"))
-            .as("pr"))
-        .localCheckpoint(true)
+            .as("pr")))
       i += 1
     }
     ranks.select("node", "pr")

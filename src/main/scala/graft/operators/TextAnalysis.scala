@@ -756,10 +756,10 @@ object TextAnalysis {
         val (a, b, pc) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((step, a, b, pc))
-        vocab = vocab.select(
+        vocab = Checkpoints.materialize(vocab.select(
           graft.functions.BpeMergeExpression
             .bpe_merge_pair(col("syms"), a, b).as("syms"),
-          col("cnt")).localCheckpoint()
+          col("cnt")))
         step += 1
       }
     }

@@ -21,18 +21,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Sessions set spark.sql.legacy.parquet.nanosAsLong=true so it arrives
-    * as raw nanos; convert with integer division (ns ~1.7e18 exceeds
-    * double's 2^53 mantissa, so never divide through floating point). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+  /** Normalize a timestamp column to TIMESTAMP (with-local-TZ) no matter
+    * which physical parquet encoding the testdata generator picked:
+    *   - INT64 TIMESTAMP(NANOS): sessions set
+    *     spark.sql.legacy.parquet.nanosAsLong=true so it arrives as raw
+    *     nanos (LongType); convert with integer division (ns ~1.7e18
+    *     exceeds double's 2^53 mantissa, so never divide through floating
+    *     point).
+    *   - TIMESTAMP_MICROS with isAdjustedToUTC=0: Spark reads
+    *     TIMESTAMP_NTZ; the session TZ is pinned UTC (build.sbt /
+    *     SparkSession builders), so a cast to TimestampType reinterprets
+    *     the same wall-clock instant value-exactly.
+    *   - TIMESTAMP_MICROS/MILLIS adjusted to UTC: already TimestampType.
+    * Downstream consumers (withWatermark, unix_micros) require plain
+    * TIMESTAMP, so every events read — batch or streaming — must pass
+    * through here. */
+  private[graft] def normalizeTsColumn(df: DataFrame,
+                                       tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTsColumn(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

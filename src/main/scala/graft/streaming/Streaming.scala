@@ -59,16 +59,16 @@ object Streaming {
   private val runId = new AtomicInteger(0)
 
   /** File-source stream over the events parquet table (schema probed from
-    * a batch read; ts nanos→timestamp like Tables.events). The file
-    * stream source requires a directory: stream the sf dir glob-filtered
-    * down to the events table. */
+    * a batch read; ts normalized to TIMESTAMP exactly like Tables.events —
+    * raw nanos-as-long and TIMESTAMP_NTZ both covered, so withWatermark
+    * downstream always sees a plain timestamp). The file stream source
+    * requires a directory: stream the sf dir glob-filtered down to the
+    * events table. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
     val stream0 = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream0
+    graft.sources.Tables.normalizeTsColumn(stream0)
   }
 
   /** Run a streaming aggregation to its settled state through a memory

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{CorpusAssembly, Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,7 +90,19 @@ object ScaleStress {
       timed("multimodal_neardup") {
         graft.multimodal.Multimodal.nearDupPairs(
           graft.multimodal.Multimodal.mediaFromDocuments(docs),
-          graft.multimodal.Multimodal.GateMaxDist) }
+          graft.multimodal.Multimodal.GateMaxDist) },
+      // r7/r8 additions (previously unmeasured at 10×): the per-shard
+      // window sort, the cross-split LSH audit, the broadcast-rates
+      // mixture, NB scoring, and the full capstone composition
+      timed("training_shards") {
+        Sampling.trainingShards(docs, "doc_id", 16) },
+      timed("split_leakage_neardup") {
+        Sampling.splitLeakageNearDup(docs) },
+      timed("mixture_budget") {
+        Sampling.mixtureBudget(spark, outDir,
+          Map("en" -> 500000L, "zh" -> 150000L)) },
+      timed("lang_id_nb") { TextAnalysis.langIdNb(spark, outDir) },
+      timed("corpus_assembly") { CorpusAssembly.corpusAssembly(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

@@ -291,4 +291,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "a checksum leg grew a join")
     assert(!p.contains("Window"), "a checksum leg grew a window")
   }
+
+  test("corpus assembly: exchange budget holds across the composition") {
+    import graft.operators.CorpusAssembly
+    // Stages 1-4 materialize once behind Checkpoints (their own shapes
+    // are pinned by the per-stage tests); the FINAL plan — what runs per
+    // downstream read — must stay: per-lang rate aggregate + one-row
+    // budget aggregate + broadcast of the langs-sized rate table back
+    // onto the checkpointed corpus + ONE shard exchange for the window.
+    // Regression here = a stage re-expanding per consumer (7 corpus
+    // scans at 100 TB) or the rates join degrading to a shuffle.
+    val p = plan(CorpusAssembly.corpusAssembly(spark, dir))
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 4, p)
+    assert(p.contains("BroadcastHashJoin"), "rates must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus shuffled for a langs-sized join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(shard"),
+      "shard window lost its hash partitioning")
+  }
 }

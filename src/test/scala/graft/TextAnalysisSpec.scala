@@ -243,10 +243,12 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("bloom-tier contamination equals the exact one-tier answer") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
+    // both sides collect partition-order-dependent; compare as sorted
+    // multisets (same fix as 4fca536 applied to the streaming specs)
     val exact = TextAnalysis.contaminationCheck(spark, dir)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
     val bloom = TextAnalysis.contaminationCheckBloom(spark, dir)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
     assert(exact.nonEmpty) // the planted snippets must be found at all
     assert(bloom === exact)
   }
