@@ -900,26 +900,67 @@ object Dedup {
         "survivors_ok")
   }
 
+  /** Exact bigram-Jaccard verification of an EXPLICIT candidate pair
+    * set: per-doc distinct hashed-bigram feature arrays join onto the
+    * pairs (two doc_id hash joins), intersection size via codegen'd
+    * `array_intersect`. Work is O(|cand| · avg set size) — bounded by
+    * the candidate tier that produced `cand`, with NO postings
+    * self-join: the Σ df² term that makes the all-pairs tiers grow
+    * super-linearly on clustered corpora never appears. Same feature
+    * space, intersection count, and rounded formula as
+    * [[jaccardPairs]], so for any pair the emitted jaccard is
+    * identical. */
+  def jaccardVerifyPairs(docs: DataFrame, cand: DataFrame,
+                         tau: Double): DataFrame = {
+    val feats = docs.select(col("doc_id"),
+      transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
+        f => xxhash64(f)).as("fs"))
+    cand.select("id_a", "id_b")
+      .join(feats.select(col("doc_id").as("id_a"), col("fs").as("fa")), "id_a")
+      .join(feats.select(col("doc_id").as("id_b"), col("fs").as("fb")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("fa"), col("fb"))))
+      .withColumn("denom",
+        size(col("fa")) + size(col("fb")) - col("n_inter"))
+      // a candidate pair of two featureless docs ((<2 tokens each) has
+      // J undefined — the postings tiers never materialize it, and ANSI
+      // mode makes the 0/0 an error rather than a NULL, so drop first
+      .filter(col("denom") > 0)
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / col("denom"), 6))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** The full near-dup pipeline, end to end, as ONE query — the 100 TB
     * architecture this module's scaladoc describes, actually composed:
     *
     *   1. candidate generation: MinHash LSH buckets, O(rows × bands);
-    *   2. exact verification: the Jaccard tier RESTRICTED to LSH
-    *      candidates by a semi-join (at corpus scale this is what keeps
-    *      the quadratic tier bounded);
+    *   2. exact verification of the CANDIDATE PAIRS ONLY
+    *      ([[jaccardVerifyPairs]]): work is bounded by the LSH output,
+    *      never by corpus pair structure. (The pre-r9 form ran the full
+    *      all-pairs exact tier and semi-joined candidates afterwards —
+    *      identical output, but the postings self-join's Σ df² grew
+    *      ~25× at 10× on the clustered stress corpus and drove the
+    *      pipeline's 5.9× wall-time slope, the worst in SURVEY §9.1;
+    *      restricting the WORK, not just the result, is the fix.)
     *   3. clustering: connected components over the verified pairs;
     *   4. keep-one: drop every doc whose component label isn't itself.
     *
     * Returns the surviving corpus (doc_id + content fingerprint). On the
     * gated corpus LSH recall is 1, so survivors == corpus minus the
     * non-min members of the exact tier's closure — which the oracle
-    * recomputes in SQL (pairs → recursive closure → EXCEPT). */
+    * recomputes in SQL (pairs → recursive closure → EXCEPT); the
+    * verified SET is unchanged from the semi-join form because
+    * {J ≥ τ} ∩ cand ≡ {p ∈ cand : J(p) ≥ τ}. */
   def nearDupPipeline(docs: DataFrame, tau: Double, k: Int, bands: Int,
                       estTau: Double): DataFrame = {
-    val verified = jaccardPairsAuto(docs, tau)
-      .join(minhashLshPairs(docs, k, bands, estTau).select("id_a", "id_b"),
-        Seq("id_a", "id_b"), "left_semi")
-    val dropped = connectedComponents(verified)
+    val cand = minhashLshPairs(docs, k, bands, estTau)
+    val verified = jaccardVerifyPairs(docs, cand, tau)
+    // star variant, not label-prop: near-dup clusters are copy CHAINS
+    // (copy k matches k±1), and label-prop pays one round per chain hop
+    // (~9 rounds on the 10-copy stress clusters) while large/small-star
+    // converges in O(log) rounds on the same graph — identical labels
+    val dropped = connectedComponentsStar(verified.select("id_a", "id_b"))
       .filter(col("comp") =!= col("doc_id"))
       .select(col("doc_id"))
     docs.join(dropped, Seq("doc_id"), "left_anti")

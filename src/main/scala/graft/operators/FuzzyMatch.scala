@@ -41,10 +41,13 @@ object FuzzyMatch {
     val right = names
       .select(col("v").as("b"),
         explode(sequence(bin - 1, bin + 1)).as("__bin"))
-    // Join only on the cheap bin + ordering predicates; the edit
-    // distance is computed once per candidate in a post-join projection
-    // and filtered there — same shuffle, half the levenshtein work that
-    // evaluating it in both the join condition and the output costs.
+    // Catalyst pushes the dist filter back INTO the join condition
+    // (verified via explain: `Join condition: levenshtein(a,b) <= k AND
+    // a < b`), which is the shape we want — rejected candidates die
+    // inside the join and are never materialized. levenshtein runs once
+    // per candidate in the condition plus once per SURVIVOR in the
+    // output projection; survivors are a tiny fraction of candidates,
+    // so the re-evaluation is noise, not a 2x.
     left.join(right,
         left("__bin") === right("__bin") && col("a") < col("b"))
       .select(col("a"), col("b"),

@@ -280,15 +280,14 @@ object Sampling {
     val flagged = docs.withColumn("__is_test",
       hashBucket(col("doc_id")) < testPct)
     val cand = Dedup.minhashLshPairsAcross(flagged, "__is_test", 32, 8, 0.4)
-    val candDocs = docs.join(
-      cand.select(explode(array(col("test_id"), col("train_id")))
-        .as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val verified = cand
       .withColumn("id_a", least(col("test_id"), col("train_id")))
       .withColumn("id_b", greatest(col("test_id"), col("train_id")))
-      .join(Dedup.jaccardPairsAuto(candDocs, tau).select("id_a", "id_b"),
-        Seq("id_a", "id_b"), "left_semi")
+    // exact tier evaluates ONLY the candidate pairs (jaccardVerifyPairs
+    // — no all-pairs join even among candidate docs)
+    val verified = cand.join(
+      Dedup.jaccardVerifyPairs(docs, cand.select("id_a", "id_b"), tau)
+        .select("id_a", "id_b"),
+      Seq("id_a", "id_b"), "left_semi")
     flagged.filter(col("__is_test")).agg(count(lit(1)).as("n_test"))
       .crossJoin(flagged.filter(!col("__is_test"))
         .agg(count(lit(1)).as("n_train")))

@@ -33,6 +33,22 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filter(r => planted.contains((r._1, r._2))).forall(_._3 >= 0.9))
   }
 
+  test("pair-bounded verification equals the all-pairs tier on every pair") {
+    // feed jaccardVerifyPairs the COMPLETE pair set: it must reproduce
+    // the postings-join tier exactly (same features, same rounded J) —
+    // the pipeline's verified set is then independent of which tier ran
+    val corpus = Dedup.withNearDups(docs)
+    val ids = corpus.select(col("doc_id")).as[Long].collect().sorted
+    val allPairs = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+    } yield (ids(i), ids(j))).toDF("id_a", "id_b")
+    val verified = Dedup.jaccardVerifyPairs(corpus, allPairs, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val naive = Dedup.jaccardPairs(corpus, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(verified === naive)
+  }
+
   test("prefix-filtered jaccard equals the naive postings join exactly") {
     val corpus = Dedup.withNearDups(docs)
     val naive = Dedup.jaccardPairs(corpus, 0.5)
