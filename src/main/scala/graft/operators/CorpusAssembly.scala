@@ -35,14 +35,16 @@ import org.apache.spark.sql.functions._
   *     hash high bits scan-side, ONE exchange on the shard key, per-shard
   *     in-memory sort.
   *
-  * Near-dup tier choice: the composition verifies with the EXACT
-  * bigram-Jaccard tier (jaccardPairsAuto), not the LSH candidate
-  * semi-join, so the DuckDB oracle recomputes it exactly on ANY corpus —
-  * an organic pair at J ∈ [0.5, 0.9), where banded-LSH recall is a
-  * deterministic coin flip, can never flip this gate red after a testdata
-  * regen. At 100 TB the LSH tier (Dedup.nearDupPipeline) slots in as the
-  * candidate bound upstream of the same exact verification; its agreement
-  * with the exact tier is separately gated (dedup_minhash_agreement).
+  * Near-dup tier choice: the gated composition verifies with the EXACT
+  * bigram-Jaccard tier (jaccardPairsAuto), not the LSH candidate tier,
+  * so the DuckDB oracle recomputes it exactly on ANY corpus — an organic
+  * pair at J ∈ [0.5, 0.9), where banded-LSH recall is a deterministic
+  * coin flip, can never flip this gate red after a testdata regen. The
+  * `lshTier = true` knob swaps in the 100 TB production tier (LSH
+  * candidates verified pair-by-pair, nearDupPipeline's shape); its
+  * candidate-tier agreement is separately gated
+  * (dedup_minhash_agreement) and CorpusAssemblySpec pins the tier
+  * containment invariant.
   *
   * Epoch semantics (stage 5): a source smaller than its token target
   * repeats — `full_epochs` whole passes (capped at `maxEpochs`, the
@@ -68,7 +70,8 @@ object CorpusAssembly {
                            "de" -> 600000L),
                      defaultWeight: Long = 100000L,
                      maxEpochs: Int = 20,
-                     nShards: Int = 8): DataFrame = {
+                     nShards: Int = 8,
+                     lshTier: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, dir)
 
     // stage 1: curation — quality gate on raw tokens (curationPipeline's
@@ -95,10 +98,22 @@ object CorpusAssembly {
       curated.withColumn("__rn", row_number().over(wfp))
         .filter(col("__rn") === 1).drop("__rn"))
 
-    // stage 3: near-dup dedup — exact Jaccard pairs ≥ tau → connected
-    // components → drop every non-representative member
-    val pairs = Dedup.jaccardPairsAuto(
-      exactKept.select(col("doc_id"), col("ctext").as("text")), tau)
+    // stage 3: near-dup dedup — Jaccard pairs ≥ tau → connected
+    // components → drop every non-representative member. Two tiers:
+    // the default all-pairs exact tier is the ORACLE-EXACT choice the
+    // gate runs (SQL-recomputable on any corpus draw); `lshTier = true`
+    // is the 100 TB production path — LSH candidates verified pair-by-
+    // pair (nearDupPipeline's shape, work bounded by the candidate
+    // tier, not the corpus pair structure). On a corpus whose passing
+    // pairs sit at J ≥ 0.9 the two tiers produce identical survivors
+    // (CorpusAssemblySpec pins it); at mid-Jaccard the LSH tier trades
+    // deterministic-per-corpus recall for the bounded candidate join.
+    val asText = exactKept.select(col("doc_id"), col("ctext").as("text"))
+    val pairs =
+      if (lshTier)
+        Dedup.jaccardVerifyPairs(asText,
+          Dedup.minhashLshPairs(asText, 32, 8, 0.4), tau)
+      else Dedup.jaccardPairsAuto(asText, tau)
     val dropped = Dedup.connectedComponentsStar(pairs.select("id_a", "id_b"))
       .filter(col("comp") =!= col("doc_id")).select("doc_id")
     val survivors = exactKept.join(dropped, Seq("doc_id"), "left_anti")
