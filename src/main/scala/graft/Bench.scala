@@ -48,16 +48,17 @@ object Bench {
     // warmup: absorb session/codegen/footer-cache startup cost
     force("pricing_summary", 0)
 
-    // Pass 2 walks the queries in REVERSE order: with both passes in the
-    // same order, a multi-minute slow window lands on the same contiguous
-    // alphabetical block in each pass and min() can't reject it (r8: 31
-    // noisy queries, uniform ~1.4x inflation). Reversing decorrelates a
-    // query's two timings in wall-clock position — a window that inflates
-    // q near the start of pass 1 hits different queries at that offset in
-    // pass 2.
+    // Pass 2 walks the queries in a SEEDED-SHUFFLED order: with both
+    // passes in the same order, a multi-minute slow window lands on the
+    // same contiguous block in each pass and min() can't reject it (r8:
+    // 31 noisy queries, uniform ~1.4x inflation). A fixed-seed
+    // permutation decorrelates EVERY query's wall-clock position across
+    // the passes (plain reversal leaves the middle of the list at the
+    // same offset in both); the seed keeps run-to-run comparability.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val pass2Order = new scala.util.Random(0x9e3779b9L).shuffle(names)
     val pass1 = names.map(n => n -> force(n, 1)).toMap
-    val pass2 = names.reverse.map(n => n -> force(n, 2)).toMap
+    val pass2 = pass2Order.map(n => n -> force(n, 2)).toMap
 
     // A failed run (-1) must not win the min; if both passes failed the
     // query reports -1 and is excluded from the total like before.

@@ -455,6 +455,16 @@ object SparkEntry {
   /** 2^31, the fold modulus of Sampling.hashOrderKey, as oracle text. */
   private val Fold31 = 1L << 31
 
+  /** corpus_assembly oracle fragments derived from CorpusAssembly's
+    * shared defaults — one definition drives both engines (same
+    * anti-desync pattern as ShardN). */
+  private lazy val CaWeightCase: String =
+    CorpusAssembly.DefaultWeights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+  private lazy val CaRepFactor: Int = CorpusAssembly.DefaultMaxEpochs + 2
+  private lazy val CaNgM1: Int = CorpusAssembly.DefaultNgram - 1
+  private lazy val CaBench: Long = CorpusAssembly.DefaultBenchMaxId
+
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
   private val DuckTokList: String =
     """list_filter(string_split_regex(
@@ -2056,7 +2066,8 @@ object SparkEntry {
     // scrub from curation_pipeline, pairs+closure from neardup_pipeline,
     // grams from ContaminationSql, rates from mixture_budget, shard
     // formula from training_shards) so one definition per stage holds
-    // across BOTH engines. rep_id factor 22 = maxEpochs(20) + 2.
+    // across BOTH engines via CorpusAssembly.Default* constants
+    // (CaRepFactor = maxEpochs + 2, CaWeightCase from DefaultWeights).
     "corpus_assembly" ->
       s"""WITH RECURSIVE q AS (
          |  SELECT doc_id, lang,
@@ -2071,7 +2082,7 @@ object SparkEntry {
          |          ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
          |        / len(toks), 4)
          |      + 0.6 * round(len(list_distinct(toks))::DOUBLE
-         |        / len(toks), 4), 4) >= 0.3),
+         |        / len(toks), 4), 4) >= ${CorpusAssembly.DefaultMinQuality}),
          |e AS (
          |  SELECT doc_id, lang, ctext FROM (
          |    SELECT q.*, row_number() OVER (PARTITION BY md5(ctext)
@@ -2095,7 +2106,7 @@ object SparkEntry {
          |  JOIN sizes sa ON sa.doc_id = id_a
          |  JOIN sizes sb ON sb.doc_id = id_b
          |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
-         |    >= 0.5),
+         |    >= ${CorpusAssembly.DefaultTau}),
          |edges AS (
          |  SELECT id_a, id_b FROM pairs
          |  UNION
@@ -2110,26 +2121,26 @@ object SparkEntry {
          |  GROUP BY 1 HAVING min(dst) <> src),
          |strain AS (
          |  SELECT doc_id, lang, ctext FROM e
-         |  WHERE doc_id >= 50
+         |  WHERE doc_id >= $CaBench
          |    AND doc_id NOT IN (SELECT doc_id FROM dropped)),
          |ttk AS (SELECT doc_id, $DuckTokList AS toks
          |        FROM (SELECT doc_id, ctext AS text FROM strain) x),
          |bg AS (
-         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i+7), ' ')
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i+$CaNgM1), ' ')
          |    AS gram
          |  FROM (SELECT $DuckTokList AS toks FROM (
          |          SELECT regexp_replace(
          |            regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
          |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
          |            '<EMAIL>', 'g') AS text
-         |          FROM documents WHERE doc_id < 50) b0) b1,
+         |          FROM documents WHERE doc_id < $CaBench) b0) b1,
          |    LATERAL (SELECT unnest(generate_series(1,
-         |               greatest(len(toks)-7, 0))) AS i) g),
+         |               greatest(len(toks)-$CaNgM1, 0))) AS i) g),
          |tg AS (
          |  SELECT DISTINCT doc_id,
-         |    array_to_string(list_slice(toks, i, i+7), ' ') AS gram
+         |    array_to_string(list_slice(toks, i, i+$CaNgM1), ' ') AS gram
          |  FROM ttk, LATERAL (SELECT unnest(generate_series(1,
-         |               greatest(len(toks)-7, 0))) AS i) g),
+         |               greatest(len(toks)-$CaNgM1, 0))) AS i) g),
          |contam AS (SELECT DISTINCT tg.doc_id FROM tg
          |           JOIN bg USING (gram)),
          |train AS (
@@ -2142,7 +2153,7 @@ object SparkEntry {
          |       FROM train GROUP BY lang),
          |r2 AS (
          |  SELECT lang,
-         |    CAST(least(target_toks // available_toks, 20) AS BIGINT)
+         |    CAST(least(target_toks // available_toks, ${CorpusAssembly.DefaultMaxEpochs}) AS BIGINT)
          |      AS full_epochs,
          |    CAST(least(999999, CASE WHEN available_toks < 8796093022208
          |        THEN ((target_toks % available_toks) * 1000000)
@@ -2154,9 +2165,9 @@ object SparkEntry {
          |          (budget // 1000000) * w + ((budget % 1000000) * w)
          |            // 1000000 AS target_toks
          |        FROM (SELECT a2.*, b.budget,
-         |            CAST(CASE lang WHEN 'en' THEN 500000
-         |              WHEN 'zh' THEN 150000 WHEN 'de' THEN 600000
-         |              ELSE 100000 END AS BIGINT) AS w
+         |            CAST(CASE lang $CaWeightCase
+         |              ELSE ${CorpusAssembly.DefaultWeightOther} END
+         |              AS BIGINT) AS w
          |          FROM a2, b) t1) t2),
          |cop AS (
          |  SELECT train.doc_id, train.lang, train.n_toks,
@@ -2169,13 +2180,13 @@ object SparkEntry {
          |  FROM cop WHERE copies > 0),
          |h AS (
          |  SELECT doc_id, epoch, lang, n_toks,
-         |    doc_id * 22 + epoch AS rep_id,
-         |    (((doc_id * 22 + epoch) % 2147483648) * 2654435761)
-         |      % 2147483648 AS hkey
+         |    doc_id * $CaRepFactor + epoch AS rep_id,
+         |    (((doc_id * $CaRepFactor + epoch) % $Fold31) * 2654435761)
+         |      % $Fold31 AS hkey
          |  FROM expd)
          |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch, lang, n_toks,
-         |  (hkey * 8) // 2147483648 AS shard,
-         |  CAST(row_number() OVER (PARTITION BY (hkey * 8) // 2147483648
+         |  (hkey * ${CorpusAssembly.DefaultNShards}) // $Fold31 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY (hkey * ${CorpusAssembly.DefaultNShards}) // $Fold31
          |    ORDER BY hkey, rep_id) AS INTEGER) AS pos
          |FROM h ORDER BY doc_id, epoch""".stripMargin,
     "user_event_type_sets" ->

@@ -11,19 +11,26 @@ import org.apache.spark.sql.DataFrame
   *   - default: `localCheckpoint(eager)` — executor-local blocks, zero
   *     extra I/O. The right choice single-node and for short jobs; an
   *     executor loss mid-run loses blocks whose lineage was truncated,
-  *     so the JOB restarts from scratch.
+  *     so the JOB restarts from scratch. Superseded blocks are reclaimed
+  *     by the ContextCleaner once unreferenced.
   *   - `spark.graft.checkpointDir=<dfs path>`: reliable
   *     `Dataset.checkpoint(eager)` — each round persists to the shared
   *     filesystem, so on a 1000-executor cluster losing an executor (or
   *     a whole node) resumes from the last round instead of recomputing
   *     hours of iterations. That durability is the last 100 TB
   *     operability gap VERDICT r7/r8 flagged; the cost is one DFS
-  *     round-trip per iteration, amortized over iteration work.
+  *     round-trip per iteration, amortized over iteration work. Nothing
+  *     reclaims reliable round files automatically
+  *     (spark.cleaner.referenceTracking.cleanCheckpoints is off by
+  *     default and best-effort anyway), so the iteration loops call
+  *     [[dropRound]] on each round once it is FULLY consumed — without
+  *     that, a 500-step BPE run would retain 500 corpus-scale snapshots.
   *
   * The knob is a runtime conf (not a parameter threaded through every
   * operator signature) because it is a DEPLOYMENT property: the same
   * pipeline code runs locally and on the cluster, and results are
-  * byte-identical either way (CheckpointSpec pins that).
+  * byte-identical either way (CheckpointSpec pins that, plus that
+  * superseded round files are actually deleted).
   */
 object Checkpoints {
 
@@ -31,18 +38,44 @@ object Checkpoints {
     * operator from localCheckpoint to reliable checkpoint. */
   val DirKey = "spark.graft.checkpointDir"
 
+  /** The conf value last applied via setCheckpointDir — so a conf
+    * CHANGE re-points the context instead of silently writing rounds to
+    * the stale directory (the context keeps dir state per JVM). */
+  private val applied =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Materialize `df` and truncate its lineage, per the session's
     * checkpoint policy. Eager in both modes. */
   def materialize(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        // setCheckpointDir appends a per-context UUID subdir; only (re)set
-        // when unset so repeated calls share one directory tree
-        if (s.sparkContext.getCheckpointDir.isEmpty)
+        if (applied.getAndSet(dir) != dir ||
+            s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(true)
     }
   }
+
+  /** Best-effort deletion of a superseded round's RELIABLE checkpoint
+    * files. Call ONLY on a frame returned by [[materialize]] and only
+    * once every read of it has completed (the successor round is
+    * materialized and any convergence comparison against it has run) —
+    * the caller owns that ordering because only the loop knows it.
+    * No-op in localCheckpoint mode (ContextCleaner reclaims blocks) and
+    * on frames that aren't a bare checkpoint scan. */
+  def dropRound(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try {
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          } catch { case _: java.io.IOException => () }
+        }
+      case _ => ()
+    }
 }

@@ -56,21 +56,33 @@ import org.apache.spark.sql.functions._
   */
 object CorpusAssembly {
 
+  /** Gate defaults, shared with the DuckDB oracle: SparkEntry
+    * interpolates THESE into the corpus_assembly SQL, so changing a
+    * default here re-derives both engines' arithmetic from one value
+    * instead of silently desyncing the gate (the ADVICE-r8 ShardN
+    * pattern, applied to the much larger capstone oracle). de's weight
+    * (~4× its ~14% token share) forces the multi-epoch upsample path at
+    * every SF, so the gate covers replica explode + replica sharding,
+    * not just the downsample filter. */
+  val DefaultMinQuality = 0.3
+  val DefaultTau = 0.5
+  val DefaultBenchMaxId = 50L
+  val DefaultNgram = 8
+  val DefaultWeights: Map[String, Long] =
+    Map("en" -> 500000L, "zh" -> 150000L, "de" -> 600000L)
+  val DefaultWeightOther = 100000L
+  val DefaultMaxEpochs = 20
+  val DefaultNShards = 8
+
   def corpusAssembly(s: SparkSession, dir: String,
-                     minQuality: Double = 0.3,
-                     tau: Double = 0.5,
-                     benchMaxId: Long = 50L,
-                     ngram: Int = 8,
-                     // de's weight (~4× its ~14% token share) forces the
-                     // multi-epoch upsample path at every SF, so the gate
-                     // covers replica explode + replica sharding, not
-                     // just the downsample filter
-                     weights: Map[String, Long] =
-                       Map("en" -> 500000L, "zh" -> 150000L,
-                           "de" -> 600000L),
-                     defaultWeight: Long = 100000L,
-                     maxEpochs: Int = 20,
-                     nShards: Int = 8,
+                     minQuality: Double = DefaultMinQuality,
+                     tau: Double = DefaultTau,
+                     benchMaxId: Long = DefaultBenchMaxId,
+                     ngram: Int = DefaultNgram,
+                     weights: Map[String, Long] = DefaultWeights,
+                     defaultWeight: Long = DefaultWeightOther,
+                     maxEpochs: Int = DefaultMaxEpochs,
+                     nShards: Int = DefaultNShards,
                      lshTier: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, dir)
 

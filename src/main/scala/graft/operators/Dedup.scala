@@ -670,9 +670,14 @@ object Dedup {
     val p = Checkpoints.materialize(pairs.select(col("id_a"), col("id_b")))
     val edges = Checkpoints.materialize(p
       .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    // p is fully folded into the (eager) edges round; its files are dead
+    Checkpoints.dropRound(p)
     var labels = Checkpoints.materialize(
       edges.select(col("id_a").as("id")).distinct()
         .withColumn("comp", col("id")))
+    // the reliable round that `labels` currently reads from (labels
+    // becomes a projection over each round's frame after iteration 1)
+    var round = labels
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -687,9 +692,15 @@ object Dedup {
             least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
               .as("new_comp")))
       changed = next.filter(col("new_comp") =!= col("comp")).count()
+      // the previous round is fully consumed (next is materialized and
+      // the changed count only read next) — reclaim its files
+      Checkpoints.dropRound(round)
+      round = next
       labels = next.select(col("id"), col("new_comp").as("comp"))
       iter += 1
     }
+    // the result only reads the final round's files; edges are done
+    Checkpoints.dropRound(edges)
     // a non-converged result is silently WRONG labels (a keep-one pass
     // downstream would then keep/drop the wrong documents), so failing
     // loud beats returning: chains longer than maxIter must raise
@@ -760,6 +771,8 @@ object Dedup {
       // both sides are checkpointed so each except is two flat scans
       converged = next.exceptAll(edges).isEmpty &&
         edges.exceptAll(next).isEmpty
+      // the comparison was this round's last read of the old edges
+      Checkpoints.dropRound(edges)
       edges = next
       iter += 1
     }
@@ -912,10 +925,21 @@ object Dedup {
     * identical. */
   def jaccardVerifyPairs(docs: DataFrame, cand: DataFrame,
                          tau: Double): DataFrame = {
-    val feats = docs.select(col("doc_id"),
-      transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
-        f => xxhash64(f)).as("fs"))
-    cand.select("id_a", "id_b")
+    val pairs = cand.select("id_a", "id_b")
+    // featurize ONLY the docs the candidate tier implicated (at corpus
+    // scale candidates touch a small fraction of docs — without the
+    // semi-join the tokenize scan still runs corpus-wide), and
+    // materialize once: the two join branches below would otherwise
+    // re-expand the featurization subtree twice
+    val candDocs = docs.join(
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct(),
+      Seq("doc_id"), "left_semi")
+    val feats = Checkpoints.materialize(
+      candDocs.select(col("doc_id"),
+        transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
+          f => xxhash64(f)).as("fs")))
+    pairs
       .join(feats.select(col("doc_id").as("id_a"), col("fs").as("fa")), "id_a")
       .join(feats.select(col("doc_id").as("id_b"), col("fs").as("fb")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("fa"), col("fb"))))

@@ -79,14 +79,19 @@ object Graph {
       val contrib = e.join(give, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum("give").as("contrib"))
-      ranks = Checkpoints.materialize(ranks.drop("pr")
+      val stepped = Checkpoints.materialize(ranks.drop("pr")
         .join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           (lit(base) +
             expr(s"($damp * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100"))
             .as("pr")))
+      // stepped is materialized; the old rank round is fully consumed
+      Checkpoints.dropRound(ranks)
+      ranks = stepped
       i += 1
     }
+    // the result only reads the final rank round; the edge round is done
+    Checkpoints.dropRound(e)
     ranks.select("node", "pr")
   }
 

@@ -756,13 +756,18 @@ object TextAnalysis {
         val (a, b, pc) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((step, a, b, pc))
-        vocab = Checkpoints.materialize(vocab.select(
+        val merged = Checkpoints.materialize(vocab.select(
           graft.functions.BpeMergeExpression
             .bpe_merge_pair(col("syms"), a, b).as("syms"),
           col("cnt")))
+        // the merge step is materialized; last step's round is consumed
+        Checkpoints.dropRound(vocab)
+        vocab = merged
         step += 1
       }
     }
+    // the merge table is driver-side; no one reads the final vocab round
+    Checkpoints.dropRound(vocab)
     merges.toSeq
   }
 

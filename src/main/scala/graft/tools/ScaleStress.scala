@@ -68,7 +68,12 @@ object ScaleStress {
 
     def timed(name: String)(df: => DataFrame): (String, Double, Long) = {
       val t0 = System.nanoTime()
-      val n = df.count()
+      // force the EXACT physical plan, not count(): a count lets
+      // ColumnPruning delete unreferenced windows/projections (it
+      // silently turned the training_shards row into a parquet-scan
+      // count). toRdd executes the full output schema — same rationale
+      // as Bench's noop sink — and still yields the row count.
+      val n = df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[stress] $name%-24s $dt%8.2f s  rows=$n")
       (name, dt, n)

@@ -56,6 +56,40 @@ class CheckpointSpec extends AnyFunSuite {
     assert(reliable === local)
   }
 
+  test("superseded reliable rounds are reclaimed; the live round survives") {
+    // the chain graph forces multiple star rounds; without dropRound the
+    // dir would hold one rdd-N snapshot per round forever (the 100 TB
+    // leak the r9 review flagged) — after the run only the final round
+    // may remain
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      val out = Dedup.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().sorted
+      assert(out.nonEmpty)
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(rddDirs >= 1, "the final round's files must survive")
+      assert(rddDirs <= 2, s"stale checkpoint rounds not reclaimed: $rddDirs")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
+  test("a conf change re-points the context checkpoint dir") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ckptA").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ckptB").toString
+    def hasRdd(d: String) = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).count() > 0
+    spark.conf.set(Checkpoints.DirKey, d1)
+    try {
+      Dedup.connectedComponentsStar(pairs).collect()
+      assert(hasRdd(d1), "first dir never received rounds")
+      spark.conf.set(Checkpoints.DirKey, d2)
+      Dedup.connectedComponentsStar(pairs).collect()
+      assert(hasRdd(d2),
+        "conf change ignored — rounds still land in the stale dir")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
   test("reliable mode actually writes round files to a checkpoint dir") {
     withReliableDir {
       Dedup.connectedComponentsStar(pairs).collect()
