@@ -360,6 +360,17 @@ object SparkEntry {
     // set out (curation → near-dup dedup → decontamination → mixture
     // budget → shard assignment, composed as ONE plan) ---
     "corpus_assembly" -> ((s, dir) => CorpusAssembly.corpusAssembly(s, dir)),
+    // incremental-ingest near-dup: planted fresh increment (near copies
+    // of doc_id < 20, the dedup-family convention) vs the base corpus
+    "incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fresh = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
+          regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+      Dedup.incrementalNearDup(docs, fresh)
+    }),
+    // per-language quality percentile (relative curation threshold)
+    "quality_top_pct" -> ((s, dir) => Curation.qualityTopPct(s, dir, 25)),
     // --- multimodal binary-column plumbing ---
     // The operator returns features as array<float>; the driver's pandas
     // harness can't sort/hash array cells (round-1 crash), so the query
@@ -2189,6 +2200,65 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY (hkey * ${CorpusAssembly.DefaultNShards}) // $Fold31
          |    ORDER BY hkey, rep_id) AS INTEGER) AS pos
          |FROM h ORDER BY doc_id, epoch""".stripMargin,
+    // exact recompute of the cross-increment near-dup filter: planted
+    // fresh docs (ids +10000) vs base, bigram Jaccard >= 0.9 (the
+    // LSH-deterministic band, splitLeakageNearDup's convention), one
+    // row per dropped fresh doc keyed to its smallest base match
+    "incremental_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, FALSE AS fresh FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', ''),
+         |    TRUE
+         |  FROM documents WHERE doc_id < 20),
+         |t AS (SELECT doc_id, fresh, $DuckTokList AS toks FROM corpus),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, fresh,
+         |    toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS fid, b.doc_id AS bid, count(*) AS n_inter
+         |  FROM feats a JOIN feats b
+         |    ON a.feat = b.feat AND a.fresh AND NOT b.fresh
+         |  GROUP BY 1,2),
+         |v AS (
+         |  SELECT fid, bid,
+         |    round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+         |      AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = fid
+         |  JOIN sizes sb ON sb.doc_id = bid
+         |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+         |    >= 0.9),
+         |r AS (
+         |  SELECT fid, bid, jaccard,
+         |    row_number() OVER (PARTITION BY fid ORDER BY bid) AS rn
+         |  FROM v)
+         |SELECT fid AS doc_id, bid AS dup_of, jaccard
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same quality blend as curation_pipeline, ranked per lang; keep =
+    // integer percentile threshold so both engines agree exactly
+    "quality_top_pct" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    round(0.4 * round(len(list_filter(toks, x -> list_contains(
+         |        ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
+         |        / len(toks), 4)
+         |      + 0.6 * round(len(list_distinct(toks))::DOUBLE
+         |        / len(toks), 4), 4) AS quality_score
+         |  FROM (SELECT doc_id, lang, $DuckTokList AS toks
+         |        FROM documents) t),
+         |r AS (
+         |  SELECT doc_id, lang, quality_score,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM q WHERE quality_score IS NOT NULL)
+         |SELECT doc_id, lang, quality_score, rk
+         |FROM r WHERE rk <= (n_lang * 25) // 100
+         |ORDER BY lang, rk""".stripMargin,
     "user_event_type_sets" ->
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type)

@@ -43,4 +43,29 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("quality_score"), col("scrubbed_fp"))
   }
+
+  /** Per-language quality-percentile curation — the relative-threshold
+    * knob (an absolute quality cutoff like curationPipeline's keeps a
+    * different fraction per source; a percentile keeps the BEST pct% of
+    * each, the usual way quality filters ship). Keep = rank ≤
+    * (n_lang·pct) DIV 100 in (quality DESC, doc_id) order — integer
+    * arithmetic, deterministic ties, engine-recomputable. One hash
+    * exchange on lang feeds both the count and the rank windows; the
+    * per-lang sort is the only corpus-scale work (at 100 TB partitions
+    * are per-source and the sort is per-partition, the trainingShards
+    * argument). */
+  def qualityTopPct(s: SparkSession, dir: String, pct: Int = 25): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("quality_score",
+        TextAnalysis.qualityExpr(tokenize(col("text"))))
+      .filter(col("quality_score").isNotNull)
+      .select("doc_id", "lang", "quality_score")
+    val rankW = Window.partitionBy("lang")
+      .orderBy(desc("quality_score"), asc("doc_id"))
+    val langW = Window.partitionBy("lang")
+    scored.withColumn("rk", row_number().over(rankW))
+      .withColumn("n_lang", count(lit(1)).over(langW))
+      .filter(col("rk") <= expr(s"(n_lang * $pct) DIV 100"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("rk"))
+  }
 }

@@ -990,4 +990,40 @@ object Dedup {
     docs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("content_fp"))
   }
+
+  /** Incremental-ingest near-dup filter — the daily-crawl shape: which
+    * FRESH documents near-duplicate the existing BASE corpus (and
+    * should be dropped before ingest). The streamed exact tier
+    * (streamedDedupAgainstBase) catches byte-identical re-crawls; this
+    * is its near-dup complement, run batch-side per ingest increment.
+    *
+    * Plan shape at 100 TB: the fresh increment is small relative to the
+    * corpus, so candidates come from the ASYMMETRIC LSH tier
+    * ([[minhashLshPairsAcross]] — |fresh|·bucket-sized, never corpus²),
+    * verified pair-by-pair ([[jaccardVerifyPairs]] — featurization
+    * bounded by implicated docs). Verified tier pinned to τ = 0.9, the
+    * splitLeakageNearDup convention, so the DuckDB recompute agrees on
+    * any corpus draw.
+    *
+    * Caller contract: base and fresh doc_id spaces are disjoint.
+    * Returns one row per DROPPED fresh doc: (doc_id, dup_of = smallest
+    * matching base id, jaccard = that pair's exact J); survivors are
+    * `fresh anti-join this`. */
+  def incrementalNearDup(base: DataFrame, fresh: DataFrame,
+                         tau: Double = 0.9, k: Int = 32, bands: Int = 8,
+                         estTau: Double = 0.4): DataFrame = {
+    val flagged = base.select(col("doc_id"), col("text"))
+      .withColumn("__fresh", lit(false))
+      .unionByName(fresh.select(col("doc_id"), col("text"))
+        .withColumn("__fresh", lit(true)))
+    val cand = minhashLshPairsAcross(flagged, "__fresh", k, bands, estTau)
+      .select(col("test_id").as("id_a"), col("train_id").as("id_b"))
+    val verified = jaccardVerifyPairs(flagged, cand, tau)
+      .select(col("id_a").as("doc_id"), col("id_b").as("base_id"),
+        col("jaccard"))
+    val w = Window.partitionBy("doc_id").orderBy("base_id")
+    verified.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
+  }
 }

@@ -33,6 +33,24 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filter(r => planted.contains((r._1, r._2))).forall(_._3 >= 0.9))
   }
 
+  test("incremental ingest filter drops every planted fresh near-dup") {
+    val fresh = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+    val dropped = Dedup.incrementalNearDup(docs, fresh)
+      .as[(Long, Long, Double)].collect()
+    val byId = dropped.map(r => r._1 -> r._2).toMap
+    // every planted fresh doc is flagged (dup_of is the SMALLEST J>=0.9
+    // base match, which an organic twin may claim — membership + the
+    // tau floor are the invariants)
+    assert((0L until 20L).forall(i => byId.contains(i + Dedup.DupIdOffset)),
+      s"missing planted dups: ${(0L until 20L)
+        .filterNot(i => byId.contains(i + Dedup.DupIdOffset))}")
+    assert(dropped.forall(_._3 >= 0.9))
+    assert(dropped.forall(_._2 < Dedup.DupIdOffset),
+      "dup_of must reference the BASE corpus")
+  }
+
   test("pair-bounded verification equals the all-pairs tier on every pair") {
     // feed jaccardVerifyPairs the COMPLETE pair set: it must reproduce
     // the postings-join tier exactly (same features, same rounded J) —
