@@ -107,7 +107,13 @@ object ScaleStress {
         Sampling.mixtureBudget(spark, outDir,
           Map("en" -> 500000L, "zh" -> 150000L)) },
       timed("lang_id_nb") { TextAnalysis.langIdNb(spark, outDir) },
-      timed("corpus_assembly") { CorpusAssembly.corpusAssembly(spark, outDir) }
+      timed("corpus_assembly") { CorpusAssembly.corpusAssembly(spark, outDir) },
+      // the production dedup tier of the capstone: candidate-bounded
+      // LSH instead of the oracle-exact all-pairs tier — its slope is
+      // the evidence the gated query's 4-5x is a gate-design cost, not
+      // an architecture ceiling
+      timed("corpus_assembly_lsh") {
+        CorpusAssembly.corpusAssembly(spark, outDir, lshTier = true) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
