@@ -370,7 +370,7 @@ object SparkEntry {
       Dedup.incrementalNearDup(docs, fresh)
     }),
     // per-language quality percentile (relative curation threshold)
-    "quality_top_pct" -> ((s, dir) => Curation.qualityTopPct(s, dir, 25)),
+    "quality_top_pct" -> ((s, dir) => Curation.qualityTopPct(s, dir, QualityPct)),
     // --- multimodal binary-column plumbing ---
     // The operator returns features as array<float>; the driver's pandas
     // harness can't sort/hash array cells (round-1 crash), so the query
@@ -475,6 +475,10 @@ object SparkEntry {
   private lazy val CaRepFactor: Int = CorpusAssembly.DefaultMaxEpochs + 2
   private lazy val CaNgM1: Int = CorpusAssembly.DefaultNgram - 1
   private lazy val CaBench: Long = CorpusAssembly.DefaultBenchMaxId
+
+  /** quality_top_pct's percentile — one value for the Spark call and
+    * the oracle threshold. */
+  private val QualityPct = 25
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
   private val DuckTokList: String =
@@ -2208,8 +2212,8 @@ object SparkEntry {
       s"""WITH corpus AS (
          |  SELECT doc_id, text, FALSE AS fresh FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', ''),
-         |    TRUE
+         |  SELECT doc_id + ${Dedup.DupIdOffset},
+         |    regexp_replace(text, '^[^ ]+ ', ''), TRUE
          |  FROM documents WHERE doc_id < 20),
          |t AS (SELECT doc_id, fresh, $DuckTokList AS toks FROM corpus),
          |feats AS (
@@ -2231,7 +2235,7 @@ object SparkEntry {
          |  JOIN sizes sa ON sa.doc_id = fid
          |  JOIN sizes sb ON sb.doc_id = bid
          |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
-         |    >= 0.9),
+         |    >= ${Dedup.IncrementalTau}),
          |r AS (
          |  SELECT fid, bid, jaccard,
          |    row_number() OVER (PARTITION BY fid ORDER BY bid) AS rn
@@ -2257,7 +2261,7 @@ object SparkEntry {
          |    count(*) OVER (PARTITION BY lang) AS n_lang
          |  FROM q WHERE quality_score IS NOT NULL)
          |SELECT doc_id, lang, quality_score, rk
-         |FROM r WHERE rk <= (n_lang * 25) // 100
+         |FROM r WHERE rk <= (n_lang * $QualityPct) // 100
          |ORDER BY lang, rk""".stripMargin,
     "user_event_type_sets" ->
       """SELECT user_id,

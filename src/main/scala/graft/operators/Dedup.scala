@@ -28,6 +28,11 @@ object Dedup {
 
   val DupIdOffset = 10000L
 
+  /** Verified-tier threshold of [[incrementalNearDup]] — shared with
+    * its DuckDB oracle (SparkEntry interpolates it) so a default change
+    * cannot desync the gate. */
+  val IncrementalTau = 0.9
+
   /** Substring-level duplicate spans — the span-granularity dedup pass
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): document-level dedup misses boilerplate repeated
@@ -925,7 +930,17 @@ object Dedup {
     * identical. */
   def jaccardVerifyPairs(docs: DataFrame, cand: DataFrame,
                          tau: Double): DataFrame = {
-    val pairs = cand.select("id_a", "id_b")
+    // the candidate tier (typically a corpus-wide LSH bucket join) is
+    // the expensive input — checkpoint the 2-column pair list once so
+    // the semi-join below AND the returned join plan both read the
+    // materialized rows instead of re-running LSH per consumer.
+    // localCheckpoint, NOT Checkpoints.materialize: these are
+    // transient intra-query materializations the returned plan reads
+    // (no caller could ever dropRound them), so a reliable round here
+    // would be an unreclaimable DFS file per invocation — and the
+    // iteration-resume durability argument doesn't apply to a
+    // single-query scratch frame
+    val pairs = cand.select("id_a", "id_b").localCheckpoint(true)
     // featurize ONLY the docs the candidate tier implicated (at corpus
     // scale candidates touch a small fraction of docs — without the
     // semi-join the tokenize scan still runs corpus-wide), and
@@ -935,10 +950,9 @@ object Dedup {
       pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct(),
       Seq("doc_id"), "left_semi")
-    val feats = Checkpoints.materialize(
-      candDocs.select(col("doc_id"),
-        transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
-          f => xxhash64(f)).as("fs")))
+    val feats = candDocs.select(col("doc_id"),
+      transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
+        f => xxhash64(f)).as("fs")).localCheckpoint(true)
     pairs
       .join(feats.select(col("doc_id").as("id_a"), col("fs").as("fa")), "id_a")
       .join(feats.select(col("doc_id").as("id_b"), col("fs").as("fb")), "id_b")
@@ -1002,15 +1016,19 @@ object Dedup {
     * ([[minhashLshPairsAcross]] — |fresh|·bucket-sized, never corpus²),
     * verified pair-by-pair ([[jaccardVerifyPairs]] — featurization
     * bounded by implicated docs). Verified tier pinned to τ = 0.9, the
-    * splitLeakageNearDup convention, so the DuckDB recompute agrees on
-    * any corpus draw.
+    * splitLeakageNearDup convention: banded-LSH miss probability there
+    * is ~(1−0.9⁴)⁸ ≈ 2e-4 per pair — deterministic per corpus, tiny
+    * but NOT zero, so (same triage note as minhashAgreement) a red
+    * gate right after a testdata regen means an organic near-J=0.9
+    * cross-increment pair landed in the miss set, not a banding bug.
     *
     * Caller contract: base and fresh doc_id spaces are disjoint.
     * Returns one row per DROPPED fresh doc: (doc_id, dup_of = smallest
     * matching base id, jaccard = that pair's exact J); survivors are
     * `fresh anti-join this`. */
   def incrementalNearDup(base: DataFrame, fresh: DataFrame,
-                         tau: Double = 0.9, k: Int = 32, bands: Int = 8,
+                         tau: Double = IncrementalTau, k: Int = 32,
+                         bands: Int = 8,
                          estTau: Double = 0.4): DataFrame = {
     val flagged = base.select(col("doc_id"), col("text"))
       .withColumn("__fresh", lit(false))

@@ -93,9 +93,9 @@ class CheckpointSpec extends AnyFunSuite {
   test("reliable mode actually writes round files to a checkpoint dir") {
     withReliableDir {
       Dedup.connectedComponentsStar(pairs).collect()
-      // the context's checkpoint dir is set once per JVM (first reliable
-      // run wins — materialize never re-points it), so inspect THAT dir,
-      // not this test's conf value
+      // inspect the dir the context ACTUALLY used (materialize
+      // re-points it to this test's conf value — pinned by the
+      // re-point test above — and appends a per-context UUID subdir)
       val ctxDir = spark.sparkContext.getCheckpointDir
       assert(ctxDir.isDefined, "reliable run never set a checkpoint dir")
       val files = java.nio.file.Files
