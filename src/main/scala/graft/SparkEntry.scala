@@ -196,6 +196,19 @@ object SparkEntry {
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(s, dir, chunkTokens = 64, stride = 48)),
     "corpus_refresh" -> (Incremental.corpusRefresh _),
+    // refresh-time drift monitors: base snapshot vs the merged refresh
+    "token_drift" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      Profile.tokenDrift(base,
+        Incremental.mergeUpsert(base, Incremental.syntheticDelta(base),
+          "doc_id"), 30)
+    }),
+    "token_drift_kl" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      Profile.tokenDriftKl(base,
+        Incremental.mergeUpsert(base, Incremental.syntheticDelta(base),
+          "doc_id"))
+    }),
     "scd2_customer_priority" -> (Incremental.scd2CustomerPriority _),
     "event_priority_stats" -> (Incremental.eventPriorityStats _),
     "cascade_delete_audit" -> (Relational.cascadeDeleteAudit _),
@@ -1147,6 +1160,83 @@ object SparkEntry {
         |FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
         |WHERE d.op IS NULL OR d.op <> 'delete'
         |ORDER BY doc_id""".stripMargin,
+    // drift monitors share corpus_refresh's delta/after CTEs; token
+    // counts use the reference tokenizer (lowercased, wordcount_ci
+    // convention)
+    "token_drift" ->
+      s"""WITH delta AS (
+         |  SELECT doc_id, text || ' [revised]' AS text, 'upsert' AS op
+         |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text, 'upsert'
+         |  FROM documents WHERE doc_id < 25
+         |  UNION ALL
+         |  SELECT doc_id, NULL, 'delete'
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |aft AS (
+         |  SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+         |    coalesce(d.text, b.text) AS text
+         |  FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+         |  WHERE d.op IS NULL OR d.op <> 'delete'),
+         |cb AS (SELECT lower(word) AS word, CAST(count(*) AS BIGINT)
+         |         AS n_before
+         |       FROM (SELECT unnest($DuckTokList) AS word
+         |             FROM documents) x GROUP BY 1),
+         |ca AS (SELECT lower(word) AS word, CAST(count(*) AS BIGINT)
+         |         AS n_after
+         |       FROM (SELECT unnest($DuckTokList) AS word
+         |             FROM aft) x GROUP BY 1),
+         |m AS (SELECT coalesce(cb.word, ca.word) AS word,
+         |        coalesce(n_before, CAST(0 AS BIGINT)) AS n_before,
+         |        coalesce(n_after, CAST(0 AS BIGINT)) AS n_after
+         |      FROM cb FULL OUTER JOIN ca ON cb.word = ca.word)
+         |SELECT word, n_before, n_after,
+         |  n_after - n_before AS delta
+         |FROM m
+         |ORDER BY abs(n_after - n_before) DESC, word ASC
+         |LIMIT 30""".stripMargin,
+    "token_drift_kl" ->
+      s"""WITH delta AS (
+         |  SELECT doc_id, text || ' [revised]' AS text, 'upsert' AS op
+         |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text, 'upsert'
+         |  FROM documents WHERE doc_id < 25
+         |  UNION ALL
+         |  SELECT doc_id, NULL, 'delete'
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |aft AS (
+         |  SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+         |    coalesce(d.text, b.text) AS text
+         |  FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+         |  WHERE d.op IS NULL OR d.op <> 'delete'),
+         |cb AS (SELECT lower(word) AS word, CAST(count(*) AS BIGINT)
+         |         AS n_before
+         |       FROM (SELECT unnest($DuckTokList) AS word
+         |             FROM documents) x GROUP BY 1),
+         |ca AS (SELECT lower(word) AS word, CAST(count(*) AS BIGINT)
+         |         AS n_after
+         |       FROM (SELECT unnest($DuckTokList) AS word
+         |             FROM aft) x GROUP BY 1),
+         |m AS (SELECT coalesce(cb.word, ca.word) AS word,
+         |        coalesce(n_before, CAST(0 AS BIGINT)) AS n_before,
+         |        coalesce(n_after, CAST(0 AS BIGINT)) AS n_after
+         |      FROM cb FULL OUTER JOIN ca ON cb.word = ca.word),
+         |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS n1,
+         |        CAST(sum(n_after) AS BIGINT) AS n2,
+         |        CAST(count(*) AS BIGINT) AS v FROM m),
+         |terms AS (
+         |  SELECT (n_before + 1) * CAST(floor(
+         |      (ln((n_before + 1)::DOUBLE / (t.n1 + t.v)) -
+         |       ln((n_after + 1)::DOUBLE / (t.n2 + t.v))) * 1000000.0)
+         |      AS BIGINT) AS term
+         |  FROM m, t)
+         |SELECT t.n1 AS n_tokens_before, t.n2 AS n_tokens_after,
+         |  t.v AS vocab_union,
+         |  greatest(CAST(sum(term) AS BIGINT), CAST(0 AS BIGINT))
+         |    // (t.n1 + t.v) AS kl_millionths
+         |FROM terms, t
+         |GROUP BY t.n1, t.n2, t.v""".stripMargin,
     // same gaps-and-islands shape; version numbering is deterministic
     // because o_orderkey breaks orderdate ties in every window
     "scd2_customer_priority" ->

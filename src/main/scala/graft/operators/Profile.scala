@@ -199,4 +199,67 @@ object Profile {
       .reduce(_ unionAll _)
       .orderBy("tbl")
   }
+
+  /** Per-snapshot lowercase token counts, full-outer joined on the union
+    * vocabulary — the shared input of both drift views. Two map-side-
+    * combined vocabulary aggregates + one vocab-sized join (Heaps'-law
+    * small relative to the corpus); checkpointed because both drift
+    * views read it more than once. */
+  private def driftCounts(before: DataFrame, after: DataFrame): DataFrame = {
+    def cnts(df: DataFrame, out: String) = df
+      .select(explode(graft.functions.TextFunctions.tokenize(col("text")))
+        .as("w"))
+      .select(lower(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as(out))
+    cnts(before, "nb").join(cnts(after, "na"), Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("nb"), lit(0L)).as("n_before"),
+        coalesce(col("na"), lit(0L)).as("n_after"))
+      .localCheckpoint(true)
+  }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * refresh-time monitor (the static [[columnProfile]] says what a
+    * snapshot IS; this says what a refresh CHANGED): the topK words by
+    * absolute frequency shift, exact integer counts, deterministic
+    * (|Δ| desc, word asc) cut. Top-k runs as TakeOrdered over the
+    * vocab-sized join — never a global sort of the corpus. */
+  def tokenDrift(before: DataFrame, after: DataFrame,
+                 topK: Int = 30): DataFrame =
+    driftCounts(before, after)
+      .withColumn("delta", col("n_after") - col("n_before"))
+      .orderBy(abs(col("delta")).desc, col("word").asc)
+      .limit(topK)
+
+  /** One-number drift gate: add-1-smoothed KL(before ‖ after) over the
+    * union vocabulary, in integer millionths. The NB-langid arithmetic
+    * convention: each term's ln is floored to BIGINT millionths BEFORE
+    * the weighted sum, so both engines aggregate identical integers
+    * (float work confined to one ln per vocab word, never accumulated);
+    * the final division clamps at zero first because per-term flooring
+    * can push a near-zero KL a few millionths negative, where Spark's
+    * truncating DIV and DuckDB's flooring // would disagree. Totals are
+    * three driver scalars (the k-means-codebook pattern), embedded as
+    * literals. Regime bound: a term is (count+1)·(ln-ratio millionths ≤
+    * ~5e7), so int64 holds up to ~2e11 occurrences of a single word —
+    * beyond that (a top stopword in a ≥50 TB monolingual corpus),
+    * shard the corpus and average per-shard KL. */
+  def tokenDriftKl(before: DataFrame, after: DataFrame): DataFrame = {
+    val counts = driftCounts(before, after)
+    val t = counts.agg(sum("n_before").cast("long"),
+      sum("n_after").cast("long"), count(lit(1))).head()
+    val (n1, n2, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val d1 = (n1 + v).toDouble
+    val d2 = (n2 + v).toDouble
+    counts
+      .select(((col("n_before") + 1) *
+        floor((log((col("n_before") + 1).cast("double") / lit(d1)) -
+               log((col("n_after") + 1).cast("double") / lit(d2))) *
+          lit(1000000.0)).cast("long")).as("term"))
+      .agg(sum("term").as("s"))
+      .select(lit(n1).as("n_tokens_before"), lit(n2).as("n_tokens_after"),
+        lit(v).as("vocab_union"),
+        expr(s"greatest(s, CAST(0 AS BIGINT)) DIV ${n1 + v}")
+          .as("kl_millionths"))
+  }
 }
