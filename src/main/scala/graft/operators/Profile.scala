@@ -246,11 +246,16 @@ object Profile {
     * shard the corpus and average per-shard KL. */
   def tokenDriftKl(before: DataFrame, after: DataFrame): DataFrame = {
     val counts = driftCounts(before, after)
-    val t = counts.agg(sum("n_before").cast("long"),
-      sum("n_after").cast("long"), count(lit(1))).head()
+    // coalesce: sum over an empty vocab is NULL; the empty-corpus
+    // degenerate must report 0-token totals, not NPE
+    val t = counts.agg(coalesce(sum("n_before"), lit(0L)).cast("long"),
+      coalesce(sum("n_after"), lit(0L)).cast("long"), count(lit(1))).head()
     val (n1, n2, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
     val d1 = (n1 + v).toDouble
     val d2 = (n2 + v).toDouble
+    // max(…,1): an empty union vocab would make the divisor literal 0,
+    // an ANSI DIVIDE_BY_ZERO at runtime; with zero terms the clamped
+    // numerator is 0 so the guarded divisor leaves kl = 0
     counts
       .select(((col("n_before") + 1) *
         floor((log((col("n_before") + 1).cast("double") / lit(d1)) -
@@ -259,7 +264,7 @@ object Profile {
       .agg(sum("term").as("s"))
       .select(lit(n1).as("n_tokens_before"), lit(n2).as("n_tokens_after"),
         lit(v).as("vocab_union"),
-        expr(s"greatest(s, CAST(0 AS BIGINT)) DIV ${n1 + v}")
-          .as("kl_millionths"))
+        expr(s"greatest(coalesce(s, CAST(0 AS BIGINT)), CAST(0 AS BIGINT))" +
+          s" DIV ${math.max(n1 + v, 1L)}").as("kl_millionths"))
   }
 }

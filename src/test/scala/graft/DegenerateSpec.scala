@@ -208,4 +208,20 @@ class DegenerateSpec extends AnyFunSuite {
       .select("n_rows", "xor56").as[(Long, Long)].collect().head
     assert(ck === ((0L, 0L)))
   }
+
+  test("drift monitors on empty and identical corpora") {
+    // empty vs empty: no rows to rank, a (0,0,0,0) KL row — never an
+    // NPE on the null total sums or an ANSI divide-by-zero
+    assert(Profile.tokenDrift(emptyDocs, emptyDocs).count() === 0)
+    val klEmpty = Profile.tokenDriftKl(emptyDocs, emptyDocs)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(klEmpty === ((0L, 0L, 0L, 0L)))
+    // identical snapshots: every delta 0 and KL exactly 0
+    val drift = Profile.tokenDrift(oneDoc, oneDoc)
+      .as[(String, Long, Long, Long)].collect()
+    assert(drift.forall(_._4 === 0L))
+    val kl = Profile.tokenDriftKl(oneDoc, oneDoc)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(kl._4 === 0L)
+  }
 }
