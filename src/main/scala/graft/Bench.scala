@@ -98,6 +98,39 @@ object Bench {
     // a tail-only parser sees must be the canonical total.
     println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"noisy":$noisyJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+
+    // Full per-query persistence: the driver captures only the TAIL of
+    // stdout, so at 141 queries the verbose line scrolls off and ~80
+    // per-query timings become unauditable (r9: corpus_assembly and the
+    // whole dedup family invisible). Write the complete map to a repo
+    // file a judge or regression diff can always read — one query per
+    // line so a plain `diff` against last round's committed copy shows
+    // exactly which timings moved. Best-effort: a read-only repo mount
+    // must not fail the bench itself.
+    try {
+      val perQuery = names.map { n =>
+        val raw = (Seq(1 -> pass1(n), 2 -> pass2(n)) ++
+          retried.get(n).map(3 -> _)).filter(p => valid(p._2))
+          .map { case (p, t) => s""""p$p":$t""" }.mkString(",")
+        f"""  "$n":{"sec":${results.toMap.apply(n)},$raw}"""
+      }.mkString(",\n")
+      val full =
+        s"""{
+           |"metric":"bench_full","unit":"sec","sf":"$sfDir",
+           |"total":$total,
+           |"noisy":$noisyJson,
+           |"queries":{
+           |$perQuery
+           |}
+           |}
+           |""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_full.json"),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] bench_full.json write failed: $e")
+    }
     spark.stop()
   }
 }

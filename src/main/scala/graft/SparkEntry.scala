@@ -373,11 +373,26 @@ object SparkEntry {
     // set out (curation → near-dup dedup → decontamination → mixture
     // budget → shard assignment, composed as ONE plan) ---
     "corpus_assembly" -> ((s, dir) => CorpusAssembly.corpusAssembly(s, dir)),
+    // the production (candidate-bounded LSH) dedup tier, driver-gated at
+    // tau = LshGateTau where the tiers provably keep the same survivors
+    // (see the constant's scaladoc); same oracle template as the exact
+    // tier, different threshold
+    "corpus_assembly_lsh" -> ((s, dir) => CorpusAssembly.corpusAssembly(
+      s, dir, tau = CorpusAssembly.LshGateTau, lshTier = true)),
+    // refresh capstone: merge the day's delta → drop fresh near-dups of
+    // the existing corpus → re-shard → drift-gate (corpus_assembly's
+    // daily complement; stages referenced, not re-implemented)
+    "corpus_refresh_assembly" ->
+      ((s, dir) => CorpusAssembly.corpusRefreshAssembly(s, dir)),
     // incremental-ingest near-dup: planted fresh increment (near copies
     // of doc_id < 20, the dedup-family convention) vs the base corpus
     "incremental_neardup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val fresh = docs.filter(col("doc_id") < 20)
+      // guardPlantWindow: a corpus draw whose base ids reach the plant
+      // window would merge the id spaces and break incrementalNearDup's
+      // disjointness contract — fail loud, scan-fused (ADVICE r9)
+      val docs = Tables.documents(s, dir).select(
+        Dedup.guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") < Dedup.PlantCount)
         .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
           regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
       Dedup.incrementalNearDup(docs, fresh)
@@ -476,8 +491,12 @@ object SparkEntry {
     * value (ADVICE r8). */
   private val ShardN = 16
 
-  /** 2^31, the fold modulus of Sampling.hashOrderKey, as oracle text. */
-  private val Fold31 = 1L << 31
+  /** Knuth hash constant + 2^31 fold modulus of Sampling's hash family,
+    * as oracle text — ONE definition drives Sampling.hashBucket/
+    * hashOrderKey/bucketMillionths AND every oracle SQL string (ADVICE
+    * r9: four SQL strings hardcoded these; the ShardN pattern). */
+  private val HashMult = Sampling.Mult
+  private val Fold31 = Sampling.Fold
 
   /** corpus_assembly oracle fragments derived from CorpusAssembly's
     * shared defaults — one definition drives both engines (same
@@ -499,6 +518,131 @@ object SparkEntry {
       |  regexp_replace(regexp_replace(text, chr(10), ' ', 'g'),
       |                 '[!-/:-@\[-`{-~]', '', 'g'),
       |  ' +'), x -> regexp_matches(x, '\S'))""".stripMargin
+
+  /** The capstone oracle as a tau-parameterized template: the gated
+    * exact-tier query interpolates DefaultTau, the LSH-tier gate
+    * interpolates LshGateTau — one SQL definition, two thresholds. */
+  private def corpusAssemblySql(tau: Double): String =
+    s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(
+         |      regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g') AS ctext
+         |  FROM (SELECT doc_id, lang, text, $DuckTokList AS toks
+         |        FROM documents) t0
+         |  WHERE round(0.4 * round(len(list_filter(toks,
+         |        x -> list_contains(
+         |          ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
+         |        / len(toks), 4)
+         |      + 0.6 * round(len(list_distinct(toks))::DOUBLE
+         |        / len(toks), 4), 4) >= ${CorpusAssembly.DefaultMinQuality}),
+         |e AS (
+         |  SELECT doc_id, lang, ctext FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY md5(ctext)
+         |                                   ORDER BY doc_id) AS rn
+         |    FROM q) f
+         |  WHERE rn = 1),
+         |tk AS (SELECT doc_id, $DuckTokList AS toks
+         |       FROM (SELECT doc_id, ctext AS text FROM e) x),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                    AS i) g),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM feats a JOIN feats b
+         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+         |    >= $tau),
+         |edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.src, e2.id_b FROM reach r
+         |  JOIN edges e2 ON r.dst = e2.id_a),
+         |dropped AS (
+         |  SELECT src AS doc_id FROM reach
+         |  GROUP BY 1 HAVING min(dst) <> src),
+         |strain AS (
+         |  SELECT doc_id, lang, ctext FROM e
+         |  WHERE doc_id >= $CaBench
+         |    AND doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |ttk AS (SELECT doc_id, $DuckTokList AS toks
+         |        FROM (SELECT doc_id, ctext AS text FROM strain) x),
+         |bg AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i+$CaNgM1), ' ')
+         |    AS gram
+         |  FROM (SELECT $DuckTokList AS toks FROM (
+         |          SELECT regexp_replace(
+         |            regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |            '<EMAIL>', 'g') AS text
+         |          FROM documents WHERE doc_id < $CaBench) b0) b1,
+         |    LATERAL (SELECT unnest(generate_series(1,
+         |               greatest(len(toks)-$CaNgM1, 0))) AS i) g),
+         |tg AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(toks, i, i+$CaNgM1), ' ') AS gram
+         |  FROM ttk, LATERAL (SELECT unnest(generate_series(1,
+         |               greatest(len(toks)-$CaNgM1, 0))) AS i) g),
+         |contam AS (SELECT DISTINCT tg.doc_id FROM tg
+         |           JOIN bg USING (gram)),
+         |train AS (
+         |  SELECT s.doc_id, s.lang, CAST(len(tt.toks) AS BIGINT) AS n_toks,
+         |    ((s.doc_id % $Fold31) * $HashMult) % 1000000 AS bm
+         |  FROM strain s JOIN ttk tt USING (doc_id)
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |b AS (SELECT CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM train),
+         |a2 AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS available_toks
+         |       FROM train GROUP BY lang),
+         |r2 AS (
+         |  SELECT lang,
+         |    CAST(least(target_toks // available_toks, ${CorpusAssembly.DefaultMaxEpochs}) AS BIGINT)
+         |      AS full_epochs,
+         |    CAST(least(999999, CASE WHEN available_toks < 8796093022208
+         |        THEN ((target_toks % available_toks) * 1000000)
+         |          // available_toks
+         |        ELSE (target_toks % available_toks)
+         |          // greatest(available_toks // 1000000, 1) END) AS BIGINT)
+         |      AS rem_rate_millionths
+         |  FROM (SELECT lang, available_toks,
+         |          (budget // 1000000) * w + ((budget % 1000000) * w)
+         |            // 1000000 AS target_toks
+         |        FROM (SELECT a2.*, b.budget,
+         |            CAST(CASE lang $CaWeightCase
+         |              ELSE ${CorpusAssembly.DefaultWeightOther} END
+         |              AS BIGINT) AS w
+         |          FROM a2, b) t1) t2),
+         |cop AS (
+         |  SELECT train.doc_id, train.lang, train.n_toks,
+         |    full_epochs + CASE WHEN bm < rem_rate_millionths
+         |      THEN 1 ELSE 0 END AS copies
+         |  FROM train JOIN r2 USING (lang)),
+         |expd AS (
+         |  SELECT doc_id, lang, n_toks,
+         |    unnest(generate_series(0, copies - 1)) AS epoch
+         |  FROM cop WHERE copies > 0),
+         |h AS (
+         |  SELECT doc_id, epoch, lang, n_toks,
+         |    doc_id * $CaRepFactor + epoch AS rep_id,
+         |    (((doc_id * $CaRepFactor + epoch) % $Fold31) * $HashMult)
+         |      % $Fold31 AS hkey
+         |  FROM expd)
+         |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch, lang, n_toks,
+         |  (hkey * ${CorpusAssembly.DefaultNShards}) // $Fold31 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY (hkey * ${CorpusAssembly.DefaultNShards}) // $Fold31
+         |    ORDER BY hkey, rep_id) AS INTEGER) AS pos
+         |FROM h ORDER BY doc_id, epoch""".stripMargin
 
   /** DuckDB recomputation of the exact word-bigram Jaccard tier (J ≥ 0.5)
     * over the near-dup-planted corpus. Shared by `dedup_jaccard_pairs`
@@ -1222,20 +1366,23 @@ object SparkEntry {
          |        coalesce(n_before, CAST(0 AS BIGINT)) AS n_before,
          |        coalesce(n_after, CAST(0 AS BIGINT)) AS n_after
          |      FROM cb FULL OUTER JOIN ca ON cb.word = ca.word),
-         |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS n1,
-         |        CAST(sum(n_after) AS BIGINT) AS n2,
+         |t AS (SELECT coalesce(CAST(sum(n_before) AS BIGINT),
+         |          CAST(0 AS BIGINT)) AS n1,
+         |        coalesce(CAST(sum(n_after) AS BIGINT),
+         |          CAST(0 AS BIGINT)) AS n2,
          |        CAST(count(*) AS BIGINT) AS v FROM m),
          |terms AS (
          |  SELECT (n_before + 1) * CAST(floor(
-         |      (ln((n_before + 1)::DOUBLE / (t.n1 + t.v)) -
-         |       ln((n_after + 1)::DOUBLE / (t.n2 + t.v))) * 1000000.0)
-         |      AS BIGINT) AS term
+         |      (ln((n_before + 1)::DOUBLE / greatest(t.n1 + t.v, 1)) -
+         |       ln((n_after + 1)::DOUBLE / greatest(t.n2 + t.v, 1)))
+         |      * 1000000.0) AS BIGINT) AS term
          |  FROM m, t)
          |SELECT t.n1 AS n_tokens_before, t.n2 AS n_tokens_after,
          |  t.v AS vocab_union,
-         |  greatest(CAST(sum(term) AS BIGINT), CAST(0 AS BIGINT))
-         |    // (t.n1 + t.v) AS kl_millionths
-         |FROM terms, t
+         |  greatest(coalesce(CAST(sum(term) AS BIGINT), CAST(0 AS BIGINT)),
+         |    CAST(0 AS BIGINT))
+         |    // greatest(t.n1 + t.v, 1) AS kl_millionths
+         |FROM t LEFT JOIN terms ON TRUE
          |GROUP BY t.n1, t.n2, t.v""".stripMargin,
     // same gaps-and-islands shape; version numbering is deterministic
     // because o_orderkey breaks orderdate ties in every window
@@ -1807,24 +1954,24 @@ object SparkEntry {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_hash_docs" ->
-      """SELECT doc_id,
-        |  ((doc_id % 2147483648) * 2654435761) % 100 AS bucket, lang, n_chars
+      s"""SELECT doc_id,
+        |  ((doc_id % $Fold31) * $HashMult) % 100 AS bucket, lang, n_chars
         |FROM documents
-        |WHERE ((doc_id % 2147483648) * 2654435761) % 100 < 20
+        |WHERE ((doc_id % $Fold31) * $HashMult) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
     "sample_stratified_lang" ->
-      """SELECT doc_id, lang, n_chars FROM (
+      s"""SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 100, doc_id)
+        |      ORDER BY ((doc_id % $Fold31) * $HashMult) % 100, doc_id)
         |      AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
     "sample_mixture_lang" ->
-      """SELECT doc_id, lang,
-        |  ((doc_id % 2147483648) * 2654435761) % 100 AS bucket
+      s"""SELECT doc_id, lang,
+        |  ((doc_id % $Fold31) * $HashMult) % 100 AS bucket
         |FROM documents
-        |WHERE ((doc_id % 2147483648) * 2654435761) % 100 <
+        |WHERE ((doc_id % $Fold31) * $HashMult) % 100 <
         |  CASE lang WHEN 'en' THEN 90 WHEN 'zh' THEN 40 ELSE 60 END
         |ORDER BY doc_id""".stripMargin,
     // $ShardN and $Fold31 interpolate the SAME constants the Spark side
@@ -1833,7 +1980,7 @@ object SparkEntry {
     "training_shards" ->
       s"""WITH h AS (
          |  SELECT doc_id,
-         |    ((doc_id % $Fold31) * 2654435761) % $Fold31 AS hkey
+         |    ((doc_id % $Fold31) * $HashMult) % $Fold31 AS hkey
          |  FROM documents),
          |s AS (SELECT doc_id, hkey,
          |        (hkey * $ShardN) // $Fold31 AS shard FROM h)
@@ -1843,7 +1990,7 @@ object SparkEntry {
          |FROM s ORDER BY doc_id""".stripMargin,
     "shard_stats" ->
       s"""WITH t AS (
-         |  SELECT (((doc_id % $Fold31) * 2654435761) % $Fold31 * $ShardN)
+         |  SELECT (((doc_id % $Fold31) * $HashMult) % $Fold31 * $ShardN)
          |      // $Fold31 AS shard,
          |    len($DuckTokList) AS n_toks
          |  FROM documents)
@@ -1853,7 +2000,7 @@ object SparkEntry {
     "mixture_budget" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, CAST(len($DuckTokList) AS BIGINT) AS n_toks,
-         |    ((doc_id % 2147483648) * 2654435761) % 1000000 AS bm
+         |    ((doc_id % $Fold31) * $HashMult) % 1000000 AS bm
          |  FROM documents),
          |b AS (SELECT CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM d),
          |a AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS available_toks,
@@ -2162,7 +2309,7 @@ object SparkEntry {
          |  FROM s)
          |SELECT doc_id, lang, n_tokens, quality_score, scrubbed_fp
          |FROM k
-         |WHERE rn = 1 AND ((doc_id % 2147483648) * 2654435761) % 100 < 50
+         |WHERE rn = 1 AND ((doc_id % $Fold31) * $HashMult) % 100 < 50
          |ORDER BY doc_id""".stripMargin,
     // full capstone recompute: quality gate → scrub → exact dedup →
     // exact-Jaccard closure → 8-gram decontamination → mixture rates →
@@ -2173,127 +2320,15 @@ object SparkEntry {
     // formula from training_shards) so one definition per stage holds
     // across BOTH engines via CorpusAssembly.Default* constants
     // (CaRepFactor = maxEpochs + 2, CaWeightCase from DefaultWeights).
-    "corpus_assembly" ->
-      s"""WITH RECURSIVE q AS (
-         |  SELECT doc_id, lang,
-         |    regexp_replace(
-         |      regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
-         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-         |      '<EMAIL>', 'g') AS ctext
-         |  FROM (SELECT doc_id, lang, text, $DuckTokList AS toks
-         |        FROM documents) t0
-         |  WHERE round(0.4 * round(len(list_filter(toks,
-         |        x -> list_contains(
-         |          ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
-         |        / len(toks), 4)
-         |      + 0.6 * round(len(list_distinct(toks))::DOUBLE
-         |        / len(toks), 4), 4) >= ${CorpusAssembly.DefaultMinQuality}),
-         |e AS (
-         |  SELECT doc_id, lang, ctext FROM (
-         |    SELECT q.*, row_number() OVER (PARTITION BY md5(ctext)
-         |                                   ORDER BY doc_id) AS rn
-         |    FROM q) f
-         |  WHERE rn = 1),
-         |tk AS (SELECT doc_id, $DuckTokList AS toks
-         |       FROM (SELECT doc_id, ctext AS text FROM e) x),
-         |feats AS (
-         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
-         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
-         |                    AS i) g),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM feats a JOIN feats b
-         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
-         |  GROUP BY 1,2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
-         |    >= ${CorpusAssembly.DefaultTau}),
-         |edges AS (
-         |  SELECT id_a, id_b FROM pairs
-         |  UNION
-         |  SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT id_a, id_a FROM edges
-         |  UNION
-         |  SELECT r.src, e2.id_b FROM reach r
-         |  JOIN edges e2 ON r.dst = e2.id_a),
-         |dropped AS (
-         |  SELECT src AS doc_id FROM reach
-         |  GROUP BY 1 HAVING min(dst) <> src),
-         |strain AS (
-         |  SELECT doc_id, lang, ctext FROM e
-         |  WHERE doc_id >= $CaBench
-         |    AND doc_id NOT IN (SELECT doc_id FROM dropped)),
-         |ttk AS (SELECT doc_id, $DuckTokList AS toks
-         |        FROM (SELECT doc_id, ctext AS text FROM strain) x),
-         |bg AS (
-         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i+$CaNgM1), ' ')
-         |    AS gram
-         |  FROM (SELECT $DuckTokList AS toks FROM (
-         |          SELECT regexp_replace(
-         |            regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
-         |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-         |            '<EMAIL>', 'g') AS text
-         |          FROM documents WHERE doc_id < $CaBench) b0) b1,
-         |    LATERAL (SELECT unnest(generate_series(1,
-         |               greatest(len(toks)-$CaNgM1, 0))) AS i) g),
-         |tg AS (
-         |  SELECT DISTINCT doc_id,
-         |    array_to_string(list_slice(toks, i, i+$CaNgM1), ' ') AS gram
-         |  FROM ttk, LATERAL (SELECT unnest(generate_series(1,
-         |               greatest(len(toks)-$CaNgM1, 0))) AS i) g),
-         |contam AS (SELECT DISTINCT tg.doc_id FROM tg
-         |           JOIN bg USING (gram)),
-         |train AS (
-         |  SELECT s.doc_id, s.lang, CAST(len(tt.toks) AS BIGINT) AS n_toks,
-         |    ((s.doc_id % 2147483648) * 2654435761) % 1000000 AS bm
-         |  FROM strain s JOIN ttk tt USING (doc_id)
-         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM contam)),
-         |b AS (SELECT CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM train),
-         |a2 AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS available_toks
-         |       FROM train GROUP BY lang),
-         |r2 AS (
-         |  SELECT lang,
-         |    CAST(least(target_toks // available_toks, ${CorpusAssembly.DefaultMaxEpochs}) AS BIGINT)
-         |      AS full_epochs,
-         |    CAST(least(999999, CASE WHEN available_toks < 8796093022208
-         |        THEN ((target_toks % available_toks) * 1000000)
-         |          // available_toks
-         |        ELSE (target_toks % available_toks)
-         |          // greatest(available_toks // 1000000, 1) END) AS BIGINT)
-         |      AS rem_rate_millionths
-         |  FROM (SELECT lang, available_toks,
-         |          (budget // 1000000) * w + ((budget % 1000000) * w)
-         |            // 1000000 AS target_toks
-         |        FROM (SELECT a2.*, b.budget,
-         |            CAST(CASE lang $CaWeightCase
-         |              ELSE ${CorpusAssembly.DefaultWeightOther} END
-         |              AS BIGINT) AS w
-         |          FROM a2, b) t1) t2),
-         |cop AS (
-         |  SELECT train.doc_id, train.lang, train.n_toks,
-         |    full_epochs + CASE WHEN bm < rem_rate_millionths
-         |      THEN 1 ELSE 0 END AS copies
-         |  FROM train JOIN r2 USING (lang)),
-         |expd AS (
-         |  SELECT doc_id, lang, n_toks,
-         |    unnest(generate_series(0, copies - 1)) AS epoch
-         |  FROM cop WHERE copies > 0),
-         |h AS (
-         |  SELECT doc_id, epoch, lang, n_toks,
-         |    doc_id * $CaRepFactor + epoch AS rep_id,
-         |    (((doc_id * $CaRepFactor + epoch) % $Fold31) * 2654435761)
-         |      % $Fold31 AS hkey
-         |  FROM expd)
-         |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch, lang, n_toks,
-         |  (hkey * ${CorpusAssembly.DefaultNShards}) // $Fold31 AS shard,
-         |  CAST(row_number() OVER (PARTITION BY (hkey * ${CorpusAssembly.DefaultNShards}) // $Fold31
-         |    ORDER BY hkey, rep_id) AS INTEGER) AS pos
-         |FROM h ORDER BY doc_id, epoch""".stripMargin,
+    "corpus_assembly" -> corpusAssemblySql(CorpusAssembly.DefaultTau),
+    // LSH-tier capstone gate: same oracle TEMPLATE at tau = LshGateTau
+    // (0.9) — in that band every exact-tier pair is either an exact
+    // copy (identical MinHash signatures, LSH recall deterministically
+    // 1) or a J >= 0.9 near-copy (band-miss odds ~1e-4 per pair,
+    // deterministic per corpus — the incremental_neardup triage
+    // convention), so the candidate-bounded production tier and the
+    // SQL-exact closure provably keep the same survivors
+    "corpus_assembly_lsh" -> corpusAssemblySql(CorpusAssembly.LshGateTau),
     // exact recompute of the cross-increment near-dup filter: planted
     // fresh docs (ids +10000) vs base, bigram Jaccard >= 0.9 (the
     // LSH-deterministic band, splitLeakageNearDup's convention), one
@@ -2332,6 +2367,100 @@ object SparkEntry {
          |  FROM v)
          |SELECT fid AS doc_id, bid AS dup_of, jaccard
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // refresh capstone recompute, stage by stage: syntheticDelta merge
+    // (corpus_refresh's fragment) → fresh-vs-existing bigram Jaccard ≥
+    // tau (incremental_neardup's fragment) → per-shard stats over the
+    // survivors (shard_stats' hash formula) + add-1 KL drift gate
+    // between the base snapshot and the refreshed corpus
+    // (token_drift_kl's fragment, same empty-corpus guards)
+    "corpus_refresh_assembly" ->
+      s"""WITH delta AS (
+         |  SELECT doc_id, text || ' [revised]' AS text, lang,
+         |    'upsert' AS op
+         |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text, lang, 'upsert'
+         |  FROM documents WHERE doc_id < 25
+         |  UNION ALL
+         |  SELECT doc_id, NULL, lang, 'delete'
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |merged AS (
+         |  SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+         |    CASE WHEN d.doc_id IS NULL THEN 'kept'
+         |         WHEN b.doc_id IS NULL THEN 'inserted'
+         |         ELSE 'updated' END AS row_status,
+         |    coalesce(d.lang, b.lang) AS lang,
+         |    coalesce(d.text, b.text) AS text
+         |  FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+         |  WHERE d.op IS NULL OR d.op <> 'delete'),
+         |t AS (SELECT doc_id, row_status = 'inserted' AS fresh,
+         |        $DuckTokList AS toks FROM merged),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, fresh,
+         |    toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS fid, b.doc_id AS bid, count(*) AS n_inter
+         |  FROM feats a JOIN feats b
+         |    ON a.feat = b.feat AND a.fresh AND NOT b.fresh
+         |  GROUP BY 1,2),
+         |dropped AS (
+         |  SELECT DISTINCT fid AS doc_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = fid
+         |  JOIN sizes sb ON sb.doc_id = bid
+         |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+         |    >= ${Dedup.IncrementalTau}),
+         |fin AS (
+         |  SELECT m.doc_id, m.lang, m.text FROM merged m
+         |  WHERE m.doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |cb AS (SELECT lower(word) AS word, CAST(count(*) AS BIGINT)
+         |         AS n_before
+         |       FROM (SELECT unnest($DuckTokList) AS word
+         |             FROM documents) x GROUP BY 1),
+         |ca AS (SELECT lower(word) AS word, CAST(count(*) AS BIGINT)
+         |         AS n_after
+         |       FROM (SELECT unnest(t.toks) AS word
+         |             FROM t JOIN fin ON t.doc_id = fin.doc_id) x
+         |       GROUP BY 1),
+         |m2 AS (SELECT coalesce(cb.word, ca.word) AS word,
+         |        coalesce(n_before, CAST(0 AS BIGINT)) AS n_before,
+         |        coalesce(n_after, CAST(0 AS BIGINT)) AS n_after
+         |      FROM cb FULL OUTER JOIN ca ON cb.word = ca.word),
+         |tt AS (SELECT coalesce(CAST(sum(n_before) AS BIGINT),
+         |          CAST(0 AS BIGINT)) AS n1,
+         |        coalesce(CAST(sum(n_after) AS BIGINT),
+         |          CAST(0 AS BIGINT)) AS n2,
+         |        CAST(count(*) AS BIGINT) AS v FROM m2),
+         |terms AS (
+         |  SELECT (n_before + 1) * CAST(floor(
+         |      (ln((n_before + 1)::DOUBLE / greatest(tt.n1 + tt.v, 1)) -
+         |       ln((n_after + 1)::DOUBLE / greatest(tt.n2 + tt.v, 1)))
+         |      * 1000000.0) AS BIGINT) AS term
+         |  FROM m2, tt),
+         |klrow AS (
+         |  SELECT tt.n1 AS n_tokens_before, tt.n2 AS n_tokens_after,
+         |    tt.v AS vocab_union,
+         |    greatest(coalesce(CAST(sum(term) AS BIGINT),
+         |        CAST(0 AS BIGINT)), CAST(0 AS BIGINT))
+         |      // greatest(tt.n1 + tt.v, 1) AS kl_millionths
+         |  FROM tt LEFT JOIN terms ON TRUE
+         |  GROUP BY tt.n1, tt.n2, tt.v),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped_fresh
+         |       FROM dropped),
+         |sh AS (
+         |  SELECT (((fin.doc_id % $Fold31) * $HashMult) % $Fold31
+         |      * ${CorpusAssembly.DefaultNShards}) // $Fold31 AS shard,
+         |    CAST(len(t.toks) AS BIGINT) AS n_toks
+         |  FROM fin JOIN t ON t.doc_id = fin.doc_id),
+         |sh2 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(n_toks) AS BIGINT) AS shard_toks
+         |        FROM sh GROUP BY shard)
+         |SELECT sh2.shard, sh2.n_docs, sh2.shard_toks,
+         |  nd.n_dropped_fresh, klrow.n_tokens_before,
+         |  klrow.n_tokens_after, klrow.vocab_union, klrow.kl_millionths
+         |FROM sh2, nd, klrow ORDER BY sh2.shard""".stripMargin,
     // same quality blend as curation_pipeline, ranked per lang; keep =
     // integer percentile threshold so both engines agree exactly
     "quality_top_pct" ->
@@ -2558,9 +2687,9 @@ object SparkEntry {
          |FROM ks LEFT JOIN r ON r.rn <= ks.k CROSS JOIN tot
          |GROUP BY k, n_vocab, n_tokens ORDER BY k""".stripMargin,
     "split_leakage_audit" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, md5(text) AS fp,
-        |    ((doc_id % 2147483648) * 2654435761) % 100 AS b
+        |    ((doc_id % $Fold31) * $HashMult) % 100 AS b
         |  FROM documents),
         |te AS (SELECT doc_id AS test_id, fp FROM d WHERE b < 10),
         |tr AS (SELECT doc_id AS train_id, fp FROM d WHERE b >= 10),
@@ -2579,7 +2708,7 @@ object SparkEntry {
          |  FROM documents WHERE doc_id < 20),
          |d AS (
          |  SELECT doc_id, text,
-         |    ((doc_id % 2147483648) * 2654435761) % 100 < 10 AS is_test
+         |    ((doc_id % $Fold31) * $HashMult) % 100 < 10 AS is_test
          |  FROM corpus),
          |t AS (SELECT doc_id, is_test, $DuckTokList AS toks FROM d),
          |feats AS (

@@ -45,7 +45,16 @@ object Checkpoints {
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Materialize `df` and truncate its lineage, per the session's
-    * checkpoint policy. Eager in both modes. */
+    * checkpoint policy. Eager in both modes.
+    *
+    * Reliable mode persists the frame around the checkpoint: a bare
+    * `Dataset.checkpoint(eager=true)` computes the plan TWICE — once
+    * for the eager count job and again for the checkpoint-write job
+    * that re-runs the unpersisted RDD to produce the DFS files — so
+    * every iteration of an iterative operator would pay ~2x compute.
+    * Caching first means the write job reads the computed blocks; the
+    * cache is dropped immediately after since the returned frame reads
+    * the DFS copy from then on. */
   def materialize(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(DirKey).filter(_.nonEmpty) match {
@@ -53,10 +62,92 @@ object Checkpoints {
         if (applied.getAndSet(dir) != dir ||
             s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally { df.unpersist(blocking = false); () }
       case None => df.localCheckpoint(true)
     }
   }
+
+  /** Materialize a SCRATCH frame: always `localCheckpoint`, regardless
+    * of the reliable-checkpoint knob. For fan-out dedup inside a single
+    * query whose RETURNED lazy plan keeps reading the materialized
+    * frame — under the reliable knob such a frame could never be
+    * [[dropRound]]ed (no caller knows when the final consumer is done),
+    * so every invocation would leak corpus-scale DFS files. The
+    * reliable knob exists for ITERATION rounds, where the loop owns the
+    * lifecycle; scratch materializations keep executor-local blocks the
+    * ContextCleaner reclaims (jaccardVerifyPairs made the same call). */
+  def scratch(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Runtime conf key: set to a DFS path to make iterative operators
+    * RESUMABLE across driver restarts. Orthogonal to [[DirKey]]: the
+    * reliable-checkpoint knob survives EXECUTOR loss within one run
+    * (its ReliableCheckpointRDD files are only readable by the context
+    * that wrote them), while the resume store survives the DRIVER —
+    * each round is snapshotted as plain parquet under
+    * `<resumeDir>/<op>/round-<n>`, and a restarted run picks up from
+    * the highest COMPLETE round (parquet's _SUCCESS commit marker, so
+    * a kill mid-write never yields a partial resume point) instead of
+    * recomputing hours of iterations from round zero. Cost: one
+    * parquet write per round — worth it exactly when a round is
+    * expensive enough that recomputing all of them is worse. Superseded
+    * rounds are dropped as the loop advances; the op's store is cleared
+    * on successful convergence (a stale fixpoint must never seed a
+    * LATER run over different input). */
+  val ResumeKey = "spark.graft.resumeDir"
+
+  private def resumeRoot(s: org.apache.spark.sql.SparkSession,
+                         op: String): Option[String] =
+    s.conf.getOption(ResumeKey).filter(_.nonEmpty).map(d => s"$d/$op")
+
+  private def hadoopFs(s: org.apache.spark.sql.SparkSession,
+                       p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Highest complete round snapshot for `op`, as (round, frame read
+    * from the store), if the resume knob is set and one exists. */
+  def latestRound(s: org.apache.spark.sql.SparkSession,
+                  op: String): Option[(Int, DataFrame)] =
+    resumeRoot(s, op).flatMap { root =>
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = hadoopFs(s, rootPath)
+      if (!fs.exists(rootPath)) None
+      else {
+        val complete = fs.listStatus(rootPath).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("round-") &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(p => p.getName.stripPrefix("round-").toInt -> p)
+        if (complete.isEmpty) None
+        else {
+          val (n, p) = complete.maxBy(_._1)
+          Some(n -> s.read.parquet(p.toString))
+        }
+      }
+    }
+
+  /** Snapshot round `n` of `op` into the resume store (no-op when the
+    * knob is unset) and reclaim the superseded round. Call on a frame
+    * already materialized by [[materialize]] — the write then reads
+    * computed blocks, not lineage. */
+  def saveRound(df: DataFrame, op: String, n: Int): Unit =
+    resumeRoot(df.sparkSession, op).foreach { root =>
+      df.write.mode("overwrite").parquet(s"$root/round-$n")
+      if (n > 0) {
+        val prev = new org.apache.hadoop.fs.Path(s"$root/round-${n - 1}")
+        try { hadoopFs(df.sparkSession, prev).delete(prev, true); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+
+  /** Clear `op`'s resume store after successful convergence. */
+  def clearRounds(s: org.apache.spark.sql.SparkSession, op: String): Unit =
+    resumeRoot(s, op).foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      try { hadoopFs(s, p).delete(p, true); () }
+      catch { case _: java.io.IOException => () }
+    }
 
   /** Best-effort deletion of a superseded round's RELIABLE checkpoint
     * files. Call ONLY on a frame returned by [[materialize]] and only

@@ -74,6 +74,15 @@ object CorpusAssembly {
   val DefaultMaxEpochs = 20
   val DefaultNShards = 8
 
+  /** Near-dup tau of the LSH-tier capstone GATE (corpus_assembly_lsh):
+    * at J ≥ 0.9 the candidate tier's recall is effectively
+    * deterministic (exact copies hash to identical MinHash signatures;
+    * a 0.9-Jaccard pair's band-miss odds are ~(1−0.9⁴)⁸ ≈ 2e-4,
+    * deterministic per corpus), so the production tier and the
+    * SQL-exact closure keep the same survivors and ONE oracle template
+    * gates both. Shared with the oracle via SparkEntry interpolation. */
+  val LshGateTau = 0.9
+
   def corpusAssembly(s: SparkSession, dir: String,
                      minQuality: Double = DefaultMinQuality,
                      tau: Double = DefaultTau,
@@ -102,11 +111,12 @@ object CorpusAssembly {
     // exactKept fans out to SEVEN consumers (pair features, survivor
     // anti-join, both gram sides, and the three budget aggregates) —
     // without materialization each one re-expands the scan+window
-    // subtree, i.e. seven full corpus passes at 100 TB. Checkpoint ONCE
-    // (the semanticDedupGate pattern; reliable via the
-    // spark.graft.checkpointDir knob on a cluster).
+    // subtree, i.e. seven full corpus passes at 100 TB. Checkpoint ONCE.
+    // scratch (NOT materialize): the returned lazy plan keeps reading
+    // this frame, so under the reliable knob nobody could ever dropRound
+    // it and every invocation would leak a corpus-scale DFS snapshot.
     val wfp = Window.partitionBy(md5(col("ctext"))).orderBy(col("doc_id"))
-    val exactKept = Checkpoints.materialize(
+    val exactKept = Checkpoints.scratch(
       curated.withColumn("__rn", row_number().over(wfp))
         .filter(col("__rn") === 1).drop("__rn"))
 
@@ -145,8 +155,9 @@ object CorpusAssembly {
       .join(broadcast(benchGrams), "gram")
       .select("doc_id").distinct()
     // three consumers (avail, budget, replicas) → materialize once; the
-    // checkpointed frame is 4 narrow columns, not the corpus text
-    val train = Checkpoints.materialize(
+    // checkpointed frame is 4 narrow columns, not the corpus text.
+    // scratch for the same leak reason as exactKept.
+    val train = Checkpoints.scratch(
       trainSide.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"),
           size(tokenize(col("ctext"))).cast("long").as("n_toks"),
@@ -195,5 +206,68 @@ object CorpusAssembly {
     keyed.withColumn("pos", row_number().over(wsh))
       .select(col("doc_id"), col("epoch").cast("int").as("epoch"),
         col("lang"), col("n_toks"), col("shard"), col("pos"))
+  }
+
+  /** The refresh capstone — [[corpusAssembly]]'s daily complement: cold
+    * assembly builds a corpus once; this is the shape every morning
+    * after — fold the day's change set into the base snapshot, drop
+    * fresh arrivals that near-duplicate what the corpus already holds,
+    * re-shard, and gate the refresh on distribution drift. Each stage
+    * is an already-gated operator referenced, not re-implemented
+    * (Incremental.mergeUpsert / Dedup.incrementalNearDup /
+    * Sampling.hashOrderKey+shardOf / Profile.tokenDriftKl); what the
+    * composition adds — and what the per-stage gates cannot see — is
+    * the interface friction between them (the corpus_assembly
+    * argument).
+    *
+    * Plan shape: the merge is ONE co-partitioned full-outer shuffle;
+    * the merged snapshot is scratch-materialized ONCE for its three
+    * consumers (fresh side, existing side, survivor anti-join);
+    * incrementalNearDup's work is |fresh|·bucket-bounded (asymmetric
+    * LSH — never corpus²); the refreshed corpus materializes once for
+    * its two consumers (drift counts, shard aggregate); the drift gate
+    * and drop count ride back as one-row broadcasts (the
+    * above_average_orders pattern), so the corpus never shuffles for
+    * them. Output: per-shard doc/token stats of the refreshed corpus,
+    * with the audit scalars (dropped-fresh count, before/after token
+    * totals, union vocab, add-1-smoothed KL millionths) repeated on
+    * every row — nShards rows total.
+    *
+    * Dedup-tier caveat (incremental_neardup's triage note, inherited):
+    * fresh arrivals here are exact re-crawls (J = 1 — identical MinHash
+    * signatures, so LSH recall is deterministically 1) or re-crawls of
+    * since-revised docs (J ≈ n/(n+2) ≥ 0.9 — band-miss odds ~1e-11 per
+    * pair, deterministic per corpus); an organic cross-increment pair
+    * AT J ≈ 0.9 after a testdata regen is the one thing that could
+    * split the engines. */
+  def corpusRefreshAssembly(s: SparkSession, dir: String,
+                            nShards: Int = DefaultNShards,
+                            tau: Double = Dedup.IncrementalTau): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val merged = Checkpoints.scratch(
+      Incremental.mergeUpsert(base, Incremental.syntheticDelta(base),
+        "doc_id"))
+    val fresh = merged.filter(col("row_status") === "inserted")
+      .select(col("doc_id"), col("text"))
+    val existing = merged.filter(col("row_status") =!= "inserted")
+      .select(col("doc_id"), col("text"))
+    // scratch: two consumers (survivor anti-join, audit count) — without
+    // it the count's plan re-expands the whole LSH+verify subtree
+    val dropped = Checkpoints.scratch(
+      Dedup.incrementalNearDup(existing, fresh, tau).select("doc_id"))
+    val refreshed = Checkpoints.scratch(
+      merged.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("text")))
+    val kl = Profile.tokenDriftKl(base, refreshed)
+    val nDropped = dropped.agg(count(lit(1)).as("n_dropped_fresh"))
+    val shards = refreshed
+      .select(Sampling.shardOf(
+          Sampling.hashOrderKey(col("doc_id")), nShards).as("shard"),
+        size(tokenize(col("text"))).cast("long").as("n_toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_toks"))
+    shards.crossJoin(broadcast(nDropped)).crossJoin(broadcast(kl))
+      .orderBy("shard")
   }
 }

@@ -28,6 +28,24 @@ object Dedup {
 
   val DupIdOffset = 10000L
 
+  /** Scan-fused guard for the planted-dup id contract (ADVICE r9): the
+    * plant fixtures map doc_id < [[PlantCount]] to doc_id+[[DupIdOffset]],
+    * so a corpus draw whose base ids already occupy
+    * [DupIdOffset, DupIdOffset+PlantCount) would silently merge the
+    * base/fresh id spaces — and Spark (per-row features) and the DuckDB
+    * oracle (grouped by doc_id across both sides) then degrade
+    * DIFFERENTLY, turning a fixture assumption into a wrong-answer gate.
+    * Wrap the BASE side's doc_id: per-row, codegen'd, zero extra jobs;
+    * fails loud on exactly the colliding rows instead of checking
+    * max(doc_id) with a separate scan. */
+  val PlantCount = 20L
+  def guardPlantWindow(id: Column): Column =
+    when(id >= DupIdOffset && id < DupIdOffset + PlantCount,
+      raise_error(concat(
+        lit("planted-dup id collision: base doc_id "), id.cast("string"),
+        lit(s" falls in the plant window [$DupIdOffset, ${DupIdOffset + PlantCount})"))))
+      .otherwise(id).cast("long")
+
   /** Verified-tier threshold of [[incrementalNearDup]] — shared with
     * its DuckDB oracle (SparkEntry interpolates it) so a default change
     * cannot desync the gate. */
@@ -78,15 +96,17 @@ object Dedup {
 
   /** documents ∪ exact copies of doc_id < 20 (new ids). */
   def withExactDups(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
-    base.union(base.filter(col("doc_id") < 20)
+    val base = docs.select(
+      guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") < PlantCount)
       .select((col("doc_id") + DupIdOffset).as("doc_id"), col("text")))
   }
 
   /** documents ∪ near copies (first token dropped) of doc_id < 20. */
   def withNearDups(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
-    base.union(base.filter(col("doc_id") < 20)
+    val base = docs.select(
+      guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") < PlantCount)
       .select((col("doc_id") + DupIdOffset).as("doc_id"),
         regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
   }
@@ -766,25 +786,52 @@ object Dedup {
       withMin.select(col("v").as("u"), col("m").as("v"))
         .union(withMin.select(col("u"), col("m").as("v")))
     }
-    var edges = Checkpoints.materialize(canon(init))
+    // Resume store (spark.graft.resumeDir): a restarted run seeds from
+    // the highest complete round snapshot instead of recomputing the
+    // loop from the input — sound because large/small-star preserves
+    // connectivity, so the unique fixpoint (min-rooted star forest) is
+    // reachable from ANY intermediate round's edge set. `roundNo` names
+    // snapshots globally across restarts; `iter` only budgets THIS
+    // run's rounds.
+    val session = pairs.sparkSession
+    val resumed = Checkpoints.latestRound(session, "components_star")
+    var roundNo = resumed.map(_._1).getOrElse(0)
+    var edges = Checkpoints.materialize(
+      resumed.map(_._2).getOrElse(canon(init)))
+    if (resumed.isEmpty) Checkpoints.saveRound(edges, "components_star", 0)
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = Checkpoints.materialize(
         canon(smallStar(canon(largeStar(edges)))))
-      // exact set comparison (a count tie is not a fixpoint proof);
-      // both sides are checkpointed so each except is two flat scans
-      converged = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      roundNo += 1
+      Checkpoints.saveRound(next, "components_star", roundNo)
+      // Exact set comparison, staged by cost (r10 profiling: the check
+      // was TWO exceptAll set-differences per round — ~4|E| rows
+      // shuffled each iteration just to test the fixpoint, comparable
+      // to the round's real work). Both frames are canon()'d distinct
+      // sets, so:  |next| != |edges|  already proves non-convergence
+      // for the price of a scan-only count over checkpointed blocks —
+      // no shuffle — and when the counts DO tie, subset + equal
+      // cardinality ⟹ set equality, so ONE exceptAll settles it
+      // exactly. Converging runs pay the exceptAll only on count-tie
+      // rounds (typically just the final one); exactness is unchanged
+      // (a count tie alone never declares the fixpoint).
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       // the comparison was this round's last read of the old edges
       Checkpoints.dropRound(edges)
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     require(converged,
       s"connectedComponentsStar did not converge in $maxIter rounds — " +
         s"O(log² n) bound exceeded, which indicates a bug, not a deep " +
         s"graph")
+    // success: a stale fixpoint must never seed a later run's resume
+    Checkpoints.clearRounds(session, "components_star")
     // fixpoint edges are (member, root) stars; roots label themselves
     edges.select(col("u").as("doc_id"), col("v").as("comp"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("comp"))

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth's multiplicative-hash constant (2^32 / phi, public domain). */
-  private val Mult = 2654435761L
+  /** Knuth's multiplicative-hash constant (2^32 / phi, public domain).
+    * PUBLIC because SparkEntry interpolates it into the DuckDB oracle
+    * SQL — one definition drives both engines' hash arithmetic (the
+    * ShardN anti-desync pattern; ADVICE r9 flagged the hardcoded
+    * copies). */
+  val Mult = 2654435761L
+
+  /** Fold modulus 2^31 — ids are folded into [0, Fold) before the
+    * multiply so the product stays below 2^63 (see [[hashBucket]]).
+    * Shared with the oracles for the same anti-desync reason. */
+  val Fold = 1L << 31
 
   /** Deterministic pseudo-random bucket in [0, 100) from a stable id.
     * Plain int64 arithmetic (no engine-specific hash), so the identical
@@ -30,7 +39,7 @@ object Sampling {
     * Spark/DuckDB, breaking engine-independence exactly at large-corpus
     * scale. */
   def hashBucket(id: Column): Column =
-    pmod(pmod(id, lit(1L << 31)) * lit(Mult), lit(100L))
+    pmod(pmod(id, lit(Fold)) * lit(Mult), lit(100L))
 
   /** Keep ~pct% of rows, decided per-row from `idCol` — a scan-fused
     * filter with zero shuffle. */
@@ -90,7 +99,7 @@ object Sampling {
     * all 31 bits instead of collapsing to 100 buckets, so it totally
     * orders a corpus with negligible collision mass. */
   def hashOrderKey(id: Column): Column =
-    pmod(pmod(id, lit(1L << 31)) * lit(Mult), lit(1L << 31))
+    pmod(pmod(id, lit(Fold)) * lit(Mult), lit(Fold))
 
   /** Shard from the HIGH bits of [[hashOrderKey]]: range-slice [0, 2^31)
     * into nShards equal intervals, i.e. `(hkey·nShards) DIV 2^31`.
@@ -110,7 +119,7 @@ object Sampling {
     * knob for [[mixtureBudget]], where 1-in-100 granularity is too
     * coarse to hit a token budget. */
   def bucketMillionths(id: Column): Column =
-    pmod(pmod(id, lit(1L << 31)) * lit(Mult), lit(1000000L))
+    pmod(pmod(id, lit(Fold)) * lit(Mult), lit(1000000L))
 
   /** Deterministic global shuffle into training shards — the step that
     * turns a curated corpus into the shard files a trainer streams:

@@ -47,6 +47,11 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // optional 2nd arg: comma-separated query-name filter, for targeted
+    // profiling runs (e.g. `run 10 components_star`) without paying the
+    // full harness each iteration
+    val only: Set[String] =
+      args.drop(1).headOption.map(_.split(",").toSet).getOrElse(Set.empty)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = s"target/scale$mult"
     val spark = GraftSession.builder("local[32]", 32)
@@ -67,6 +72,7 @@ object ScaleStress {
     System.err.println(s"[stress] docs=${docs.count()} emb=${emb.count()}")
 
     def timed(name: String)(df: => DataFrame): (String, Double, Long) = {
+      if (only.nonEmpty && !only.contains(name)) return (name, 0.0, -1L)
       val t0 = System.nanoTime()
       // force the EXACT physical plan, not count(): a count lets
       // ColumnPruning delete unreferenced windows/projections (it

@@ -310,4 +310,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"),
       "shard window lost its hash partitioning")
   }
+
+  test("corpus refresh assembly: exchange budget holds across the composition") {
+    import graft.operators.CorpusAssembly
+    // The merge, the near-dup drop list, and the refreshed corpus each
+    // materialize ONCE behind Checkpoints.scratch; the FINAL plan — what
+    // runs per downstream read — must stay: one shard-hash exchange for
+    // the per-shard aggregate, one range exchange for the ordered
+    // output, and two one-row audit aggregates (drop count, KL term
+    // sum) that ride back as broadcasts. Regression here = the
+    // incrementalNearDup subtree re-expanding into the count's plan, or
+    // an audit scalar degrading to a shuffled join.
+    val p = plan(CorpusAssembly.corpusRefreshAssembly(spark, dir))
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 5, p)
+    assert(!p.contains("SortMergeJoin"),
+      "a one-row audit frame shuffled the corpus side")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(shard"),
+      "per-shard aggregate lost its hash partitioning")
+  }
 }
