@@ -529,11 +529,18 @@ object Dedup {
     // ReuseExchange shares the one exchange across every consumer below.
     // Keyed on (sh, groupCols) so the class aggregate, the within-class
     // self-join, and both member-expansion joins all reuse the same
-    // partitioning instead of shuffling the corpus again.
+    // partitioning instead of shuffling the corpus again. EXPLICIT N
+    // (r10, the chunked-frame guard extended): a bare repartition(cols)
+    // is fair game for AQE coalescing, and the r8/r9 bench noisy-trio
+    // investigation measured this operator's run-to-run spread at 4.96×
+    // with AQE free to re-plan vs 1.19× with a static plan — the
+    // variance was AQE folding this few-MB exchange differently across
+    // runs and serializing the self-join/expansion probes behind it.
+    val spread = sigs.sparkSession.sessionState.conf.numShufflePartitions
     val classKeys = col("sh") +: groupCols.map(col)
     val members = sigs
       .select(col("doc_id") +: col("sh") +: groupCols.map(col): _*)
-      .repartition(classKeys: _*)
+      .repartition(spread, classKeys: _*)
     // Hamming-0 class collapse: rows with an IDENTICAL fingerprint (and
     // group columns) band identically, so the bucket join needs only one
     // representative per distinct signature. A class of c near-identical
@@ -567,7 +574,6 @@ object Dedup {
     // re-spread alone (same hazard the embedding pair scan documents).
     // Explicit numPartitions is exempt from AQE coalescing; both join
     // sides read the same exchange via ReuseExchange.
-    val spread = sigs.sparkSession.sessionState.conf.numShufflePartitions
     val chunked = classes.select(Seq(col("sh"),
         explode(array(spaces: _*)).as("c")) ++ groupCols.map(col): _*)
       .select(Seq(col("sh"), col("c.space").as("space"),

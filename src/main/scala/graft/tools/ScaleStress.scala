@@ -91,6 +91,20 @@ object ScaleStress {
       timed("simhash_pairs") { Dedup.simhashPairs(docs, 8) },
       timed("neardup_pipeline") { Dedup.nearDupPipeline(docs, 0.5, 32, 8, 0.4) },
       timed("components_star") { Dedup.dedupComponentsStar(docs, 0.5) },
+      // stage split of components_star: the exact pair tier alone vs the
+      // star loop alone (pairs pre-materialized outside the timer) — the
+      // r10 profiling view separating inherent pair-structure growth
+      // from iteration cost
+      timed("cs_pairs_only") { Dedup.jaccardPairsAuto(
+        docs.select(col("doc_id"), col("text")), 0.5) },
+      {
+        if (only.isEmpty || only.contains("cs_loop_only")) {
+          val pairs = Dedup.jaccardPairsAuto(
+            docs.select(col("doc_id"), col("text")), 0.5)
+            .select("id_a", "id_b").localCheckpoint(true)
+          timed("cs_loop_only") { Dedup.connectedComponentsStar(pairs) }
+        } else ("cs_loop_only", 0.0, -1L)
+      },
       timed("semantic_dedup") { Dedup.semanticDedup(emb, 0.45) },
       timed("knn_bruteforce") {
         Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 10), 5) },
