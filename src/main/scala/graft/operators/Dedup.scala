@@ -703,9 +703,19 @@ object Dedup {
       .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
     // p is fully folded into the (eager) edges round; its files are dead
     Checkpoints.dropRound(p)
-    var labels = Checkpoints.materialize(
+    // Resume store (spark.graft.resumeDir): label snapshots are valid
+    // restart points — propagation only ever LOWERS a label toward its
+    // component minimum, so continuing from round-k labels (edges
+    // rebuilt deterministically from the input) reaches the identical
+    // fixpoint.
+    val session = pairs.sparkSession
+    val resumed = Checkpoints.latestRound(session, "components_labelprop")
+    var roundNo = resumed.map(_._1).getOrElse(0)
+    var labels = Checkpoints.materialize(resumed.map(_._2).getOrElse(
       edges.select(col("id_a").as("id")).distinct()
-        .withColumn("comp", col("id")))
+        .withColumn("comp", col("id"))))
+    if (resumed.isEmpty)
+      Checkpoints.saveRound(labels, "components_labelprop", 0)
     // the reliable round that `labels` currently reads from (labels
     // becomes a projection over each round's frame after iteration 1)
     var round = labels
@@ -723,6 +733,10 @@ object Dedup {
             least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
               .as("new_comp")))
       changed = next.filter(col("new_comp") =!= col("comp")).count()
+      roundNo += 1
+      Checkpoints.saveRound(
+        next.select(col("id"), col("new_comp").as("comp")),
+        "components_labelprop", roundNo)
       // the previous round is fully consumed (next is materialized and
       // the changed count only read next) — reclaim its files
       Checkpoints.dropRound(round)
@@ -740,6 +754,7 @@ object Dedup {
         s"($changed labels still changing); the pair graph has a chain " +
         s"longer than maxIter — raise maxIter or pre-cluster with " +
         s"large-star/small-star")
+    Checkpoints.clearRounds(session, "components_labelprop")
     labels.select(col("id").as("doc_id"), col("comp"))
   }
 

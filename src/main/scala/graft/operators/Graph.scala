@@ -66,13 +66,22 @@ object Graph {
     // one shuffle of the big side, ever; partitioning survives checkpoint
     val e = Checkpoints.materialize(edges.repartition(col("src")))
     val base = (100L - damp) * scale / 100L
+    // Resume store (spark.graft.resumeDir): each sweep's rank table
+    // snapshots as round-<n>, and a restarted run continues from the
+    // highest complete sweep — sound because the fixed-point integer
+    // update is a pure function of (edge list, round-k ranks), so the
+    // remaining sweeps reproduce the uninterrupted run's ranks exactly.
+    val session = edges.sparkSession
+    val resumed = Checkpoints.latestRound(session, "pagerank")
+    var roundNo = resumed.map(_._1).getOrElse(0)
     // outdeg rides inside the rank table: one join per sweep instead of
     // a ranks-deg join plus a deg-contrib join
-    var ranks = Checkpoints.materialize(
+    var ranks = Checkpoints.materialize(resumed.map(_._2).getOrElse(
       e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("outdeg"))
-        .withColumn("pr", lit(scale)))
-    var i = 0
+        .withColumn("pr", lit(scale))))
+    if (resumed.isEmpty) Checkpoints.saveRound(ranks, "pagerank", 0)
+    var i = roundNo
     while (i < iters) {
       val give = ranks
         .select(col("node").as("src"), expr("pr DIV outdeg").as("give"))
@@ -89,9 +98,11 @@ object Graph {
       Checkpoints.dropRound(ranks)
       ranks = stepped
       i += 1
+      Checkpoints.saveRound(ranks, "pagerank", i)
     }
     // the result only reads the final rank round; the edge round is done
     Checkpoints.dropRound(e)
+    Checkpoints.clearRounds(session, "pagerank")
     ranks.select("node", "pr")
   }
 

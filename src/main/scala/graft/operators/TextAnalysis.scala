@@ -726,8 +726,9 @@ object TextAnalysis {
       .orderBy("step")
   }
 
-  private def trainBpe(s: SparkSession, dir: String,
+  private[graft] def trainBpe(s: SparkSession, dir: String,
                        nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
     val words = WordCount.tokens(Tables.documents(s, dir), "text")
       .select(lower(col("word")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -740,6 +741,31 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 0
     var exhausted = false
+    // Resume store (spark.graft.resumeDir): for BPE the round state IS
+    // the merge table (tiny), not the corpus-scale vocab — a restarted
+    // run reads the highest complete merge snapshot and REPLAYS those
+    // merges onto the fresh char-split vocabulary as a chain of native
+    // bpe_merge_pair calls (the bpeEncoded compilation pattern: one
+    // fused projection, a single corpus pass), then continues training
+    // from step k. Replay is exact because each merge is a pure
+    // function of the symbol arrays and the stored (a, b) constants.
+    val priorMerges = Checkpoints.latestRound(s, "bpe_merges")
+      .map(_._2.select("step", "pair_a", "pair_b", "pair_count")
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1))
+      .getOrElse(Seq.empty)
+    if (priorMerges.nonEmpty) {
+      merges ++= priorMerges
+      step = priorMerges.size
+      vocab = Checkpoints.materialize(priorMerges.foldLeft(vocab) {
+        case (v, (_, a, b, _)) => v.select(
+          graft.functions.BpeMergeExpression
+            .bpe_merge_pair(col("syms"), a, b).as("syms"), col("cnt"))
+      })
+    }
+    def snapshotMerges(): Unit =
+      Checkpoints.saveRound(
+        merges.toSeq.toDF("step", "pair_a", "pair_b", "pair_count"),
+        "bpe_merges", step)
     while (step < nMerges && !exhausted) {
       val top = vocab.filter(size(col("syms")) >= 2)
         .select(explode(transform(
@@ -764,10 +790,12 @@ object TextAnalysis {
         Checkpoints.dropRound(vocab)
         vocab = merged
         step += 1
+        snapshotMerges()
       }
     }
     // the merge table is driver-side; no one reads the final vocab round
     Checkpoints.dropRound(vocab)
+    Checkpoints.clearRounds(s, "bpe_merges")
     merges.toSeq
   }
 

@@ -109,6 +109,67 @@ class CheckpointSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.ResumeKey)
   }
 
+  test("kill-resume: pageRank resumes from a planted rank round") {
+    // pageRank has no abort path to simulate a kill with, so exercise
+    // the primitive directly: plant a fabricated round-<iters> rank
+    // table in the store — the resumed run's sweep counter starts at
+    // iters, the loop never executes, and the planted ranks ARE the
+    // result, which only the store could have produced.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft-resumePR").toString
+    spark.conf.set(Checkpoints.ResumeKey, dir)
+    try {
+      val planted = Seq((1L, 1L, 111L), (2L, 1L, 222L), (3L, 1L, 333L))
+        .toDF("node", "outdeg", "pr")
+      Checkpoints.saveRound(planted, "pagerank", 5)
+      val out = Graph.pageRank(edges, 5).as[(Long, Long)].collect().sorted
+      assert(out === Array((1L, 111L), (2L, 222L), (3L, 333L)))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "pagerank")),
+        "store not cleared after completion")
+    } finally spark.conf.unset(Checkpoints.ResumeKey)
+  }
+
+  test("kill-resume: label-prop components resume from planted labels") {
+    // Min-label propagation only ever lowers labels, so a planted -1
+    // label (absent from any real input) surviving to the output proves
+    // the round store seeded the run, not a cold recompute.
+    val dir = java.nio.file.Files.createTempDirectory("graft-resumeLP").toString
+    spark.conf.set(Checkpoints.ResumeKey, dir)
+    try {
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L)
+      val planted = nodes.map(n => (n, -1L)).toDF("id", "comp")
+      Checkpoints.saveRound(planted, "components_labelprop", 1)
+      val out = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect()
+      assert(out.nonEmpty && out.forall(_._2 === -1L),
+        s"resumed labels lost the planted sentinel: ${out.take(3).toSeq}")
+    } finally spark.conf.unset(Checkpoints.ResumeKey)
+  }
+
+  test("kill-resume: BPE training resumes from a planted merge round") {
+    // The BPE round state is the merge table itself; a fabricated
+    // control-char merge (impossible to learn from real text) leading
+    // the trained table proves the store was replayed. trainBpe is
+    // called directly to bypass the (dir, nMerges) memo cache.
+    val dir = java.nio.file.Files.createTempDirectory("graft-resumeBPE").toString
+    spark.conf.set(Checkpoints.ResumeKey, dir)
+    try {
+      val planted = Seq((0, "\u0001", "\u0002", 999L))
+        .toDF("step", "pair_a", "pair_b", "pair_count")
+      Checkpoints.saveRound(planted, "bpe_merges", 1)
+      val out = graft.operators.TextAnalysis
+        .trainBpe(spark, "/root/testdata/sf0.001", 3)
+      assert(out.size === 3)
+      assert(out.head === ((0, "\u0001", "\u0002", 999L)),
+        "planted merge not replayed from the store")
+      assert(out.map(_._1) === Seq(0, 1, 2))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "bpe_merges")),
+        "store not cleared after completion")
+    } finally spark.conf.unset(Checkpoints.ResumeKey)
+  }
+
   test("a conf change re-points the context checkpoint dir") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-ckptA").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-ckptB").toString
