@@ -133,7 +133,13 @@ object ScaleStress {
       // the evidence the gated query's 4-5x is a gate-design cost, not
       // an architecture ceiling
       timed("corpus_assembly_lsh") {
-        CorpusAssembly.corpusAssembly(spark, outDir, lshTier = true) }
+        CorpusAssembly.corpusAssembly(spark, outDir, lshTier = true) },
+      // the r10 refresh capstone: merge + incremental near-dup +
+      // re-shard + KL drift gate composed — its fresh side is
+      // |delta|-bounded by design, so the slope should track the corpus
+      // scan, not the pair structure
+      timed("corpus_refresh") {
+        CorpusAssembly.corpusRefreshAssembly(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
