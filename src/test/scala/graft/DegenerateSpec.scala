@@ -114,6 +114,28 @@ class DegenerateSpec extends AnyFunSuite {
       Seq.empty[String].toDF("word"), "word", 8).count() === 0)
   }
 
+  test("capstones survive empty and 1-row corpora") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      val dir = dirFor(docs)
+      // cold assembly (both dedup tiers): an empty/solitary corpus has
+      // nothing to dedup, decontaminate, or upsample — it must flow
+      // through all six stages without a throw
+      assert(graft.operators.CorpusAssembly.corpusAssembly(spark, dir)
+        .count() >= 0)
+      assert(graft.operators.CorpusAssembly.corpusAssembly(spark, dir,
+        tau = 0.9, lshTier = true).count() >= 0)
+      // refresh: the synthetic delta over an empty corpus is itself
+      // empty (every leg filters documents); over one doc it deletes
+      // nothing and inserts nothing below id 25 except the lone doc's
+      // copy — either way the drift gate's empty-corpus guards must
+      // hold (the ADVICE-r9 KL degenerate, now pinned on BOTH engines)
+      val out = graft.operators.CorpusAssembly
+        .corpusRefreshAssembly(spark, dir).collect()
+      assert(out.forall(_.getLong(out.head.fieldIndex("kl_millionths"))
+        >= 0L))
+    }
+  }
+
   test("similarity tiers survive empty corpora and empty query sets") {
     assert(Similarity.knnBruteForce(emptyEmb, emptyEmb, 5).count() === 0)
     assert(Similarity.knnLsh(emptyEmb, emptyEmb, 5).count() === 0)
