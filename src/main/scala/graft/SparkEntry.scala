@@ -220,6 +220,12 @@ object SparkEntry {
         ),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsAuto(Dedup.withNearDups(Tables.documents(s, dir)), 0.5)),
+    // asymmetric containment: half-copies plant at J ≈ 0.5 but
+    // containment ≈ 1 — the regime symmetric Jaccard misses
+    "dedup_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        Dedup.withContainedDups(Tables.documents(s, dir)), ContainTau)
+        .orderBy("contained_id", "container_id")),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Dedup.withNearDups(Tables.documents(s, dir)),
         k = 32, bands = 8, tau = 0.4)),
@@ -511,6 +517,10 @@ object SparkEntry {
   /** quality_top_pct's percentile — one value for the Spark call and
     * the oracle threshold. */
   private val QualityPct = 25
+
+  /** containment tau — one value for the Spark call and the oracle
+    * threshold (the ShardN anti-desync pattern). */
+  private val ContainTau = 0.9
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
   private val DuckTokList: String =
@@ -1644,6 +1654,39 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id
         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_jaccard_pairs" -> ExactJaccardTierSql,
+    // asymmetric containment recompute: same bigram features, the
+    // denominator is the CONTAINED side's set size; both directions of
+    // each unordered pair tested (exact dups emit both at 1.0)
+    "dedup_containment_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${Dedup.DupIdOffset},
+         |    substr(text, 1, len(text) // 2)
+         |  FROM documents WHERE doc_id < ${Dedup.PlantCount}),
+         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM feats a JOIN feats b
+         |    ON a.feat = b.feat AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2),
+         |dirs AS (
+         |  SELECT id_a AS contained_id, id_b AS container_id,
+         |    round(n_inter::DOUBLE / sa.sz, 6) AS containment
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  UNION ALL
+         |  SELECT id_b, id_a, round(n_inter::DOUBLE / sb.sz, 6)
+         |  FROM inter
+         |  JOIN sizes sb ON sb.doc_id = id_b)
+         |SELECT contained_id, container_id, containment
+         |FROM dirs WHERE containment >= $ContainTau
+         |ORDER BY contained_id, container_id""".stripMargin,
     // the oracle recomputes duplicate windows from the SUBSTRINGS
     // themselves; output columns are position-difference invariant so
     // 0- vs 1-based window starts cancel out

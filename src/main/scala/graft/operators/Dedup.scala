@@ -302,6 +302,62 @@ object Dedup {
     else jaccardPairsFromPostings(posts, tau)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: (contained, container) with
+    * C(A→B) = |F(A) ∩ F(B)| / |F(A)| ≥ tau — the quote/subset detector
+    * that symmetric Jaccard structurally misses: a short document
+    * wholly embedded in a much larger one has J ≈ |A|/|B| (arbitrarily
+    * small) but containment 1.0. Corpus practice uses this to strip
+    * wholesale-quoted articles and nested boilerplate that
+    * document-level Jaccard dedup leaves behind.
+    *
+    * Same hashed-bigram feature space and postings self-join as
+    * [[jaccardPairs]] (join volume Σ df² — identical bound; one
+    * featurization pass); the asymmetry is only in the denominator, so
+    * the unordered pair join (`<`) runs ONCE and each pair then fans
+    * out into its two directional tests via a 2-element explode —
+    * never a doubled join. Exact dups emit both directions at 1.0.
+    * Featureless docs (< 2 tokens) never enter the postings, so the
+    * denominator is always ≥ 1. */
+  def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    // two consumers of the postings (sizes, self-join) — materialize once
+    val posts = bigramPostings(docs).localCheckpoint(true)
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val inter = posts.as("a")
+      .join(posts.as("b"),
+        col("a.feat") === col("b.feat") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("sa")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("sb")), "id_b")
+      .select(explode(array(
+        struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          round(col("n_inter").cast("double") / col("sa"), 6)
+            .as("containment")),
+        struct(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          round(col("n_inter").cast("double") / col("sb"), 6)
+            .as("containment")))).as("d"))
+      .select("d.contained_id", "d.container_id", "d.containment")
+      .filter(col("containment") >= tau)
+  }
+
+  /** documents ∪ the FIRST HALF (by characters) of doc_id < 20 as new
+    * ids — the containment plant: a truncated copy is near-fully
+    * contained in its original (its only novel bigram is the one that
+    * may straddle the cut) while its symmetric Jaccard is only ~0.5,
+    * exactly the regime [[containmentPairs]] exists for. Oracle
+    * recomputes the same plant with substr/len (both engines count
+    * characters). */
+  def withContainedDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") < PlantCount)
+      .select((col("doc_id") + DupIdOffset).as("doc_id"),
+        col("text").substr(lit(1), (length(col("text")) / 2).cast("int"))
+          .as("text")))
+  }
+
   private def finishJaccard(inter: DataFrame, sizes: DataFrame,
                             tau: Double): DataFrame =
     inter

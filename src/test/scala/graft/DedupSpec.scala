@@ -33,6 +33,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filter(r => planted.contains((r._1, r._2))).forall(_._3 >= 0.9))
   }
 
+  test("containment finds planted half-copies that Jaccard misses") {
+    val corpus = Dedup.withContainedDups(docs)
+    val rows = Dedup.containmentPairs(corpus, 0.9)
+      .as[(Long, Long, Double)].collect()
+    // every planted half-doc is ≥0.9-contained in its original (its
+    // only possible novel bigram straddles the cut), direction
+    // (contained = the copy, container = the original)
+    val found = rows.map(r => (r._2, r._1)).toSet
+    val missing = planted.diff(found)
+    assert(missing.isEmpty, s"missing containments: ${missing.take(5)}")
+    // the SYMMETRIC tier at the same tau misses the plants wholesale —
+    // the regime this operator exists for (J of a half-copy ≈ 0.5)
+    val jac = Dedup.jaccardPairs(corpus, 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(planted.intersect(jac).size < planted.size / 2,
+      "half-copies unexpectedly pass symmetric Jaccard at 0.9")
+    // no self-pairs; every ratio within [tau, 1]
+    assert(rows.forall(r => r._1 != r._2))
+    assert(rows.forall(r => r._3 >= 0.9 && r._3 <= 1.0))
+  }
+
   test("incremental ingest filter drops every planted fresh near-dup") {
     val fresh = docs.filter(col("doc_id") < 20)
       .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
