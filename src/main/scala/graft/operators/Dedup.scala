@@ -342,6 +342,46 @@ object Dedup {
       .filter(col("containment") >= tau)
   }
 
+  /** Candidate-bounded containment verification — the 100 TB
+    * production tier of [[containmentPairs]], exactly as
+    * [[jaccardVerifyPairs]] is for the symmetric tier: evaluate the
+    * two directional containment ratios for EXPLICIT candidate pairs
+    * only (per-doc hashed-bigram arrays joined onto the pair list,
+    * codegen'd array_intersect), so work is O(|cand|·set size) with no
+    * Σ df² postings self-join. Any candidate tier feeds it — MinHash
+    * LSH at a low estimate threshold over-generates symmetric
+    * candidates cheaply (a contained doc's J against its container is
+    * ≥ |A|/|B|, so banding at estTau ≈ 0.3-0.4 recalls moderate size
+    * ratios; extreme ratios at corpus scale use prefix-postings of the
+    * SMALL side only). Emits the same (contained, container,
+    * containment) rows the all-pairs tier would for those pairs
+    * (asserted in DedupSpec). */
+  def containmentVerifyPairs(docs: DataFrame, cand: DataFrame,
+                             tau: Double): DataFrame = {
+    val pairs = cand.select("id_a", "id_b").localCheckpoint(true)
+    val candDocs = docs.join(
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct(),
+      Seq("doc_id"), "left_semi")
+    val feats = candDocs.select(col("doc_id"),
+      transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
+        f => xxhash64(f)).as("fs")).localCheckpoint(true)
+    pairs
+      .join(feats.select(col("doc_id").as("id_a"), col("fs").as("fa")), "id_a")
+      .join(feats.select(col("doc_id").as("id_b"), col("fs").as("fb")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("fa"), col("fb"))))
+      .filter(size(col("fa")) > 0 && size(col("fb")) > 0)
+      .select(explode(array(
+        struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          round(col("n_inter").cast("double") / size(col("fa")), 6)
+            .as("containment")),
+        struct(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          round(col("n_inter").cast("double") / size(col("fb")), 6)
+            .as("containment")))).as("d"))
+      .select("d.contained_id", "d.container_id", "d.containment")
+      .filter(col("containment") >= tau)
+  }
+
   /** documents ∪ the FIRST HALF (by characters) of doc_id < 20 as new
     * ids — the containment plant: a truncated copy is near-fully
     * contained in its original (its only novel bigram is the one that

@@ -55,6 +55,20 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r._3 >= 0.9 && r._3 <= 1.0))
   }
 
+  test("candidate-bounded containment equals the all-pairs tier on its pairs") {
+    val corpus = Dedup.withContainedDups(docs)
+    val all = Dedup.containmentPairs(corpus, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // feed the verifier exactly the unordered pairs the all-pairs tier
+    // passed — it must reproduce the identical directional rows
+    val cand = all.map { case (c, k, _) =>
+      (math.min(c, k), math.max(c, k)) }.toSeq
+      .toDF("id_a", "id_b").distinct()
+    val verified = Dedup.containmentVerifyPairs(corpus, cand, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(verified === all)
+  }
+
   test("incremental ingest filter drops every planted fresh near-dup") {
     val fresh = docs.filter(col("doc_id") < 20)
       .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
