@@ -109,10 +109,13 @@ object Bench {
     // must not fail the bench itself.
     try {
       val perQuery = names.map { n =>
-        val raw = (Seq(1 -> pass1(n), 2 -> pass2(n)) ++
-          retried.get(n).map(3 -> _)).filter(p => valid(p._2))
-          .map { case (p, t) => s""""p$p":$t""" }.mkString(",")
-        f"""  "$n":{"sec":${results.toMap.apply(n)},$raw}"""
+        // fields joined as ONE list: a query with zero valid passes
+        // must not leave a trailing comma (invalid JSON) after "sec"
+        val fields = s""""sec":${results.toMap.apply(n)}""" +:
+          (Seq(1 -> pass1(n), 2 -> pass2(n)) ++
+            retried.get(n).map(3 -> _)).filter(p => valid(p._2))
+            .map { case (p, t) => s""""p$p":$t""" }
+        s"""  "$n":{${fields.mkString(",")}}"""
       }.mkString(",\n")
       val full =
         s"""{
