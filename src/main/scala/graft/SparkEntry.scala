@@ -172,6 +172,10 @@ object SparkEntry {
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
+    "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(s, dir, k = 10)),
+    // novelty runs on the near-dup plant so shared grams exist to find
+    "ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Dedup.withNearDups(Tables.documents(s, dir)))),
     "dict_encode_stats" -> (TextAnalysis.dictEncodeStats _),
     "url_canonical" -> (TextAnalysis.urlCanonical _),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
@@ -1588,6 +1592,73 @@ object SparkEntry {
          |               tf.term) AS rn
          |  FROM tf JOIN df USING(term) CROSS JOIN n) x
          |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    // BM25 with the identical double expression tree (constants and the
+    // query VALUES list interpolated from Retrieval's definitions); the
+    // per-term floor-to-micros makes the sum order-independent
+    "bm25_topk" ->
+      s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, qtext
+         |  FROM (VALUES ${Retrieval.Queries.map { case (q, t) =>
+             s"($q, '$t')" }.mkString(", ")}) v(qid, qtext)),
+         |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term
+         |       FROM q),
+         |terms AS (SELECT doc_id, unnest(toks) AS term
+         |  FROM (SELECT doc_id, $DuckTokList AS toks FROM documents) t),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+         |c AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    CAST(floor(
+         |      ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |      (tf.tf * ${Retrieval.K1 + 1.0} /
+         |       (tf.tf + ${Retrieval.K1} * (1.0 - ${Retrieval.B} +
+         |        ${Retrieval.B} * dl.dl * st.n_docs / st.n_tokens))) *
+         |      1000000.0) AS BIGINT) AS contrib
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |sc AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |         CAST(sum(contrib) AS BIGINT) AS score_micro
+         |       FROM c GROUP BY 1, 2)
+         |SELECT qid, doc_id, n_terms, score_micro, rn FROM (
+         |  SELECT qid, doc_id, n_terms, score_micro,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score_micro DESC, doc_id) AS rn
+         |  FROM sc) x
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    // novelty over the near-dup plant: each planted copy's gram set is a
+    // subset of its base's, so copies score 0 and bases near 0
+    "ngram_novelty" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${Dedup.DupIdOffset},
+         |    regexp_replace(text, '^[^ ]+ ', '')
+         |  FROM documents WHERE doc_id < ${Dedup.PlantCount}),
+         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(toks, i, i+7), ' ') AS gram
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+         |                     greatest(len(toks)-7, 0))) AS i) w),
+         |wc AS (SELECT doc_id,
+         |         count(*) OVER (PARTITION BY gram) AS gdocs FROM g),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |          CAST(sum(CASE WHEN gdocs >= 2 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_shared
+         |        FROM wc GROUP BY 1)
+         |SELECT c.doc_id,
+         |  coalesce(n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |  coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared,
+         |  CASE WHEN coalesce(n_grams, 0) = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE (n_grams - n_shared) * 1000000 // n_grams
+         |  END AS novelty_millionths
+         |FROM (SELECT doc_id FROM corpus) c LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // the oracle's global row_number() IS the spec the distributed
     // local-rank+offset id assignment must reproduce
     "dict_encode_stats" ->

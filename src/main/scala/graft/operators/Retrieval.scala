@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the corpus — the BM25 ranking every
+  * data-curation stack keeps around for eval-set mining, targeted
+  * corpus slicing ("all docs about X"), and hard-negative selection
+  * for retrieval training.
+  *
+  * Shape at 100 TB: the ONE corpus-scale exchange is the (doc, term)
+  * term-frequency aggregation; document length and document frequency
+  * are both re-aggregations of that frame (no second corpus pass), the
+  * query set and its per-term df are broadcast (queries are KBs), so
+  * scoring touches only the postings of the query terms — the classic
+  * inverted-index probe expressed relationally. Per-query top-k runs a
+  * rank window over candidate sets bounded by those postings; with a
+  * large query batch the qid partitioning spreads the windows across
+  * the cluster.
+  *
+  * Scores are emitted in integer micros (`floor(score·1e6)` per term,
+  * summed as BIGINT) so the result is independent of float summation
+  * order — the same fixed-point discipline as Profile.tokenDriftKl —
+  * and exactly recomputable by the DuckDB oracle.
+  */
+object Retrieval {
+
+  /** Okapi BM25 constants — interpolated into the oracle SQL from here
+    * (the ShardN anti-desync pattern: one definition, both engines). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Fixed benchmark query set over the synthetic corpus vocabulary.
+    * Tuples are (qid, space-separated terms); the oracle re-plants the
+    * same rows via a VALUES list interpolated from this constant. */
+  val Queries: Seq[(Long, String)] = Seq(
+    (1L, "hash join table"),
+    (2L, "fast scan filter"),
+    (3L, "window agg group"),
+    (4L, "spark data column"))
+
+  /** BM25 score of every (query, doc) pair that shares at least one
+    * term, top `k` docs per query. Ties break on doc_id so ranking is a
+    * deterministic function of the corpus. */
+  def bm25(docs: DataFrame, queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val terms = docs.select(col("doc_id"),
+      explode(tokenize(col("text"))).as("term"))
+    // tf fans out to FOUR consumers (dl, df, corpus stats, scoring) —
+    // materialized once so the corpus is scanned and shuffled once, not
+    // per consumer (AQE reuses only one of the four identical exchange
+    // subtrees in practice; the exactKept precedent in CorpusAssembly)
+    val tf = Checkpoints.scratch(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    // dl and df are re-aggregations of tf (the distinct (doc,term)
+    // pairs), not second corpus passes — tfidfTopTerms' trick
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+    val qt = queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+    // attach df to the query terms first: the corpus-sized df relation
+    // is probed by a broadcast join against the tiny query set, and the
+    // result (query terms + their df) is what broadcasts to the postings
+    val qdf = df.join(broadcast(qt), "term")
+    val contrib = tf.join(broadcast(qdf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      // ln(1 + (N - df + 0.5)/(df + 0.5)) — the Lucene non-negative idf
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      // dl/avgdl written as dl*N/total so both engines evaluate the
+      // identical double expression tree (avgdl never materialized)
+      .withColumn("tfn", col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0) - lit(B) +
+          lit(B) * col("dl") * col("n_docs") / col("n_tokens"))))
+      .withColumn("contrib", floor(col("idf") * col("tfn") * lit(1000000.0)))
+    val scores = contrib.groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_micro"))
+    val w = Window.partitionBy("qid").orderBy(desc("score_micro"), asc("doc_id"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id", "n_terms", "score_micro", "rn")
+  }
+
+  /** The gated entry: [[Queries]] against the documents table. */
+  def bm25TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25(Tables.documents(s, dir), Queries, k)
+}

@@ -424,6 +424,36 @@ object TextAnalysis {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Per-document n-gram novelty — the memorization-risk profile: what
+    * fraction of a document's distinct word `n`-grams appear in at least
+    * one OTHER document (or a second time anywhere, for self-repeats).
+    * Low novelty marks templated/duplicated text that a model would see
+    * many times per epoch; the complement of the shared count is the
+    * document's unique contribution to the corpus.
+    *
+    * One corpus-scale exchange on the gram key; the per-gram document
+    * count is a window over that partitioning (no join back onto a
+    * second explode of the corpus), then one doc-keyed rollup. Emitted
+    * in integer millionths so the ratio is float-order-independent;
+    * gram-less documents (fewer than `n` tokens) are defined fully
+    * novel (1e6). */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(tokenize(col("text")), n))).as("gram"))
+    val withCnt = grams.withColumn("gdocs",
+      count(lit(1)).over(Window.partitionBy("gram")))
+    val per = withCnt.groupBy("doc_id").agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("gdocs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("novelty_millionths",
+        when(col("n_grams") === 0, lit(1000000L))
+          .otherwise(expr("(n_grams - n_shared) * 1000000 DIV n_grams")))
+  }
+
   /** Repetition plant: every 11th doc has its text doubled — the classic
     * boilerplate/template-duplication failure mode repetition filters
     * exist to catch. */

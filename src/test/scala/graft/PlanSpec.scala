@@ -329,4 +329,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"),
       "per-shard aggregate lost its hash partitioning")
   }
+
+  test("bm25: top-k pushdown, query side broadcast, tf materialized once") {
+    import graft.operators.Retrieval
+    // tf materializes ONCE behind Checkpoints.scratch (four consumers);
+    // the final plan must keep: rank-limit pushdown before the qid
+    // exchange (WindowGroupLimit), the query-term relation arriving
+    // broadcast, and the one-row corpus stats joined as a broadcast
+    // nested loop — never a CartesianProduct, never a corpus SMJ
+    val p = plan(Retrieval.bm25TopK(spark, dir, k = 10))
+    assert(p.contains("WindowGroupLimit"), "rank filter lost its pushdown")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    // one BNLJ node (the one-row stats), appearing twice in formatted
+    // output (tree line + detail header)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), "postings probe degraded to SMJ")
+  }
+
+  test("ngram novelty: one gram exchange feeds the window, one doc rollup") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val df = TextAnalysis.ngramNovelty(
+      Dedup.withNearDups(Tables.documents(spark, dir)))
+    val p = plan(df)
+    // the gram-count window runs over the SAME exchange the explode
+    // feeds (no join back onto a second corpus explode), then one
+    // doc-keyed rollup — 2 shuffle exchanges total
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
