@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.operators.{CorpusAssembly, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CorpusAssembly, Dedup, Retrieval, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,7 +139,13 @@ object ScaleStress {
       // |delta|-bounded by design, so the slope should track the corpus
       // scan, not the pair structure
       timed("corpus_refresh") {
-        CorpusAssembly.corpusRefreshAssembly(spark, outDir) }
+        CorpusAssembly.corpusRefreshAssembly(spark, outDir) },
+      // r10 additions: retrieval probes only the query-term postings of
+      // the one materialized tf aggregate, so its slope should track the
+      // corpus scan; novelty's gram window sees the planted 10-copy
+      // clusters as gram groups of size ≤10 — work stays explode-bounded
+      timed("bm25_topk") { Retrieval.bm25(docs, Retrieval.Queries, 10) },
+      timed("ngram_novelty") { TextAnalysis.ngramNovelty(docs) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
