@@ -55,7 +55,13 @@ object Bench {
     // permutation decorrelates EVERY query's wall-clock position across
     // the passes (plain reversal leaves the middle of the list at the
     // same offset in both); the seed keeps run-to-run comparability.
+    // Optional positional args restrict the run to the named queries —
+    // for targeted timing while iterating on one operator. The driver
+    // passes none, so the full set (and the committed bench_full.json)
+    // is unaffected.
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     val pass2Order = new scala.util.Random(0x9e3779b9L).shuffle(names)
     val pass1 = names.map(n => n -> force(n, 1)).toMap
     val pass2 = pass2Order.map(n => n -> force(n, 2)).toMap
@@ -106,8 +112,9 @@ object Bench {
     // file a judge or regression diff can always read — one query per
     // line so a plain `diff` against last round's committed copy shows
     // exactly which timings moved. Best-effort: a read-only repo mount
-    // must not fail the bench itself.
-    try {
+    // must not fail the bench itself. A filtered (targeted) run skips
+    // the write — a partial map must never clobber the committed full one.
+    try if (only.isEmpty) {
       val perQuery = names.map { n =>
         // fields joined as ONE list: a query with zero valid passes
         // must not leave a trailing comma (invalid JSON) after "sec"

@@ -227,7 +227,7 @@ object SparkEntry {
     // asymmetric containment: half-copies plant at J ≈ 0.5 but
     // containment ≈ 1 — the regime symmetric Jaccard misses
     "dedup_containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(
+      Dedup.containmentPairsAuto(
         Dedup.withContainedDups(Tables.documents(s, dir)), ContainTau)
         .orderBy("contained_id", "container_id")),
     "dedup_minhash_pairs" -> ((s, dir) =>

@@ -55,6 +55,25 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r._3 >= 0.9 && r._3 <= 1.0))
   }
 
+  test("containment prefix, bitmap, and auto tiers equal the all-pairs tier") {
+    val corpus = Dedup.withContainedDups(docs)
+    // tau low enough that organic partial overlaps join the plants, so
+    // the equality is exercised beyond the easy containment-1.0 rows
+    val all = Dedup.containmentPairs(corpus, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(all.nonEmpty)
+    val prefix = Dedup.containmentPairsPrefix(corpus, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix === all)
+    // this corpus' dense bigram vocab selects the bitmap tier
+    val auto = Dedup.containmentPairsAuto(corpus, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto === all)
+    // degenerate: a featureless corpus yields the empty frame, not a crash
+    val bare = Seq((1L, "x"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairsAuto(bare, 0.6).count() === 0)
+  }
+
   test("candidate-bounded containment equals the all-pairs tier on its pairs") {
     val corpus = Dedup.withContainedDups(docs)
     val all = Dedup.containmentPairs(corpus, 0.9)
