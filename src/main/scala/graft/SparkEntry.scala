@@ -340,6 +340,9 @@ object SparkEntry {
     // mixture-to-token-budget materialization (epochs + hash remainder)
     "mixture_budget" -> ((s, dir) => Sampling.mixtureBudget(s, dir,
       Map("en" -> 500000L, "zh" -> 150000L), defaultWeight = 100000L)),
+    // temperature-flattened mixture weights (share^alpha, alpha = 0.5)
+    "mixture_temperature" -> ((s, dir) =>
+      Sampling.temperatureWeights(s, dir)),
     "sequence_packing" -> ((s, dir) =>
       TextAnalysis.sequencePacking(s, dir, windowTokens = 2048)),
     // --- explicit salting (skew fallback when AQE split isn't enough) ---
@@ -2150,6 +2153,35 @@ object SparkEntry {
          |    AS achieved_toks
          |FROM r2 LEFT JOIN k ON r2.lang = k.lang
          |ORDER BY r2.lang""".stripMargin,
+    // same integer share + single floor(1e6·exp(α·ln(share))) float step
+    // as Sampling.temperatureWeights; α derived from the one shared
+    // constant by the identical division in both engines
+    "mixture_temperature" ->
+      s"""WITH d AS (
+         |  SELECT lang, CAST(len($DuckTokList) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |a AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS available_toks,
+         |        CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY lang),
+         |t AS (SELECT CAST(sum(available_toks) AS BIGINT) AS total_toks
+         |      FROM a),
+         |sh AS (
+         |  SELECT lang, n_docs, available_toks,
+         |    CASE WHEN total_toks < ${1L << 43}
+         |      THEN (available_toks * 1000000) // total_toks
+         |      ELSE available_toks // greatest(total_toks // 1000000, 1)
+         |      END AS share_millionths
+         |  FROM a, t),
+         |u AS (
+         |  SELECT sh.*,
+         |    CAST(floor(1000000.0 *
+         |        exp((${Sampling.TempAlphaMillionths} / 1000000.0) *
+         |          ln(CAST(greatest(share_millionths, 1) AS DOUBLE))))
+         |      AS BIGINT) AS u_micros
+         |  FROM sh),
+         |s AS (SELECT CAST(sum(u_micros) AS BIGINT) AS sum_u FROM u)
+         |SELECT lang, n_docs, available_toks, share_millionths,
+         |  (u_micros * 1000000) // sum_u AS temp_weight_millionths
+         |FROM u, s ORDER BY lang""".stripMargin,
     "sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($DuckTokList) AS n_toks

@@ -164,6 +164,64 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_toks"))
       .orderBy("shard")
 
+  /** α for [[temperatureWeights]], in millionths (0.5 — "T=2"
+    * flattening). PUBLIC and integer so the oracle SQL interpolates the
+    * same constant and both engines derive the double by the identical
+    * division (the ShardN anti-desync pattern). */
+  val TempAlphaMillionths = 500000L
+
+  /** Temperature-flattened mixture weights — the multilingual
+    * α-sampling re-weighting (natural share p_i → p_i^α / Σ p_j^α,
+    * α ∈ (0,1]): at α = 1 weights equal natural shares, at α → 0 they
+    * approach uniform, and in between low-resource sources get boosted
+    * relative to their share — the standard multilingual-pretraining
+    * trick for keeping small languages from washing out of the
+    * mixture. Emits the langs-sized weight table the mixture knobs
+    * ([[mixtureSample]], [[mixtureBudget]]) consume.
+    *
+    * Plan shape: ONE map-side-combined token-count aggregate over the
+    * corpus; everything downstream is arithmetic on a langs-sized
+    * frame (plus two one-row broadcasts for the totals) — the corpus
+    * never shuffles. Floating point enters EXACTLY once per lang:
+    * u = floor(1e6·exp(α·ln(share_millionths))), computed from the
+    * already-integer share (the (1e6)^α scale factor cancels in the
+    * normalization, so sharing the integer input with the oracle
+    * removes every other engine-divergence surface; a 1-ulp exp
+    * disagreement flips the floor only when the true value sits within
+    * ~1e-7 millionths of an integer). Normalization is then pure
+    * int64. The share computation carries [[mixtureBudget]]'s overflow
+    * discipline — never multiply a 100 TB token count by 1e6.
+    * Sub-ppm shares clamp to 1 before the ln (Spark yields null and
+    * DuckDB -inf on ln(0) — differently degenerate), so a < 1-ppm
+    * source rounds to the smallest boost instead of vanishing. */
+  def temperatureWeights(s: SparkSession, dir: String,
+                         alphaMillionths: Long = TempAlphaMillionths)
+      : DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("lang"),
+      size(graft.functions.TextFunctions.tokenize(col("text")))
+        .cast("long").as("n_toks"))
+    val avail = docs.groupBy("lang").agg(
+      sum("n_toks").as("available_toks"), count(lit(1)).as("n_docs"))
+    val tot = avail.agg(sum("available_toks").as("total_toks"))
+    val alpha = lit(alphaMillionths.toDouble / 1000000.0)
+    val shares = avail.crossJoin(broadcast(tot))
+      .withColumn("share_millionths", expr(
+        s"""CASE WHEN total_toks < ${1L << 43}
+           |  THEN (available_toks * 1000000) DIV total_toks
+           |  ELSE available_toks DIV greatest(total_toks DIV 1000000, 1)
+           |  END""".stripMargin))
+      .withColumn("u_micros",
+        floor(lit(1000000.0) * exp(alpha *
+          log(greatest(col("share_millionths"), lit(1L)).cast("double"))))
+          .cast("long"))
+    val totU = shares.agg(sum("u_micros").as("sum_u"))
+    shares.crossJoin(broadcast(totU))
+      .select(col("lang"), col("n_docs"), col("available_toks"),
+        col("share_millionths"),
+        expr("(u_micros * 1000000) DIV sum_u").as("temp_weight_millionths"))
+      .orderBy("lang")
+  }
+
   /** Domain-mixture materialization to a TOKEN BUDGET — the "data
     * mixing" step of corpus assembly: given target mixture weights per
     * source (here: lang, in millionths) and a total token budget, each

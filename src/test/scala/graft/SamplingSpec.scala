@@ -91,4 +91,37 @@ class SamplingSpec extends AnyFunSuite {
         s"$lang achieved=$achieved vs target=$target")
     }
   }
+
+  test("temperatureWeights flattens shares toward uniform, exactly at a=1") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(alphaM: Long) =
+      Sampling.temperatureWeights(SparkTestSession.spark, dir, alphaM)
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+        .toSeq // (lang, share_millionths, temp_weight_millionths)
+    val half = rows(500000L)
+    assert(half.size >= 3)
+    // weights are a normalized distribution (floor slack ≤ #langs ppm)
+    val wsum = half.map(_._3).sum
+    assert(wsum <= 1000000L && wsum >= 1000000L - half.size,
+      s"weight sum $wsum")
+    // order-preserving: a larger share never gets a smaller weight
+    for (a <- half; b <- half if a._2 < b._2)
+      assert(a._3 <= b._3, s"order violated: $a vs $b")
+    // flattening: the boost w/share strictly favors the smaller share
+    // (cross-multiplied to stay in integers; +2 absorbs floor jitter)
+    for (a <- half; b <- half if a._2 < b._2)
+      assert((a._3 + 2) * b._2 >= b._3 * a._2,
+        s"smaller share not boosted: $a vs $b")
+    // a = 1 degenerates to the natural shares (up to normalization of
+    // the floored share vector: shares sum to ≤ 1e6, weights re-scale
+    // by 1e6/sum — a few-ppm drift at most)
+    val one = rows(1000000L)
+    one.foreach { case (lang, share, w) =>
+      assert(math.abs(w - share) <= 10L, s"$lang a=1: w=$w share=$share")
+    }
+    // a -> 0 approaches uniform regardless of share spread
+    val flat = rows(1000L)
+    val ws = flat.map(_._3)
+    assert(ws.max - ws.min <= 2000L, s"near-uniform expected: $flat")
+  }
 }
