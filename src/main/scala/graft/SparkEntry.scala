@@ -253,6 +253,13 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.dedupComponents(Dedup.withNearDups(Tables.documents(s, dir)),
         tau = 0.5)),
+    // quality-aware keep-one: the cleanest member of each near-dup
+    // cluster survives (ties -> min doc_id), singletons keep themselves
+    "dedup_keep_best" -> ((s, dir) => {
+      val corpus = Dedup.withNearDups(Tables.documents(s, dir))
+      Dedup.keepBestDedup(corpus, TextAnalysis.qualityScoreOf(corpus),
+        tau = 0.5)
+    }),
     // substring-level duplicate spans over the near-dup-planted corpus
     // (Spark side works on native window HASHES, the oracle on the
     // window strings — agreement also proves the hash kernel faithful)
@@ -1842,6 +1849,49 @@ object SparkEntry {
          |  JOIN edges e ON r.dst = e.id_a)
          |SELECT src AS doc_id, min(dst) AS comp
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same closure, then the quality formula of the quality_score
+    // oracle recomputed over the PLANTED corpus; per-cluster argmax by
+    // (quality DESC, doc_id) — deterministic because quality is
+    // 4-dp-rounded identically in both engines
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  ${ExactJaccardTierSql.replace("\n", "\n  ")}),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+         |  FROM documents WHERE doc_id < 20),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4*round(len(list_filter(toks, x -> list_contains(
+         |        ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
+         |        / len(toks), 4)
+         |      + 0.6*round(len(list_distinct(toks))::DOUBLE / len(toks), 4),
+         |      4) AS quality_score
+         |  FROM (SELECT doc_id, $DuckTokList AS toks FROM corpus) t),
+         |edges AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.id_b FROM reach r
+         |  JOIN edges e ON r.dst = e.id_a),
+         |cmp AS (SELECT src AS doc_id, min(dst) AS comp
+         |        FROM reach GROUP BY 1),
+         |lab AS (
+         |  SELECT c.doc_id, COALESCE(cmp.comp, c.doc_id) AS comp
+         |  FROM corpus c LEFT JOIN cmp ON c.doc_id = cmp.doc_id)
+         |SELECT comp, cluster_size, doc_id AS keep_doc_id, quality_score
+         |FROM (
+         |  SELECT comp, doc_id, quality_score,
+         |    CAST(count(*) OVER (PARTITION BY comp) AS BIGINT)
+         |      AS cluster_size,
+         |    row_number() OVER (PARTITION BY comp
+         |      ORDER BY quality_score DESC, doc_id) AS rn
+         |  FROM lab JOIN q USING (doc_id)) s
+         |WHERE rn = 1 ORDER BY comp""".stripMargin,
     // histogram over the same closure: component → size → size → count
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE pairs AS (

@@ -1108,6 +1108,40 @@ object Dedup {
   def dedupComponentsStar(docs: DataFrame, tau: Double): DataFrame =
     connectedComponentsStar(jaccardPairsAuto(docs, tau))
 
+  /** Quality-aware keep-one dedup: cluster the near-dup graph, then
+    * keep the HIGHEST-QUALITY member of each cluster (ties → min
+    * doc_id) instead of an arbitrary or min-id representative — when a
+    * document exists in several mutations, a curation pipeline wants
+    * the cleanest copy, not whichever happened to get the smallest id.
+    * Singleton docs (no near-dup) keep themselves. One row per
+    * surviving document: (comp, cluster_size, keep_doc_id,
+    * quality_score).
+    *
+    * Scale shape: the graph work is [[dedupComponentsStar]]'s; the
+    * selection is a single hash aggregation on the component label
+    * using max(struct(quality, −doc_id)) — partial-aggregated
+    * map-side, so a pathological giant cluster never concentrates on
+    * one task the way a row_number window would. `quality` is any
+    * (doc_id, quality_score) frame (typically
+    * [[TextAnalysis.qualityScoreOf]] over the same corpus). */
+  def keepBestDedup(docs: DataFrame, quality: DataFrame,
+                    tau: Double): DataFrame = {
+    val comps = connectedComponentsStar(jaccardPairsAuto(docs, tau))
+    val labeled = docs.select("doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    labeled
+      .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
+      .groupBy("comp")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("quality_score"),
+          (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("comp"), col("cluster_size"),
+        (-col("best.neg_id")).as("keep_doc_id"),
+        col("best.quality_score").as("quality_score"))
+      .orderBy("comp")
+  }
+
   /** Cell-bounded cosine near-dup pairs — the candidate+verify core of
     * [[semanticDedup]]. K-means cells (multi-probe, see
     * [[Similarity.cellAssignments]]) bound the pair space to same-cell

@@ -51,9 +51,15 @@ object TextAnalysis {
 
   /** Per-document quality score from length/stopword/diversity ratios —
     * the classic cheap pre-filters for LLM training corpora. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(s, dir))
+
+  /** [[qualityScore]] over an arbitrary (doc_id, text) frame — so
+    * composed operators (e.g. quality-aware dedup) can score a planted
+    * or derived corpus with the identical formula. */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val sw = array(Stopwords.map(lit): _*)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .select(
         col("doc_id"),

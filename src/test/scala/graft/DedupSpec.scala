@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -86,6 +86,27 @@ class DedupSpec extends AnyFunSuite {
     val verified = Dedup.containmentVerifyPairs(corpus, cand, 0.9)
       .as[(Long, Long, Double)].collect().toSet
     assert(verified === all)
+  }
+
+  test("keepBestDedup keeps the highest-quality member per cluster") {
+    val corpus = Dedup.withNearDups(docs)
+    val quality = TextAnalysis.qualityScoreOf(corpus)
+    val kept = Dedup.keepBestDedup(corpus, quality, 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+    // clusters (incl. singletons) partition the corpus exactly
+    assert(kept.map(_._2).sum === corpus.count())
+    // independent recompute: group every doc by its component (self for
+    // singletons) and take the (quality DESC, doc_id ASC) argmax
+    val comp = Dedup.dedupComponents(corpus, 0.5)
+      .as[(Long, Long)].collect().toMap
+    val q = quality.select(col("doc_id"), col("quality_score"))
+      .as[(Long, Double)].collect().toMap
+    val expected = corpus.select("doc_id").as[Long].collect()
+      .groupBy(id => comp.getOrElse(id, id)).map { case (c, members) =>
+        val best = members.minBy(m => (-q(m), m))
+        (c, members.length.toLong, best, q(best))
+      }.toSet
+    assert(kept.toSet === expected)
   }
 
   test("incremental ingest filter drops every planted fresh near-dup") {
