@@ -180,9 +180,14 @@ object Sampling {
     * ([[mixtureSample]], [[mixtureBudget]]) consume.
     *
     * Plan shape: ONE map-side-combined token-count aggregate over the
-    * corpus; everything downstream is arithmetic on a langs-sized
-    * frame (plus two one-row broadcasts for the totals) — the corpus
-    * never shuffles. Floating point enters EXACTLY once per lang:
+    * corpus — the corpus scans exactly once (PlanSpec pins it);
+    * everything downstream is arithmetic on the langs-sized aggregate
+    * output, with the two totals (token mass, weight normalizer) as
+    * UNPARTITIONED windows over that frame — a single-partition window
+    * is exactly right for a dozens-of-rows frame, and keeps the whole
+    * operator one lazy plan (separate total aggregates re-expanded the
+    * corpus subtree once per consumer — 4 scans before this shape).
+    * Floating point enters EXACTLY once per lang:
     * u = floor(1e6·exp(α·ln(share_millionths))), computed from the
     * already-integer share (the (1e6)^α scale factor cancels in the
     * normalization, so sharing the integer input with the oracle
@@ -202,9 +207,11 @@ object Sampling {
         .cast("long").as("n_toks"))
     val avail = docs.groupBy("lang").agg(
       sum("n_toks").as("available_toks"), count(lit(1)).as("n_docs"))
-    val tot = avail.agg(sum("available_toks").as("total_toks"))
     val alpha = lit(alphaMillionths.toDouble / 1000000.0)
-    val shares = avail.crossJoin(broadcast(tot))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    avail
+      .withColumn("total_toks", sum("available_toks").over(all))
       .withColumn("share_millionths", expr(
         s"""CASE WHEN total_toks < ${1L << 43}
            |  THEN (available_toks * 1000000) DIV total_toks
@@ -214,8 +221,7 @@ object Sampling {
         floor(lit(1000000.0) * exp(alpha *
           log(greatest(col("share_millionths"), lit(1L)).cast("double"))))
           .cast("long"))
-    val totU = shares.agg(sum("u_micros").as("sum_u"))
-    shares.crossJoin(broadcast(totU))
+      .withColumn("sum_u", sum("u_micros").over(all))
       .select(col("lang"), col("n_docs"), col("available_toks"),
         col("share_millionths"),
         expr("(u_micros * 1000000) DIV sum_u").as("temp_weight_millionths"))

@@ -359,4 +359,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("temperature weights: corpus scans once, langs-sized math after") {
+    import graft.operators.Sampling
+    val p = plan(Sampling.temperatureWeights(spark, dir))
+    // ONE corpus scan feeding ONE corpus-scale exchange (the per-lang
+    // token aggregate); the totals are unpartitioned windows over the
+    // langs-sized aggregate output, never a join that would re-expand
+    // the corpus subtree (the first cut scanned the parquet 4 times)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "langs-sized math grew a join")
+  }
+
+  test("keep-best dedup selection: hash aggregation, not a window") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val corpus = Dedup.withNearDups(Tables.documents(spark, dir))
+    // pin the SELECTION stage in isolation (the upstream component
+    // computation is iterative and pinned by its own tests): feed a
+    // pre-built components frame through the same labeled-join +
+    // argmax shape keepBestDedup uses
+    val p = plan(Dedup.keepBestDedup(corpus,
+      TextAnalysis.qualityScoreOf(corpus), 0.5))
+    // per-cluster argmax is max(struct(quality, -id)) under hash agg —
+    // a row_number window would concentrate a giant cluster on one task
+    assert(!p.contains("Window"), "cluster argmax regressed to a window")
+    assert(p.contains("HashAggregate"), p)
+  }
 }
