@@ -350,6 +350,10 @@ object SparkEntry {
     // temperature-flattened mixture weights (share^alpha, alpha = 0.5)
     "mixture_temperature" -> ((s, dir) =>
       Sampling.temperatureWeights(s, dir)),
+    // the composed self-tuning mixer: corpus-derived temperature
+    // weights drive the epochs-plus-remainder budget materializer
+    "mixture_temperature_budget" -> ((s, dir) =>
+      Sampling.temperatureMixtureBudget(s, dir)),
     "sequence_packing" -> ((s, dir) =>
       TextAnalysis.sequencePacking(s, dir, windowTokens = 2048)),
     // --- explicit salting (skew fallback when AQE split isn't enough) ---
@@ -2232,6 +2236,64 @@ object SparkEntry {
          |SELECT lang, n_docs, available_toks, share_millionths,
          |  (u_micros * 1000000) // sum_u AS temp_weight_millionths
          |FROM u, s ORDER BY lang""".stripMargin,
+    // the temperature-weight derivation of mixture_temperature chained
+    // into the budget arithmetic of mixture_budget — both already
+    // hash-checked standalone; this pins their composition
+    "mixture_temperature_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(len($DuckTokList) AS BIGINT) AS n_toks,
+         |    ((doc_id % $Fold31) * $HashMult) % 1000000 AS bm
+         |  FROM documents),
+         |b AS (SELECT CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM d),
+         |a AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS available_toks,
+         |        CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY lang),
+         |t AS (SELECT CAST(sum(available_toks) AS BIGINT) AS total_toks
+         |      FROM a),
+         |sh AS (
+         |  SELECT lang, n_docs, available_toks,
+         |    CASE WHEN total_toks < ${1L << 43}
+         |      THEN (available_toks * 1000000) // total_toks
+         |      ELSE available_toks // greatest(total_toks // 1000000, 1)
+         |      END AS share_millionths
+         |  FROM a, t),
+         |u AS (
+         |  SELECT sh.*,
+         |    CAST(floor(1000000.0 *
+         |        exp((${Sampling.TempAlphaMillionths} / 1000000.0) *
+         |          ln(CAST(greatest(share_millionths, 1) AS DOUBLE))))
+         |      AS BIGINT) AS u_micros
+         |  FROM sh),
+         |su AS (SELECT CAST(sum(u_micros) AS BIGINT) AS sum_u FROM u),
+         |wt AS (SELECT lang, n_docs, available_toks,
+         |         (u_micros * 1000000) // sum_u AS w FROM u, su),
+         |r AS (
+         |  SELECT lang, available_toks, n_docs,
+         |    (budget // 1000000) * w + ((budget % 1000000) * w) // 1000000
+         |      AS target_toks
+         |  FROM wt, b),
+         |r2 AS (
+         |  SELECT lang, available_toks, n_docs, target_toks,
+         |    target_toks // available_toks AS full_epochs,
+         |    CAST(least(999999, CASE WHEN available_toks < ${1L << 43}
+         |        THEN ((target_toks % available_toks) * 1000000)
+         |          // available_toks
+         |        ELSE (target_toks % available_toks)
+         |          // greatest(available_toks // 1000000, 1) END) AS BIGINT)
+         |      AS rem_rate_millionths
+         |  FROM r),
+         |k AS (
+         |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs_sampled,
+         |    CAST(sum(d.n_toks) AS BIGINT) AS sampled_toks
+         |  FROM d JOIN r2 ON d.lang = r2.lang
+         |  WHERE d.bm < r2.rem_rate_millionths GROUP BY d.lang)
+         |SELECT r2.lang, available_toks, n_docs, target_toks, full_epochs,
+         |  rem_rate_millionths,
+         |  COALESCE(n_docs_sampled, 0) AS n_docs_sampled,
+         |  COALESCE(sampled_toks, 0) AS sampled_toks,
+         |  full_epochs * available_toks + COALESCE(sampled_toks, 0)
+         |    AS achieved_toks
+         |FROM r2 LEFT JOIN k ON r2.lang = k.lang
+         |ORDER BY r2.lang""".stripMargin,
     "sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($DuckTokList) AS n_toks

@@ -201,12 +201,17 @@ object Sampling {
     * source rounds to the smallest boost instead of vanishing. */
   def temperatureWeights(s: SparkSession, dir: String,
                          alphaMillionths: Long = TempAlphaMillionths)
-      : DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("lang"),
-      size(graft.functions.TextFunctions.tokenize(col("text")))
-        .cast("long").as("n_toks"))
-    val avail = docs.groupBy("lang").agg(
-      sum("n_toks").as("available_toks"), count(lit(1)).as("n_docs"))
+      : DataFrame =
+    withTempWeight(availByLang(tokCountedDocs(s, dir)), alphaMillionths)
+      .select(col("lang"), col("n_docs"), col("available_toks"),
+        col("share_millionths"), col("temp_weight_millionths"))
+      .orderBy("lang")
+
+  /** The langs-sized temperature computation, appended as columns to a
+    * per-lang (…, available_toks, …) aggregate — shared by
+    * [[temperatureWeights]] and [[temperatureMixtureBudget]]. */
+  private def withTempWeight(avail: DataFrame,
+                             alphaMillionths: Long): DataFrame = {
     val alpha = lit(alphaMillionths.toDouble / 1000000.0)
     val all = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
@@ -222,11 +227,22 @@ object Sampling {
           log(greatest(col("share_millionths"), lit(1L)).cast("double"))))
           .cast("long"))
       .withColumn("sum_u", sum("u_micros").over(all))
-      .select(col("lang"), col("n_docs"), col("available_toks"),
-        col("share_millionths"),
-        expr("(u_micros * 1000000) DIV sum_u").as("temp_weight_millionths"))
-      .orderBy("lang")
+      .withColumn("temp_weight_millionths",
+        expr("(u_micros * 1000000) DIV sum_u"))
   }
+
+  /** The per-doc (lang, token count, hash bucket) scan both mixture
+    * materializers start from. */
+  private def tokCountedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokenize(col("text")))
+          .cast("long").as("n_toks"),
+        bucketMillionths(col("doc_id")).as("bm"))
+
+  private def availByLang(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(sum("n_toks").as("available_toks"), count(lit(1)).as("n_docs"))
 
   /** Domain-mixture materialization to a TOKEN BUDGET — the "data
     * mixing" step of corpus assembly: given target mixture weights per
@@ -250,21 +266,41 @@ object Sampling {
   def mixtureBudget(s: SparkSession, dir: String,
                     weights: Map[String, Long],
                     defaultWeight: Long = 100000L): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        size(graft.functions.TextFunctions.tokenize(col("text")))
-          .cast("long").as("n_toks"),
-        bucketMillionths(col("doc_id")).as("bm"))
+    val docs = tokCountedDocs(s, dir)
     val wcol = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
       case (acc, (k, m)) => when(col("lang") === k, lit(m)).otherwise(acc)
     }
-    val avail = docs.groupBy("lang")
-      .agg(sum("n_toks").as("available_toks"), count(lit(1)).as("n_docs"))
+    mixtureBudgetFrom(docs, availByLang(docs).withColumn("w", wcol))
+  }
+
+  /** [[mixtureBudget]] with the per-source weights DERIVED FROM THE
+    * CORPUS by [[temperatureWeights]] instead of hand-configured — the
+    * full self-tuning data-mixing step: one pass establishes per-lang
+    * token mass, the α-flattened weights fall out of the langs-sized
+    * arithmetic, and the same epochs-plus-hash-remainder materializer
+    * delivers each source's target. Composition exercises the
+    * interface the per-stage gates can't see: the weight table keeps
+    * its extra diagnostic columns until the rate projection drops
+    * them, and the budget arithmetic consumes the derived w with the
+    * identical overflow discipline as a configured one. */
+  def temperatureMixtureBudget(s: SparkSession, dir: String,
+                               alphaMillionths: Long = TempAlphaMillionths)
+      : DataFrame = {
+    val docs = tokCountedDocs(s, dir)
+    mixtureBudgetFrom(docs,
+      withTempWeight(availByLang(docs), alphaMillionths)
+        .withColumn("w", col("temp_weight_millionths")))
+  }
+
+  /** Budget materialization from a weighted per-lang aggregate
+    * (lang, available_toks, n_docs, w) — the shared tail of both
+    * mixture materializers. */
+  private def mixtureBudgetFrom(docs: DataFrame,
+                                weightedAvail: DataFrame): DataFrame = {
     val budget = docs.agg(expr("sum(n_toks) DIV 2").as("budget"))
     // target = budget·w/1e6 in two overflow-safe int64 terms: the naive
     // budget*w product exceeds 2^63 exactly at 100 TB token counts
-    val rates = avail.crossJoin(budget)
-      .withColumn("w", wcol)
+    val rates = weightedAvail.crossJoin(budget)
       .withColumn("target_toks",
         expr("(budget DIV 1000000) * w + ((budget % 1000000) * w) DIV 1000000"))
       .select(col("lang"), col("available_toks"), col("n_docs"),

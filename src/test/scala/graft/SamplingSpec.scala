@@ -92,6 +92,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMixtureBudget delivers the derived weights' targets") {
+    val dir = "/root/testdata/sf0.001"
+    // the standalone weight table is the reference for the composition
+    val w = Sampling.temperatureWeights(SparkTestSession.spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val out = Sampling.temperatureMixtureBudget(SparkTestSession.spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(8)))
+    assert(out.nonEmpty && out.size === w.size)
+    val budget = out.map(_._2).sum / 2
+    out.foreach { case (lang, avail, target, epochs, rate, achieved) =>
+      // the composed target is exactly budget·w/1e6 for the DERIVED w
+      val expected = (budget / 1000000L) * w(lang) +
+        ((budget % 1000000L) * w(lang)) / 1000000L
+      assert(target === expected, s"$lang target=$target expected=$expected")
+      assert(epochs * avail <= target && target < (epochs + 1) * avail,
+        s"$lang epochs decomposition")
+      assert(rate >= 0 && rate < 1000000, s"$lang rate $rate")
+      assert(math.abs(achieved - target) <= math.max(target / 4, 200L),
+        s"$lang achieved=$achieved vs target=$target")
+    }
+  }
+
   test("temperatureWeights flattens shares toward uniform, exactly at a=1") {
     val dir = "/root/testdata/sf0.001"
     def rows(alphaM: Long) =
