@@ -344,6 +344,9 @@ object SparkEntry {
     // (ShardN is the single source for both engines' shard formula)
     "training_shards" -> ((s, dir) => Sampling.documentsShards(s, dir, ShardN)),
     "shard_stats" -> ((s, dir) => Sampling.shardStats(s, dir, ShardN)),
+    // per-shard delivery manifest: counts + id range + order-independent
+    // xor content checksum
+    "shard_manifest" -> ((s, dir) => Sampling.shardManifest(s, dir, ShardN)),
     // mixture-to-token-budget materialization (epochs + hash remainder)
     "mixture_budget" -> ((s, dir) => Sampling.mixtureBudget(s, dir,
       Map("en" -> 500000L, "zh" -> 150000L), defaultWeight = 100000L)),
@@ -2167,6 +2170,19 @@ object SparkEntry {
          |  FROM documents)
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_toks) AS BIGINT) AS shard_toks
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+    "shard_manifest" ->
+      s"""WITH t AS (
+         |  SELECT (((doc_id % $Fold31) * $HashMult) % $Fold31 * $ShardN)
+         |      // $Fold31 AS shard,
+         |    doc_id, len($DuckTokList) AS n_toks,
+         |    CAST('0x' || substr(md5(concat_ws('|', doc_id, text)), 1, 14)
+         |      AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS shard_toks,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         |  CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS content_xor56
          |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
     "mixture_budget" ->
       s"""WITH d AS (

@@ -164,6 +164,31 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_toks"))
       .orderBy("shard")
 
+  /** Per-shard delivery manifest — what a trainer (or the next
+    * pipeline stage) verifies before streaming shards: per shard, doc
+    * and token counts, the id range, and an ORDER-INDEPENDENT content
+    * checksum (bit_xor of a 56-bit md5 fold over id|text — xor
+    * commutes, so the checksum is stable under any read order or
+    * partition layout, and never overflows the way a sum of folds
+    * would under ANSI arithmetic). One scan, one shard-keyed
+    * aggregation — the manifest costs a single pass regardless of
+    * shard count, and a re-delivered corpus diff reduces to comparing
+    * two nShards-row tables. */
+  def shardManifest(s: SparkSession, dir: String,
+                    nShards: Int = 16): DataFrame =
+    Tables.documents(s, dir)
+      .select(shardOf(hashOrderKey(col("doc_id")), nShards).as("shard"),
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokenize(col("text")))
+          .cast("long").as("n_toks"),
+        expr("cast(conv(substr(md5(concat_ws('|', doc_id, text)), 1, 14)" +
+          ", 16, 10) as bigint)").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_toks"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("content_xor56"))
+      .orderBy("shard")
+
   /** α for [[temperatureWeights]], in millionths (0.5 — "T=2"
     * flattening). PUBLIC and integer so the oracle SQL interpolates the
     * same constant and both engines derive the double by the identical

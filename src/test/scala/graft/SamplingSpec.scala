@@ -92,6 +92,21 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("shardManifest partitions the corpus with stable nonzero checksums") {
+    val dir = "/root/testdata/sf0.001"
+    val m = Sampling.shardManifest(SparkTestSession.spark, dir, 8).collect()
+    assert(m.length === 8)
+    assert(m.map(_.getLong(1)).sum === 500L) // shards partition the corpus
+    m.foreach(r => assert(r.getLong(3) <= r.getLong(4), "id range"))
+    // 56-bit xor checksums of distinct doc sets: non-zero and distinct
+    // (a collision would be astronomically unlikely)
+    val xs = m.map(_.getLong(5))
+    assert(xs.distinct.length === xs.length && xs.forall(_ != 0L))
+    // deterministic across runs
+    val m2 = Sampling.shardManifest(SparkTestSession.spark, dir, 8).collect()
+    assert(m.map(_.toString).toSeq === m2.map(_.toString).toSeq)
+  }
+
   test("temperatureMixtureBudget delivers the derived weights' targets") {
     val dir = "/root/testdata/sf0.001"
     // the standalone weight table is the reference for the composition
