@@ -392,6 +392,10 @@ object SparkEntry {
     "streamed_segment_revenue" -> (graft.streaming.Streaming.streamedSegmentRevenue _),
     "streamed_conversions" -> (graft.streaming.Streaming.streamedConversions _),
     "streamed_dedup_events" -> (graft.streaming.Streaming.streamedDedupEvents _),
+    // live-ingest drift monitor: stream-aggregated token histogram
+    // (vocab-bounded state) diffed against yesterday's static snapshot
+    "streamed_token_drift" ->
+      ((s, dir) => graft.streaming.Streaming.streamedTokenDrift(s, dir, 30)),
     "streamed_dedup_against_base" ->
       (graft.streaming.Streaming.streamedDedupAgainstBase _),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
@@ -2036,6 +2040,26 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // settled stream-static anti join == batch anti join
+    // the settled stream histogram equals the batch histogram, so the
+    // whole drift view is the plain before/after SQL; before is the
+    // snapshot missing every 10th doc
+    "streamed_token_drift" ->
+      s"""WITH cb AS (
+         |  SELECT lower(word) AS word, CAST(count(*) AS BIGINT)
+         |    AS n_before
+         |  FROM (SELECT unnest($DuckTokList) AS word
+         |        FROM documents WHERE doc_id % 10 <> 0) x GROUP BY 1),
+         |ca AS (
+         |  SELECT lower(word) AS word, CAST(count(*) AS BIGINT)
+         |    AS n_after
+         |  FROM (SELECT unnest($DuckTokList) AS word
+         |        FROM documents) x GROUP BY 1),
+         |m AS (SELECT coalesce(cb.word, ca.word) AS word,
+         |        coalesce(n_before, CAST(0 AS BIGINT)) AS n_before,
+         |        coalesce(n_after, CAST(0 AS BIGINT)) AS n_after
+         |      FROM cb FULL OUTER JOIN ca ON cb.word = ca.word)
+         |SELECT word, n_before, n_after, n_after - n_before AS delta
+         |FROM m ORDER BY abs(delta) DESC, word LIMIT 30""".stripMargin,
     "streamed_dedup_against_base" ->
       """WITH base AS (SELECT md5(text) AS h FROM documents
         |              WHERE doc_id % 3 = 0)

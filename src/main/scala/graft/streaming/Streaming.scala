@@ -195,6 +195,41 @@ object Streaming {
       .orderBy("lang")
   }
 
+  /** Streaming corpus-drift monitor — the live-ingest shape of
+    * Profile.tokenDrift: the documents STREAM aggregates to a running
+    * lowercase-token histogram (stateful complete-mode aggregation
+    * whose state is VOCABULARY-sized per Heaps' law — bounded however
+    * long the stream runs), settles, and diffs against a static
+    * baseline snapshot ("yesterday's corpus": every doc_id % 10 == 0
+    * absent). The settled histogram equals the batch histogram by
+    * construction, so the whole view — topK by (|Δ| desc, word asc) —
+    * is SQL-recomputable and driver hash-checked. The drift join and
+    * top-k run BATCH-side on the settled vocab-sized table
+    * (single-stateful-operator stream, the streamedDedupEvents
+    * pattern); the cut is TakeOrdered over the vocab join, never a
+    * corpus sort. */
+  def streamedTokenDrift(s: SparkSession, dir: String,
+                         topK: Int = 30): DataFrame = {
+    def words(df: DataFrame) = df
+      .select(explode(graft.functions.TextFunctions.tokenize(col("text")))
+        .as("w"))
+      .select(lower(col("w")).as("word"))
+    val liveCnt = settle(
+      words(documentsStream(s, dir))
+        .groupBy("word").agg(count(lit(1)).as("n_after")),
+      "graft_stream_drift")
+    val baseCnt = words(graft.sources.Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(10L)) =!= 0))
+      .groupBy("word").agg(count(lit(1)).as("n_before"))
+    baseCnt.join(liveCnt, Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .withColumn("delta", col("n_after") - col("n_before"))
+      .orderBy(abs(col("delta")).desc, col("word").asc)
+      .limit(topK)
+  }
+
   /** Driver-gated in-stream dedup: replay the events table through TWO
     * identical file-stream legs — every event arrives exactly twice —
     * and suppress the duplicates with [[dedupStream]]'s watermark-bounded

@@ -131,6 +131,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streamed token drift settles to the batch drift view") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamedTokenDrift(spark, dir, 30)
+      .collect().map(_.toSeq).toSeq
+    // batch recompute with the identical before/after convention
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val batch = graft.operators.Profile.tokenDrift(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), docs, 30)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("streamed hourly agg settles to the batch result") {
     val dir = "/root/testdata/sf0.001"
     val streamed = Streaming.streamedEventsHourly(spark, dir)
