@@ -156,6 +156,10 @@ object SparkEntry {
     // trained count-space Naive Bayes over the marker-planted corpus:
     // integer-millionth log weights make the argmax hash-exact
     "lang_id_nb" -> (TextAnalysis.langIdNb _),
+    // model-eval view: (label, pred) error structure of the trained NB
+    "lang_id_confusion" -> (TextAnalysis.langIdNbConfusion _),
+    // per-lang robust (median/MAD) token-length outliers, all-integer
+    "length_outliers" -> (TextAnalysis.lengthOutliers _),
     "lang_id_nb_gate" -> ((s, dir) => TextAnalysis.langIdNbGate(s, dir)),
     "fingerprint_md5" -> (TextAnalysis.fingerprintMd5 _),
     "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
@@ -400,6 +404,8 @@ object SparkEntry {
       (graft.streaming.Streaming.streamedDedupAgainstBase _),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
+    // k-anonymity-style small-cell suppression for published breakdowns
+    "small_cell_release" -> ((s, dir) => Curation.smallCellRelease(s, dir)),
     // --- corpus-assembly capstone: raw documents in, sharded training
     // set out (curation → near-dup dedup → decontamination → mixture
     // budget → shard assignment, composed as ONE plan) ---
@@ -935,6 +941,61 @@ object SparkEntry {
       s"""WITH $NbScoresSql
          |SELECT doc_id, lang_label, lang_pred, score
          |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "lang_id_confusion" ->
+      s"""WITH $NbScoresSql
+         |SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the robust_price_stats integer median/MAD arithmetic per lang,
+    // emitting the flagged docs instead of per-group counts
+    "length_outliers" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 40000, lang, substr(text, 1, 15)
+         |  FROM documents WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id + 50000, lang, repeat(text || ' ', 20)
+         |  FROM documents WHERE doc_id < 10),
+         |t AS (
+         |  SELECT doc_id, lang, CAST(len($DuckTokList) AS BIGINT)
+         |    AS n_toks
+         |  FROM corpus),
+         |m AS (
+         |  SELECT lang, CAST(2 * quantile_cont(n_toks, 0.5) AS BIGINT)
+         |    AS med2
+         |  FROM t GROUP BY 1),
+         |d AS (
+         |  SELECT t.doc_id, t.lang, t.n_toks,
+         |    2 * n_toks - med2 AS dev2, med2
+         |  FROM t JOIN m USING (lang)),
+         |md AS (
+         |  SELECT lang, CAST(2 * quantile_cont(abs(dev2), 0.5) AS BIGINT)
+         |    AS mad4
+         |  FROM d GROUP BY 1)
+         |SELECT doc_id, lang, n_toks, med2, mad4, reason FROM (
+         |  SELECT d.doc_id, d.lang, d.n_toks, d.med2, md.mad4,
+         |    CASE WHEN d.n_toks < 5 THEN 'too_short'
+         |         WHEN 2 * dev2 > 3 * mad4 THEN 'too_long' END AS reason
+         |  FROM d JOIN md USING (lang)) f
+         |WHERE reason IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
+    "small_cell_release" ->
+      s"""WITH c AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($DuckTokList)) AS BIGINT) AS n_toks
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT lang, source, n_docs, n_toks, CAST(1 AS BIGINT)
+         |    AS n_cells
+         |  FROM c WHERE n_docs >= 8
+         |  UNION ALL
+         |  SELECT '__suppressed__', '__suppressed__',
+         |    coalesce(CAST(sum(n_docs) AS BIGINT), CAST(0 AS BIGINT)),
+         |    coalesce(CAST(sum(n_toks) AS BIGINT), CAST(0 AS BIGINT)),
+         |    CAST(count(*) AS BIGINT)
+         |  FROM c WHERE n_docs < 8) u
+         |ORDER BY lang, source""".stripMargin,
     "lang_id_nb_gate" ->
       s"""WITH $NbScoresSql
          |SELECT CAST(count(*) AS BIGINT) AS n_docs,

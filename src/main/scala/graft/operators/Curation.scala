@@ -44,6 +44,38 @@ object Curation {
         col("quality_score"), col("scrubbed_fp"))
   }
 
+  /** Small-cell suppression for aggregate releases — the
+    * k-anonymity-style publication gate: per-group statistics whose
+    * group holds fewer than `k` members are withheld and rolled into a
+    * single `__suppressed__` residual row, so a published breakdown
+    * never reveals a group small enough to identify while the grand
+    * total stays reconcilable (residual carries the suppressed doc
+    * mass and the count of suppressed cells). One corpus aggregation;
+    * the suppression split and residual are cells-sized
+    * re-aggregations. The residual row is ALWAYS emitted (zeros when
+    * nothing was suppressed) so the release schema is stable across
+    * refreshes. */
+  def smallCellRelease(s: SparkSession, dir: String,
+                       k: Long = 8L): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokenize(col("text"))).cast("long")).as("n_toks"))
+    val kept = cells.filter(col("n_docs") >= k)
+      .withColumn("n_cells", lit(1L))
+    val residual = cells.filter(col("n_docs") < k)
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("n_toks"), lit(0L)).as("n_toks"),
+        count(lit(1)).as("n_cells"))
+      .select(lit("__suppressed__").as("lang"),
+        lit("__suppressed__").as("source"),
+        col("n_docs"), col("n_toks"), col("n_cells"))
+    kept.select(col("lang"), col("source"), col("n_docs"), col("n_toks"),
+        col("n_cells"))
+      .unionByName(residual)
+      .orderBy("lang", "source")
+  }
+
   /** Per-language quality-percentile curation — the relative-threshold
     * knob (an absolute quality cutoff like curationPipeline's keeps a
     * different fraction per source; a percentile keeps the BEST pct% of

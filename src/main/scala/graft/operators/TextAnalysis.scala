@@ -182,6 +182,76 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Confusion matrix of the trained NB language ID — the model-eval
+    * view over [[langIdNb]]'s per-doc predictions: (label, pred) →
+    * count, the per-pair error structure the scalar accuracy gate
+    * can't show (which languages bleed into which). A langs²-bounded
+    * re-aggregation of the prediction frame — the corpus-scale work is
+    * all in the upstream scoring. */
+  def langIdNbConfusion(s: SparkSession, dir: String): DataFrame =
+    langIdNb(s, dir)
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_label", "lang_pred")
+
+  /** Per-lang token-length artifact detector — truncated fragments and
+    * glued-together concatenations are the classic parser failures a
+    * curation pass removes. Two regimes, because one test cannot
+    * cover both tails: fragments get an ABSOLUTE floor (n < minToks →
+    * 'too_short' — a robust low-side test is impossible whenever
+    * MAD ≥ ⅔·median, which holds for this corpus and for most web
+    * corpora whose lengths spread widely above a hard lower bound),
+    * and concatenations get the robust high-side MAD test
+    * (2·(2n − med2) > 3·mad4 → 'too_long' — mean/stddev is exactly
+    * what heavy-tailed length distributions break). All-integer
+    * median/MAD arithmetic as in Grouping.robustPriceStats (doubled
+    * medians keep the even-count midpoint interpolation exact, so no
+    * float reaches the hashed output); three bounded-key aggregation
+    * passes with the langs-sized stats broadcast back between — each
+    * pass is one scan + one tiny aggregate at any corpus size. */
+  def lengthOutliers(s: SparkSession, dir: String): DataFrame =
+    lengthOutliersOf(withLengthArtifacts(Tables.documents(s, dir)))
+
+  /** documents ∪ planted length artifacts for doc_id < 10 — the
+    * synthetic corpus draws lengths too uniformly to have organic
+    * 3×MAD outliers, so the demo plants both parser-artifact regimes
+    * the detector exists for (the dedup-family convention, oracle
+    * recomputes the identical rows): a 15-character truncation at
+    * id + 40000 and a 20× self-concatenation at id + 50000 (20× so
+    * even the SHORTEST seed doc lands far beyond the high-side bound —
+    * a 6× plant of a 10-token doc sat exactly at the median). Both
+    * engines count characters in substr, same as withContainedDups. */
+  def withLengthArtifacts(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val seed = base.filter(col("doc_id") < 10)
+    base
+      .union(seed.select((col("doc_id") + 40000L).as("doc_id"),
+        col("lang"), col("text").substr(1, 15).as("text")))
+      .union(seed.select((col("doc_id") + 50000L).as("doc_id"),
+        col("lang"),
+        repeat(concat(col("text"), lit(" ")), 20).as("text")))
+  }
+
+  def lengthOutliersOf(docs: DataFrame, minToks: Long = 5L): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_toks"))
+    val med = t.groupBy("lang")
+      .agg(expr("CAST(2 * percentile(n_toks, 0.5D) AS BIGINT)").as("med2"))
+    val dev = t.join(broadcast(med), "lang")
+      .withColumn("dev2", lit(2L) * col("n_toks") - col("med2"))
+    val mad = dev.groupBy("lang")
+      .agg(expr("CAST(2 * percentile(abs(dev2), 0.5D) AS BIGINT)")
+        .as("mad4"))
+    dev.join(broadcast(mad), "lang")
+      .withColumn("reason",
+        when(col("n_toks") < minToks, "too_short")
+          .when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), "too_long"))
+      .filter(col("reason").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        col("med2"), col("mad4"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Driver-checkable accuracy gate for the trained NB: n_correct is an
     * exact integer (predictions are hash-exact), and acc_ok pins the
     * floor — marker signal puts true accuracy at ~1.0, the 0.95 floor

@@ -13,6 +13,76 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextFunctions.wordNgrams(col("toks"), n).as("g"))
       .collect()(0).getSeq[String](0)
 
+  test("langId confusion matrix re-aggregates the per-doc predictions") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val conf = TextAnalysis.langIdNbConfusion(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(conf.map(_._3).sum === 500L) // every doc lands in one cell
+    // diagonal mass equals the accuracy gate's n_correct
+    val nCorrect = TextAnalysis.langIdNbGate(spark, dir)
+      .select("n_correct").as[Long].head()
+    assert(conf.filter(c => c._1 == c._2).map(_._3).sum === nCorrect)
+  }
+
+  test("length outliers: every flagged doc violates the per-lang MAD bound") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.lengthOutliers(spark, dir)
+      .as[(Long, String, Long, Long, Long, String)].collect()
+    // every planted artifact is flagged with its regime's reason
+    val byId = out.map(r => r._1 -> r._6).toMap
+    (0L until 10L).foreach { i =>
+      assert(byId.get(i + 40000L).contains("too_short"),
+        s"truncation $i: ${byId.get(i + 40000L)}")
+      assert(byId.get(i + 50000L).contains("too_long"),
+        s"concatenation $i: ${byId.get(i + 50000L)}")
+    }
+    // independent per-lang median/MAD recompute in plain Scala over
+    // the identical planted corpus
+    val lens = TextAnalysis
+      .withLengthArtifacts(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokenize(col("text"))).cast("long").as("n"))
+      .as[(Long, String, Long)].collect()
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) 2 * s(s.size / 2)
+      else s(s.size / 2 - 1) + s(s.size / 2)
+    }
+    val byLang = lens.groupBy(_._2).toSeq
+    val expected = byLang.flatMap { case (lang, ds) =>
+      val m2 = med2(ds.map(_._3).toSeq)
+      val mad4 = med2(ds.map(d => math.abs(2 * d._3 - m2)).toSeq)
+      ds.flatMap { d =>
+        val reason =
+          if (d._3 < 5) Some("too_short")
+          else if (2 * (2 * d._3 - m2) > 3 * mad4) Some("too_long")
+          else None
+        reason.map(r => (d._1, lang, d._3, m2, mad4, r))
+      }.toSeq
+    }.toSet
+    assert(out.toSet === expected)
+  }
+
+  test("small-cell release reconciles totals and never shows a cell < k") {
+    import graft.operators.Curation
+    val dir = "/root/testdata/sf0.001"
+    val rows = Curation.smallCellRelease(spark, dir, k = 8L)
+      .as[(String, String, Long, Long, Long)].collect()
+    val (resid, kept) = rows.partition(_._1 == "__suppressed__")
+    assert(resid.length === 1) // residual row always present
+    assert(kept.nonEmpty && resid.head._5 > 0L,
+      "both release branches should be exercised at this SF")
+    assert(kept.forall(_._3 >= 8L), "published cell below k")
+    assert(rows.map(_._3).sum === 500L) // doc mass reconciles
+    // cell accounting: kept cells + suppressed cells = all cells
+    val nCells = graft.sources.Tables.documents(spark, dir)
+      .select("lang", "source").distinct().count()
+    assert(kept.length + resid.head._5 === nCells)
+  }
+
   test("wordNgrams golden cases incl. short arrays") {
     assert(ngrams(Seq("a", "b", "c"), 2) === Seq("a b", "b c"))
     assert(ngrams(Seq("a", "b", "c"), 3) === Seq("a b c"))
