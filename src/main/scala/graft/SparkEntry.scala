@@ -160,6 +160,10 @@ object SparkEntry {
     "lang_id_confusion" -> (TextAnalysis.langIdNbConfusion _),
     // per-lang robust (median/MAD) token-length outliers, all-integer
     "length_outliers" -> (TextAnalysis.lengthOutliers _),
+    // Gopher-style deflate-ratio repetitiveness signal (native
+    // expression; rows-only) + its planted-repeat invariant gate
+    "compression_ratio" -> (TextAnalysis.compressionRatio _),
+    "compression_ratio_gate" -> (TextAnalysis.compressionRatioGate _),
     "lang_id_nb_gate" -> ((s, dir) => TextAnalysis.langIdNbGate(s, dir)),
     "fingerprint_md5" -> (TextAnalysis.fingerprintMd5 _),
     "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
@@ -941,6 +945,15 @@ object SparkEntry {
       s"""WITH $NbScoresSql
          |SELECT doc_id, lang_label, lang_pred, score
          |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // deflate isn't SQL-recomputable; the gate's correct answer is the
+    // plant structure itself: 10 repeat pairs, corpus + 20 planted
+    // rows, both invariant flags true
+    "compression_ratio_gate" ->
+      """SELECT (SELECT CAST(count(*) + 20 AS BIGINT) FROM documents)
+        |    AS n_docs,
+        |  CAST(10 AS BIGINT) AS n_pairs,
+        |  CAST(1 AS BIGINT) AS all_bounded,
+        |  CAST(1 AS BIGINT) AS all_repeats_better""".stripMargin,
     "lang_id_confusion" ->
       s"""WITH $NbScoresSql
          |SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs

@@ -252,6 +252,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-doc compression-ratio quality scores (Gopher/MassiveText
+    * heuristic — see [[graft.functions.DeflateExpression]]): runs over
+    * the length-artifact plant so the 20×-repeat docs provide
+    * repetitive ground truth the gate can pin. Scan-fused per-row
+    * native expression, zero shuffles. */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame =
+    withLengthArtifacts(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.DeflateExpression.deflate_ratio(col("text"))
+          .as("ratio_millionths"))
+      .orderBy("doc_id")
+
+  /** Invariant gate for [[compressionRatio]] (the ratio itself is not
+    * SQL-recomputable — DuckDB has no deflate): every planted
+    * 20×-repeat must compress at least 2× better than its seed (LZ77
+    * matches reduce each extra copy to a few match tokens, so the true
+    * factor is ~10–20×; 2× is the robust floor), and every ratio must
+    * sit in (0, 1.5e6] — the upper slack covers deflate's stored-block
+    * overhead on very short strings (a 15-char truncation plant can
+    * expand to ~1.33×). The oracle pins the planted counts and both
+    * flags. */
+  def compressionRatioGate(s: SparkSession, dir: String): DataFrame = {
+    val r = compressionRatio(s, dir)
+      .select(col("doc_id"), col("ratio_millionths"))
+    val seeds = r.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("seed_id"),
+        col("ratio_millionths").as("seed_ratio"))
+    val reps = r.filter(col("doc_id") >= 50000L && col("doc_id") < 50010L)
+      .select((col("doc_id") - 50000L).as("seed_id"),
+        col("ratio_millionths").as("rep_ratio"))
+    val pairs = reps.join(seeds, "seed_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(when(col("rep_ratio") * 2 < col("seed_ratio"), 1L)
+          .otherwise(0L)).as("all_repeats_better"))
+    r.agg(count(lit(1)).as("n_docs"),
+        min(when(col("ratio_millionths") > 0 &&
+          col("ratio_millionths") <= 1500000L, 1L).otherwise(0L))
+          .as("all_bounded"))
+      .crossJoin(pairs)
+      .select(col("n_docs"), col("n_pairs"), col("all_bounded"),
+        col("all_repeats_better"))
+  }
+
   /** Driver-checkable accuracy gate for the trained NB: n_correct is an
     * exact integer (predictions are hash-exact), and acc_ok pins the
     * floor — marker signal puts true accuracy at ~1.0, the 0.95 floor

@@ -109,6 +109,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(sh(a) >= 0L) // 62-bit packing keeps ANSI-long-safe positive
   }
 
+  test("deflate_ratio: repetition compresses, prose doesn't, null-safe") {
+    import graft.functions.DeflateExpression.deflate_ratio
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders off across seventeen unpredictable meadows 42 91 7"
+    val df = Seq(
+      ("a" * 2000, "rep"),
+      (prose * 20, "template"),
+      (prose, "prose"),
+      ("", "empty"))
+      .toDF("text", "kind")
+    val r = df.select(col("kind"), deflate_ratio(col("text")).as("r"))
+      .as[(String, Long)].collect().toMap
+    assert(r("rep") < 50000L, s"pure repetition: ${r("rep")}")
+    assert(r("template") * 2 < r("prose"),
+      s"20x template ${r("template")} vs prose ${r("prose")}")
+    assert(r("prose") > 200000L && r("prose") <= 1500000L)
+    assert(r("empty") === 1000000L)
+    // deterministic across evaluations
+    val again = df.select(deflate_ratio(col("text")).as("r"))
+      .as[Long].collect().sorted
+    assert(again.toSeq === r.values.toSeq.sorted)
+    // null propagation (interpreted path via filter)
+    val n = df.limit(1).select(
+      deflate_ratio(lit(null).cast("string"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("compression ratio gate pins the planted-repeat invariants") {
+    import graft.operators.TextAnalysis
+    val row = TextAnalysis.compressionRatioGate(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row === ((520L, 10L, 1L, 1L)))
+  }
+
   test("nfc_normalize: NFD composes to NFC, NFC passes through, null-safe") {
     import graft.functions.NormalizeExpression.nfc_normalize
     val nfd = "cafe\u0301"   // e + combining acute (5 code points)
