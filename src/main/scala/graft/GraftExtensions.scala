@@ -72,6 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args(1), "bits"))))
 
     ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(
+        classOf[graft.functions.DeflateExpression.DeflateRatio].getName,
+        "deflate_ratio"),
+      (args: Seq[Expression]) =>
+        graft.functions.DeflateExpression.DeflateRatio(args(0))))
+
+    ext.injectFunction((
       FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(
         classOf[graft.functions.ZOrderExpression.InterleaveBits].getName,

@@ -44,6 +44,11 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getLong(0)
       assert(zo === 147L)
 
+      val dr = spark.sql(
+        "SELECT deflate_ratio(repeat('ab', 1000)) AS r")
+        .collect()(0).getLong(0)
+      assert(dr > 0L && dr < 50000L, s"repetition should compress: $dr")
+
       // bad arity / non-literal args produce analysis errors, not crashes
       val err = intercept[Exception] {
         spark.sql("SELECT minhash_signature('x', 'not-an-int', 8)").collect()
