@@ -151,7 +151,14 @@ object ScaleStress {
       // corpus scan; novelty's gram window sees the planted 10-copy
       // clusters as gram groups of size ≤10 — work stays explode-bounded
       timed("bm25_topk") { Retrieval.bm25(docs, Retrieval.Queries, 10) },
-      timed("ngram_novelty") { TextAnalysis.ngramNovelty(docs) }
+      timed("ngram_novelty") { TextAnalysis.ngramNovelty(docs) },
+      // r10 scan-fused per-row signals: deflate is the heaviest
+      // per-row CPU in the suite — the slope proves it stays linear
+      // and the noop force proves it never bottlenecks a scan stage
+      timed("compression_ratio") { TextAnalysis.compressionRatio(spark, outDir) },
+      timed("length_outliers") { TextAnalysis.lengthOutliers(spark, outDir) },
+      timed("temperature_budget") {
+        Sampling.temperatureMixtureBudget(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
