@@ -249,4 +249,29 @@ class DegenerateSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().head
     assert(kl._4 === 0L)
   }
+
+  test("r10 curation, mixture, and signal ops survive empty/1-row corpora") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      val dir = dirFor(docs)
+      // temperature weights: one row per lang present (1-doc corpus:
+      // share = weight = 1e6); the composed mixer inherits the shape
+      assert(Sampling.temperatureWeights(spark, dir).count() ===
+        docs.count())
+      assert(Sampling.temperatureMixtureBudget(spark, dir).count() ===
+        docs.count())
+      assert(Sampling.shardManifest(spark, dir, 4).count() === docs.count())
+      // no pairs → every doc is its own cluster and keeps itself
+      assert(Dedup.keepBestDedup(docs,
+        TextAnalysis.qualityScoreOf(docs), 0.5).count() === docs.count())
+      // unplanted outlier pass: a 1-token doc trips the absolute floor,
+      // never throws on an empty percentile group
+      assert(TextAnalysis.lengthOutliersOf(docs).count() <= docs.count())
+      // the release always carries its residual row, even over nothing
+      val scr = Curation.smallCellRelease(spark, dir, 8).collect()
+      assert(scr.exists(_.getString(0) == "__suppressed__"))
+      assert(scr.length <= 2)
+      // gate aggregates stay one well-formed row (null flags, no throw)
+      assert(TextAnalysis.compressionRatioGate(spark, dir).count() === 1)
+    }
+  }
 }
