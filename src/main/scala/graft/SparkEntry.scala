@@ -181,6 +181,8 @@ object SparkEntry {
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
     "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(s, dir, k = 10)),
+    // materialized searchable index export; stop-list NULL above df 64
+    "inverted_index" -> ((s, dir) => Retrieval.invertedIndex(s, dir)),
     // novelty runs on the near-dup plant so shared grams exist to find
     "ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Dedup.withNearDups(Tables.documents(s, dir)))),
@@ -1690,6 +1692,17 @@ object SparkEntry {
     // BM25 with the identical double expression tree (constants and the
     // query VALUES list interpolated from Retrieval's definitions); the
     // per-term floor-to-micros makes the sum order-independent
+    "inverted_index" ->
+      s"""WITH tf AS (
+         |  SELECT lower(word) AS term, doc_id, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($DuckTokList) AS word
+         |        FROM documents) x
+         |  GROUP BY 1, 2)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(tf) AS BIGINT) AS total_tf,
+         |  CASE WHEN count(*) <= 64
+         |    THEN string_agg(doc_id, ',' ORDER BY doc_id) END AS postings
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "bm25_topk" ->
       s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, qtext
          |  FROM (VALUES ${Retrieval.Queries.map { case (q, t) =>

@@ -90,4 +90,32 @@ object Retrieval {
   /** The gated entry: [[Queries]] against the documents table. */
   def bm25TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame =
     bm25(Tables.documents(s, dir), Queries, k)
+
+  /** Materialized inverted index — the searchable EXPORT complementing
+    * [[bm25]] (which builds postings transiently per query set): per
+    * lowercase token, document frequency, total term frequency, and
+    * the ascending postings list. Postings serialize as a
+    * comma-joined string (numerically sorted BEFORE the string cast —
+    * lexicographic id order would be wrong — and engine-portable, the
+    * user_event_type_sets convention). The heavy tail is the scale
+    * hazard: a stopword's postings row at 100 TB IS the corpus, so
+    * terms with df > dfCap keep their counts but NULL postings — the
+    * classic stop-list degradation, bounding every output row by
+    * dfCap ids (a production index shards those terms' postings
+    * instead; the counts stay exact either way). One corpus explode +
+    * two term-keyed aggregations, both map-side combined. */
+  def invertedIndex(s: SparkSession, dir: String,
+                    dfCap: Long = 64L): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
+      .select(col("doc_id"), lower(col("w")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("p"))
+      .select(col("term"), col("df"), col("total_tf"),
+        when(col("df") <= dfCap, col("p")).as("postings"))
+      .orderBy("term")
+  }
 }

@@ -93,4 +93,31 @@ class RetrievalSpec extends AnyFunSuite {
       .select((col("n_grams") - col("n_shared")).as[Long]).collect()
     assert(bases.forall(_ <= 1L))
   }
+
+  test("inverted index: exact counts, sorted postings, stop-list cap") {
+    import graft.functions.TextFunctions.tokenize
+    val idx = Retrieval.invertedIndex(spark, dir, dfCap = 64L)
+      .as[(String, Long, Long, Option[String])].collect()
+    assert(idx.nonEmpty)
+    idx.foreach { case (term, df, tf, postings) =>
+      assert(tf >= df, s"$term tf<df")
+      postings match {
+        case Some(p) =>
+          val ids = p.split(",").map(_.toLong).toSeq
+          assert(ids.length === df, s"$term postings/df")
+          assert(ids === ids.sorted, s"$term postings unsorted")
+          assert(ids.distinct === ids, s"$term duplicate posting")
+        case None => assert(df > 64L, s"$term suppressed below cap")
+      }
+    }
+    // both the listed and the stop-listed branches are exercised
+    assert(idx.exists(_._4.isEmpty) && idx.exists(_._4.isDefined))
+    // cross-check the largest LISTED term against a direct scan
+    val big = idx.filter(_._4.isDefined).maxBy(_._2)
+    val direct = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
+      .filter(lower(col("w")) === big._1)
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(direct === big._4.get.split(",").map(_.toLong).toSeq)
+  }
 }
