@@ -183,6 +183,8 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(s, dir, k = 10)),
     // materialized searchable index export; stop-list NULL above df 64
     "inverted_index" -> ((s, dir) => Retrieval.invertedIndex(s, dir)),
+    // the release datasheet: one long-format hash-checked summary table
+    "dataset_card" -> (Profile.datasetCard _),
     // novelty runs on the near-dup plant so shared grams exist to find
     "ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Dedup.withNearDups(Tables.documents(s, dir)))),
@@ -1692,6 +1694,68 @@ object SparkEntry {
     // BM25 with the identical double expression tree (constants and the
     // query VALUES list interpolated from Retrieval's definitions); the
     // per-term floor-to-micros makes the sum order-independent
+    // every card number re-states an already-green oracle's arithmetic:
+    // the quality_score blend, the pii regexes, the exact-dup grouping
+    "dataset_card" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text, $DuckTokList AS toks
+         |  FROM documents),
+         |pd AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(text) AS BIGINT) AS n_chars,
+         |    round(0.4*round(len(list_filter(toks, x -> list_contains(
+         |        ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
+         |        / len(toks), 4)
+         |      + 0.6*round(len(list_distinct(toks))::DOUBLE
+         |        / len(toks), 4), 4) AS q,
+         |    regexp_matches(text, '${TextAnalysis.EmailRe}') AS has_email,
+         |    regexp_matches(text, '${TextAnalysis.UrlRe}') AS has_url,
+         |    md5(text) AS fp
+         |  FROM base),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS docs_with_email,
+         |    CAST(sum(CASE WHEN has_url THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS docs_with_url,
+         |    CAST(min(n_toks) AS BIGINT) AS min_toks,
+         |    CAST(max(n_toks) AS BIGINT) AS max_toks,
+         |    CAST(2 * quantile_cont(n_toks, 0.5) AS BIGINT) AS med2_toks
+         |  FROM pd),
+         |v AS (SELECT CAST(count(DISTINCT lower(w)) AS BIGINT) AS c
+         |      FROM (SELECT unnest(toks) AS w FROM base)),
+         |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS d,
+         |        CAST(sum(n_toks) AS BIGINT) AS t
+         |      FROM pd GROUP BY lang),
+         |qh AS (SELECT CAST(floor(q*10) AS BIGINT) AS b,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM pd GROUP BY 1),
+         |dg AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT)
+         |      AS g2,
+         |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)
+         |      AS BIGINT) AS r2
+         |  FROM (SELECT count(*) AS n FROM pd GROUP BY fp) s)
+         |SELECT * FROM (
+         |  SELECT 'global' AS section, 'n_docs' AS metric, n_docs AS value
+         |  FROM g
+         |  UNION ALL SELECT 'global', 'n_tokens', n_tokens FROM g
+         |  UNION ALL SELECT 'global', 'n_chars', sum_chars FROM g
+         |  UNION ALL SELECT 'global', 'vocab_size', c FROM v
+         |  UNION ALL SELECT 'length', 'min_toks', min_toks FROM g
+         |  UNION ALL SELECT 'length', 'max_toks', max_toks FROM g
+         |  UNION ALL SELECT 'length', 'med2_toks', med2_toks FROM g
+         |  UNION ALL SELECT 'pii', 'docs_with_email', docs_with_email FROM g
+         |  UNION ALL SELECT 'pii', 'docs_with_url', docs_with_url FROM g
+         |  UNION ALL SELECT 'lang', 'docs:' || lang, d FROM l
+         |  UNION ALL SELECT 'lang', 'tokens:' || lang, t FROM l
+         |  UNION ALL SELECT 'quality', 'decile_' || b, n FROM qh
+         |  UNION ALL SELECT 'dup', 'exact_dup_groups', g2 FROM dg
+         |  UNION ALL SELECT 'dup', 'exact_redundant_docs', r2 FROM dg) u
+         |ORDER BY section, metric""".stripMargin,
     "inverted_index" ->
       s"""WITH tf AS (
          |  SELECT lower(word) AS term, doc_id, count(*) AS tf

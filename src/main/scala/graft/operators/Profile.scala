@@ -200,6 +200,98 @@ object Profile {
       .orderBy("tbl")
   }
 
+  /** Dataset card — the "datasheet" a corpus release ships with, as ONE
+    * hash-checked long-format table (section, metric, value): global
+    * doc/token/char/vocab counts, per-language doc and token masses,
+    * the quality-score histogram (floor(q·10) buckets of the 0.4/0.6
+    * blend — integer-exact because q is 4-dp-rounded identically in
+    * both engines), PII incidence (docs matching the shared
+    * email/URL regexes), exact-duplicate accounting, and the global
+    * token-length extremes with the doubled-integer median. Every
+    * number re-states an already-gated operator's arithmetic over the
+    * RAW corpus (no plants — the card describes the release, not a
+    * fixture), so the whole release summary is a single artifact a
+    * consumer can verify and a refresh can diff.
+    *
+    * Shape: a handful of unioned aggregation legs, each one
+    * column-pruned scan + one bounded aggregate ([[columnProfile]]'s
+    * argument); values all int64. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenize
+    val docs = Tables.documents(s, dir)
+
+    val base = docs.select(col("doc_id"), col("lang"),
+      tokenize(col("text")).as("toks"), col("text"))
+    val perDoc = base.select(col("doc_id"), col("lang"),
+      size(col("toks")).cast("long").as("n_toks"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextAnalysis.qualityExpr(col("toks")).as("q"),
+      (size(regexp_extract_all(col("text"),
+        lit(TextAnalysis.EmailRe), lit(0))) > 0).as("has_email"),
+      (size(regexp_extract_all(col("text"),
+        lit(TextAnalysis.UrlRe), lit(0))) > 0).as("has_url"),
+      md5(col("text")).as("fp"))
+
+    val global = perDoc.agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"), sum("n_chars").as("n_chars"),
+        sum(when(col("has_email"), 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("has_url"), 1L).otherwise(0L)).as("docs_with_url"),
+        min("n_toks").as("min_toks"), max("n_toks").as("max_toks"),
+        expr("CAST(2 * percentile(n_toks, 0.5D) AS BIGINT)").as("med2_toks"))
+      .select(explode(array(
+        Seq(("global", "n_docs", "n_docs"), ("global", "n_tokens", "n_tokens"),
+          ("global", "n_chars", "n_chars"), ("length", "min_toks", "min_toks"),
+          ("length", "max_toks", "max_toks"),
+          ("length", "med2_toks", "med2_toks"),
+          ("pii", "docs_with_email", "docs_with_email"),
+          ("pii", "docs_with_url", "docs_with_url")).map {
+          case (sec, name, c) =>
+            struct(lit(sec).as("section"), lit(name).as("metric"),
+              col(c).cast("long").as("value"))
+        }: _*)).as("r"))
+      .select("r.section", "r.metric", "r.value")
+
+    val vocab = base.select(explode(col("toks")).as("w"))
+      .select(lower(col("w")).as("word")).distinct()
+      .agg(count(lit(1)).as("c"))
+      .select(lit("global").as("section"), lit("vocab_size").as("metric"),
+        col("c").cast("long").as("value"))
+
+    val perLang = perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("d"), sum("n_toks").as("t"))
+      .select(explode(array(
+        struct(lit("lang").as("section"),
+          concat(lit("docs:"), col("lang")).as("metric"),
+          col("d").cast("long").as("value")),
+        struct(lit("lang").as("section"),
+          concat(lit("tokens:"), col("lang")).as("metric"),
+          col("t").cast("long").as("value")))).as("r"))
+      .select("r.section", "r.metric", "r.value")
+
+    val quality = perDoc
+      .select(floor(col("q") * 10).cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+      .select(lit("quality").as("section"),
+        concat(lit("decile_"), col("b")).as("metric"),
+        col("n").cast("long").as("value"))
+
+    val dups = perDoc.groupBy("fp").agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("g"),
+        coalesce(sum(when(col("n") > 1, col("n") - 1)), lit(0L)).as("r"))
+      .select(explode(array(
+        struct(lit("dup").as("section"),
+          lit("exact_dup_groups").as("metric"),
+          col("g").cast("long").as("value")),
+        struct(lit("dup").as("section"),
+          lit("exact_redundant_docs").as("metric"),
+          col("r").cast("long").as("value")))).as("r2"))
+      .select(col("r2.section"), col("r2.metric"), col("r2.value"))
+
+    global.unionByName(vocab).unionByName(perLang)
+      .unionByName(quality).unionByName(dups)
+      .orderBy("section", "metric")
+  }
+
   /** Per-snapshot lowercase token counts, full-outer joined on the union
     * vocabulary — the shared input of both drift views. Two map-side-
     * combined vocabulary aggregates + one vocab-sized join (Heaps'-law

@@ -83,6 +83,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept.length + resid.head._5 === nCells)
   }
 
+  test("dataset card: sections reconcile with the corpus") {
+    import graft.operators.Profile
+    val dir = "/root/testdata/sf0.001"
+    val card = Profile.datasetCard(spark, dir)
+      .as[(String, String, Long)].collect()
+    val m = card.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("global", "n_docs")) === 500L)
+    // per-lang docs and the quality histogram both partition the corpus
+    assert(card.filter(r => r._1 == "lang" && r._2.startsWith("docs:"))
+      .map(_._3).sum === 500L)
+    assert(card.filter(_._1 == "quality").map(_._3).sum === 500L)
+    // raw corpus has no exact dups (dedup fixtures plant their own)
+    assert(m(("dup", "exact_dup_groups")) === 0L)
+    assert(m(("dup", "exact_redundant_docs")) === 0L)
+    // extremes bracket the doubled median
+    assert(2 * m(("length", "min_toks")) <= m(("length", "med2_toks")))
+    assert(m(("length", "med2_toks")) <= 2 * m(("length", "max_toks")))
+    assert(m(("global", "vocab_size")) > 0L)
+  }
+
   test("wordNgrams golden cases incl. short arrays") {
     assert(ngrams(Seq("a", "b", "c"), 2) === Seq("a b", "b c"))
     assert(ngrams(Seq("a", "b", "c"), 3) === Seq("a b c"))
