@@ -28,7 +28,7 @@ object AsOfJoin {
   def asOfBackward(left: DataFrame, leftKey: String, leftTime: String,
                    right: DataFrame, rightKey: String, rightTime: String)
       : DataFrame = {
-    val payload = struct(right.columns.map(col): _*)
+    val payload = struct(right.columns.toIndexedSeq.map(col): _*)
     val r = right.select(
       col(rightKey).as("__key"), col(rightTime).as("__time"),
       lit(0).as("__side"), payload.as("asof"))

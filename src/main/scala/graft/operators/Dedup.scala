@@ -879,7 +879,7 @@ object Dedup {
     // let the θ-join run as a partitioned nested-loop instead of a
     // driver-side broadcast — same O(n²) work, no driver OOM. One stats
     // job for (count, dim), not two separate scans.
-    val stats = e.agg(count(lit(1)), first(size(col("v")))).head
+    val stats = e.agg(count(lit(1)), first(size(col("v")))).head()
     val nVec = stats.getLong(0)
     val dim = if (nVec == 0) 0 else stats.getInt(1)
     val build =

@@ -78,7 +78,7 @@ object Similarity {
     * the scan — no explode, no window, no shuffle, any embedding dim. */
   private def assignCells(df: DataFrame,
                           cents: Array[Array[Double]]): DataFrame = {
-    val dots = array(cents.map(c =>
+    val dots = array(cents.toIndexedSeq.map(c =>
       dot_native(col("v"), typedlit(c.toSeq))): _*)
     df.withColumn("__d", dots)
       .withColumn("cell",
@@ -230,7 +230,7 @@ object Similarity {
         count(lit(1)),
         sum(when(col("vn") > 0, col("best_dot") / col("vn"))
           .otherwise(lit(0.0))),
-        count_distinct(col("cell"))).head
+        count_distinct(col("cell"))).head()
       val (n, obj, used) = (r.getLong(0), r.getDouble(1), r.getLong(2))
       val row = (it, n,
         if (used >= 1 && used <= cells) 1 else 0,

@@ -23,7 +23,7 @@ object SkewJoin {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      saltBuckets: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets)))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(saltBuckets)))
     val exploded = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
