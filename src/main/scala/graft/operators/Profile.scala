@@ -213,9 +213,15 @@ object Profile {
     * fixture), so the whole release summary is a single artifact a
     * consumer can verify and a refresh can diff.
     *
-    * Shape: a handful of unioned aggregation legs, each one
-    * column-pruned scan + one bounded aggregate ([[columnProfile]]'s
-    * argument); values all int64. */
+    * Shape: the per-doc feature frame (tokenize + quality + PII
+    * regexes + fingerprint — ALL the heavy per-row work) materializes
+    * ONCE via localCheckpoint and feeds four bounded aggregation legs;
+    * without it each union leg re-expands the corpus subtree and the
+    * regex/tokenize pass runs 4× (the temperatureWeights lesson). The
+    * checkpointed frame is counts-and-flags, far smaller than the
+    * text; only the vocab leg re-reads the corpus (it needs the token
+    * arrays themselves), so the card costs two corpus passes total at
+    * any scale. Values all int64. */
   def datasetCard(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokenize
     val docs = Tables.documents(s, dir)
@@ -231,6 +237,7 @@ object Profile {
       (size(regexp_extract_all(col("text"),
         lit(TextAnalysis.UrlRe), lit(0))) > 0).as("has_url"),
       md5(col("text")).as("fp"))
+      .localCheckpoint(true)
 
     val global = perDoc.agg(count(lit(1)).as("n_docs"),
         sum("n_toks").as("n_tokens"), sum("n_chars").as("n_chars"),

@@ -371,6 +371,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "langs-sized math grew a join")
   }
 
+  test("dataset card: per-doc features materialize once, one live scan") {
+    import graft.operators.Profile
+    val p = plan(Profile.datasetCard(spark, dir))
+    // four legs read the checkpointed feature frame; only the vocab leg
+    // (which needs the token arrays) re-reads the corpus — without the
+    // checkpoint every union leg re-expands the tokenize/regex subtree
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "card legs grew a join")
+  }
+
   test("keep-best dedup selection: hash aggregation, not a window") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Dedup.withNearDups(Tables.documents(spark, dir))
