@@ -165,6 +165,12 @@ object SparkEntry {
     "compression_ratio" -> (TextAnalysis.compressionRatio _),
     "compression_ratio_gate" -> (TextAnalysis.compressionRatioGate _),
     "lang_id_nb_gate" -> ((s, dir) => TextAnalysis.langIdNbGate(s, dir)),
+    // trained quality filter: all-int64 batch perceptron over hashed
+    // bag-of-words — the full train+score recurrence is hash-exact
+    // against an oracle that unrolls the same integer updates
+    "quality_classifier" -> (QualityClassifier.qualityPerceptron _),
+    "quality_classifier_gate" ->
+      (QualityClassifier.qualityPerceptronGate _),
     "fingerprint_md5" -> (TextAnalysis.fingerprintMd5 _),
     "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
     "fingerprint_gate" -> (TextAnalysis.fingerprintGate _),
@@ -772,6 +778,67 @@ object SparkEntry {
        |                       ORDER BY score DESC, l ASC) AS rn
        |  FROM scores)""".stripMargin
 
+  /** DuckDB retraining of the batch-perceptron quality filter — the
+    * identical marker plant, feature hash, and K unrolled integer
+    * update steps as QualityClassifier.trainPerceptron. Because the
+    * whole recurrence is int64 (no floats, not even rounded ones), the
+    * oracle reproduces the weights, margins, and predictions EXACTLY:
+    * w1 is the all-misclassified first step from w0 = 0; each later
+    * step scores with the previous weights (LEFT JOIN + coalesce for
+    * unseen features) and folds the misclassified-doc gradient in via
+    * FULL OUTER JOIN. The bias rides as feature f = D with x = 1. */
+  private lazy val PerceptronSql: String = {
+    val D = QualityClassifier.D
+    val copies = QualityClassifier.MarkerCopies
+    val head =
+      s"""corpus AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS BIGINT)
+         |      AS label,
+         |    text || ' ' || CASE WHEN doc_id % 3 = 0
+         |      THEN repeat('xjunk ', $copies) || 'xclean'
+         |      ELSE repeat('xclean ', $copies) || 'xjunk' END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, label, $DuckTokList AS toks FROM corpus),
+         |feats AS (
+         |  SELECT doc_id, label, f, CAST(count(*) AS BIGINT) AS x FROM (
+         |    SELECT doc_id, label,
+         |      CAST((ascii(w) * 97 + length(w) * 13) % $D AS BIGINT) AS f
+         |    FROM (SELECT doc_id, label, unnest(toks) AS w FROM tk))
+         |  GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT doc_id, label, CAST($D AS BIGINT) AS f,
+         |    CAST(1 AS BIGINT) AS x
+         |  FROM corpus),
+         |w1 AS (
+         |  SELECT f, CAST(sum(label * x) AS BIGINT) AS w
+         |  FROM feats GROUP BY 1)""".stripMargin
+    val steps = (2 to QualityClassifier.Iters).map { t =>
+      val wp = s"w${t - 1}"
+      s"""m$t AS (
+         |  SELECT fe.doc_id, fe.label,
+         |    CAST(coalesce(sum($wp.w * fe.x), 0) AS BIGINT) AS margin
+         |  FROM feats fe LEFT JOIN $wp ON fe.f = $wp.f
+         |  GROUP BY 1, 2),
+         |w$t AS (
+         |  SELECT coalesce(a.f, g.f) AS f,
+         |    CAST(coalesce(a.w, 0) + coalesce(g.g, 0) AS BIGINT) AS w
+         |  FROM $wp a FULL OUTER JOIN (
+         |    SELECT fe.f, CAST(sum(fe.label * fe.x) AS BIGINT) AS g
+         |    FROM feats fe JOIN m$t ON fe.doc_id = m$t.doc_id
+         |    WHERE m$t.margin * m$t.label <= 0
+         |    GROUP BY 1) g ON a.f = g.f)""".stripMargin
+    }
+    val wk = s"w${QualityClassifier.Iters}"
+    val fin =
+      s"""mfin AS (
+         |  SELECT fe.doc_id, fe.label,
+         |    CAST(coalesce(sum($wk.w * fe.x), 0) AS BIGINT) AS margin
+         |  FROM feats fe LEFT JOIN $wk ON fe.f = $wk.f
+         |  GROUP BY 1, 2)""".stripMargin
+    (head +: steps :+ fin).mkString(",\n")
+  }
+
   /** DuckDB recomputation of benchmark contamination (shared by the
     * exact one-tier path and the bloom-pruned two-tier path, whose
     * result must be identical). */
@@ -1023,6 +1090,22 @@ object SparkEntry {
          |            >= count(*) * 950
          |       THEN 1 ELSE 0 END AS acc_ok
          |FROM pred WHERE rn = 1""".stripMargin,
+    "quality_classifier" ->
+      s"""WITH $PerceptronSql
+         |SELECT doc_id, label, margin,
+         |  CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM mfin ORDER BY doc_id""".stripMargin,
+    "quality_classifier_gate" ->
+      s"""WITH $PerceptronSql
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN (CASE WHEN margin > 0 THEN 1 ELSE -1 END)
+         |                     = label THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_correct,
+         |  CASE WHEN sum(CASE WHEN (CASE WHEN margin > 0 THEN 1 ELSE -1
+         |                           END) = label THEN 1 ELSE 0 END) * 1000
+         |            >= count(*) * ${QualityClassifier.FloorMillis}
+         |       THEN 1 ELSE 0 END AS acc_ok
+         |FROM mfin""".stripMargin,
     // Recompute the decode's integer lane sums from the UTF-8 bytes
     // (hex-pair extraction). Image rows (doc_id%3=0) are real 64×64 PGM:
     // raster pixel k = byte[k mod nb], lane = horizontal band k div 512,

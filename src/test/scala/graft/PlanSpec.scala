@@ -381,6 +381,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "card legs grew a join")
   }
 
+  test("perceptron scoring: reads the materialized features, no rescan") {
+    import graft.operators.QualityClassifier
+    val p = plan(QualityClassifier.qualityPerceptron(spark, dir))
+    // the returned scoring plan consumes the scratch-checkpointed
+    // feature frame — the corpus parquet is never re-read, and the
+    // doc-keyed aggregate reuses the frame's doc_id partitioning (the
+    // only exchange left is the final presentation sort)
+    assert(!p.contains("Scan parquet"), p)
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 1, p)
+  }
+
   test("keep-best dedup selection: hash aggregation, not a window") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Dedup.withNearDups(Tables.documents(spark, dir))
