@@ -217,6 +217,9 @@ object SparkEntry {
       TextAnalysis.boilerplateScrub(s, dir, minDocs = 10)),
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(s, dir, chunkTokens = 64, stride = 48)),
+    // content-defined chunking: boundaries from local token hashes, so
+    // chunk identities survive upstream edits (chunk-level dedup/cache)
+    "cdc_chunks" -> (TextAnalysis.cdcChunks _),
     "corpus_refresh" -> (Incremental.corpusRefresh _),
     // refresh-time drift monitors: base snapshot vs the merged refresh
     "token_drift" -> ((s, dir) => {
@@ -1480,6 +1483,34 @@ object SparkEntry {
          |  md5(array_to_string(list_slice(toks, start, start + 63), ' '))
          |    AS chunk_fp
          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    // the same chunks-by-running-boundary-count formulation, window-sum
+    // style: a token belongs to chunk (#boundary tokens strictly before
+    // it); boundary tokens END their chunk. Spark derives the identical
+    // spans from end-position arrays — the md5 fingerprints must agree
+    // byte-for-byte.
+    "cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
+         |tp AS (
+         |  SELECT doc_id, toks[pos] AS w, pos
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)))
+         |                   AS pos) p),
+         |f AS (
+         |  SELECT doc_id, w, pos,
+         |    CASE WHEN substr(md5(w), 1, 2)
+         |              <= '${TextAnalysis.CdcBoundaryHexMax}'
+         |         THEN 1 ELSE 0 END AS bnd
+         |  FROM tp),
+         |c AS (
+         |  SELECT doc_id, w, pos,
+         |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk_idx
+         |  FROM f)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(count(*) AS BIGINT) AS n_toks,
+         |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp
+         |FROM c GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "corpus_refresh" ->
       """WITH delta AS (
         |  SELECT doc_id, text || ' [revised]' AS text, lang, 'upsert' AS op

@@ -841,6 +841,72 @@ object TextAnalysis {
         size(col("chunk")).as("n_toks"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
 
+  /** CDC boundary predicate — 2 hex chars of md5 ≤ [[CdcBoundaryHexMax]]
+    * gives P(boundary) = 32/256 per token (expected chunk ≈ 8 tokens —
+    * sized to the testdata's 10-100-token docs so multi-chunk splits
+    * actually occur at every SF; production would tune the bar to its
+    * target chunk size, the probability is the ONLY knob).
+    * md5 because BOTH engines compute the identical lowercase hex (the
+    * fingerprint_md5 contract), so the boundary choice itself is part
+    * of the verified surface; hex compare is numeric because the hex
+    * alphabet is ASCII-ordered. */
+  val CdcBoundaryHexMax = "1f"
+
+  private def cdcBoundary(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    substring(md5(w), 1, 2) <= lit(CdcBoundaryHexMax)
+
+  /** Content-defined chunking — the dedup-stable complement of the
+    * fixed-window [[chunkDocuments]]: a token ENDS a chunk iff its own
+    * content hash clears the boundary bar, so chunk boundaries are a
+    * function of local content, not absolute position. Insert a
+    * paragraph at the top of a document and a fixed-stride chunker
+    * shifts and rewrites EVERY downstream chunk identity; here every
+    * chunk after the first boundary past the edit keeps its exact
+    * `chunk_fp`, which is what makes chunk-level dedup/caching work
+    * across corpus refreshes (FastCDC's rationale, token-granular).
+    *
+    * Scale shape: boundary positions, chunk spans, and per-chunk
+    * fingerprints are all derived with higher-order functions on each
+    * row's OWN token array, then exploded one row PER CHUNK (never per
+    * token) — scan-fused, zero corpus shuffles; the only exchange in
+    * the plan is the presentation sort. All-int spans + md5 make the
+    * result hash-exact against the window-sum SQL oracle. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val emptyInts = typedLit(Array.empty[Int])
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      // 1-based positions of boundary tokens (guard: sequence(1, 0)
+      // DESCENDS in Spark, so the empty doc needs its own branch)
+      .withColumn("bpos",
+        when(col("n") === 0, emptyInts)
+          .otherwise(filter(sequence(lit(1), col("n")),
+            i => cdcBoundary(element_at(col("toks"), i)))))
+      // chunk END positions: every boundary, plus the tail chunk's end
+      // (the condition order keeps element_at off the empty array)
+      .withColumn("ends",
+        when(col("n") === 0, col("bpos"))
+          .when(size(col("bpos")) === 0, array(col("n")))
+          .when(element_at(col("bpos"), size(col("bpos"))) === col("n"),
+            col("bpos"))
+          .otherwise(array_append(col("bpos"), col("n"))))
+      .select(col("doc_id"), col("toks"), col("ends"),
+        posexplode(when(size(col("ends")) === 0, emptyInts)
+          .otherwise(sequence(lit(0), size(col("ends")) - 1)))
+          .as(Seq("chunk_idx", "k")))
+      .withColumn("start",
+        when(col("k") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("k")) + 1))
+      .withColumn("end", element_at(col("ends"), col("k") + 1))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("end") - col("start") + 1).cast("long").as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start"), col("end") - col("start") + 1)))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** BPE tokenizer TRAINING on the corpus — the merge-table induction
     * step every LLM pipeline runs before anything tokenizes: repeatedly
     * find the most frequent adjacent symbol pair (count weighted by word

@@ -42,6 +42,8 @@ class DegenerateSpec extends AnyFunSuite {
       assert(TextAnalysis.tokenStats(spark, dir).count() === docs.count())
       assert(TextAnalysis.langId(spark, dir).count() === docs.count())
       assert(TextAnalysis.piiScrub(spark, dir).count() === docs.count())
+      // CDC: empty doc → zero chunks; one-token doc → exactly one chunk
+      assert(TextAnalysis.cdcChunks(spark, dir).count() === docs.count())
       assert(Curation.curationPipeline(spark, dir).count() <= docs.count())
     }
   }

@@ -392,6 +392,18 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 1, p)
   }
 
+  test("cdc chunks: per-chunk explode is scan-fused, sort is the only exchange") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.cdcChunks(spark, dir))
+    // boundary detection, span derivation, and fingerprints are all
+    // HOFs over each row's own token array — one parquet scan, one row
+    // per CHUNK (never per token), no aggregation, no join; the single
+    // exchange is the presentation sort
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
   test("keep-best dedup selection: hash aggregation, not a window") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Dedup.withNearDups(Tables.documents(spark, dir))

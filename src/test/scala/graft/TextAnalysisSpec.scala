@@ -582,4 +582,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].head()
     assert(nDocs === 500 && nCorrect === 500 && accOk === 1)
   }
+
+  test("CDC chunks: identities survive a prefix edit (the CDC property)") {
+    import graft.operators.TextAnalysis
+    // deterministic 400-token doc and the same doc with a 7-token
+    // prefix inserted — the edit a fixed-stride chunker cannot absorb
+    val base = (1 to 400).map(i => s"w${i * 37 % 211}").mkString(" ")
+    val edited = (1 to 7).map(i => s"p$i").mkString(" ") + " " + base
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq((1L, base, "en", "t", base.length.toLong),
+        (2L, edited, "en", "t", edited.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val chunks = TextAnalysis.cdcChunks(spark, tmp)
+      .select("doc_id", "chunk_fp").as[(Long, String)].collect()
+    val origFps = chunks.filter(_._1 == 1L).map(_._2)
+    val editFps = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // the doc splits into many chunks at this boundary rate...
+    assert(origFps.length > 10, s"only ${origFps.length} chunks")
+    // ...and ALL of them except the one containing the edit keep their
+    // exact fingerprint — boundaries resynchronize at the first
+    // boundary token, which is what makes chunk-level dedup survive
+    // upstream edits
+    assert(origFps.count(!editFps.contains(_)) <= 1,
+      s"${origFps.count(!editFps.contains(_))} of ${origFps.length} " +
+        "chunk identities lost after a prefix edit")
+  }
 }
