@@ -220,6 +220,9 @@ object SparkEntry {
     // content-defined chunking: boundaries from local token hashes, so
     // chunk identities survive upstream edits (chunk-level dedup/cache)
     "cdc_chunks" -> (TextAnalysis.cdcChunks _),
+    // MOSS winnowing: rightmost-min-per-window fingerprint selection
+    // with the guaranteed-detection property for 7-token shared runs
+    "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
     "corpus_refresh" -> (Incremental.corpusRefresh _),
     // refresh-time drift monitors: base snapshot vs the merged refresh
     "token_drift" -> ((s, dir) => {
@@ -1511,6 +1514,32 @@ object SparkEntry {
          |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same packed-key trick as the Spark side: v = hash·2^20 +
+    // (2^20−1−pos) makes "smallest hash, rightmost pos" a plain MIN;
+    // the frame CURRENT ROW..w−1 FOLLOWING mirrors Spark's slice
+    // windows including the partial tails
+    "winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(toks, i,
+         |      i + ${TextAnalysis.WinnowK - 1}), ' ') AS gram, i AS pos
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+         |    len(toks) - ${TextAnalysis.WinnowK - 1})) AS i) p),
+         |v AS (
+         |  SELECT doc_id, pos,
+         |    CAST('0x' || substr(md5(gram), 1, 10) AS BIGINT) * 1048576
+         |      + (1048575 - pos) AS v
+         |  FROM g),
+         |s AS (
+         |  SELECT DISTINCT doc_id,
+         |    min(v) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${TextAnalysis.WinnowW - 1}
+         |      FOLLOWING) AS v
+         |  FROM v)
+         |SELECT doc_id, CAST(1048575 - (v % 1048576) AS BIGINT) AS pos,
+         |  CAST(v // 1048576 AS BIGINT) AS gram_hash
+         |FROM s ORDER BY doc_id, pos""".stripMargin,
     "corpus_refresh" ->
       """WITH delta AS (
         |  SELECT doc_id, text || ' [revised]' AS text, lang, 'upsert' AS op

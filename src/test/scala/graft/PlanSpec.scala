@@ -404,6 +404,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
+  test("winnowing: selection is scan-fused HOFs, sort is the only exchange") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.winnowFingerprints(spark, dir))
+    // gram hashing, packed keys, windowed minima, and dedup all run on
+    // each row's own arrays (let-bound so nothing re-evaluates per
+    // window); one row per selected fingerprint, no join/agg/window op
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), p)
+  }
+
   test("keep-best dedup selection: hash aggregation, not a window") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Dedup.withNearDups(Tables.documents(spark, dir))

@@ -583,6 +583,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(nDocs === 500 && nCorrect === 500 && accOk === 1)
   }
 
+  test("winnowing: coverage and guaranteed detection of 7-token overlap") {
+    import graft.operators.TextAnalysis
+    // two docs that share ONLY a (w+k-1)=7-token run, deliberately at
+    // different absolute positions, amid otherwise disjoint vocab
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ")
+    val docA = (1 to 40).map(i => s"a$i").mkString(" ") + " " + shared +
+      " " + (41 to 60).map(i => s"a$i").mkString(" ")
+    val docB = (1 to 11).map(i => s"b$i").mkString(" ") + " " + shared +
+      " " + (12 to 70).map(i => s"b$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-win").toString
+    Seq((1L, docA, "en", "t", docA.length.toLong),
+        (2L, docB, "en", "t", docB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = TextAnalysis.winnowFingerprints(spark, tmp)
+      .select("doc_id", "pos", "gram_hash").as[(Long, Long, Long)]
+      .collect()
+    // the winnowing theorem: any shared run of w+k-1 tokens yields at
+    // least one shared selected gram hash, regardless of alignment
+    val hashesA = fps.filter(_._1 == 1L).map(_._3).toSet
+    val hashesB = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((hashesA intersect hashesB).nonEmpty,
+      "aligned 7-token overlap produced no shared fingerprint")
+    // coverage: every full window of W grams contains a selection
+    val nGramsA = 68 - TextAnalysis.WinnowK + 1 // doc A has 68 tokens
+    val posA = fps.filter(_._1 == 1L).map(_._2).toSet
+    for (i <- 1 to nGramsA - TextAnalysis.WinnowW + 1)
+      assert((i until i + TextAnalysis.WinnowW).exists(j => posA(j.toLong)),
+        s"window starting at gram $i has no selected fingerprint")
+  }
+
   test("CDC chunks: identities survive a prefix edit (the CDC property)") {
     import graft.operators.TextAnalysis
     // deterministic 400-token doc and the same doc with a 7-token
