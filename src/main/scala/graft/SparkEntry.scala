@@ -290,6 +290,11 @@ object SparkEntry {
     "dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(Dedup.withNearDups(Tables.documents(s, dir)),
         windowLen = 40)),
+    // the REMOVAL step dup_spans only reports: cut every duplicated
+    // window except in its min-doc_id owner; md5 pins the spliced text
+    "scrub_dup_spans" -> ((s, dir) =>
+      Dedup.scrubDuplicateSpans(
+        Dedup.withNearDups(Tables.documents(s, dir)), windowLen = 40)),
     // same clustering computed by the diameter-independent
     // large-star/small-star tier — one oracle hash-checks BOTH algorithms
     "dedup_components_star" -> ((s, dir) =>
@@ -2102,6 +2107,70 @@ object SparkEntry {
         |  CAST(sum(span_chars) AS BIGINT) AS n_dup_chars,
         |  max(span_chars) AS max_span
         |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // the full removal policy on window STRINGS: owner = min doc_id per
+    // duplicated window; non-owners cut [pos, pos+40); covered chars
+    // merge via the running-max islands trick; splice = string_agg of
+    // lag-delimited kept segments + the tail. md5 of the spliced text
+    // must equal Spark's HOF-fold splice byte-for-byte.
+    "scrub_dup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+        |  FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 40) AS w
+        |  FROM corpus, LATERAL (SELECT unnest(generate_series(1,
+        |                          length(text) - 39)) AS i) g
+        |  WHERE length(text) >= 40),
+        |own AS (
+        |  SELECT w, min(doc_id) AS owner
+        |  FROM (SELECT DISTINCT w, doc_id FROM sh)
+        |  GROUP BY w HAVING count(*) >= 2),
+        |cuts AS (
+        |  SELECT sh.doc_id, pos AS s, pos + 40 AS e
+        |  FROM sh JOIN own ON sh.w = own.w
+        |  WHERE sh.doc_id <> own.owner),
+        |m0 AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM cuts),
+        |m1 AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN s > coalesce(prev_max, 0) THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM m0),
+        |iv AS (
+        |  SELECT doc_id, grp, min(s) AS s, max(e) AS e
+        |  FROM m1 GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut,
+        |    CAST(sum(e - s) AS BIGINT) AS n_cut_chars
+        |  FROM iv GROUP BY 1),
+        |seg AS (
+        |  SELECT doc_id, s, e,
+        |    lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+        |  FROM iv),
+        |spl AS (
+        |  SELECT seg.doc_id,
+        |    string_agg(substr(c.text, CAST(prev_e AS INTEGER),
+        |      CAST(s - prev_e AS INTEGER)), '' ORDER BY s) AS head,
+        |    max(e) AS last_e
+        |  FROM seg JOIN corpus c ON seg.doc_id = c.doc_id
+        |  GROUP BY seg.doc_id)
+        |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+        |  coalesce(st.n_cut_chars, 0) AS n_cut_chars,
+        |  coalesce(st.n_spans_cut, 0) AS n_spans_cut,
+        |  md5(CASE WHEN spl.doc_id IS NULL THEN c.text
+        |           ELSE coalesce(spl.head, '') ||
+        |                substr(c.text, CAST(spl.last_e AS INTEGER)) END)
+        |    AS scrubbed_fp
+        |FROM corpus c
+        |LEFT JOIN spl ON c.doc_id = spl.doc_id
+        |LEFT JOIN st ON c.doc_id = st.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // identical SQL to dedup_jaccard_pairs: the Spark side semi-joins the
     // exact tier against the MinHash LSH candidates, and on this corpus
     // (all passing pairs J >= 0.9) deterministic LSH recall is 1, so

@@ -94,6 +94,90 @@ object Dedup {
         max(col("span_chars")).as("max_span"))
   }
 
+  /** The span-REMOVAL transformation [[duplicateSpans]] only reports —
+    * Lee et al. 2022's actual dedup step: cut every character covered
+    * by a cross-document duplicated `windowLen`-char window, EXCEPT in
+    * the window's canonical owner (minimum doc_id containing it), so
+    * exactly one copy of each duplicated region survives corpus-wide.
+    * Covered positions are merged into maximal char intervals per doc
+    * (overlapping windows union, the gaps-and-islands running-max
+    * trick), and the survivors are spliced back together with one
+    * `aggregate` fold over the doc's own (small) interval list.
+    *
+    * Scale shape: same backbone as [[duplicateSpans]] — one
+    * hash-partitioned aggregation over fixed-width window hashes finds
+    * the duplicated set AND its owner (min doc_id rides the same
+    * aggregate), a semi-join-shaped broadcast-or-shuffle join marks
+    * each doc's covered positions, and everything after (interval
+    * merge, splice, fingerprint) is per-doc bounded. Emits per-doc
+    * (n_chars, n_cut_chars, n_spans_cut, scrubbed_fp) — the md5 pins
+    * the exact spliced text against the oracle, which recomputes the
+    * whole policy on window STRINGS (agreement again proves the hash
+    * kernel faithful). */
+  def scrubDuplicateSpans(docs: DataFrame, windowLen: Int = 40,
+                          minDocs: Int = 2): DataFrame =
+    scrubbedSpanDocs(docs, windowLen, minDocs)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("n_cut_chars"), col("n_spans_cut"),
+        md5(col("scrubbed")).as("scrubbed_fp"))
+      .orderBy("doc_id")
+
+  /** The scrub's full frame — (doc_id, text, scrubbed, n_cut_chars,
+    * n_spans_cut) — so the spec can re-scan the scrubbed corpus and
+    * prove the fixpoint (zero duplicate spans remain). */
+  def scrubbedSpanDocs(docs: DataFrame, windowLen: Int = 40,
+                       minDocs: Int = 2): DataFrame = {
+    val L = windowLen
+    val sh = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharWindowExpression
+          .char_window_hashes(col("text"), L)).as(Seq("pos", "h")))
+    // duplicated windows + their canonical owner, one aggregation
+    val owners = sh.select("h", "doc_id").distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= minDocs)
+      .select("h", "owner")
+    // char intervals [s, e) (1-based) this doc must cut
+    val cuts = sh.join(owners, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+        (col("pos") + 1 + L).cast("long").as("e"))
+    val byS = Window.partitionBy("doc_id").orderBy("s")
+    val merged = cuts
+      .withColumn("prev_max",
+        max(col("e")).over(byS.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+        (col("s") > coalesce(col("prev_max"), lit(0L))).cast("long"))
+        .over(byS))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = merged.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        count(lit(1)).as("n_spans_cut"),
+        sum(col("e") - col("s")).as("n_cut_chars"))
+    // splice: fold over the interval list appending each kept segment,
+    // then the tail after the last cut
+    val spliced = aggregate(col("ivs"),
+      struct(lit("").as("txt"), lit(1L).as("nxt")),
+      (acc, iv) => struct(
+        concat(acc.getField("txt"),
+          col("text").substr(acc.getField("nxt"),
+            iv.getField("s") - acc.getField("nxt"))).as("txt"),
+        iv.getField("e").as("nxt")),
+      acc => concat(acc.getField("txt"),
+        col("text").substr(acc.getField("nxt"),
+          greatest(length(col("text")).cast("long")
+            - acc.getField("nxt") + lit(1L), lit(0L)))))
+    docs.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        when(col("ivs").isNull, col("text")).otherwise(spliced)
+          .as("scrubbed"),
+        coalesce(col("n_cut_chars"), lit(0L)).as("n_cut_chars"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"))
+  }
+
   /** documents ∪ exact copies of doc_id < 20 (new ids). */
   def withExactDups(docs: DataFrame): DataFrame = {
     val base = docs.select(

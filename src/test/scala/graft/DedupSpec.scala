@@ -422,4 +422,31 @@ class DedupSpec extends AnyFunSuite {
     // spans of 42 and 41 chars in each doc
     assert(got === Map(1L -> ((2L, 83L, 42)), 2L -> ((2L, 83L, 42))))
   }
+
+  test("span scrub: owner keeps its copy, others cut, rescan finds nothing") {
+    import spark.implicits._
+    val shared = ('a' to 'z').mkString + "0123456789ABCDEFGHIJ" // 46 chars
+    val df = Seq(
+      (1L, "q" * 10 + shared + "r" * 10),
+      (2L, "s" * 10 + shared + "t" * 10),
+      (3L, shared + "u" * 20),
+      (4L, "v" * 65)).toDF("doc_id", "text")
+    val got = Dedup.scrubbedSpanDocs(df, windowLen = 40)
+      .select("doc_id", "scrubbed", "n_cut_chars")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 is the canonical owner — untouched
+    assert(got(1L)._2 === "q" * 10 + shared + "r" * 10 &&
+      got(1L)._3 === 0L)
+    // docs 2 and 3 lose exactly the 46 shared chars, splice is clean
+    assert(got(2L)._2 === "s" * 10 + "t" * 10 && got(2L)._3 === 46L)
+    assert(got(3L)._2 === "u" * 20 && got(3L)._3 === 46L)
+    assert(got(4L)._2 === "v" * 65 && got(4L)._3 === 0L)
+    // fixpoint: re-scanning the scrubbed corpus finds zero dup spans —
+    // exactly one copy of the duplicated region survives corpus-wide
+    val rescan = Dedup.duplicateSpans(
+      Dedup.scrubbedSpanDocs(df, windowLen = 40)
+        .select(col("doc_id"), col("scrubbed").as("text")),
+      windowLen = 40)
+    assert(rescan.count() === 0)
+  }
 }
