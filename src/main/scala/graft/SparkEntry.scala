@@ -369,6 +369,12 @@ object SparkEntry {
     "sample_hash_docs" -> (Sampling.documentsSample _),
     "sample_stratified_lang" -> (Sampling.documentsStratified _),
     "sample_mixture_lang" -> (Sampling.documentsMixture _),
+    // Efraimidis-Spirakis length-weighted sample without replacement:
+    // integer-millionth keys make top-k membership engine-exact
+    "weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
+    // RefinedWeb anti-domination rule: deterministic-random cap per
+    // source (hash order, not quality — capping bounds influence)
+    "domain_cap" -> ((s, dir) => Curation.domainCap(s, dir, DomainCapN)),
     // deterministic global shuffle into trainer shards + balance audit
     // (ShardN is the single source for both engines' shard formula)
     "training_shards" -> ((s, dir) => Sampling.documentsShards(s, dir, ShardN)),
@@ -552,6 +558,11 @@ object SparkEntry {
     * DuckDB oracles so both engines derive the shard formula from ONE
     * value (ADVICE r8). */
   private val ShardN = 16
+
+  /** domain_cap's per-source cap — one value for the Spark call and
+    * the oracle (10 binds at every SF: testdata sources hold ≥ 25
+    * docs). */
+  private val DomainCapN = 10
 
   /** Knuth hash constant + 2^31 fold modulus of Sampling's hash family,
     * as oracle text — ONE definition drives Sampling.hashBucket/
@@ -2535,6 +2546,30 @@ object SparkEntry {
         |WHERE ((doc_id % $Fold31) * $HashMult) % 100 <
         |  CASE lang WHEN 'en' THEN 90 WHEN 'zh' THEN 40 ELSE 60 END
         |ORDER BY doc_id""".stripMargin,
+    // A-Res keys with the IDENTICAL float-op order as the Spark side
+    // (ln → divide by weight → scale → floor) so the integer millionths
+    // agree; k and the hash constants all interpolate from one place
+    "weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($DuckTokList) AS BIGINT) AS n_toks,
+         |    ((doc_id % $Fold31) * $HashMult) % 1000000 AS bm
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, lang, n_toks,
+         |    CAST(floor(ln((bm::DOUBLE + 0.5) / 1000000.0)
+         |      / n_toks::DOUBLE * 1000000.0) AS BIGINT) AS key_micro
+         |  FROM d WHERE n_toks > 0)
+         |SELECT doc_id, lang, n_toks, key_micro FROM k
+         |ORDER BY key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
+    "domain_cap" ->
+      s"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ((doc_id % $Fold31) * $HashMult) % $Fold31,
+         |               doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $DomainCapN ORDER BY doc_id""".stripMargin,
     // $ShardN and $Fold31 interpolate the SAME constants the Spark side
     // uses (Sampling.shardOf / ADVICE r8: a default-shard-count change
     // must not silently desync the oracle)

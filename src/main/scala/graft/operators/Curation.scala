@@ -100,4 +100,25 @@ object Curation {
       .filter(col("rk") <= expr(s"(n_lang * $pct) DIV 100"))
       .select(col("doc_id"), col("lang"), col("quality_score"), col("rk"))
   }
+
+  /** Per-domain document cap — the RefinedWeb anti-domination rule: no
+    * source may contribute more than `cap` documents, and WHICH `cap`
+    * survive is a deterministic random draw (hash order), not a quality
+    * rank — capping exists to bound any one domain's influence, so a
+    * biased within-domain pick would defeat the point. One source-keyed
+    * exchange feeds the rank window (the qualityTopPct shape: domains
+    * are plentiful, so partitions spread; output is cap-bounded per
+    * domain by construction). */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        Sampling.hashOrderKey(col("doc_id")).as("hkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("doc_id")
+  }
 }

@@ -265,6 +265,36 @@ object Sampling {
           .cast("long").as("n_toks"),
         bucketMillionths(col("doc_id")).as("bm"))
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement (A-Res,
+    * IPL 2006): each doc draws key = ln(u)/w with u deterministic from
+    * its id ([[bucketMillionths]], shifted off zero) and w = its token
+    * count; the k LARGEST keys are the sample — inclusion probability
+    * proportional to weight in one pass, no replacement bookkeeping,
+    * no sequential state. The length-weighted subsample every
+    * token-budgeted pipeline wants ("sample tokens, not documents").
+    *
+    * Exactness: the key is floored to integer millionths after ONE
+    * float expression (ln → divide → scale, same operation order in
+    * the oracle — the NB log-weight discipline), so ranking compares
+    * exact integers and top-k membership is engine-exact; ties break
+    * on doc_id.
+    *
+    * 100 TB shape: the key is scan-fused per-row math and the top-k
+    * plans as TakeOrderedAndProject — per-partition heaps of k rows
+    * merged at the driver, never a global sort. */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 100)
+      : DataFrame =
+    tokCountedDocs(s, dir).filter(col("n_toks") > 0)
+      .withColumn("key_micro",
+        floor(log((col("bm").cast("double") + lit(0.5d))
+            / lit(1000000.0d))
+          / col("n_toks").cast("double") * lit(1000000.0d))
+          .cast("long"))
+      .orderBy(col("key_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        col("key_micro"))
+
   private def availByLang(docs: DataFrame): DataFrame =
     docs.groupBy("lang")
       .agg(sum("n_toks").as("available_toks"), count(lit(1)).as("n_docs"))

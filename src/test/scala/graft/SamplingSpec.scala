@@ -162,4 +162,43 @@ class SamplingSpec extends AnyFunSuite {
     val ws = flat.map(_._3)
     assert(ws.max - ws.min <= 2000L, s"near-uniform expected: $flat")
   }
+
+  test("weighted sample: deterministic, k rows, length-biased") {
+    import graft.operators.Sampling
+    val dir = "/root/testdata/sf0.001"
+    val a = Sampling.weightedSample(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    val b = Sampling.weightedSample(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 100)
+    // A-Res with w = n_toks: the sample's mean length must exceed the
+    // corpus mean (inclusion probability rises with weight)
+    val corpusMean = graft.sources.Tables.documents(spark, dir)
+      .select(avg(size(graft.functions.TextFunctions
+        .tokenize(col("text"))))).as[Double].head()
+    val sampleMean = a.map(_._3).sum.toDouble / a.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("domain cap: every source capped, draw is the hash order") {
+    import graft.operators.{Curation, Sampling}
+    val dir = "/root/testdata/sf0.001"
+    val kept = Curation.domainCap(spark, dir, cap = 10)
+      .as[(Long, String, Long)].collect()
+    val bySrc = kept.groupBy(_._2)
+    // testdata sources hold 25 docs each -> the cap binds exactly
+    assert(bySrc.values.forall(_.length === 10))
+    // the survivors are the 10 smallest hash keys of their source
+    val hkeys = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Sampling.hashOrderKey(col("doc_id")).as("h"))
+      .as[(Long, String, Long)].collect()
+    for ((src, rows) <- bySrc) {
+      val expect = hkeys.filter(_._2 == src).sortBy(r => (r._3, r._1))
+        .take(10).map(_._1).toSet
+      assert(rows.map(_._1).toSet === expect, s"wrong draw for $src")
+    }
+  }
 }
