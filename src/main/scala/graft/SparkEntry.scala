@@ -324,6 +324,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnRecallGates(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    "knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnPq(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    // per-iteration PQ codebook contract (kmeans_train_stats pattern)
+    "pq_train_stats" -> ((s, dir) =>
+      Similarity.pqTrainStats(Tables.embeddings(s, dir))),
     "embedding_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(Tables.embeddings(s, dir))),
     "kmeans_train_stats" -> ((s, dir) =>
@@ -2320,7 +2327,18 @@ object SparkEntry {
         |  CAST(10 AS BIGINT) AS n_queries, 1 AS full_k, 1 AS recall_ok
         |UNION ALL
         |SELECT 'lsh', 50, 10, 1, 1
+        |UNION ALL
+        |SELECT 'pq', 50, 10, 1, 1
         |ORDER BY method""".stripMargin,
+    // per-iteration PQ contract: every sub-vector assigned (rows × M),
+    // cells bounded, L2 error non-increasing (Lloyd monotonicity) —
+    // float error stays out of the hash, like kmeans_train_stats
+    "pq_train_stats" ->
+      """SELECT CAST(i AS INTEGER) AS iter,
+        |  (SELECT count(*) * 16 FROM embeddings) AS n_assigned,
+        |  1 AS cells_ok, 1 AS improved
+        |FROM (SELECT unnest(generate_series(0, 2)) AS i) t
+        |ORDER BY iter""".stripMargin,
     // per-iteration k-means contract: every vector assigned (exact
     // count), cells within bounds, Lloyd objective non-decreasing —
     // float objective stays out of the hash (see kmeansTrainStats)

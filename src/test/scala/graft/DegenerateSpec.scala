@@ -148,6 +148,10 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Similarity.knnIvf(oneEmb, emptyEmb, 5).count() === 0)
     // empty corpus, non-empty queries: no neighbors, no crash
     assert(Similarity.knnIvf(emptyEmb, oneEmb, 5).count() === 0)
+    assert(Similarity.knnPq(emptyEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.knnPq(emptyEmb, oneEmb, 5).count() === 0)
+    assert(Similarity.knnPq(oneEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.pqTrainStats(emptyEmb).count() === 0)
     assert(Similarity.normalizeQuantize(emptyEmb).count() === 0)
     assert(Similarity.kmeansTrainStats(emptyEmb).count() === 0)
     assert(Similarity.kmeansTrainStats(oneEmb, cells = 8, iters = 2)
@@ -196,7 +200,7 @@ class DegenerateSpec extends AnyFunSuite {
     // the driver's hash compare
     val rows = Similarity.knnRecallGates(oneEmb, emptyEmb, 5)
       .as[(String, Long, Long, Int, Int)].collect()
-    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh"))
+    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh", "pq"))
     rows.foreach { case (_, nRes, nQ, fullK, recallOk) =>
       assert(nRes === 0L && nQ === 0L && fullK === 1 && recallOk === 1)
     }
