@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.operators.{CorpusAssembly, Dedup, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CorpusAssembly, Curation, Dedup, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -158,7 +158,22 @@ object ScaleStress {
       timed("compression_ratio") { TextAnalysis.compressionRatio(spark, outDir) },
       timed("length_outliers") { TextAnalysis.lengthOutliers(spark, outDir) },
       timed("temperature_budget") {
-        Sampling.temperatureMixtureBudget(spark, outDir) }
+        Sampling.temperatureMixtureBudget(spark, outDir) },
+      // r10 session additions: the trained perceptron (K iteration
+      // passes over the one materialized per-doc feature frame), the
+      // scan-fused CDC/winnowing HOF paths, the span-removal policy
+      // (same fixed-width-hash backbone as dup_spans), A-Res top-k,
+      // the window-capped domain draw, and PQ encode+ADC+re-rank
+      timed("quality_classifier") {
+        QualityClassifier.qualityPerceptron(spark, outDir) },
+      timed("cdc_chunks") { TextAnalysis.cdcChunks(spark, outDir) },
+      timed("winnow_fingerprints") {
+        TextAnalysis.winnowFingerprints(spark, outDir) },
+      timed("scrub_dup_spans") { Dedup.scrubDuplicateSpans(docs, 40) },
+      timed("weighted_sample") { Sampling.weightedSample(spark, outDir) },
+      timed("domain_cap") { Curation.domainCap(spark, outDir, 10) },
+      timed("knn_pq") {
+        Similarity.knnPq(emb, emb.filter(col("vec_id") < 10), 5) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

@@ -342,11 +342,11 @@ class DedupSpec extends AnyFunSuite {
     assert(agree === exact)
   }
 
-  test("knn recall gates assert full-k and recall floors for both tiers") {
+  test("knn recall gates assert full-k and recall floors for all tiers") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.knnRecallGates(emb, emb.filter(col("vec_id") < 10), 5)
       .as[(String, Long, Long, Int, Int)].collect()
-    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh"))
+    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh", "pq"))
     rows.foreach { case (m, nRes, nQ, fullK, recallOk) =>
       assert(nRes === 50L, m)
       assert(nQ === 10L, m)
