@@ -382,6 +382,10 @@ object SparkEntry {
     // RefinedWeb anti-domination rule: deterministic-random cap per
     // source (hash order, not quality — capping bounds influence)
     "domain_cap" -> ((s, dir) => Curation.domainCap(s, dir, DomainCapN)),
+    // curation by the TRAINED filter: the oracle retrains the identical
+    // integer perceptron and reproduces the survivor mass exactly
+    "curation_trained_filter" ->
+      (Curation.trainedQualityFilter _),
     // deterministic global shuffle into trainer shards + balance audit
     // (ShardN is the single source for both engines' shard formula)
     "training_shards" -> ((s, dir) => Sampling.documentsShards(s, dir, ShardN)),
@@ -440,6 +444,11 @@ object SparkEntry {
       ((s, dir) => graft.streaming.Streaming.streamedTokenDrift(s, dir, 30)),
     "streamed_dedup_against_base" ->
       (graft.streaming.Streaming.streamedDedupAgainstBase _),
+    // model SERVING in the stream: batch-trained perceptron weights
+    // ride every micro-batch plan as a literal; integer margins make
+    // the settled result equal the batch scorer exactly
+    "streamed_quality_filter" ->
+      (graft.streaming.Streaming.streamedQualityFilter _),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // k-anonymity-style small-cell suppression for published breakdowns
@@ -2452,6 +2461,18 @@ object SparkEntry {
          |      FROM cb FULL OUTER JOIN ca ON cb.word = ca.word)
          |SELECT word, n_before, n_after, n_after - n_before AS delta
          |FROM m ORDER BY abs(delta) DESC, word LIMIT 30""".stripMargin,
+    "streamed_quality_filter" ->
+      s"""WITH $PerceptronSql,
+         |pred AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT)
+         |      AS pred,
+         |    margin
+         |  FROM mfin)
+         |SELECT d.lang, pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(margin) AS min_margin, max(margin) AS max_margin
+         |FROM documents d JOIN pred USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "streamed_dedup_against_base" ->
       """WITH base AS (SELECT md5(text) AS h FROM documents
         |              WHERE doc_id % 3 = 0)
@@ -2580,6 +2601,18 @@ object SparkEntry {
          |  FROM d WHERE n_toks > 0)
          |SELECT doc_id, lang, n_toks, key_micro FROM k
          |ORDER BY key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
+    "curation_trained_filter" ->
+      s"""WITH $PerceptronSql,
+         |pred AS (
+         |  SELECT doc_id, CASE WHEN margin > 0 THEN 1 ELSE -1 END AS pred
+         |  FROM mfin)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN pred = 1 THEN len($DuckTokList) ELSE 0 END)
+         |       AS BIGINT) AS n_toks_kept
+         |FROM documents d JOIN pred USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "domain_cap" ->
       s"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT doc_id, source,

@@ -101,6 +101,29 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("quality_score"), col("rk"))
   }
 
+  /** Curation driven by the TRAINED quality filter instead of the
+    * hand-written heuristic blend — the composition a production stack
+    * actually runs once a learned filter exists: train the perceptron
+    * on the cluster, score every doc scan-side, keep the positive
+    * class, and report the per-lang survivor mass (docs + tokens of
+    * ORIGINAL text — the planted markers are training scaffolding, not
+    * corpus content). The whole chain stays integer-exact, so the
+    * oracle retrains the identical model and reproduces the survivor
+    * counts byte-for-byte — a hash-verified learned-filter pipeline. */
+  def trainedQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val pred = QualityClassifier.qualityPerceptron(s, dir)
+      .select(col("doc_id"), col("pred"))
+    Tables.documents(s, dir)
+      .join(pred, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("pred") === 1L).cast("long")).as("n_kept"),
+        sum(when(col("pred") === 1L,
+          size(tokenize(col("text"))).cast("long"))
+          .otherwise(lit(0L))).as("n_toks_kept"))
+      .orderBy("lang")
+  }
+
   /** Per-domain document cap — the RefinedWeb anti-domination rule: no
     * source may contribute more than `cap` documents, and WHICH `cap`
     * survive is a deterministic random draw (hash order), not a quality

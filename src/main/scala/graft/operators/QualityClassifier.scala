@@ -149,6 +149,24 @@ object QualityClassifier {
       .orderBy("doc_id")
   }
 
+  /** STATELESS per-row scorer for a trained model — the serving path:
+    * margin = bias + Σ_tokens w[f(token)], a single fold over the
+    * row's own token array against the literal weight map. No feature
+    * aggregation, no shuffle, no state — which is what lets the same
+    * model score a STREAM scan-side (the weights ride into every
+    * micro-batch plan as a literal). Integer addition is associative,
+    * so the token-order fold equals the batch path's Σ_f w[f]·x[f]
+    * EXACTLY — one model, two execution shapes, one oracle. */
+  def scoreDocs(docs: DataFrame, w: Map[Long, Long]): DataFrame = {
+    val bias = w.getOrElse(D.toLong, 0L)
+    perceptronCorpus(docs)
+      .select(col("doc_id"), col("label"),
+        aggregate(tokenize(col("text")), lit(bias),
+          (acc, t) => acc + weightOf(w, featureIdx(t))).as("margin"))
+      .select(col("doc_id"), col("label"), col("margin"),
+        when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
+  }
+
   /** One-row model-quality gate: (n_docs, n_correct, acc_ok) with the
     * [[FloorMillis]] accuracy floor — the eval pass a training pipeline
     * runs before trusting a refreshed filter model. */

@@ -230,6 +230,35 @@ object Streaming {
       .limit(topK)
   }
 
+  /** Streaming MODEL SERVING — the trained quality filter applied at
+    * ingest: the perceptron trains BATCH-side on the base snapshot
+    * (driver-metadata weights), then scores the documents STREAM with
+    * [[graft.operators.QualityClassifier.scoreDocs]]'s stateless
+    * per-row token fold — the weight map rides into every micro-batch
+    * plan as a literal, so serving needs no state store, no join, no
+    * shuffle on the stream side. Integer margins make the settled
+    * result EQUAL the batch scorer's, so the per-(lang, class) summary
+    * — counts + exact margin extrema — is SQL-recomputable by the same
+    * oracle that retrains the model. */
+  def streamedQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Checkpoints, QualityClassifier}
+    val w = QualityClassifier.trainPerceptron(Checkpoints.scratch(
+      QualityClassifier.perceptronFeatures(
+        graft.sources.Tables.documents(s, dir))))
+    val scored = QualityClassifier.scoreDocs(documentsStream(s, dir), w)
+    // lang re-attaches batch-side after settle (scoreDocs works on the
+    // planted training schema, which drops non-text columns)
+    settle(scored.select("doc_id", "pred", "margin"),
+        "graft_stream_qfilter", mode = "append")
+      .join(graft.sources.Tables.documents(s, dir)
+        .select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"))
+      .orderBy("lang", "pred")
+  }
+
   /** Driver-gated in-stream dedup: replay the events table through TWO
     * identical file-stream legs — every event arrives exactly twice —
     * and suppress the duplicates with [[dedupStream]]'s watermark-bounded

@@ -416,6 +416,14 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("Window"), p)
   }
 
+  test("weighted sample: TakeOrdered top-k, never a global sort") {
+    import graft.operators.Sampling
+    val p = plan(Sampling.weightedSample(spark, dir))
+    // A-Res = scan-fused key + per-partition heaps merged at the driver
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), "weighted sample grew a shuffle")
+  }
+
   test("keep-best dedup selection: hash aggregation, not a window") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Dedup.withNearDups(Tables.documents(spark, dir))

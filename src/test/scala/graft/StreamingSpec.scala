@@ -8,6 +8,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("streamed quality filter equals the batch scorer exactly") {
+    import spark.implicits._
+    import graft.operators.QualityClassifier
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamedQualityFilter(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // batch recompute through the OTHER scoring shape (per-doc feature
+    // map fold) — integer margins mean the two must agree exactly
+    val expected = QualityClassifier.qualityPerceptron(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"),
+        Seq("doc_id"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === expected)
+    // both classes actually flow through the stream
+    assert(streamed.map(_._2) === Set(1L, -1L))
+  }
+
   test("streaming word count updates incrementally over micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
