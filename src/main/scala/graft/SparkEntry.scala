@@ -187,6 +187,10 @@ object SparkEntry {
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
     "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(s, dir, k = 10)),
+    // RAG-prep capstone: CDC chunks -> exact chunk dedup -> BM25 over
+    // the chunk index (chunk id = doc_id*stride + chunk_idx)
+    "chunk_index_assembly" ->
+      ((s, dir) => Retrieval.chunkIndexAssembly(s, dir)),
     // materialized searchable index export; stop-list NULL above df 64
     "inverted_index" -> ((s, dir) => Retrieval.invertedIndex(s, dir)),
     // the release datasheet: one long-format hash-checked summary table
@@ -604,6 +608,47 @@ object SparkEntry {
   /** containment tau — one value for the Spark call and the oracle
     * threshold (the ShardN anti-desync pattern). */
   private val ContainTau = 0.9
+
+  /** The BM25 oracle as a corpus-parameterized template: `preCtes` are
+    * extra CTE definitions (trailing comma + newline, or empty) and
+    * `corpusSel` must yield (doc_id, text) — one SQL body serves both
+    * the documents-table query and the chunk-index capstone. */
+  private def bm25SqlOver(preCtes: String, corpusSel: String): String =
+    s"""WITH ${preCtes}corpus AS ($corpusSel),
+       |q AS (SELECT CAST(qid AS BIGINT) AS qid, qtext
+       |  FROM (VALUES ${Retrieval.Queries.map { case (q, t) =>
+           s"($q, '$t')" }.mkString(", ")}) v(qid, qtext)),
+       |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term
+       |       FROM q),
+       |terms AS (SELECT doc_id, unnest(toks) AS term
+       |  FROM (SELECT doc_id, $DuckTokList AS toks FROM corpus) t),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY 1),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |       FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+       |c AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |      (tf.tf * ${Retrieval.K1 + 1.0} /
+       |       (tf.tf + ${Retrieval.K1} * (1.0 - ${Retrieval.B} +
+       |        ${Retrieval.B} * dl.dl * st.n_docs / st.n_tokens))) *
+       |      1000000.0) AS BIGINT) AS contrib
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN st),
+       |sc AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         CAST(sum(contrib) AS BIGINT) AS score_micro
+       |       FROM c GROUP BY 1, 2)
+       |SELECT qid, doc_id, n_terms, score_micro, rn FROM (
+       |  SELECT qid, doc_id, n_terms, score_micro,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM sc) x
+       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
   /** DuckDB fragment: per-doc token LIST with the same tokenizer. */
   private val DuckTokList: String =
@@ -1943,40 +1988,41 @@ object SparkEntry {
          |    THEN string_agg(doc_id, ',' ORDER BY doc_id) END AS postings
          |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "bm25_topk" ->
-      s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, qtext
-         |  FROM (VALUES ${Retrieval.Queries.map { case (q, t) =>
-             s"($q, '$t')" }.mkString(", ")}) v(qid, qtext)),
-         |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term
-         |       FROM q),
-         |terms AS (SELECT doc_id, unnest(toks) AS term
-         |  FROM (SELECT doc_id, $DuckTokList AS toks FROM documents) t),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM terms GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |       FROM tf GROUP BY 1),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |       FROM tf GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
-         |c AS (
-         |  SELECT qt.qid, tf.doc_id,
-         |    CAST(floor(
-         |      ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-         |      (tf.tf * ${Retrieval.K1 + 1.0} /
-         |       (tf.tf + ${Retrieval.K1} * (1.0 - ${Retrieval.B} +
-         |        ${Retrieval.B} * dl.dl * st.n_docs / st.n_tokens))) *
-         |      1000000.0) AS BIGINT) AS contrib
-         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
-         |       JOIN dl USING (doc_id) CROSS JOIN st),
-         |sc AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |         CAST(sum(contrib) AS BIGINT) AS score_micro
-         |       FROM c GROUP BY 1, 2)
-         |SELECT qid, doc_id, n_terms, score_micro, rn FROM (
-         |  SELECT qid, doc_id, n_terms, score_micro,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY score_micro DESC, doc_id) AS rn
-         |  FROM sc) x
-         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+      bm25SqlOver("", "SELECT doc_id, text FROM documents"),
+    // chunk-level retrieval: the same BM25 template over the deduped
+    // CDC chunk corpus (chunk id = doc_id·stride + chunk_idx)
+    "chunk_index_assembly" ->
+      bm25SqlOver(
+        s"""ct AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
+           |ctp AS (
+           |  SELECT doc_id, toks[pos] AS w, pos
+           |  FROM ct, LATERAL (SELECT unnest(generate_series(1,
+           |                      len(toks))) AS pos) p),
+           |cf AS (
+           |  SELECT doc_id, w, pos,
+           |    CASE WHEN substr(md5(w), 1, 2)
+           |              <= '${TextAnalysis.CdcBoundaryHexMax}'
+           |         THEN 1 ELSE 0 END AS bnd
+           |  FROM ctp),
+           |cc AS (
+           |  SELECT doc_id, w, pos,
+           |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS chunk_idx
+           |  FROM cf),
+           |ch AS (
+           |  SELECT CAST(doc_id * ${Retrieval.ChunkIdStride} + chunk_idx
+           |              AS BIGINT) AS doc_id,
+           |    string_agg(w, ' ' ORDER BY pos) AS text
+           |  FROM cc GROUP BY doc_id, chunk_idx),
+           |ded AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY md5(text) ORDER BY doc_id) AS drn
+           |    FROM ch) x
+           |  WHERE drn = 1),
+           |""".stripMargin,
+        "SELECT doc_id, text FROM ded"),
     // novelty over the near-dup plant: each planted copy's gram set is a
     // subset of its base's, so copies score 0 and bases near 0
     "ngram_novelty" ->

@@ -118,4 +118,36 @@ object Retrieval {
         when(col("df") <= dfCap, col("p")).as("postings"))
       .orderBy("term")
   }
+
+  /** Chunk id packing: orig doc_id · stride + chunk_idx (stride
+    * interpolated into the oracle; chunk counts are token-bounded so
+    * the index never overflows the stride). */
+  val ChunkIdStride = 1000000L
+
+  /** The RAG-prep capstone: content-defined chunks → exact chunk dedup
+    * → BM25 retrieval over the deduped CHUNK index. This is the shape a
+    * retrieval corpus is actually served at — chunk granularity, with
+    * cross-document boilerplate chunks collapsed to one postings entry
+    * (CDC's edit-stable identities are what make the dedup effective
+    * across near-identical documents).
+    *
+    * Scale shape: chunking is scan-fused per-row HOFs (one row per
+    * chunk); the dedup is one fp-keyed window; BM25 reuses the
+    * one-materialized-tf plan. The only corpus-scale shuffles are the
+    * fp window and the tf aggregation — both keyed, both map-side
+    * combined. */
+  def chunkIndexAssembly(s: SparkSession, dir: String, k: Int = 10)
+      : DataFrame = {
+    val chunks = TextAnalysis.cdcChunkText(Tables.documents(s, dir))
+      .select(
+        (col("doc_id") * lit(ChunkIdStride) + col("chunk_idx"))
+          .as("doc_id"),
+        col("chunk_text").as("text"))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val kept = chunks.withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+    bm25(kept, Queries, k)
+  }
 }

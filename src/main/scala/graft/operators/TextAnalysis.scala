@@ -872,9 +872,18 @@ object TextAnalysis {
     * token) — scan-fused, zero corpus shuffles; the only exchange in
     * the plan is the presentation sort. All-int spans + md5 make the
     * result hash-exact against the window-sum SQL oracle. */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunkText(Tables.documents(s, dir))
+      .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        md5(col("chunk_text")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The CDC core with the chunk TEXT exposed — the composable frame
+    * (doc_id, chunk_idx, n_toks, chunk_text) a chunk-level index or
+    * dedup builds on; [[cdcChunks]] is its fingerprint view. */
+  def cdcChunkText(docs: DataFrame): DataFrame = {
     val emptyInts = typedLit(Array.empty[Int])
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("n", size(col("toks")))
       // 1-based positions of boundary tokens (guard: sequence(1, 0)
@@ -901,10 +910,9 @@ object TextAnalysis {
       .withColumn("end", element_at(col("ends"), col("k") + 1))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         (col("end") - col("start") + 1).cast("long").as("n_toks"),
-        md5(concat_ws(" ",
-          slice(col("toks"), col("start"), col("end") - col("start") + 1)))
-          .as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
+        concat_ws(" ",
+          slice(col("toks"), col("start"), col("end") - col("start") + 1))
+          .as("chunk_text"))
   }
 
   /** Winnowing gram size (tokens per gram) and window size (grams per
