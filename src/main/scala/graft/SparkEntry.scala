@@ -291,6 +291,11 @@ object SparkEntry {
     // substring-level duplicate spans over the near-dup-planted corpus
     // (Spark side works on native window HASHES, the oracle on the
     // window strings — agreement also proves the hash kernel faithful)
+    // winnowing-candidate near-dup tier: deterministic detection
+    // guarantee for 7-token runs, frequent-fp stop list, exact verify
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowNearDupPairs(
+        Dedup.withNearDups(Tables.documents(s, dir)), tau = 0.5)),
     "dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(Dedup.withNearDups(Tables.documents(s, dir)),
         windowLen = 40)),
@@ -2118,6 +2123,62 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id
         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_jaccard_pairs" -> ExactJaccardTierSql,
+    // the full winnow-candidate chain: fingerprints -> sub-cap postings
+    // pairs -> exact bigram-Jaccard on the candidates only
+    "dedup_winnow_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^[^ ]+ ', '')
+         |  FROM documents WHERE doc_id < 20),
+         |t AS (SELECT doc_id, $DuckTokList AS toks FROM corpus),
+         |g AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(toks, i,
+         |      i + ${TextAnalysis.WinnowK - 1}), ' ') AS gram, i AS pos
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+         |    len(toks) - ${TextAnalysis.WinnowK - 1})) AS i) p),
+         |v AS (
+         |  SELECT doc_id, pos,
+         |    CAST('0x' || substr(md5(gram), 1, 10) AS BIGINT) * 1048576
+         |      + (1048575 - pos) AS v
+         |  FROM g),
+         |sel AS (
+         |  SELECT DISTINCT doc_id,
+         |    min(v) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${TextAnalysis.WinnowW - 1}
+         |      FOLLOWING) AS v
+         |  FROM v),
+         |fp AS (SELECT DISTINCT doc_id, CAST(v // 1048576 AS BIGINT)
+         |         AS h FROM sel),
+         |rare AS (SELECT h FROM (
+         |  SELECT h, count(*) AS df FROM fp GROUP BY 1) x
+         |  WHERE df <= ${Dedup.WinnowDfCap}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM fp a
+         |  JOIN rare r ON r.h = a.h
+         |  JOIN fp b ON b.h = a.h AND a.doc_id < b.doc_id),
+         |feats AS (
+         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+         |                   AS i) g2),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN feats a ON a.doc_id = c.id_a
+         |  JOIN feats b ON b.doc_id = c.id_b AND b.feat = a.feat
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+         |    AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+         |      >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     // asymmetric containment recompute: same bigram features, the
     // denominator is the CONTAINED side's set size; both directions of
     // each unordered pair tested (exact dups emit both at 1.0)

@@ -1376,6 +1376,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Frequent-fingerprint cap for the winnowing candidate tier —
+    * boilerplate fingerprints shared by more than this many docs are
+    * dropped from candidate generation (they pair quadratically; the
+    * boilerplate stop-list argument). Interpolated into the oracle. */
+  val WinnowDfCap = 50
+
+  /** Winnowing-candidate near-dup tier — the LSH-free alternative with
+    * a DETERMINISTIC detection guarantee: two docs sharing any run of
+    * WinnowW + WinnowK − 1 = 7 tokens share a selected fingerprint
+    * (Schleimer et al.'s theorem), so candidate recall for
+    * contiguous-overlap duplicates is 1 BY CONSTRUCTION, where
+    * MinHash/SimHash recall is probabilistic. Candidates = doc pairs
+    * sharing ≥1 sub-cap fingerprint (a postings join on 8-byte hashes,
+    * frequent-fp stop list capping bucket blowup), then the
+    * candidate-bounded exact verifier scores them — the same
+    * verify-the-candidates shape as the LSH pipeline, so work is
+    * bounded by the fingerprint-bucket output, never corpus². */
+  def winnowNearDupPairs(docs: DataFrame, tau: Double,
+                         dfCap: Int = WinnowDfCap): DataFrame = {
+    val fps = TextAnalysis.winnowFingerprintsOf(docs)
+      .select(col("doc_id"), col("gram_hash")).distinct()
+    val rare = fps.groupBy("gram_hash")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("gram_hash")
+    val pruned = fps.join(rare, Seq("gram_hash"))
+    val cand = pruned.select(col("gram_hash"), col("doc_id").as("id_a"))
+      .join(pruned.select(col("gram_hash"), col("doc_id").as("id_b")),
+        Seq("gram_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardVerifyPairs(docs, cand, tau)
+  }
+
   /** The full near-dup pipeline, end to end, as ONE query — the 100 TB
     * architecture this module's scaladoc describes, actually composed:
     *

@@ -946,7 +946,13 @@ object TextAnalysis {
     * presentation sort. The gram hash is the first 10 hex chars of
     * md5 parsed as int64, so the oracle reproduces every selected
     * (pos, hash) exactly. */
-  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOf(Tables.documents(s, dir))
+      .orderBy("doc_id", "pos")
+
+  /** The winnowing core over any (doc_id, text) frame — the composable
+    * entry the fingerprint-candidate dedup tier builds on. */
+  def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
     val emptyLongs = typedLit(Array.empty[Long])
     // "let" encoding: transform(array(e), x => body) binds e ONCE as a
     // lambda variable — without it, Catalyst inlines a single-use
@@ -969,13 +975,12 @@ object TextAnalysis {
               array_min(slice(vs, i, lit(WinnowW))))))
       }
     }
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), explode(sel).as("v"))
       .select(col("doc_id"),
         (lit(WinnowM - 1) - col("v").bitwiseAND(lit(WinnowM - 1)))
           .as("pos"),
         shiftright(col("v"), 20).as("gram_hash"))
-      .orderBy("doc_id", "pos")
   }
 
   /** BPE tokenizer TRAINING on the corpus — the merge-table induction

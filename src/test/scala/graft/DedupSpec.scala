@@ -423,6 +423,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> ((2L, 83L, 42)), 2L -> ((2L, 83L, 42))))
   }
 
+  test("winnow near-dup tier: planted pairs caught BY GUARANTEE, J exact") {
+    val corpus = Dedup.withNearDups(docs)
+    val rows = Dedup.winnowNearDupPairs(corpus, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    // each planted copy shares its base's entire tail (hundreds of
+    // tokens >> w+k-1 = 7), so the winnowing theorem makes candidate
+    // recall 1 deterministically — no LSH luck involved
+    assert(planted.subsetOf(pairs),
+      s"guarantee violated: ${planted.diff(pairs).take(5)}")
+    // verified pairs carry the exact postings-tier Jaccard
+    val exact = Dedup.jaccardPairs(corpus, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows.forall(r => exact.get((r._1, r._2)).contains(r._3)))
+  }
+
   test("span scrub: owner keeps its copy, others cut, rescan finds nothing") {
     import spark.implicits._
     val shared = ('a' to 'z').mkString + "0123456789ABCDEFGHIJ" // 46 chars
