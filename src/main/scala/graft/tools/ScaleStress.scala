@@ -173,7 +173,16 @@ object ScaleStress {
       timed("weighted_sample") { Sampling.weightedSample(spark, outDir) },
       timed("domain_cap") { Curation.domainCap(spark, outDir, 10) },
       timed("knn_pq") {
-        Similarity.knnPq(emb, emb.filter(col("vec_id") < 10), 5) }
+        Similarity.knnPq(emb, emb.filter(col("vec_id") < 10), 5) },
+      // late-r10 compositions: the winnow-candidate tier (fingerprint
+      // postings bounded by the stop list), the chunk-index capstone
+      // (CDC + chunk dedup + BM25), and the trained-filter curation
+      timed("dedup_winnow_pairs") {
+        Dedup.winnowNearDupPairs(docs, 0.5) },
+      timed("chunk_index") {
+        Retrieval.chunkIndexAssembly(spark, outDir) },
+      timed("curation_trained") {
+        Curation.trainedQualityFilter(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
