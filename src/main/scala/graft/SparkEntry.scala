@@ -228,6 +228,9 @@ object SparkEntry {
     // with the guaranteed-detection property for 7-token shared runs
     "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
     "corpus_refresh" -> (Incremental.corpusRefresh _),
+    // release-gate snapshot diff: headline integer metrics unpivoted
+    // to (metric, before, after, delta) rows
+    "snapshot_drift" -> (Profile.snapshotDrift _),
     // refresh-time drift monitors: base snapshot vs the merged refresh
     "token_drift" -> ((s, dir) => {
       val base = Tables.documents(s, dir)
@@ -1622,6 +1625,46 @@ object SparkEntry {
          |SELECT doc_id, CAST(1048575 - (v % 1048576) AS BIGINT) AS pos,
          |  CAST(v // 1048576 AS BIGINT) AS gram_hash
          |FROM s ORDER BY doc_id, pos""".stripMargin,
+    "snapshot_drift" ->
+      """WITH delta AS (
+        |  SELECT doc_id, text || ' [revised]' AS text, lang, 'upsert' AS op
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text, lang, 'upsert'
+        |  FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id, NULL, lang, 'delete'
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |aft AS (
+        |  SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+        |    coalesce(d.lang, b.lang) AS lang,
+        |    md5(coalesce(d.text, b.text)) AS fp,
+        |    CAST(length(coalesce(d.text, b.text)) AS BIGINT) AS n_chars
+        |  FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+        |  WHERE d.op IS NULL OR d.op <> 'delete'),
+        |bse AS (
+        |  SELECT doc_id, lang, md5(text) AS fp,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |bp AS (SELECT CAST(count(*) AS BIGINT) AS r,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS l,
+        |         CAST(count(DISTINCT fp) AS BIGINT) AS t,
+        |         CAST(sum(n_chars) AS BIGINT) AS c FROM bse),
+        |ap AS (SELECT CAST(count(*) AS BIGINT) AS r,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS l,
+        |         CAST(count(DISTINCT fp) AS BIGINT) AS t,
+        |         CAST(sum(n_chars) AS BIGINT) AS c FROM aft)
+        |SELECT metric, "before", "after", "after" - "before" AS delta
+        |FROM (
+        |  SELECT 'n_chars' AS metric, bp.c AS "before", ap.c AS "after"
+        |  FROM bp, ap
+        |  UNION ALL
+        |  SELECT 'n_distinct_texts', bp.t, ap.t FROM bp, ap
+        |  UNION ALL
+        |  SELECT 'n_langs', bp.l, ap.l FROM bp, ap
+        |  UNION ALL
+        |  SELECT 'n_rows', bp.r, ap.r FROM bp, ap) x
+        |ORDER BY metric""".stripMargin,
     "corpus_refresh" ->
       """WITH delta AS (
         |  SELECT doc_id, text || ' [revised]' AS text, lang, 'upsert' AS op

@@ -222,6 +222,43 @@ object Profile {
     * text; only the vocab leg re-reads the corpus (it needs the token
     * arrays themselves), so the card costs two corpus passes total at
     * any scale. Values all int64. */
+  /** Snapshot drift profile — the release-gate diff between yesterday's
+    * corpus and today's refresh (the monitoring view a daily pipeline
+    * alerts on before publishing): headline integer metrics — row
+    * count, language cardinality, distinct-content count, total chars —
+    * computed over BOTH snapshots and unpivoted to one row per metric
+    * with before/after/delta. Each side is ONE bounded aggregate; the
+    * two 1-row frames cross-join broadcast (the one-row-aggregate
+    * crossJoin class), so the whole view costs two corpus scans and no
+    * data-sized shuffle at any scale. */
+  def snapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      md5(col("text")).as("fp"),
+      length(col("text")).cast("long").as("n_chars"))
+    val after = graft.operators.Incremental.corpusRefresh(s, dir)
+      .select(col("doc_id"), col("lang"), col("fp"),
+        col("n_chars").cast("long").as("n_chars"))
+    def prof(df: DataFrame, p: String) = df.agg(
+      count(lit(1)).as(p + "_rows"),
+      countDistinct(col("lang")).as(p + "_langs"),
+      countDistinct(col("fp")).as(p + "_texts"),
+      sum(col("n_chars")).as(p + "_chars"))
+    prof(base, "b").crossJoin(broadcast(prof(after, "a")))
+      .select(explode(array(
+        struct(lit("n_chars").as("metric"), col("b_chars").as("before"),
+          col("a_chars").as("after")),
+        struct(lit("n_distinct_texts").as("metric"),
+          col("b_texts").as("before"), col("a_texts").as("after")),
+        struct(lit("n_langs").as("metric"), col("b_langs").as("before"),
+          col("a_langs").as("after")),
+        struct(lit("n_rows").as("metric"), col("b_rows").as("before"),
+          col("a_rows").as("after")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.before").as("before"),
+        col("m.after").as("after"),
+        (col("m.after") - col("m.before")).as("delta"))
+      .orderBy("metric")
+  }
+
   def datasetCard(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokenize
     val docs = Tables.documents(s, dir)
