@@ -394,6 +394,10 @@ object SparkEntry {
     // RefinedWeb anti-domination rule: deterministic-random cap per
     // source (hash order, not quality — capping bounds influence)
     "domain_cap" -> ((s, dir) => Curation.domainCap(s, dir, DomainCapN)),
+    // contrastive training pairs: near-dup positive + hash-drawn
+    // negatives, reproducible across engines and epochs
+    "contrastive_pairs" ->
+      ((s, dir) => Curation.contrastivePairs(s, dir, ContrastiveK)),
     // curation by the TRAINED filter: the oracle retrains the identical
     // integer perceptron and reproduces the survivor mass exactly
     "curation_trained_filter" ->
@@ -591,6 +595,9 @@ object SparkEntry {
     * the oracle (10 binds at every SF: testdata sources hold ≥ 25
     * docs). */
   private val DomainCapN = 10
+
+  /** contrastive_pairs' negatives per anchor (shared with the oracle). */
+  private val ContrastiveK = 3
 
   /** Knuth hash constant + 2^31 fold modulus of Sampling's hash family,
     * as oracle text — ONE definition drives Sampling.hashBucket/
@@ -2763,6 +2770,23 @@ object SparkEntry {
          |       AS BIGINT) AS n_toks_kept
          |FROM documents d JOIN pred USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "contrastive_pairs" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |           FROM documents),
+         |a AS (SELECT doc_id AS anchor_id,
+         |        doc_id + ${Dedup.DupIdOffset} AS pos_id
+         |      FROM documents WHERE doc_id < ${Dedup.PlantCount}),
+         |x AS (
+         |  SELECT anchor_id, pos_id, CAST(r AS BIGINT) AS neg_rank, n.n,
+         |    ((((anchor_id * $ContrastiveK + r) % $Fold31)
+         |      * $HashMult) % $Fold31) % n.n AS raw
+         |  FROM a, n,
+         |    LATERAL (SELECT unnest(generate_series(1, $ContrastiveK))
+         |             AS r) g)
+         |SELECT anchor_id, pos_id, neg_rank,
+         |  CASE WHEN raw = anchor_id THEN (raw + 1) % n ELSE raw END
+         |    AS neg_id
+         |FROM x ORDER BY anchor_id, neg_rank""".stripMargin,
     "domain_cap" ->
       s"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT doc_id, source,

@@ -124,6 +124,45 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Contrastive training-pair generation — the data an embedding
+    * model (SimCSE/contrastive-pretraining style) trains on: for each
+    * anchor with a known near-duplicate, one POSITIVE (its planted
+    * near-dup twin) and `k` hash-drawn NEGATIVES from the rest of the
+    * corpus. The negative draw is the deterministic multiplicative
+    * hash over (anchor, rank) mapped into the live doc_id range, with
+    * a +1 remap off the anchor itself — reproducible across engines
+    * and epochs, which is what makes the training set auditable. One
+    * row per (anchor, neg_rank): all int64.
+    *
+    * Scale shape: negatives are per-row hash math against the
+    * broadcast corpus-size scalar — no sampling join, no shuffle.
+    * Assumes the dense [0, n) id space the testdata ships (at scale,
+    * compose with TextAnalysis.denseIdsByCount to densify first; the
+    * draw itself is unchanged). */
+  def contrastivePairs(s: SparkSession, dir: String, k: Int = 3)
+      : DataFrame = {
+    val corpus = Dedup.withNearDups(Tables.documents(s, dir))
+    val ids = corpus.select(col("doc_id")).filter(
+      col("doc_id") < Dedup.DupIdOffset)
+    val n = ids.agg(count(lit(1)).as("n"))
+    val anchors = ids.filter(col("doc_id") < Dedup.PlantCount)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id").as("anchor_id"),
+        (col("doc_id") + Dedup.DupIdOffset).as("pos_id"), col("n"))
+    anchors
+      .select(col("anchor_id"), col("pos_id"), col("n"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("neg_rank"))
+      .withColumn("raw_neg",
+        Sampling.hashOrderKey(col("anchor_id") * lit(k.toLong)
+          + col("neg_rank")) % col("n"))
+      .withColumn("neg_id",
+        when(col("raw_neg") === col("anchor_id"),
+          (col("raw_neg") + 1) % col("n")).otherwise(col("raw_neg")))
+      .select(col("anchor_id"), col("pos_id"), col("neg_rank"),
+        col("neg_id"))
+      .orderBy("anchor_id", "neg_rank")
+  }
+
   /** Per-domain document cap — the RefinedWeb anti-domination rule: no
     * source may contribute more than `cap` documents, and WHICH `cap`
     * survive is a deterministic random draw (hash order), not a quality
