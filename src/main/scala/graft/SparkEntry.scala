@@ -215,6 +215,11 @@ object SparkEntry {
       TextAnalysis.bpeEncodeGate(s, dir, nMerges = 20)),
     "ffd_pack_stats" -> ((s, dir) =>
       TextAnalysis.ffdPackStats(s, dir, capacity = 256)),
+    // tokens-on-disk capstone: trained-BPE counts FFD-packed into
+    // context windows (rows-only) + its conservation/capacity gate
+    "bpe_pack_assembly" -> ((s, dir) =>
+      TextAnalysis.bpePackAssembly(s, dir)),
+    "bpe_pack_gate" -> ((s, dir) => TextAnalysis.bpePackGate(s, dir)),
     "ffd_pack_gate" -> ((s, dir) =>
       TextAnalysis.ffdPackGate(s, dir, capacity = 256)),
     "boilerplate_scrub" -> ((s, dir) =>
@@ -1114,9 +1119,25 @@ object SparkEntry {
       s"""WITH $NbScoresSql
          |SELECT doc_id, lang_label, lang_pred, score
          |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // structural truths of the BPE packing, stated without retraining
+    // the tokenizer: every non-empty doc packed once, no overfull
+    // window, token mass conserved (flags Spark-verified, pinned at 1)
+    "bpe_pack_gate" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |         WHERE len($DuckTokList) > 0) AS n_docs,
+         |  CAST(1 AS INTEGER) AS within_cap,
+         |  CAST(1 AS INTEGER) AS conserved""".stripMargin,
     // deflate isn't SQL-recomputable; the gate's correct answer is the
     // plant structure itself: 10 repeat pairs, corpus + 20 planted
     // rows, both invariant flags true
+    // structural truths of the BPE packing, stated without retraining
+    // the tokenizer: every non-empty doc packed once, no overfull
+    // window, token mass conserved (flags Spark-verified, pinned at 1)
+    "bpe_pack_gate" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |         WHERE len($DuckTokList) > 0) AS n_docs,
+        |  CAST(1 AS INTEGER) AS within_cap,
+        |  CAST(1 AS INTEGER) AS conserved""".stripMargin,
     "compression_ratio_gate" ->
       """SELECT (SELECT CAST(count(*) + 20 AS BIGINT) FROM documents)
         |    AS n_docs,

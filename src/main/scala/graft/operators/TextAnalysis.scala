@@ -669,11 +669,19 @@ object TextAnalysis {
     * bin per shard is ≤ half-full (two half-empty bins would have been
     * merged by first-fit).
     */
-  def ffdPack(docs: DataFrame, capacity: Int): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs
-      .select(col("doc_id"), col("lang").as("shard"),
-        size(toks).as("n_toks"))
+  def ffdPack(docs: DataFrame, capacity: Int): DataFrame =
+    ffdPackCounts(
+      docs.select(col("doc_id"), col("lang").as("shard"),
+        size(toks).as("n_toks")),
+      capacity)
+
+  /** The FFD core over precomputed (doc_id, shard, n_toks) counts —
+    * the composable entry the BPE-token packing capstone feeds with
+    * LEARNED-tokenizer counts instead of whitespace tokens. */
+  def ffdPackCounts(counts: DataFrame, capacity: Int): DataFrame = {
+    import counts.sparkSession.implicits._
+    counts
+      .select(col("doc_id"), col("shard"), col("n_toks").cast("int"))
       .filter(col("n_toks") > 0)
       .as[(Long, String, Int)]
       .repartition(col("shard"))
@@ -1126,6 +1134,59 @@ object TextAnalysis {
         sum(length(col("word"))).as("n_chars"))
       .withColumn("syms_per_word",
         round(col("n_syms").cast("double") / col("n_words"), 4))
+
+  /** The tokens-on-disk capstone: encode every doc with the TRAINED
+    * BPE tokenizer, shard deterministically, and FFD-pack the real
+    * token counts into fixed context windows — the final step that
+    * turns a curated corpus into what a trainer actually reads. Emits
+    * per-(shard, bin) occupancy. Rows-only (the learned merges aren't
+    * ANSI-trainable); [[bpePackGate]] is the hash-checked companion. */
+  def bpePackAssembly(s: SparkSession, dir: String, nMerges: Int = 20,
+                      capacity: Int = 256, nShards: Int = 4): DataFrame =
+    packedBpe(s, dir, nMerges, capacity, nShards)
+      .groupBy("shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("bin_toks"))
+      .orderBy("shard", "bin_id")
+
+  private def packedBpe(s: SparkSession, dir: String, nMerges: Int,
+                        capacity: Int, nShards: Int): DataFrame = {
+    val counts = bpeEncoded(s, dir, nMerges)
+      .groupBy("doc_id")
+      .agg(sum(size(col("syms"))).as("n_toks"))
+      .withColumn("shard",
+        graft.operators.Sampling.shardOf(
+          graft.operators.Sampling.hashOrderKey(col("doc_id")), nShards)
+          .cast("string"))
+    ffdPackCounts(counts.select("doc_id", "shard", "n_toks"), capacity)
+  }
+
+  /** Hash-checked gate for [[bpePackAssembly]] — the structural truths
+    * ANSI SQL can state without retraining the tokenizer: every doc
+    * with ≥1 whitespace token got packed exactly once (BPE never drops
+    * a word, so the packed doc set equals the non-empty doc set), no
+    * bin over capacity (dedicated oversize bins hold one doc), and
+    * token mass is conserved bins-vs-encoder. A broken merge, lost
+    * doc, or overfull window flips a flag the driver's hash catches. */
+  def bpePackGate(s: SparkSession, dir: String, nMerges: Int = 20,
+                  capacity: Int = 256, nShards: Int = 4): DataFrame = {
+    val packed = packedBpe(s, dir, nMerges, capacity, nShards)
+      .localCheckpoint(true)
+    val enc = bpeEncoded(s, dir, nMerges)
+      .agg(sum(size(col("syms"))).as("enc_toks")).head().getLong(0)
+    val bins = packed.groupBy("shard", "bin_id")
+      .agg(sum("n_toks").as("bin_toks"),
+        count(lit(1)).as("n_docs"),
+        max("n_toks").as("max_doc"))
+    bins.agg(
+        sum(col("n_docs")).as("n_docs"),
+        max((col("bin_toks") > capacity &&
+          !(col("n_docs") === 1 && col("max_doc") > capacity)).cast("int"))
+          .as("any_overfull"),
+        sum(col("bin_toks")).as("packed_toks"))
+      .select(col("n_docs"),
+        (lit(1) - coalesce(col("any_overfull"), lit(0))).as("within_cap"),
+        (col("packed_toks") === enc).cast("int").as("conserved"))
+  }
 
   /** Hash-checked gate for the encoder: exact per-doc word/char counts
     * (ANSI-recomputable) plus two invariants the oracle pins at 1 —
