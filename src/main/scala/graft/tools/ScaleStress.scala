@@ -182,7 +182,15 @@ object ScaleStress {
       timed("chunk_index") {
         Retrieval.chunkIndexAssembly(spark, outDir) },
       timed("curation_trained") {
-        Curation.trainedQualityFilter(spark, outDir) }
+        Curation.trainedQualityFilter(spark, outDir) },
+      // the tokens-on-disk capstone (trained-BPE encode + FFD pack),
+      // the snapshot diff, and the contrastive-pair draw
+      timed("bpe_pack") {
+        TextAnalysis.bpePackAssembly(spark, outDir) },
+      timed("snapshot_drift") {
+        graft.operators.Profile.snapshotDrift(spark, outDir) },
+      timed("contrastive_pairs") {
+        Curation.contrastivePairs(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
