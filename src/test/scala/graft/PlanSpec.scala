@@ -424,6 +424,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "weighted sample grew a shuffle")
   }
 
+  test("contrastive pairs: negatives are hash math, no sampling join") {
+    import graft.operators.Curation
+    val p = plan(Curation.contrastivePairs(spark, dir))
+    // the only join is the broadcast of the one-row corpus-size
+    // aggregate; negative ids never touch a data-sized shuffle
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 2, p)
+  }
+
   test("keep-best dedup selection: hash aggregation, not a window") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Dedup.withNearDups(Tables.documents(spark, dir))

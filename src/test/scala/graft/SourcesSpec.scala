@@ -216,4 +216,24 @@ class SourcesSpec extends AnyFunSuite {
         |""".stripMargin).queryExecution.executedPlan.toString
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
   }
+
+  test("packed-shard sink: shard-partitioned write, pruned single-shard read") {
+    import graft.operators.TextAnalysis
+    // the trainer-facing artifact: packed context windows written
+    // partitioned by shard, so a trainer (or a resumed job) reading one
+    // shard touches only that shard's directory
+    val packed = TextAnalysis.bpePackAssembly(spark, dir)
+    val out = tmp() + "/packed"
+    packed.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val one = spark.read.parquet(out).filter(col("shard") === "0")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"),
+      s"expected shard pruning in:\n$plan")
+    // round trip is lossless per shard
+    assert(one.select("bin_id", "n_docs", "bin_toks")
+        .as[(Long, Long, Long)].collect().toSet ===
+      packed.filter(col("shard") === "0")
+        .select("bin_id", "n_docs", "bin_toks")
+        .as[(Long, Long, Long)].collect().toSet)
+  }
 }
