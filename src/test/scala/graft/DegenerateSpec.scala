@@ -141,6 +141,27 @@ class DegenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("late-r10 operators survive empty and 1-row corpora") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      val dir = dirFor(docs)
+      assert(TextAnalysis.winnowFingerprints(spark, dir).count() === 0)
+      assert(Dedup.winnowNearDupPairs(docs.select("doc_id", "text"), 0.5)
+        .count() === 0)
+      assert(Dedup.scrubDuplicateSpans(docs.select("doc_id", "text"))
+        .count() === docs.count())
+      assert(Sampling.weightedSample(spark, dir).count() === docs.count())
+      assert(Curation.domainCap(spark, dir).count() === docs.count())
+      assert(Curation.trainedQualityFilter(spark, dir).count()
+        <= docs.count())
+      assert(Curation.contrastivePairs(spark, dir).count() ===
+        docs.count() * 3) // every doc < PlantCount anchors
+      assert(Profile.snapshotDrift(spark, dir).count() === 4)
+      assert(TextAnalysis.bpePackAssembly(spark, dir).count()
+        <= docs.count())
+      assert(Retrieval.chunkIndexAssembly(spark, dir).count() === 0)
+    }
+  }
+
   test("similarity tiers survive empty corpora and empty query sets") {
     assert(Similarity.knnBruteForce(emptyEmb, emptyEmb, 5).count() === 0)
     assert(Similarity.knnLsh(emptyEmb, emptyEmb, 5).count() === 0)
