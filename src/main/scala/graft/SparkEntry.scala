@@ -1130,14 +1130,6 @@ object SparkEntry {
     // deflate isn't SQL-recomputable; the gate's correct answer is the
     // plant structure itself: 10 repeat pairs, corpus + 20 planted
     // rows, both invariant flags true
-    // structural truths of the BPE packing, stated without retraining
-    // the tokenizer: every non-empty doc packed once, no overfull
-    // window, token mass conserved (flags Spark-verified, pinned at 1)
-    "bpe_pack_gate" ->
-      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
-        |         WHERE len($DuckTokList) > 0) AS n_docs,
-        |  CAST(1 AS INTEGER) AS within_cap,
-        |  CAST(1 AS INTEGER) AS conserved""".stripMargin,
     "compression_ratio_gate" ->
       """SELECT (SELECT CAST(count(*) + 20 AS BIGINT) FROM documents)
         |    AS n_docs,

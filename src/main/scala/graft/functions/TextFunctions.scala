@@ -23,6 +23,17 @@ object TextFunctions {
     * Newlines act as separators (the reference reads line-by-line, so a
     * `\n` can never be inside a token); punctuation is deleted BEFORE
     * splitting (`"mid-word"` → `midword`); split on `' +'` only. */
+  /** Bind an expression ONCE as a lambda variable (the HOF "let"):
+    * `letCol(e)(x => body)` evaluates `e` once per row and every use
+    * of `x` in the body is an O(1) variable read. Without it, a
+    * sub-expression inserted into a lambda body re-evaluates at every
+    * lambda invocation, and a single-use projected alias gets INLINED
+    * by Catalyst into the consuming lambda with the same effect — the
+    * O(G²) class winnowing measured (229 s → 0.6 s at sf0.01) and the
+    * PQ encode re-measured (53 s → 2 s). Works for any result type. */
+  def letCol(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
   def tokenize(text: Column): Column =
     filter(
       split(regexp_replace(regexp_replace(text, "\\n", " "), PunctClass, ""), " +"),

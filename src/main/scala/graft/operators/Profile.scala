@@ -200,28 +200,6 @@ object Profile {
       .orderBy("tbl")
   }
 
-  /** Dataset card — the "datasheet" a corpus release ships with, as ONE
-    * hash-checked long-format table (section, metric, value): global
-    * doc/token/char/vocab counts, per-language doc and token masses,
-    * the quality-score histogram (floor(q·10) buckets of the 0.4/0.6
-    * blend — integer-exact because q is 4-dp-rounded identically in
-    * both engines), PII incidence (docs matching the shared
-    * email/URL regexes), exact-duplicate accounting, and the global
-    * token-length extremes with the doubled-integer median. Every
-    * number re-states an already-gated operator's arithmetic over the
-    * RAW corpus (no plants — the card describes the release, not a
-    * fixture), so the whole release summary is a single artifact a
-    * consumer can verify and a refresh can diff.
-    *
-    * Shape: the per-doc feature frame (tokenize + quality + PII
-    * regexes + fingerprint — ALL the heavy per-row work) materializes
-    * ONCE via localCheckpoint and feeds four bounded aggregation legs;
-    * without it each union leg re-expands the corpus subtree and the
-    * regex/tokenize pass runs 4× (the temperatureWeights lesson). The
-    * checkpointed frame is counts-and-flags, far smaller than the
-    * text; only the vocab leg re-reads the corpus (it needs the token
-    * arrays themselves), so the card costs two corpus passes total at
-    * any scale. Values all int64. */
   /** Snapshot drift profile — the release-gate diff between yesterday's
     * corpus and today's refresh (the monitoring view a daily pipeline
     * alerts on before publishing): headline integer metrics — row
@@ -259,6 +237,28 @@ object Profile {
       .orderBy("metric")
   }
 
+  /** Dataset card — the "datasheet" a corpus release ships with, as ONE
+    * hash-checked long-format table (section, metric, value): global
+    * doc/token/char/vocab counts, per-language doc and token masses,
+    * the quality-score histogram (floor(q·10) buckets of the 0.4/0.6
+    * blend — integer-exact because q is 4-dp-rounded identically in
+    * both engines), PII incidence (docs matching the shared
+    * email/URL regexes), exact-duplicate accounting, and the global
+    * token-length extremes with the doubled-integer median. Every
+    * number re-states an already-gated operator's arithmetic over the
+    * RAW corpus (no plants — the card describes the release, not a
+    * fixture), so the whole release summary is a single artifact a
+    * consumer can verify and a refresh can diff.
+    *
+    * Shape: the per-doc feature frame (tokenize + quality + PII
+    * regexes + fingerprint — ALL the heavy per-row work) materializes
+    * ONCE via localCheckpoint and feeds four bounded aggregation legs;
+    * without it each union leg re-expands the corpus subtree and the
+    * regex/tokenize pass runs 4× (the temperatureWeights lesson). The
+    * checkpointed frame is counts-and-flags, far smaller than the
+    * text; only the vocab leg re-reads the corpus (it needs the token
+    * arrays themselves), so the card costs two corpus passes total at
+    * any scale. Values all int64. */
   def datasetCard(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokenize
     val docs = Tables.documents(s, dir)

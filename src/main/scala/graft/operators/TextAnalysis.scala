@@ -962,17 +962,13 @@ object TextAnalysis {
     * entry the fingerprint-candidate dedup tier builds on. */
   def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
     val emptyLongs = typedLit(Array.empty[Long])
-    // "let" encoding: transform(array(e), x => body) binds e ONCE as a
-    // lambda variable — without it, Catalyst inlines a single-use
-    // projected alias into the consuming lambda and the windowed min
-    // re-evaluates the whole hash array per window (measured O(G²):
-    // 229 s for sf0.01's 45k grams vs <1 s with the binding)
-    def let(e: org.apache.spark.sql.Column)(
-        body: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-        : org.apache.spark.sql.Column =
-      flatten(transform(array(e), body))
-    val sel = let(wordNgrams(toks, WinnowK)) { grams =>
-      let(when(size(grams) === 0, emptyLongs)
+    // letCol binds each array ONCE as a lambda variable — without it,
+    // Catalyst inlines the single-use projected alias into the
+    // consuming lambda and the windowed min re-evaluates the whole
+    // hash array per window (measured O(G²): 229 s for sf0.01's 45k
+    // grams vs <1 s bound; the shared helper's scaladoc has the story)
+    val sel = letCol(wordNgrams(toks, WinnowK)) { grams =>
+      letCol(when(size(grams) === 0, emptyLongs)
           .otherwise(transform(sequence(lit(1), size(grams)), i =>
             conv(substring(md5(element_at(grams, i)), 1, 10), 16, 10)
               .cast("long") * lit(WinnowM)
@@ -1148,17 +1144,20 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("bin_toks"))
       .orderBy("shard", "bin_id")
 
-  private def packedBpe(s: SparkSession, dir: String, nMerges: Int,
-                        capacity: Int, nShards: Int): DataFrame = {
-    val counts = bpeEncoded(s, dir, nMerges)
+  private def bpeCounts(s: SparkSession, dir: String, nMerges: Int,
+                        nShards: Int): DataFrame =
+    bpeEncoded(s, dir, nMerges)
       .groupBy("doc_id")
       .agg(sum(size(col("syms"))).as("n_toks"))
       .withColumn("shard",
         graft.operators.Sampling.shardOf(
           graft.operators.Sampling.hashOrderKey(col("doc_id")), nShards)
           .cast("string"))
-    ffdPackCounts(counts.select("doc_id", "shard", "n_toks"), capacity)
-  }
+      .select("doc_id", "shard", "n_toks")
+
+  private def packedBpe(s: SparkSession, dir: String, nMerges: Int,
+                        capacity: Int, nShards: Int): DataFrame =
+    ffdPackCounts(bpeCounts(s, dir, nMerges, nShards), capacity)
 
   /** Hash-checked gate for [[bpePackAssembly]] — the structural truths
     * ANSI SQL can state without retraining the tokenizer: every doc
@@ -1169,20 +1168,24 @@ object TextAnalysis {
     * doc, or overfull window flips a flag the driver's hash catches. */
   def bpePackGate(s: SparkSession, dir: String, nMerges: Int = 20,
                   capacity: Int = 256, nShards: Int = 4): DataFrame = {
-    val packed = packedBpe(s, dir, nMerges, capacity, nShards)
-      .localCheckpoint(true)
-    val enc = bpeEncoded(s, dir, nMerges)
-      .agg(sum(size(col("syms"))).as("enc_toks")).head().getLong(0)
+    // the encode scan (a 20-merge fold per word) runs ONCE: the per-doc
+    // counts materialize and feed both the conservation denominator and
+    // the packer (the datasetCard materialize-once discipline); the
+    // coalesce guards the empty-corpus sum-over-zero-rows null
+    val counts = bpeCounts(s, dir, nMerges, nShards).localCheckpoint(true)
+    val enc = counts.agg(coalesce(sum("n_toks"), lit(0L)))
+      .head().getLong(0)
+    val packed = ffdPackCounts(counts, capacity)
     val bins = packed.groupBy("shard", "bin_id")
       .agg(sum("n_toks").as("bin_toks"),
         count(lit(1)).as("n_docs"),
         max("n_toks").as("max_doc"))
     bins.agg(
-        sum(col("n_docs")).as("n_docs"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         max((col("bin_toks") > capacity &&
           !(col("n_docs") === 1 && col("max_doc") > capacity)).cast("int"))
           .as("any_overfull"),
-        sum(col("bin_toks")).as("packed_toks"))
+        coalesce(sum(col("bin_toks")), lit(0L)).as("packed_toks"))
       .select(col("n_docs"),
         (lit(1) - coalesce(col("any_overfull"), lit(0))).as("within_cap"),
         (col("packed_toks") === enc).cast("int").as("conserved"))
