@@ -219,4 +219,64 @@ class PropertySpec extends AnyFunSuite {
       all == pre && all == auto
     })
   }
+
+  test("CDC chunks partition the token stream exactly, any corpus") {
+    import graft.operators.TextAnalysis
+    check("cdc-partition")(forAll(textGen) { lines =>
+      val docs = lines.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val chunks = TextAnalysis.cdcChunkText(docs)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect()
+      // per doc: chunks indexed 0..m-1, and joining them in order
+      // reproduces the tokenized doc exactly — nothing lost, nothing
+      // duplicated, no boundary slips
+      lines.zipWithIndex.forall { case (t, i) =>
+        val mine = chunks.filter(_._1 == i.toLong).sortBy(_._2)
+        mine.map(_._2).toSeq == mine.indices.map(_.toLong) &&
+          mine.flatMap(_._3.split(" ")).toSeq == tok(t)
+      }
+    })
+  }
+
+  test("perceptron: stream scorer fold equals the batch feature-map path") {
+    import graft.operators.QualityClassifier
+    check("perceptron-two-shapes")(forAll(textGen) { lines =>
+      val docs = lines.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "t", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val feats = QualityClassifier.perceptronFeatures(docs)
+        .localCheckpoint(true)
+      val w = QualityClassifier.trainPerceptron(feats)
+      val stream = QualityClassifier.scoreDocs(docs, w)
+        .select("doc_id", "margin").as[(Long, Long)].collect().toMap
+      // batch path: margin from the per-doc feature map under the SAME
+      // weights (integer addition is associative — must agree exactly)
+      val batch = feats.collect().map { r =>
+        val fmap = r.getMap[Long, Long](2)
+        r.getLong(0) -> fmap.map { case (f, x) =>
+          w.getOrElse(f, 0L) * x }.sum
+      }.toMap
+      stream == batch
+    })
+  }
+
+  test("winnowing: every full window covered on random token streams") {
+    import graft.operators.TextAnalysis
+    check("winnow-coverage")(forAll(textGen) { lines =>
+      val docs = lines.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fps = TextAnalysis.winnowFingerprintsOf(docs)
+        .select("doc_id", "pos").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+      lines.zipWithIndex.forall { case (t, i) =>
+        val g = tok(t).length - TextAnalysis.WinnowK + 1
+        val pos = fps.getOrElse(i.toLong, Set.empty)
+        // the winnowing invariant: every full window of W gram
+        // positions contains at least one selected fingerprint
+        (1 to g - TextAnalysis.WinnowW + 1).forall(j =>
+          (j until j + TextAnalysis.WinnowW).exists(p => pos(p.toLong)))
+      }
+    })
+  }
 }
