@@ -233,6 +233,30 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, tau: Double): DataFrame =
     jaccardPairsFromPostings(bigramPostings(docs), tau)
 
+  /** Exact-rational candidate bound shared by the prefix/bitmap tiers.
+    *
+    * Every exact tier's EMIT filter accepts `round(ratio, 6) >= tau`,
+    * i.e. the exact rational ratio ≥ tau − 5e-7 (half-up at 6 dp). A
+    * candidate-tier prefilter that compares the exact rational against
+    * tau itself is therefore STRICTER than the emit filter: a pair
+    * within 5e-7 below tau would be emitted by the unfiltered postings
+    * tier but pruned by prefix/bitmap — unreachable at test scale
+    * (bigram counts are far too small for a ratio to land in that
+    * band) but a latent tier-equality divergence at production feature
+    * counts (ADVICE r10). All prefilter bounds therefore compare the
+    * SAME rational boundary in int64: n·2e6 ≥ (2·τµ − 1)·size with
+    * τµ = round(tau·1e6) — exact while (2τµ−1)·size < 2^63, i.e. any
+    * realistic per-doc feature count. */
+  private def tauNum(tau: Double): Long = 2L * math.round(tau * 1e6) - 1
+  private val TauDen = 2000000L
+
+  /** Least overlap n with n/size ≥ tau − 5e-7, as an int64 Column
+    * (ceil division; the numerator stays < 2^53 for set sizes < 4e9,
+    * so the double division floor is exact). */
+  private def requiredOverlap(tau: Double, size: Column): Column =
+    floor((lit(tauNum(tau)) * size + lit(TauDen - 1)) / lit(TauDen))
+      .cast("long")
+
   private def jaccardPairsFromPostings(posts: DataFrame, tau: Double): DataFrame = {
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val inter = posts.as("a")
@@ -264,8 +288,10 @@ object Dedup {
     val prefix = posts.join(dfreq, "feat")
       .join(sizes, "doc_id")
       .withColumn("pos", row_number().over(rankW))
+      // prefix length from the emit-boundary overlap bound (n such that
+      // n/|X| ≥ tau − 5e-7), not ⌈tau·|X|⌉ — see [[requiredOverlap]]
       .filter(col("pos") <=
-        col("set_size") - ceil(lit(tau) * col("set_size")) + 1)
+        col("set_size") - requiredOverlap(tau, col("set_size")) + 1)
       .select("doc_id", "feat")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
@@ -363,11 +389,12 @@ object Dedup {
     val jac = round(nInter.cast("double") /
       (col("sa") + col("sb") - nInter), 6)
     // cheap sound prefilter ahead of the popcount: J ≤ min/max, so
-    // J ≥ τ requires min(|A|,|B|) ≥ τ·max(|A|,|B|) — short-circuits the
-    // condition for size-mismatched pairs before touching the bitmaps
+    // acceptance (J ≥ τ − 5e-7 after 6-dp rounding) requires
+    // min·2e6 ≥ (2τµ−1)·max — the exact-rational boundary in int64,
+    // matching the emit filter (see requiredOverlap's scaladoc)
     val sizeOk =
-      least(col("sa"), col("sb")).cast("double") >=
-        lit(tau) * greatest(col("sa"), col("sb"))
+      least(col("sa"), col("sb")) * lit(TauDen) >=
+        lit(tauNum(tau)) * greatest(col("sa"), col("sb"))
     a.join(broadcast(b), col("id_a") < col("id_b") && sizeOk && jac >= tau)
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
   }
@@ -460,8 +487,10 @@ object Dedup {
     val prefix = posts.join(dfreq, "feat")
       .join(sizes, "doc_id")
       .withColumn("pos", row_number().over(rankW))
+      // prefix length from the emit-boundary overlap bound (n such that
+      // n/|X| ≥ tau − 5e-7), not ⌈tau·|X|⌉ — see [[requiredOverlap]]
       .filter(col("pos") <=
-        col("set_size") - ceil(lit(tau) * col("set_size")) + 1)
+        col("set_size") - requiredOverlap(tau, col("set_size")) + 1)
       .select("doc_id", "feat")
     // both orientations run in ONE join (either endpoint may be the
     // smaller side); least/greatest normalizes to unordered pairs
@@ -516,8 +545,10 @@ object Dedup {
       col("set_size").as("sb"), col("bm").as("bb"))
     val nInter = graft.functions.BitmapExpressions.bitmap_and_count(
       col("ba"), col("bb"))
+    // pass-some-direction at the emit boundary (ratio ≥ tau − 5e-7),
+    // exact-rational int64 compare — see requiredOverlap's scaladoc
     val passes =
-      nInter.cast("double") >= lit(tau) * least(col("sa"), col("sb"))
+      nInter * lit(TauDen) >= lit(tauNum(tau)) * least(col("sa"), col("sb"))
     explodeContainmentDirections(
       a.join(broadcast(b), col("id_a") < col("id_b") && passes)
         .select(col("id_a"), col("id_b"), col("sa"), col("sb"),
@@ -1386,10 +1417,17 @@ object Dedup {
     * a DETERMINISTIC detection guarantee: two docs sharing any run of
     * WinnowW + WinnowK − 1 = 7 tokens share a selected fingerprint
     * (Schleimer et al.'s theorem), so candidate recall for
-    * contiguous-overlap duplicates is 1 BY CONSTRUCTION, where
-    * MinHash/SimHash recall is probabilistic. Candidates = doc pairs
-    * sharing ≥1 sub-cap fingerprint (a postings join on 8-byte hashes,
-    * frequent-fp stop list capping bucket blowup), then the
+    * contiguous-overlap duplicates is 1 BY CONSTRUCTION — QUALIFIED by
+    * the stop list below: the guarantee holds only for pairs whose
+    * shared run selects at least one fingerprint with df ≤ `dfCap`.
+    * A pair whose ONLY shared runs are corpus boilerplate (every
+    * selected fingerprint more frequent than the cap) is dropped with
+    * the stop list — deliberate (those pairs are boilerplate overlap,
+    * not duplication), but no longer deterministic recall 1; where
+    * MinHash/SimHash recall is probabilistic everywhere, this tier's
+    * recall is exact below the cap and 0 above it. Candidates = doc
+    * pairs sharing ≥1 sub-cap fingerprint (a postings join on 8-byte
+    * hashes, frequent-fp stop list capping bucket blowup), then the
     * candidate-bounded exact verifier scores them — the same
     * verify-the-candidates shape as the LSH pipeline, so work is
     * bounded by the fingerprint-bucket output, never corpus². */

@@ -156,7 +156,18 @@ object QualityClassifier {
     * model score a STREAM scan-side (the weights ride into every
     * micro-batch plan as a literal). Integer addition is associative,
     * so the token-order fold equals the batch path's Σ_f w[f]·x[f]
-    * EXACTLY — one model, two execution shapes, one oracle. */
+    * EXACTLY — one model, two execution shapes, one oracle.
+    *
+    * GATE-SCHEMA CAVEAT (ADVICE r10): this entry runs the input through
+    * [[perceptronCorpus]], i.e. over the PLANTED training schema — every
+    * doc gets the label-derived marker suffix appended before scoring,
+    * which is what makes the result oracle-recomputable (the oracle
+    * replants identically) but means served predictions here reflect the
+    * plant, not organic text. A production deployment scores a
+    * pre-labeled/raw frame instead: build the margin fold directly over
+    * `tokenize(text)` of the real corpus with the same literal weight
+    * map — the scoring math is unchanged; only the plant wrapper is
+    * test-harness scaffolding. */
   def scoreDocs(docs: DataFrame, w: Map[Long, Long]): DataFrame = {
     val bias = w.getOrElse(D.toLong, 0L)
     perceptronCorpus(docs)

@@ -482,9 +482,14 @@ object Similarity {
         .agg(count(lit(1)), sum(col("best_d")),
           count_distinct(col("sub"), col("cell"))).head()
       val (n, err, used) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+      // relative tolerance: the summed squared-L2 error GROWS with the
+      // corpus, so a fixed 1e-6 slack would be swamped by float
+      // accumulation noise at larger SFs and flip the hashed flag with
+      // no training bug (ADVICE r10); 1e-9 relative tracks the error's
+      // own scale, the absolute term covers prevErr ≈ 0
       val row = (it, n,
         if (used >= 1 && used <= PqM.toLong * PqK) 1 else 0,
-        if (err <= prevErr + 1e-6) 1 else 0)
+        if (err <= prevErr * (1 + 1e-9) + 1e-6) 1 else 0)
       prevErr = err
       if (it < iters - 1) cb = pqLloydStep(sv, cb)
       row

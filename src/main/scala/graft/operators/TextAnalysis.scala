@@ -968,7 +968,18 @@ object TextAnalysis {
     // hash array per window (measured O(G²): 229 s for sf0.01's 45k
     // grams vs <1 s bound; the shared helper's scaladoc has the story)
     val sel = letCol(wordNgrams(toks, WinnowK)) { grams =>
-      letCol(when(size(grams) === 0, emptyLongs)
+      // positions pack into the low 20 bits of the selection key — a doc
+      // beyond 2^20−1 grams would drive (WinnowM−1−i) negative and
+      // corrupt the hash bits SILENTLY, fingerprinting the doc wrongly
+      // (ADVICE r10; same silent-cap class as Retrieval.ChunkIdStride).
+      // Fail loudly instead: at 100 TB an over-cap doc is a data bug
+      // (≥ ~4 MB of text in one row) the pipeline must surface, not
+      // absorb as wrong near-dup pairs.
+      letCol(when(size(grams) >= lit(WinnowM),
+            raise_error(format_string(
+              "winnowing: doc %s has %s grams, over the 2^20 position cap",
+              col("doc_id"), size(grams))))
+          .when(size(grams) === 0, emptyLongs)
           .otherwise(transform(sequence(lit(1), size(grams)), i =>
             conv(substring(md5(element_at(grams, i)), 1, 10), 16, 10)
               .cast("long") * lit(WinnowM)
