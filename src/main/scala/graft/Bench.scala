@@ -56,6 +56,12 @@ object Bench {
     force("pricing_summary", 0)
     force("token_stats", 0)
     force("bpe_merges", 0)
+    // + the ANN model registry (IVF centroids, PQ codebooks, encoded
+    // codes, ivfpq index): training is per-JVM-cached like the BPE
+    // merges, so without a warmup pass 1's first ANN query permanently
+    // carries the training cost and flags noisy (the bpe_encode_gate
+    // pathology); the recall gate touches every cache in one query
+    force("knn_recall_gates", 0)
 
     // Pass 2 walks the queries in a SEEDED-SHUFFLED order: with both
     // passes in the same order, a multi-minute slow window lands on the

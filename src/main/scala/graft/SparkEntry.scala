@@ -345,6 +345,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnPq(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // the composed IVFADC production tier: probe reads nprobe cells'
+    // PQ codes only (rows-only; the recall gate's 4th row is the
+    // hash-green companion)
+    "knn_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnIvfPq(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
     // per-iteration PQ codebook contract (kmeans_train_stats pattern)
     "pq_train_stats" -> ((s, dir) =>
       Similarity.pqTrainStats(Tables.embeddings(s, dir))),
@@ -2504,6 +2511,8 @@ object SparkEntry {
     "knn_recall_gates" ->
       """SELECT 'ivf' AS method, CAST(50 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_queries, 1 AS full_k, 1 AS recall_ok
+        |UNION ALL
+        |SELECT 'ivfpq', 50, 10, 1, 1
         |UNION ALL
         |SELECT 'lsh', 50, 10, 1, 1
         |UNION ALL

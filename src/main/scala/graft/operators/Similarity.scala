@@ -113,11 +113,68 @@ object Similarity {
     * iterations — graft.tools.IvfSweep). At 100 TB, cells grows ~√N so
     * nprobe stays a small constant FRACTION of a much larger codebook and
     * the probe still reads only nprobe partitions. */
+  /** Seeded-init + Lloyd-refined IVF codebook over a decoded (vec_id, v)
+    * frame — the shared trainer behind [[knnIvf]], [[cellAssignments]]
+    * and [[ivfPqIndex]]. Empty corpus → empty codebook.
+    *
+    * Each Lloyd pass rescans its input, so the decoded training frame
+    * is cached for the duration of training (unpersisted before any
+    * probe query — the final assignment is one fresh scan either way).
+    * At 100 TB the codebook trains on a deterministic hash-SAMPLE of
+    * the corpus that fits the cache, not the full table — the
+    * assignment pass is the only stage that must see every row. */
+  private def trainIvf(e: DataFrame, cells: Int,
+                       lloydIters: Int): Array[Array[Double]] =
+    ivfModelCache.computeIfAbsent(
+      (corpusFp(e, Seq("vec_id", "v")), cells, lloydIters),
+      _ => trainIvfUncached(e, cells, lloydIters))
+
+  private def trainIvfUncached(e: DataFrame, cells: Int,
+                               lloydIters: Int): Array[Array[Double]] = {
+    val seeds = seedCentroids(e, cells)
+    if (seeds.isEmpty) return Array.empty
+    val dim = seeds.head.length // derived from the data, no fixed 64
+    var refined = seeds.map(unitize)
+    if (lloydIters > 1) e.persist()
+    for (_ <- 0 until lloydIters) refined = lloydStep(e, refined, dim)
+    if (lloydIters > 1) e.unpersist(false)
+    refined
+  }
+
+  /** Per-JVM trained-model registry — a codebook is a PURE FUNCTION of
+    * (corpus content, hyperparameters), so retraining it in every query
+    * of a session is pure job-count waste (the ANN corpora are small;
+    * the cost is Spark job orchestration, not data). Keyed by a content
+    * fingerprint — row count + order-independent sum of per-row
+    * xxhash64 — which is ONE cheap scalar job versus ~6 training jobs,
+    * and (unlike plan-identity keys) cannot confuse two in-memory test
+    * frames that share a schema but differ in rows. The training-
+    * CONTRACT queries (kmeansTrainStats / pqTrainStats) deliberately
+    * bypass the cache: their per-iteration output IS the point. At
+    * production scale the same artifact lives in a model store; this is
+    * the in-session equivalent (the bpeCache precedent). */
+  private def corpusFp(df: DataFrame, cols: Seq[String]): (Long, String) = {
+    // sum in decimal: an int64 sum of n × xxhash64 values overflows
+    // (and ANSI mode makes that an error, not a wrap) — decimal(38,0)
+    // holds any realistic corpus count × 2^63 exactly
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(cols.map(col): _*).cast("decimal(20,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+  }
+  private val ivfModelCache = new java.util.concurrent.ConcurrentHashMap[
+    ((Long, String), Int, Int), Array[Array[Double]]]()
+  private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
+    ((Long, String), Int), Array[Array[Array[Double]]]]()
+  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[
+    ((Long, String), Int), DataFrame]()
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    ((Long, String), Int, Int, Int), DataFrame]()
+
   def knnIvf(emb: DataFrame, queries: DataFrame, k: Int,
              cells: Int = 16, nprobe: Int = 8, lloydIters: Int = 3): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val seeds = seedCentroids(e, cells)
-    if (seeds.isEmpty) {
+    val refined = trainIvf(e, cells, lloydIters)
+    if (refined.isEmpty) {
       // degenerate empty corpus: no centroids to train — empty result
       // with the contract schema instead of a driver crash
       val s = emb.sparkSession
@@ -125,19 +182,15 @@ object Similarity {
       return Seq.empty[(Long, Long, Double, Int)]
         .toDF("query_id", "nn_id", "sim", "rn")
     }
-    val dim = seeds.head.length // derived from the data, no fixed 64
+    knnIvfWith(e, refined, queries, k, nprobe)
+  }
 
-    // each Lloyd pass rescans its input, so cache the decoded training
-    // frame for the duration of training (unpersist before the probe
-    // query — the final assignment is one fresh scan either way). At
-    // 100 TB the codebook trains on a deterministic hash-SAMPLE of the
-    // corpus that fits the cache, not the full table — the assignment
-    // pass below is the only stage that must see every row.
-    var refined = seeds.map(unitize)
-    if (lloydIters > 1) e.persist()
-    for (_ <- 0 until lloydIters) refined = lloydStep(e, refined, dim)
-    if (lloydIters > 1) e.unpersist(false)
-
+  /** The probe phase of [[knnIvf]] against an already-trained codebook —
+    * split out so [[knnRecallGates]] can train each model ONCE and share
+    * it across tiers (the gate ran every tier's trainer separately and
+    * spent 2× its time re-deriving identical models). */
+  private def knnIvfWith(e: DataFrame, refined: Array[Array[Double]],
+                         queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val assigned = assignCells(e, refined).drop("best_dot")
       .withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
 
@@ -181,15 +234,10 @@ object Similarity {
   private[operators] def cellAssignments(emb: DataFrame, cells: Int,
       lloydIters: Int, probes: Int): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val seeds = seedCentroids(e, cells)
-    if (seeds.isEmpty)
+    val refined = trainIvf(e, cells, lloydIters)
+    if (refined.isEmpty)
       return e.withColumn("norm", lit(0.0))
         .withColumn("cell", lit(0)).limit(0)
-    val dim = seeds.head.length
-    var refined = seeds.map(unitize)
-    if (lloydIters > 1) e.persist()
-    for (_ <- 0 until lloydIters) refined = lloydStep(e, refined, dim)
-    if (lloydIters > 1) e.unpersist(false)
     val probeStructs = array(refined.indices.map(i =>
       struct(dot_native(col("v"), typedlit(refined(i).toSeq)).as("d"),
         lit(i).as("cell"))): _*)
@@ -284,8 +332,15 @@ object Similarity {
   def knnRecallGates(emb: DataFrame, queries: DataFrame, k: Int,
                      lshFloor: Double = 0.6,
                      ivfFloor: Double = 0.6,
-                     pqFloor: Double = 0.6): DataFrame = {
-    val bf = knnBruteForce(emb, queries, k).select("query_id", "nn_id")
+                     pqFloor: Double = 0.6,
+                     ivfpqFloor: Double = 0.6): DataFrame = {
+    // ONE brute-force scan serves every approximate tier's recall join:
+    // the exact top-k is scratch-materialized (nq·k rows) instead of
+    // re-deriving the full corpus × queries pair scan per gate — with
+    // four tiers that was the gate's dominant cost (2.2 → 5.0 s across
+    // r9-r10, growing per tier; the ground truth is tier-invariant)
+    val bf = Checkpoints.scratch(
+      knnBruteForce(emb, queries, k).select("query_id", "nn_id"))
     def gate(name: String, ann: DataFrame, floor: Double): DataFrame =
       ann.select("query_id", "nn_id")
         .join(bf.withColumn("hit", lit(1)), Seq("query_id", "nn_id"), "left")
@@ -298,9 +353,32 @@ object Similarity {
           (col("n_results") === col("n_queries") * k).cast("int").as("full_k"),
           (col("n_hits").cast("double") >=
             lit(floor) * col("n_queries") * k).cast("int").as("recall_ok"))
-    gate("ivf", knnIvf(emb, queries, k), ivfFloor)
-      .unionAll(gate("lsh", knnLsh(emb, queries, k), lshFloor))
-      .unionAll(gate("pq", knnPq(emb, queries, k), pqFloor))
+    // shared-model path: train the IVF codebook and the PQ codebooks
+    // ONCE, encode the corpus ONCE (the ivfpq index's codes ARE the pq
+    // tier's codes, plus the cell id), and run all four probe queries
+    // against the shared models — identical outputs to the standalone
+    // tiers (same deterministic trainers, same parameters), at one
+    // training cost instead of two of each. Degenerate corpora fall
+    // back to the standalone entries, which handle empties.
+    val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val cents = trainIvf(e, 16, 3)
+    val cb = if (cents.isEmpty) Array.empty[Array[Array[Double]]]
+             else pqTrain(emb)
+    val (ivf, ivfpq, lsh, pq) =
+      if (cents.isEmpty || cb.isEmpty)
+        (knnIvf(emb, queries, k), knnIvfPq(emb, queries, k),
+          knnLsh(emb, queries, k), knnPq(emb, queries, k))
+      else {
+        val (_, _, index) = ivfPqIndex(emb) // cache-backed: encode once
+        (knnIvfWith(e, cents, queries, k, 8),
+          knnIvfPqWith(emb, index, cents, cb, queries, k, 8, 50),
+          knnLsh(emb, queries, k),
+          knnPqWith(emb, index.select("nn_id", "codes"), cb, queries, k, 50))
+      }
+    gate("ivf", ivf, ivfFloor)
+      .unionAll(gate("ivfpq", ivfpq, ivfpqFloor))
+      .unionAll(gate("lsh", lsh, lshFloor))
+      .unionAll(gate("pq", pq, pqFloor))
       .orderBy("method")
   }
 
@@ -454,6 +532,12 @@ object Similarity {
     * codebook. Plain L2 (not spherical): PQ quantizes residual
     * geometry, not direction. */
   def pqTrain(emb: DataFrame, iters: Int = PqIters)
+      : Array[Array[Array[Double]]] =
+    pqModelCache.computeIfAbsent(
+      (corpusFp(emb, Seq("vec_id", "embedding")), iters),
+      _ => pqTrainUncached(emb, iters))
+
+  private def pqTrainUncached(emb: DataFrame, iters: Int)
       : Array[Array[Array[Double]]] = {
     var cb = pqSeed(emb)
     if (cb.isEmpty) return cb
@@ -540,17 +624,31 @@ object Similarity {
       return Seq.empty[(Long, Long, Int)].toDF("query_id", "nn_id", "rn")
     }
     val cbSeq = cb.map(_.toSeq.map(_.toSeq)).toSeq
-    val cbl = typedlit(cbSeq)
     // materialize codes/tables as STORED columns (scratch checkpoint):
     // they are each statically single-use downstream, so Catalyst would
     // inline the whole nested encode expression into the ADC fold and
     // re-evaluate it per subspace step — measured 53 s for 5k pairs vs
     // ~2 s materialized (the winnowing inlining lesson). At scale codes
-    // ARE a stored column — encode once is the PQ contract, not a hack.
-    val corpus = Checkpoints.scratch(
-      emb.select(col("vec_id").as("nn_id"),
-        pqCodes(unitVec(toDoubleVec(col("embedding"))), cbSeq)
-          .as("codes")))
+    // ARE a stored column — encode once is the PQ contract, not a hack
+    // (hence the per-JVM cache: the codes are model output, like cb).
+    val corpus = pqCodesCache.computeIfAbsent(
+      (corpusFp(emb, Seq("vec_id", "embedding")), iters),
+      _ => Checkpoints.scratch(
+        emb.select(col("vec_id").as("nn_id"),
+          pqCodes(unitVec(toDoubleVec(col("embedding"))), cbSeq)
+            .as("codes"))))
+    knnPqWith(emb, corpus, cb, queries, k, rerank)
+  }
+
+  /** ADC scan + exact re-rank of [[knnPq]] against already-encoded
+    * corpus codes — split out so [[knnRecallGates]] shares one encode
+    * pass between the pq and ivfpq tiers (the codes are identical; the
+    * ivfpq index just carries the cell id besides). */
+  private def knnPqWith(emb: DataFrame, corpus: DataFrame,
+                        cb: Array[Array[Array[Double]]], queries: DataFrame,
+                        k: Int, rerank: Int): DataFrame = {
+    val cbSeq = cb.map(_.toSeq.map(_.toSeq)).toSeq
+    val cbl = typedlit(cbSeq)
     val q = Checkpoints.scratch(
       queries.select(col("vec_id").as("query_id"),
         unitVec(toDoubleVec(col("embedding"))).as("vq"))
@@ -580,6 +678,141 @@ object Similarity {
       .orderBy(desc("sim"), asc("nn_id"))
     broadcast(shortlist).join(cv, Seq("nn_id"))
       .join(broadcast(q.select("query_id", "vq")), Seq("query_id"))
+      .withColumn("sim", round(dot_native(col("vq"), col("vc")), 6))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("nn_id"), col("rn"))
+  }
+
+  // ---- IVF × PQ: the composed production index (IVFADC) ----
+
+  /** The IVF-PQ INDEX: every corpus vector's IVF cell id plus its PQ
+    * codes — the table a 100 TB deployment builds ONCE and stores
+    * `partitionBy("cell")`, so a probe opens only its nprobe cell
+    * directories and reads 8-byte code rows, never raw vectors (the
+    * difference between "scan all codes" (knnPq) / "read nprobe cells
+    * of raw floats" (knnIvf) and "read nprobe cells of CODES" — Jégou
+    * et al. 2011's IVFADC). Returns (ivf centroids, pq codebook, index
+    * frame (nn_id, cell, codes)); the models are driver metadata both
+    * the probe side and any later encode increment reuse. Empty/wrong-
+    * dim corpus → empty models + empty frame. SourcesSpec pins that a
+    * cell-partitioned write of this frame prunes to the probed cells'
+    * directories on re-scan. */
+  def ivfPqIndex(emb: DataFrame, cells: Int = 16, lloydIters: Int = 3,
+                 iters: Int = PqIters)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val cents = trainIvf(e, cells, lloydIters)
+    val cb = if (cents.isEmpty) Array.empty[Array[Array[Double]]]
+             else pqTrain(emb, iters)
+    if (cents.isEmpty || cb.isEmpty) {
+      val empty = e.select(col("vec_id").as("nn_id"))
+        .withColumn("cell", lit(0))
+        .withColumn("codes", typedlit(Seq.empty[Int])).limit(0)
+      return (Array.empty[Array[Double]],
+        Array.empty[Array[Array[Double]]], empty)
+    }
+    val cbSeq = cb.map(_.toSeq.map(_.toSeq)).toSeq
+    // cell assignment and PQ encode fuse into ONE corpus scan; the
+    // scratch checkpoint materializes the index exactly once (both the
+    // ADC probe and a partitioned write would otherwise re-encode),
+    // and the per-JVM cache keeps the built index across queries —
+    // encode-once is the index contract, like the codebooks themselves
+    val index = ivfPqIndexCache.computeIfAbsent(
+      (corpusFp(emb, Seq("vec_id", "embedding")), cells, lloydIters, iters),
+      _ => Checkpoints.scratch(
+        assignCells(e, cents).drop("best_dot")
+          .select(col("vec_id").as("nn_id"), col("cell"),
+            pqCodes(unitVec(col("v")), cbSeq).as("codes"))))
+    (cents, cb, index)
+  }
+
+  /** ANN top-k via the COMPOSED IVF×PQ index — the production shape at
+    * 100 TB, uniting [[knnIvf]]'s partition pruning with [[knnPq]]'s
+    * 8-byte scan tier:
+    *
+    *   1. probe: each query selects its nprobe nearest IVF cells
+    *      (per-row struct-sort against the driver-held centroids, the
+    *      knnIvf pattern) and precomputes its [M][K] ADC table;
+    *   2. ADC scan: the probe frame broadcasts and EQUI-JOINS the index
+    *      on the cell id — candidates are the probed cells' code rows
+    *      only (a BroadcastHashJoin; knnPq's all-codes scan was the
+    *      non-equi broadcast product this composition removes; PlanSpec
+    *      pins the hash join). Approx distance = Σ table lookups on the
+    *      codes — the corpus side touches no floats;
+    *   3. exact re-rank: the ADC top-`rerank` shortlist (nq·rerank
+    *      rows, driver-bounded) fetches true vectors via broadcast
+    *      join and re-ranks by exact cosine.
+    *
+    * Recall vs exact top-5 on the testdata (tools/IvfPqProbe): 0.74
+    * (sf0.01) / 0.90 (sf0.001) with cells=16, nprobe=8 — the IVF
+    * probe-miss and ADC distortion losses compose (ivf alone 0.82/0.90,
+    * pq alone 0.90); the 0.6 floor in [[knnRecallGates]] keeps real
+    * margin under the composition. Deterministic end-to-end: seeded
+    * codebooks, argmin/argmax first-index tie-breaks, rank ties on
+    * nn_id. */
+  def knnIvfPq(emb: DataFrame, queries: DataFrame, k: Int,
+               cells: Int = 16, nprobe: Int = 8, lloydIters: Int = 3,
+               iters: Int = PqIters, rerank: Int = 50): DataFrame = {
+    val (cents, cb, index) = ivfPqIndex(emb, cells, lloydIters, iters)
+    if (cents.isEmpty) {
+      val s = emb.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Long, Int)].toDF("query_id", "nn_id", "rn")
+    }
+    knnIvfPqWith(emb, index, cents, cb, queries, k, nprobe, rerank)
+  }
+
+  /** Probe → ADC → re-rank of [[knnIvfPq]] against an already-built
+    * index — split out for [[knnRecallGates]]'s shared-model path. */
+  private def knnIvfPqWith(emb: DataFrame, index: DataFrame,
+                           cents: Array[Array[Double]],
+                           cb: Array[Array[Array[Double]]],
+                           queries: DataFrame, k: Int, nprobe: Int,
+                           rerank: Int): DataFrame = {
+    val cbSeq = cb.map(_.toSeq.map(_.toSeq)).toSeq
+    val cbl = typedlit(cbSeq)
+    // probe frame: one row per (query, probed cell), carrying the ADC
+    // table once per query row — nq·nprobe rows of driver-bounded size
+    val probeStructs = array(cents.indices.map(i =>
+      struct(dot_native(col("v"), typedlit(cents(i).toSeq)).as("d"),
+        lit(i).as("cell"))): _*)
+    val q = Checkpoints.scratch(
+      queries.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        .withColumn("vq", unitVec(col("v")))
+        .withColumn("tabs",
+          transform(sequence(lit(0), lit(PqM - 1)), s =>
+            transform(sequence(lit(1), lit(PqK)), kk =>
+              aggregate(
+                zip_with(slice(col("vq"), s * PqSubDim + 1, lit(PqSubDim)),
+                  element_at(element_at(cbl, s + 1), kk),
+                  (a, b) => (a - b) * (a - b)),
+                lit(0.0d), (acc, x) => acc + x))))
+        .withColumn("probe",
+          explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
+        .select(col("vec_id").as("query_id"), col("vq"), col("tabs"),
+          col("probe.cell").as("cell")))
+    // each corpus vector lives in exactly one cell and a query probes
+    // distinct cells → a (query, nn) candidate appears at most once
+    val wA = Window.partitionBy("query_id")
+      .orderBy(asc("approx_d"), asc("nn_id"))
+    val shortlist = index
+      .join(broadcast(q.select("query_id", "tabs", "cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("approx_d",
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0d),
+          (acc, s) => acc + element_at(element_at(col("tabs"), s + 1),
+            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= rerank)
+      .select("query_id", "nn_id")
+    val cv = emb.select(col("vec_id").as("nn_id"),
+      unitVec(toDoubleVec(col("embedding"))).as("vc"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("nn_id"))
+    broadcast(shortlist).join(cv, Seq("nn_id"))
+      .join(broadcast(q.select("query_id", "vq")
+        .dropDuplicates("query_id")), Seq("query_id"))
       .withColumn("sim", round(dot_native(col("vq"), col("vc")), 6))
       .withColumn("rn", row_number().over(wE))
       .filter(col("rn") <= k)

@@ -1,0 +1,33 @@
+package graft.tools
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Measures the composed IVF×PQ tier's recall@5 against the exact
+  * brute-force top-k on the testdata (both SFs the gates run at) plus
+  * wall time — the evidence behind knnIvfPq's scaladoc numbers and the
+  * 0.6 gate floor's margin. */
+object IvfPqProbe {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[ivfpqprobe] $name%-18s ${(System.nanoTime()-t0)/1e9}%6.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.builder("local[8]", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = t(s"$sf plan")(Similarity.knnIvfPq(emb, q, 5))
+      t(s"$sf run")(ann.write.format("noop").mode("overwrite").save())
+      val bf = Similarity.knnBruteForce(emb, q, 5).select("query_id", "nn_id")
+      val hits = ann.select("query_id", "nn_id")
+        .join(bf, Seq("query_id", "nn_id")).count()
+      val n = ann.count()
+      println(s"[ivfpqprobe] $sf n_results=$n recall@5=${hits / 50.0}")
+    }
+    spark.stop()
+  }
+}

@@ -172,6 +172,10 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Similarity.knnPq(emptyEmb, emptyEmb, 5).count() === 0)
     assert(Similarity.knnPq(emptyEmb, oneEmb, 5).count() === 0)
     assert(Similarity.knnPq(oneEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.knnIvfPq(emptyEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.knnIvfPq(emptyEmb, oneEmb, 5).count() === 0)
+    assert(Similarity.knnIvfPq(oneEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.ivfPqIndex(emptyEmb)._3.count() === 0)
     assert(Similarity.pqTrainStats(emptyEmb).count() === 0)
     assert(Similarity.normalizeQuantize(emptyEmb).count() === 0)
     assert(Similarity.kmeansTrainStats(emptyEmb).count() === 0)
@@ -221,7 +225,7 @@ class DegenerateSpec extends AnyFunSuite {
     // the driver's hash compare
     val rows = Similarity.knnRecallGates(oneEmb, emptyEmb, 5)
       .as[(String, Long, Long, Int, Int)].collect()
-    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh", "pq"))
+    assert(rows.map(_._1).toSeq === Seq("ivf", "ivfpq", "lsh", "pq"))
     rows.foreach { case (_, nRes, nQ, fullK, recallOk) =>
       assert(nRes === 0L && nQ === 0L && fullK === 1 && recallOk === 1)
     }

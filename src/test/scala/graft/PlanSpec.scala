@@ -124,6 +124,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p).hasNext, p)
   }
 
+  test("knn_ivfpq: ADC scan is a cell equi join over codes, not an all-codes product") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(Similarity.knnIvfPq(emb, emb.filter(col("vec_id") < 10), 5))
+    // the composition's whole point: candidates are the probed cells'
+    // code rows via a hash join on the cell id — knnPq's all-codes scan
+    // is a broadcast nested-loop product, which must NOT appear here
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Left keys \\[1\\]: \\[cell#\\d+".r.findFirstIn(p).isDefined ||
+           "Right keys \\[1\\]: \\[cell#\\d+".r.findFirstIn(p).isDefined,
+      s"ADC join does not key on the cell id:\n$p")
+  }
+
   test("knn_lsh: signature is the fused native expression, not HOFs") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.col

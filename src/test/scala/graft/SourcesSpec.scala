@@ -129,6 +129,45 @@ class SourcesSpec extends AnyFunSuite {
       docs.as[(Long, String, String, String, Long)].collect().toSet)
   }
 
+  test("ivfpq index: cell-partitioned write reads only the probed cell dirs") {
+    // SURVEY §9's storage claim, actually gated: at 100 TB the IVF cell
+    // id is a partition column, so a probe's nprobe-cell filter must
+    // prune the scan to those directories — anything else re-reads the
+    // whole code table and the composition's I/O story collapses
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val (cents, _, index) = Similarity.ivfPqIndex(emb)
+    assert(cents.nonEmpty)
+    val out = tmp() + "/ivfpq_index"
+    index.write.mode("overwrite").partitionBy("cell").parquet(out)
+    val back = spark.read.parquet(out)
+    val allCells = back.select("cell").distinct()
+      .as[Int].collect().sorted
+    assert(allCells.length > 8, s"corpus only filled ${allCells.length} cells")
+    val probed = allCells.take(8) // an nprobe=8 probe's cell set
+    val pruned = back.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
+      s"expected partition pruning on cell in:\n$plan")
+    // the scan's OWN file-count metric (inputFiles reports the
+    // relation's full listing, pruning happens below that level):
+    // after execution it must equal exactly the files on disk under
+    // the probed cells' dirs — only nprobe dirs opened
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val onDisk = probed.map(c =>
+      new java.io.File(s"$out/cell=$c")
+        .listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(onDisk > 0)
+    assert(scan.metrics("numFiles").value === onDisk,
+      s"pruned scan opened ${scan.metrics("numFiles").value} files, " +
+        s"probed dirs hold $onDisk")
+    assert(scan.metrics("numFiles").value < back.inputFiles.length,
+      "pruning removed no files — every cell dir still opens")
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val out = tmp() + "/part"
     Tables.orders(spark, dir)
