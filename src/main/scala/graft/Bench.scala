@@ -74,12 +74,37 @@ object Bench {
     // for targeted timing while iterating on one operator. The driver
     // passes none, so the full set (and the committed bench_full.json)
     // is unaffected.
+    // Host-window canary (r10 verdict #4): the host exhibits multi-
+    // minute slow windows that inflate a whole pass uniformly — a run
+    // that lands in one reads as a broad phantom regression (the r10
+    // driver re-run flagged 27 queries noisy purely from the window).
+    // A fixed cheap query timed at each pass boundary, compared against
+    // its committed healthy-host reference, turns "was this run slow?"
+    // from guesswork into a stamped fact: any boundary ratio > 1.5x
+    // marks the artifact window_degraded and a reader discounts totals
+    // instead of chasing per-query ghosts. token_stats is the canary:
+    // scan-fused, sub-second, byte-stable across rounds (committed
+    // 0.27-0.28 s in every healthy run since r8).
+    val CanaryRef = 0.28
+    var canaries = Vector.empty[Double]
+    def canary(): Unit = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("token_stats")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      canaries :+= dt
+      System.err.println(f"[bench] canary ${canaries.size} $dt%6.2f s (ref $CanaryRef)")
+    }
+
     val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     val pass2Order = new scala.util.Random(0x9e3779b9L).shuffle(names)
+    canary()
     val pass1 = names.map(n => n -> force(n, 1)).toMap
+    canary()
     val pass2 = pass2Order.map(n => n -> force(n, 2)).toMap
+    canary()
 
     // A failed run (-1) must not win the min; if both passes failed the
     // query reports -1 and is excluded from the total like before.
@@ -111,13 +136,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryRatios = canaries.map(c => c / CanaryRef)
+    val windowDegraded = canaryRatios.exists(_ > 1.5)
+    val canaryJson =
+      s""""canary":{"ref":$CanaryRef,""" +
+      s""""ratios":${canaryRatios.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
+      s""""window_degraded":$windowDegraded}"""
     val total = results.map(_._2).filter(valid).sum
     // Verbose per-query line first (distinct metric name so a consumer
     // that sums or de-dupes "total" lines never double-counts), then the
     // compact driver-contract line LAST: the per-query map is ~2 KB and
     // can fall off the head of a bounded tail window, so the final line
     // a tail-only parser sees must be the canonical total.
-    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"noisy":$noisyJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"noisy":$noisyJson,$canaryJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
 
     // Full per-query persistence: the driver captures only the TAIL of
@@ -144,6 +175,7 @@ object Bench {
            |"metric":"bench_full","unit":"sec","sf":"$sfDir",
            |"total":$total,
            |"noisy":$noisyJson,
+           |$canaryJson,
            |"queries":{
            |$perQuery
            |}

@@ -477,6 +477,11 @@ object SparkEntry {
     // the settled result equal the batch scorer exactly
     "streamed_quality_filter" ->
       (graft.streaming.Streaming.streamedQualityFilter _),
+    // MinHash near-dup filter in the micro-batch path: stream-side
+    // signatures vs the broadcast base band index, exact verify,
+    // settles to the batch incrementalNearDup answer (shared oracle)
+    "streamed_neardup_ingest" ->
+      (graft.streaming.Streaming.streamedNearDupIngest _),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // k-anonymity-style small-cell suppression for published breakdowns
@@ -687,6 +692,48 @@ object SparkEntry {
   /** The capstone oracle as a tau-parameterized template: the gated
     * exact-tier query interpolates DefaultTau, the LSH-tier gate
     * interpolates LshGateTau — one SQL definition, two thresholds. */
+  /** Exact recompute of the cross-increment near-dup filter: planted
+    * fresh docs (ids +DupIdOffset) vs base, bigram Jaccard ≥ 0.9 (the
+    * LSH-deterministic band, splitLeakageNearDup's convention), one row
+    * per dropped fresh doc keyed to its smallest base match. Shared by
+    * `incremental_neardup` (the batch operator) and
+    * `streamed_neardup_ingest` (the micro-batch ingest filter, which
+    * settles to the identical answer by construction). */
+  private lazy val incrementalNearDupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, FALSE AS fresh FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Dedup.DupIdOffset},
+       |    regexp_replace(text, '^[^ ]+ ', ''), TRUE
+       |  FROM documents WHERE doc_id < 20),
+       |t AS (SELECT doc_id, fresh, $DuckTokList AS toks FROM corpus),
+       |feats AS (
+       |  SELECT DISTINCT doc_id, fresh,
+       |    toks[i] || ' ' || toks[i+1] AS feat
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+       |                   AS i) g),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS fid, b.doc_id AS bid, count(*) AS n_inter
+       |  FROM feats a JOIN feats b
+       |    ON a.feat = b.feat AND a.fresh AND NOT b.fresh
+       |  GROUP BY 1,2),
+       |v AS (
+       |  SELECT fid, bid,
+       |    round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+       |      AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = fid
+       |  JOIN sizes sb ON sb.doc_id = bid
+       |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
+       |    >= ${Dedup.IncrementalTau}),
+       |r AS (
+       |  SELECT fid, bid, jaccard,
+       |    row_number() OVER (PARTITION BY fid ORDER BY bid) AS rn
+       |  FROM v)
+       |SELECT fid AS doc_id, bid AS dup_of, jaccard
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   private def corpusAssemblySql(tau: Double): String =
     s"""WITH RECURSIVE q AS (
          |  SELECT doc_id, lang,
@@ -3276,40 +3323,11 @@ object SparkEntry {
     // fresh docs (ids +10000) vs base, bigram Jaccard >= 0.9 (the
     // LSH-deterministic band, splitLeakageNearDup's convention), one
     // row per dropped fresh doc keyed to its smallest base match
-    "incremental_neardup" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text, FALSE AS fresh FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + ${Dedup.DupIdOffset},
-         |    regexp_replace(text, '^[^ ]+ ', ''), TRUE
-         |  FROM documents WHERE doc_id < 20),
-         |t AS (SELECT doc_id, fresh, $DuckTokList AS toks FROM corpus),
-         |feats AS (
-         |  SELECT DISTINCT doc_id, fresh,
-         |    toks[i] || ' ' || toks[i+1] AS feat
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
-         |                   AS i) g),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM feats GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS fid, b.doc_id AS bid, count(*) AS n_inter
-         |  FROM feats a JOIN feats b
-         |    ON a.feat = b.feat AND a.fresh AND NOT b.fresh
-         |  GROUP BY 1,2),
-         |v AS (
-         |  SELECT fid, bid,
-         |    round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
-         |      AS jaccard
-         |  FROM inter
-         |  JOIN sizes sa ON sa.doc_id = fid
-         |  JOIN sizes sb ON sb.doc_id = bid
-         |  WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6)
-         |    >= ${Dedup.IncrementalTau}),
-         |r AS (
-         |  SELECT fid, bid, jaccard,
-         |    row_number() OVER (PARTITION BY fid ORDER BY bid) AS rn
-         |  FROM v)
-         |SELECT fid AS doc_id, bid AS dup_of, jaccard
-         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "incremental_neardup" -> incrementalNearDupSql,
+    // the STREAMING ingest filter settles to the identical answer (same
+    // candidates, same estimate cut, same exact J — see
+    // Streaming.streamedNearDupIngest), so it shares the exact oracle
+    "streamed_neardup_ingest" -> incrementalNearDupSql,
     // refresh capstone recompute, stage by stage: syntheticDelta merge
     // (corpus_refresh's fragment) → fresh-vs-existing bigram Jaccard ≥
     // tau (incremental_neardup's fragment) → per-shard stats over the

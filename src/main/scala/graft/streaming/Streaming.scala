@@ -259,6 +259,96 @@ object Streaming {
       .orderBy("lang", "pred")
   }
 
+  /** Streaming NEAR-DUP filter at ingest — the near-dup complement of
+    * [[streamedDedupAgainstBase]]'s exact-hash tier, closing the
+    * daily-crawl stack: freshly crawled documents stream in, and each
+    * micro-batch drops the ones that near-duplicate the EXISTING base
+    * corpus (re-crawls with a changed header, syndicated copies) before
+    * they ever land.
+    *
+    * Shape: the base corpus's MinHash BAND INDEX (base_id, band,
+    * band_key — ids and 8-byte keys only) and its signature/feature
+    * table are built batch-side ONCE and broadcast; the stream side
+    * computes its own signature with the native MinHashTextSignature
+    * and its band keys scan-side, then candidates form through a
+    * stream-static broadcast equi join on (band, band_key) — the SAME
+    * banding as the batch tier ([[graft.operators.Dedup
+    * .minhashLshPairsAcross]]), so the stream NEVER shuffles and needs
+    * NO state store: like streamedQualityFilter, the static index IS
+    * the state. Candidates pass the signature-agreement estimate and
+    * then the exact bigram-Jaccard verify (identical formula to
+    * [[graft.operators.Dedup.jaccardVerifyPairs]] — same feature
+    * space, same 6-dp rounding), all as stateless per-row math against
+    * the broadcast tables. The settled match set therefore EQUALS the
+    * batch [[graft.operators.Dedup.incrementalNearDup]] answer on the
+    * same replay — same candidates, same estimate cut, same exact J —
+    * which is what the oracle recomputes in SQL and StreamingSpec
+    * cross-checks against the batch operator.
+    *
+    * At 100 TB the band index (ids + keys) broadcasts or bucket-joins;
+    * the per-candidate verify payload (signatures + feature arrays)
+    * stays candidate-bounded because it attaches AFTER the band join.
+    * The final keep-first-base aggregation runs BATCH-side on the
+    * settled matches (single-stateful-operator discipline — here even
+    * the stream is stateless). */
+  def streamedNearDupIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Checkpoints, Dedup}
+    import graft.functions.MinHashExpression.sig_agree_count
+    val k = 32; val bands = 8; val r = k / bands
+    val estTau = 0.4
+    val base = graft.sources.Tables.documents(s, dir).select(
+      Dedup.guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
+    // base model tables, built once: signatures + distinct-bigram
+    // feature arrays (the verify tier's payload), and the band index
+    val baseSigs = Checkpoints.scratch(
+      base.select(col("doc_id").as("base_id"),
+        Dedup.minhashSignature(col("text"), k).as("sig_b"),
+        transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
+          f => xxhash64(f)).as("fb")))
+    val baseBandIdx = baseSigs
+      .select(col("base_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig_b"))
+      .select(col("base_id"), col("band"),
+        xxhash64(col("band"), expr(s"slice(sig_b, band * $r + 1, $r)"))
+          .as("band_key"))
+    // the fresh increment streams in (the planted re-crawl: near copies
+    // of doc_id < PlantCount under shifted ids, the dedup-family
+    // convention); signature, band keys and features are scan-fused
+    val fresh = documentsStream(s, dir)
+      .filter(col("doc_id") < Dedup.PlantCount)
+      .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+      .withColumn("sig", Dedup.minhashSignature(col("text"), k))
+      .withColumn("fa",
+        transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
+          f => xxhash64(f)))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key",
+        xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)")))
+    val matches = fresh
+      .join(broadcast(baseBandIdx), Seq("band", "band_key"))
+      .join(broadcast(baseSigs), Seq("base_id"))
+      .filter(round(sig_agree_count(col("sig"), col("sig_b"))
+        .cast("double") / k, 6) >= estTau)
+      .withColumn("n_inter", size(array_intersect(col("fa"), col("fb"))))
+      .withColumn("denom",
+        size(col("fa")) + size(col("fb")) - col("n_inter"))
+      .filter(col("denom") > 0)
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / col("denom"), 6))
+      .filter(col("jaccard") >= Dedup.IncrementalTau)
+      .select(col("doc_id"), col("base_id"), col("jaccard"))
+    // settle, then keep each dropped doc's FIRST base match — the
+    // incrementalNearDup contract (multi-band hits of the same pair
+    // are value-identical rows; rn = 1 picks one deterministically)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("base_id")
+    settle(matches, "graft_stream_neardup", mode = "append")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
+  }
+
   /** Driver-gated in-stream dedup: replay the events table through TWO
     * identical file-stream legs — every event arrives exactly twice —
     * and suppress the duplicates with [[dedupStream]]'s watermark-bounded

@@ -199,6 +199,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streamed near-dup ingest equals the batch incremental filter") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamedNearDupIngest(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // the batch operator on the same planted replay — same candidates
+    // (identical banding), same estimate cut, same exact-J verify, so
+    // the settled stream must match row for row
+    val docs = Tables.documents(spark, dir).select(
+      Dedup.guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") < Dedup.PlantCount)
+      .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+    val batch = Dedup.incrementalNearDup(docs, fresh)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    // the plant guarantees matches exist — an empty match set would
+    // pass set-equality vacuously
+    assert(streamed.nonEmpty)
+  }
+
   test("checkpointed file stream resumes after a kill and settles to batch") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
