@@ -62,6 +62,8 @@ object Bench {
     // carries the training cost and flags noisy (the bpe_encode_gate
     // pathology); the recall gate touches every cache in one query
     force("knn_recall_gates", 0)
+    // + the unigram-LM trainer cache (same precedent as bpe_merges)
+    force("unigram_pieces", 0)
 
     // Pass 2 walks the queries in a SEEDED-SHUFFLED order: with both
     // passes in the same order, a multi-minute slow window lands on the

@@ -209,6 +209,12 @@ object SparkEntry {
       TextAnalysis.bpeTrainMerges(s, dir, nMerges = 20)),
     "bpe_merge_gate" -> ((s, dir) =>
       TextAnalysis.bpeMergeGate(s, dir, nMerges = 20)),
+    // SentencePiece-style unigram-LM tokenizer: EM-trained piece
+    // inventory (rows-only — SQL can't re-run EM; unigram_gate is the
+    // hash-green companion)
+    "unigram_pieces" -> ((s, dir) =>
+      TextAnalysis.unigramTrainPieces(s, dir)),
+    "unigram_gate" -> ((s, dir) => TextAnalysis.unigramGate(s, dir)),
     "bpe_encode_stats" -> ((s, dir) =>
       TextAnalysis.bpeEncodeStats(s, dir, nMerges = 20)),
     "bpe_encode_gate" -> ((s, dir) =>
@@ -1554,6 +1560,20 @@ object SparkEntry {
          |SELECT a AS step0_a, b AS step0_b, c AS step0_count,
          |  20 AS n_merges, 1 AS distinct_ok
          |FROM pc ORDER BY c DESC, a, b LIMIT 1""".stripMargin,
+    // the unigram trainer's ANSI-checkable side: the corpus character
+    // inventory is exact (tokenize → lowercase → distinct chars) and
+    // the four invariants — chars retained, full coverage, within-round
+    // EM monotone, vocab target honored — are pinned at 1
+    "unigram_gate" ->
+      s"""WITH w AS (SELECT DISTINCT lower(word) AS word
+         |           FROM ($DuckTokens) t
+         |           WHERE regexp_matches(word, '\\S')),
+         |c AS (SELECT DISTINCT substr(word, i, 1) AS ch
+         |      FROM w, LATERAL (SELECT unnest(generate_series(1,
+         |                         length(word))) AS i) g)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_chars,
+         |  1 AS chars_ok, 1 AS coverage_ok, 1 AS monotone_ok,
+         |  1 AS vocab_ok""".stripMargin,
     // exact word/char counts recomputed; the encode invariants
     // (symbol concat round-trips the word, counts in [1, n_chars])
     // are pinned at 1 — a broken merge flips them and fails the hash

@@ -1241,6 +1241,248 @@ object TextAnalysis {
         .cast("int").as("distinct_ok"))
   }
 
+  // ---- Unigram-LM tokenizer trainer (Kudo 2018 — the SentencePiece
+  //      unigram model: start from an over-complete substring seed
+  //      inventory, hard-EM re-estimate piece costs via Viterbi
+  //      segmentation, prune the least-used pieces per round) ----
+
+  /** Max piece length — bounds both the seeder's substring explosion
+    * (O(len·L) per word) and the Viterbi window. */
+  val UnigramMaxPieceLen = 4
+  /** Multi-char seed pieces kept (top by corpus-weighted count; all
+    * single chars are kept besides, unconditionally — they are the
+    * coverage floor and are never pruned). */
+  val UnigramSeedCap = 600
+  /** EM (segment → re-estimate) steps per prune round. */
+  val UnigramEmPerRound = 2
+  /** Fraction of prunable (multi-char) pieces dropped per round —
+    * lowest usage count first, lexicographic tie-break. */
+  val UnigramPruneFrac = 1.0 / 3
+  /** Default final piece-inventory target (total, chars included). */
+  val UnigramVocabTarget = 200
+  /** Unreachable-DP sentinel: far above any real path cost (a 10^4-char
+    * word at the max add-1 cost ≈ ln(corpus)·1e6 ≈ 4e7 micros/piece
+    * stays < 1e12) and far below Long.Max/2 so one addition of a real
+    * cost onto a sentinel cannot wrap. */
+  private val UnigramInf = 1000000000000000L // 1e15
+
+  /** Viterbi segmentation of one word under a literal (piece → cost
+    * micros) map — per-row column math, no UDF: a forward DP over the
+    * word's positions (each node keeps best cost + backpointer; window
+    * bounded by [[UnigramMaxPieceLen]], ties resolve to (min cost, min
+    * start) via struct array_min — deterministic), then a backward walk
+    * collecting the winning pieces. Returns struct(cost: long, pieces:
+    * array<string>); an unsegmentable word (possible only if the
+    * inventory lost a character) yields cost ≥ sentinel and EMPTY
+    * pieces — the coverage gate's trigger. try_element_at: ANSI mode
+    * makes plain element_at throw on a missing map key. */
+  private def unigramSegExpr(word: org.apache.spark.sql.Column,
+                             costMap: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val L = UnigramMaxPieceLen
+    val inf = lit(UnigramInf)
+    letCol(length(word)) { n =>
+      letCol(aggregate(
+        sequence(lit(2), n + 1),
+        array(struct(lit(0L).as("c"), lit(0).as("bp"))),
+        (acc, i) => concat(acc, array(
+          letCol(filter(
+            transform(sequence(greatest(lit(1), i - L), i - 1), j =>
+              struct(
+                (element_at(acc, j).getField("c") +
+                  coalesce(try_element_at(costMap, word.substr(j, i - j)),
+                    inf)).as("c"),
+                j.as("bp"))),
+            s => s.getField("c") < inf)) { cands =>
+            when(size(cands) > 0, array_min(cands))
+              .otherwise(struct(inf.as("c"), lit(0).as("bp")))
+          })))) { best =>
+        letCol(aggregate(
+          sequence(lit(1), n),
+          struct((n + 1).as("pos"), typedlit(Seq.empty[String]).as("ps")),
+          (acc, _) => when(acc.getField("pos") > 1,
+            letCol(element_at(best, acc.getField("pos"))) { node =>
+              struct(node.getField("bp").as("pos"),
+                concat(acc.getField("ps"), array(word.substr(
+                  node.getField("bp"),
+                  acc.getField("pos") - node.getField("bp")))).as("ps"))
+            }).otherwise(acc))) { walked =>
+          struct(
+            element_at(best, n + 1).getField("c").as("cost"),
+            when(walked.getField("pos") === 1,
+              reverse(walked.getField("ps")))
+              .otherwise(typedlit(Seq.empty[String])).as("pieces"))
+        }
+      }
+    }
+  }
+
+  /** (piece → cost micros) from usage counts: add-1 in count space (the
+    * lang-ID NB convention — keeps zero-usage pieces alive at a steep
+    * but finite cost), integer-millionths ln flooring. Costs are MODEL
+    * metadata compiled into the plan as a literal — never hashed. */
+  private def unigramCosts(counts: Seq[(String, Long)]): Map[String, Long] = {
+    val total = counts.map(_._2).sum
+    val v = counts.size.toLong
+    counts.map { case (p, c) =>
+      p -> math.floor((math.log((total + v).toDouble) -
+        math.log((c + 1).toDouble)) * 1e6).toLong
+    }.toMap
+  }
+
+  // (dir, target) → (final (piece, cnt, cost) rows,
+  //                  per-round stats (round, n_pieces, improved),
+  //                  coverage flag) — the bpeCache pattern: training is
+  // deterministic and the pieces query + gate share one run
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (Seq[(String, Long, Long)], Seq[(Int, Int, Int)], Int)]()
+
+  /** The trained unigram piece inventory: (piece, cnt — final-EM usage
+    * count, cost_micros). Rows-only (ANSI SQL cannot re-run EM);
+    * [[unigramGate]] is the hash-checked companion. */
+  def unigramTrainPieces(s: SparkSession, dir: String,
+                         vocabTarget: Int = UnigramVocabTarget): DataFrame = {
+    import s.implicits._
+    unigramCache.computeIfAbsent((dir, vocabTarget),
+      _ => trainUnigram(s, dir, vocabTarget))
+      ._1.toDF("piece", "cnt", "cost_micros").orderBy("piece")
+  }
+
+  /** The trainer. Scale shape mirrors [[trainBpe]]: ONE corpus-scale
+    * aggregation collapses the corpus to the (word, cnt) vocabulary;
+    * everything after runs on that vocabulary-bounded table. Per EM
+    * step: one segmentation pass (the Viterbi expression against the
+    * literal cost map — scan-fused per-row math) + one piece-count
+    * aggregation + one scalar cost aggregate; the winning counts are
+    * model metadata (≤ seed-cap + alphabet rows) collected like the
+    * k-means codebook. Pruning drops the lowest-usage multi-char
+    * pieces per round until the inventory reaches the target — chars
+    * are never pruned, so every word stays segmentable (the coverage
+    * invariant). Resume store: the round state IS the (piece, count)
+    * table (tiny); a restarted run reloads the highest complete round
+    * snapshot and continues — the [[trainBpe]] discipline (a resumed
+    * run's gate covers the remaining rounds; the MODEL is identical).
+    *
+    * Hard-EM monotonicity WITHIN a round (same inventory): the M-step
+    * re-estimates costs from the Viterbi counts, the next E-step can
+    * only find equal-or-better segmentations — so the within-round
+    * improved flag is a real invariant up to add-1 smoothing and the
+    * 1-micro cost flooring (slack: one micro per emitted piece, ≤ the
+    * corpus token-occurrence count — applied as an integer bound).
+    * ACROSS rounds the cost may legitimately rise (pruning removes
+    * options), so rounds are not compared to each other. */
+  private def trainUnigram(s: SparkSession, dir: String, vocabTarget: Int)
+      : (Seq[(String, Long, Long)], Seq[(Int, Int, Int)], Int) = {
+    import s.implicits._
+    val L = UnigramMaxPieceLen
+    val words = Checkpoints.scratch(
+      WordCount.tokens(Tables.documents(s, dir), "text")
+        .select(lower(col("word")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")))
+    // substring seed: every ≤L-gram of every vocab word, weighted
+    val subs = words.select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          transform(sequence(lit(1),
+              least(lit(L), length(col("word")) - i + 1)),
+            l => col("word").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("c"))
+      .localCheckpoint(true)
+    val chars = subs.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val multis = subs.filter(length(col("piece")) > 1)
+      .orderBy(desc("c"), asc("piece")).limit(UnigramSeedCap)
+      .as[(String, Long)].collect().toSeq
+    var pieces: Seq[(String, Long)] = chars ++ multis
+    var round = 0
+    Checkpoints.latestRound(s, "unigram_pieces").foreach { case (r, df) =>
+      pieces = df.select("piece", "c").as[(String, Long)].collect().toSeq
+      round = r + 1
+    }
+    val target = math.max(vocabTarget, chars.size)
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    var coverage = 1
+    var done = pieces.isEmpty
+    if (done) stats += ((0, 0, 1))
+    while (!done) {
+      var costs = unigramCosts(pieces)
+      var lastCounts = pieces
+      var prevStepCost = Long.MaxValue
+      var slack = 0L
+      var improved = 1
+      for (_ <- 1 to UnigramEmPerRound) {
+        val seg = words.withColumn("seg",
+          unigramSegExpr(col("word"), typedlit(costs)))
+          .select(col("cnt"), col("seg.cost").as("cost"),
+            col("seg.pieces").as("pieces"))
+          .localCheckpoint(true)
+        val agg = seg.agg(
+          coalesce(sum(col("cost") * col("cnt")), lit(0L)),
+          coalesce(sum(size(col("pieces")) * col("cnt")), lit(0L)),
+          coalesce(min(when(size(col("pieces")) > 0, 1).otherwise(0)),
+            lit(1))).head()
+        val stepCost = agg.getLong(0)
+        coverage = math.min(coverage, agg.getInt(2))
+        if (stepCost > prevStepCost + slack) improved = 0
+        prevStepCost = stepCost
+        slack = agg.getLong(1) // 1 micro per emitted piece (flooring)
+        val usedMap = seg
+          .select(explode(col("pieces")).as("piece"), col("cnt"))
+          .groupBy("piece").agg(sum(col("cnt")).as("c"))
+          .as[(String, Long)].collect().toMap
+        lastCounts = pieces.map { case (p, _) =>
+          p -> usedMap.getOrElse(p, 0L) }
+        costs = unigramCosts(lastCounts)
+      }
+      stats += ((round, pieces.size, improved))
+      pieces = lastCounts
+      Checkpoints.saveRound(pieces.toDF("piece", "c"),
+        "unigram_pieces", round)
+      val prunable = pieces.filter(_._1.length > 1)
+      if (pieces.size <= target || prunable.isEmpty) done = true
+      else {
+        val dropN = math.min(pieces.size - target, math.max(1,
+          math.ceil(prunable.size * UnigramPruneFrac).toInt))
+        val dropped = prunable.sortBy { case (p, c) => (c, p) }
+          .take(dropN).map(_._1).toSet
+        pieces = pieces.filterNot { case (p, _) => dropped(p) }
+      }
+      round += 1
+    }
+    Checkpoints.clearRounds(s, "unigram_pieces")
+    val finalCosts = unigramCosts(pieces)
+    (pieces.map { case (p, c) => (p, c, finalCosts(p)) }.sortBy(_._1),
+      stats.toSeq, coverage)
+  }
+
+  /** Hash-checked gate for the unigram trainer — the invariants ANSI
+    * SQL can check without re-running EM: the corpus character
+    * inventory (exact, SQL-recomputable — tokenize, lowercase, count
+    * distinct chars), the trained inventory retains EVERY corpus char
+    * (chars_ok — a prune that drops one breaks coverage), every vocab
+    * word segments fully under the final inventory (coverage_ok), the
+    * within-round EM cost never rises beyond the flooring slack
+    * (monotone_ok — the hard-EM invariant), and the final inventory
+    * honors the size target (vocab_ok). The oracle recomputes n_chars
+    * and pins the flags at 1. */
+  def unigramGate(s: SparkSession, dir: String,
+                  vocabTarget: Int = UnigramVocabTarget): DataFrame = {
+    import s.implicits._
+    val (pieces, stats, coverage) = unigramCache.computeIfAbsent(
+      (dir, vocabTarget), _ => trainUnigram(s, dir, vocabTarget))
+    val nCharsCorpus = WordCount.tokens(Tables.documents(s, dir), "text")
+      .select(explode(transform(
+        sequence(lit(1), length(lower(col("word")))),
+        i => lower(col("word")).substr(i, lit(1)))).as("ch"))
+      .agg(count_distinct(col("ch"))).head().getLong(0)
+    val nCharPieces = pieces.count(_._1.length == 1).toLong
+    Seq((nCharsCorpus,
+      if (nCharPieces == nCharsCorpus) 1 else 0,
+      coverage,
+      if (stats.forall(_._3 == 1)) 1 else 0,
+      if (pieces.size <= math.max(vocabTarget, nCharPieces.toInt)) 1 else 0))
+      .toDF("n_chars", "chars_ok", "coverage_ok", "monotone_ok", "vocab_ok")
+  }
+
   /** Statistical LM quality scoring, count-space formulation — the
     * perplexity-style filter (score docs by how typical their n-grams
     * are under a model trained on the corpus itself) with the log-space

@@ -583,6 +583,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(nDocs === 500 && nCorrect === 500 && accOk === 1)
   }
 
+  test("unigram trainer: gate green, inventory sound, Viterbi exact on a known word") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val gate = TextAnalysis.unigramGate(spark, dir)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(gate.length === 1)
+    val (nChars, charsOk, covOk, monoOk, vocabOk) = gate(0)
+    assert(nChars > 0)
+    assert(charsOk === 1, "trained inventory lost a corpus character")
+    assert(covOk === 1, "a vocab word failed to segment")
+    assert(monoOk === 1, "within-round EM cost rose beyond flooring slack")
+    assert(vocabOk === 1, "final inventory exceeds the size target")
+    val pieces = TextAnalysis.unigramTrainPieces(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(pieces.nonEmpty)
+    // inventory bounds: piece lengths within the window, target honored
+    assert(pieces.forall(_._1.length <= TextAnalysis.UnigramMaxPieceLen))
+    val nCharPieces = pieces.count(_._1.length == 1)
+    assert(pieces.length <=
+      math.max(TextAnalysis.UnigramVocabTarget, nCharPieces))
+    // every kept piece carries the add-1 cost of its own count under
+    // the final totals — the (count → cost) contract is re-derivable
+    val total = pieces.map(_._2).sum
+    pieces.foreach { case (p, c, cost) =>
+      val want = math.floor((math.log((total + pieces.length).toDouble) -
+        math.log((c + 1).toDouble)) * 1e6).toLong
+      assert(cost === want, s"cost mismatch for piece '$p'")
+    }
+  }
+
   test("winnowing: coverage and guaranteed detection of 7-token overlap") {
     import graft.operators.TextAnalysis
     // two docs that share ONLY a (w+k-1)=7-token run, deliberately at
