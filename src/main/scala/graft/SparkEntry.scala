@@ -187,6 +187,10 @@ object SparkEntry {
     "top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir, 30)),
     "tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir, 5)),
     "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(s, dir, k = 10)),
+    // hybrid retrieval: BM25 + embedding-cosine legs fused by integer
+    // reciprocal-rank fusion — both legs oracle-expressible, so the
+    // whole hybrid ranking hash-checks
+    "hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
     // RAG-prep capstone: CDC chunks -> exact chunk dedup -> BM25 over
     // the chunk index (chunk id = doc_id*stride + chunk_idx)
     "chunk_index_assembly" ->
@@ -2131,6 +2135,68 @@ object SparkEntry {
          |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "bm25_topk" ->
       bm25SqlOver("", "SELECT doc_id, text FROM documents"),
+    // both hybrid legs recomputed exactly (the bm25 template with the
+    // query docs' own distinct tokens as terms + the knn_bruteforce
+    // cosine), fused by the same integer floor(1e9/(60+rank)) formula
+    "hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
+         |qt AS (SELECT DISTINCT doc_id AS qid, unnest(toks) AS term
+         |       FROM t WHERE doc_id < 4),
+         |terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+         |c AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    CAST(floor(
+         |      ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |      (tf.tf * ${Retrieval.K1 + 1.0} /
+         |       (tf.tf + ${Retrieval.K1} * (1.0 - ${Retrieval.B} +
+         |        ${Retrieval.B} * dl.dl * st.n_docs / st.n_tokens))) *
+         |      1000000.0) AS BIGINT) AS contrib
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.doc_id <> qt.qid),
+         |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS sm
+         |       FROM c GROUP BY 1, 2),
+         |lexk AS (SELECT qid, doc_id, r FROM (
+         |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sm DESC, doc_id) AS r FROM sc) x
+         |  WHERE r <= ${Retrieval.RrfRankK}),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS vq FROM e WHERE vec_id < 4),
+         |sims AS (
+         |  SELECT qid, e.vec_id AS doc_id,
+         |    round(
+         |      list_sum(list_transform(list_zip(vq, e.v), x -> x[1]*x[2])) /
+         |      (sqrt(list_sum(list_transform(vq, x -> x*x))) *
+         |       sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS sim
+         |  FROM q JOIN e ON qid <> e.vec_id),
+         |cosk AS (SELECT qid, doc_id, r FROM (
+         |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, doc_id) AS r FROM sims) x
+         |  WHERE r <= ${Retrieval.RrfRankK}),
+         |f AS (
+         |  SELECT coalesce(l.qid, c2.qid) AS qid,
+         |    coalesce(l.doc_id, c2.doc_id) AS doc_id,
+         |    coalesce(CAST(floor(1000000000.0 /
+         |      (${Retrieval.RrfK} + l.r)) AS BIGINT), 0) +
+         |    coalesce(CAST(floor(1000000000.0 /
+         |      (${Retrieval.RrfK} + c2.r)) AS BIGINT), 0) AS rrf_nano
+         |  FROM lexk l FULL OUTER JOIN cosk c2
+         |    ON l.qid = c2.qid AND l.doc_id = c2.doc_id)
+         |SELECT qid, doc_id, rrf_nano, rn FROM (
+         |  SELECT qid, doc_id, rrf_nano,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf_nano DESC, doc_id) AS rn
+         |  FROM f) x
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
     // chunk-level retrieval: the same BM25 template over the deduped
     // CDC chunk corpus (chunk id = doc_id·stride + chunk_idx)
     "chunk_index_assembly" ->

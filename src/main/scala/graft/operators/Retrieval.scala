@@ -48,6 +48,18 @@ object Retrieval {
   def bm25(docs: DataFrame, queries: Seq[(Long, String)], k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val qt = queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+    bm25Ranked(docs, qt, k, excludeSelf = false)
+  }
+
+  /** The BM25 core over an arbitrary (qid, term) query frame — split
+    * out so [[hybridRrf]] can use each query DOCUMENT's own tokens as
+    * the lexical query (qid shares the doc_id space there, hence
+    * `excludeSelf`: a query doc trivially tops its own ranking and
+    * would shift every other rank by one). */
+  private def bm25Ranked(docs: DataFrame, qt: DataFrame, k: Int,
+                         excludeSelf: Boolean): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(tokenize(col("text"))).as("term"))
     // tf fans out to FOUR consumers (dl, df, corpus stats, scoring) —
@@ -61,8 +73,6 @@ object Retrieval {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
-    val qt = queries.toDF("qid", "qtext")
-      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
     // attach df to the query terms first: the corpus-sized df relation
     // is probed by a broadcast join against the tiny query set, and the
     // result (query terms + their df) is what broadcasts to the postings
@@ -79,12 +89,64 @@ object Retrieval {
         (col("tf") + lit(K1) * (lit(1.0) - lit(B) +
           lit(B) * col("dl") * col("n_docs") / col("n_tokens"))))
       .withColumn("contrib", floor(col("idf") * col("tfn") * lit(1000000.0)))
-    val scores = contrib.groupBy("qid", "doc_id")
+    val scores = contrib
+      .filter(if (excludeSelf) col("qid") =!= col("doc_id") else lit(true))
+      .groupBy("qid", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_micro"))
     val w = Window.partitionBy("qid").orderBy(desc("score_micro"), asc("doc_id"))
     scores.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "doc_id", "n_terms", "score_micro", "rn")
+  }
+
+  /** Reciprocal-rank-fusion constants (Cormack et al. 2009): the
+    * classic K = 60, and a nano-scale numerator so each rank's
+    * contribution floor(1e9 / (K + rank)) is an exact integer both
+    * engines agree on (1e9 = 2^9·5^9, so the only exactly-divisible
+    * ranks yield exact IEEE quotients and the floor has no boundary
+    * risk; inexact quotients are correctly rounded identically). */
+  val RrfK = 60
+  /** Per-ranker finalist depth fed into the fusion. */
+  val RrfRankK = 50
+
+  /** HYBRID retrieval — lexical BM25 ⊕ embedding cosine, fused by
+    * reciprocal-rank fusion: the related-document query shape (the
+    * first `nQueries` documents are the queries: their own DISTINCT
+    * tokens form the lexical query, their embedding the dense query;
+    * self-matches are excluded from both legs). Each leg ranks
+    * independently and contributes its top [[RrfRankK]] finalists;
+    * fusion score = Σ_legs floor(1e9 / (60 + rank)), a pure integer —
+    * a doc missing from a leg's finalists contributes 0 from that leg.
+    *
+    * Fully oracle-checkable BECAUSE both legs are: BM25 is the
+    * integer-micro template and the dense leg is the exact-cosine
+    * ranking DuckDB recomputes with list arithmetic (the knn_bruteforce
+    * oracle). At 100 TB the legs swap for their production tiers —
+    * postings-probe BM25 (unchanged) and [[Similarity.knnIvfPq]]
+    * instead of brute force — the fusion layer is ranker-agnostic and
+    * touches only nq·rankK finalist rows per leg. */
+  def hybridRrf(s: SparkSession, dir: String, k: Int = 10,
+                nQueries: Int = 4): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val qt = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(tokenize(col("text")))).as("term"))
+    val lex = bm25Ranked(docs, qt, RrfRankK, excludeSelf = true)
+      .select(col("qid"), col("doc_id"), col("rn").as("r_lex"))
+    val cos = Similarity
+      .knnBruteForce(emb, emb.filter(col("vec_id") < nQueries), RrfRankK)
+      .select(col("query_id").as("qid"), col("nn_id").as("doc_id"),
+        col("rn").as("r_cos"))
+    def leg(r: org.apache.spark.sql.Column) =
+      coalesce(floor(lit(1000000000.0) / (lit(RrfK) + r)).cast("long"),
+        lit(0L))
+    val w = Window.partitionBy("qid").orderBy(desc("rrf_nano"), asc("doc_id"))
+    lex.join(cos, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_nano", leg(col("r_lex")) + leg(col("r_cos")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id", "rrf_nano", "rn")
   }
 
   /** The gated entry: [[Queries]] against the documents table. */

@@ -1371,7 +1371,8 @@ object TextAnalysis {
     * corpus token-occurrence count — applied as an integer bound).
     * ACROSS rounds the cost may legitimately rise (pruning removes
     * options), so rounds are not compared to each other. */
-  private def trainUnigram(s: SparkSession, dir: String, vocabTarget: Int)
+  private[graft] def trainUnigram(s: SparkSession, dir: String,
+                                  vocabTarget: Int)
       : (Seq[(String, Long, Long)], Seq[(Int, Int, Int)], Int) = {
     import s.implicits._
     val L = UnigramMaxPieceLen
@@ -1415,8 +1416,14 @@ object TextAnalysis {
           .select(col("cnt"), col("seg.cost").as("cost"),
             col("seg.pieces").as("pieces"))
           .localCheckpoint(true)
+        // the cost sum counts SEGMENTABLE words only: an unsegmentable
+        // word carries the ~1e15 sentinel, and summing sentinels over a
+        // vocabulary overflows int64 (coverage_ok already flags the
+        // unsegmentable case — the cost total is only meaningful for
+        // the covered corpus)
         val agg = seg.agg(
-          coalesce(sum(col("cost") * col("cnt")), lit(0L)),
+          coalesce(sum(when(size(col("pieces")) > 0,
+            col("cost") * col("cnt")).otherwise(lit(0L))), lit(0L)),
           coalesce(sum(size(col("pieces")) * col("cnt")), lit(0L)),
           coalesce(min(when(size(col("pieces")) > 0, 1).otherwise(0)),
             lit(1))).head()

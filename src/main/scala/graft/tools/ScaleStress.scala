@@ -25,25 +25,71 @@ object ScaleStress {
 
   val CopyStride = 1000000L
 
-  def docs10(base: DataFrame, mult: Int): DataFrame =
-    (0 until mult).map { k =>
-      if (k == 0) base
-      else base.select(
-        (col("doc_id") + lit(k * CopyStride)).as("doc_id"),
-        regexp_replace(col("text"), s"^([^ ]+ ){$k}", "").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+  /** Cluster width is CAPPED at 10 regardless of mult: sf0.1 docs have
+    * median 54 / max 100 tokens, so a drop-k-leading-tokens chain wider
+    * than the doc's token count degenerates into EXACT duplicates (at
+    * mult=100 a median doc's copies 54..99 are byte-identical — ~half
+    * the corpus collapsing into 40-90-member exact-dup groups, whose
+    * O(width²) pair structure measures corpus-generator degeneracy, not
+    * operator scaling). Scaling past 10× therefore multiplies the
+    * NUMBER of clusters, not their width: mult = groups × 10, and each
+    * group's text passes through a per-group Caesar `translate` of the
+    * letters — cross-group documents share NO character shingles and
+    * NO word bigrams (a token-suffix salt was tried first and left
+    * ~half the 5-char shingles shared, parking cross-group est-J right
+    * at the LSH banding boundary — candidates regrew to 100-wide
+    * clusters that only died at the verify tier), while the
+    * within-group 10-copy near-dup chains and the token length/
+    * frequency profile keep the 10× table's structure exactly.
+    * mult ≤ 10 is the original single-group corpus, so 10× numbers
+    * stay comparable. */
+  def docs10(base: DataFrame, mult: Int): DataFrame = {
+    val groups = math.max(1, mult / 10)
+    val width = math.min(mult, 10)
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    (0 until groups).flatMap { g =>
+      (0 until width).map { c =>
+        val k = g * 10 + c
+        val dropped =
+          if (c == 0) col("text")
+          else regexp_replace(col("text"), s"^([^ ]+ ){$c}", "")
+        val rot = abc.drop(g % 26) + abc.take(g % 26)
+        val salted =
+          if (g == 0) dropped
+          else translate(dropped, abc + abc.toUpperCase,
+            rot + rot.toUpperCase)
+        if (k == 0) base
+        else base.select(
+          (col("doc_id") + lit(k * CopyStride)).as("doc_id"),
+          salted.as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
     }.reduce(_ unionByName _)
+  }
 
-  def emb10(base: DataFrame, mult: Int): DataFrame =
-    (0 until mult).map { k =>
-      if (k == 0) base
-      else base.select(
-        (col("vec_id") + lit(k * CopyStride)).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(i === (k - 1), x + lit(0.15f)).otherwise(x))
-          .as("embedding"),
-        col("label"))
+  /** Same width cap as [[docs10]]: copy (g, c) bumps coordinate c by
+    * 0.15·(g+1), so every copy is distinct for any mult (the flat k−1
+    * coordinate index went out of the 64-dim range past mult=64 and
+    * produced byte-identical vectors). Cross-group vectors still share
+    * the base direction, so embedding-tier cluster COUNT scales only
+    * approximately — the 100× spot-check targets the text tiers. */
+  def emb10(base: DataFrame, mult: Int): DataFrame = {
+    val groups = math.max(1, mult / 10)
+    val width = math.min(mult, 10)
+    (0 until groups).flatMap { g =>
+      (0 until width).map { c =>
+        val k = g * 10 + c
+        if (k == 0) base
+        else base.select(
+          (col("vec_id") + lit(k * CopyStride)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === math.max(0, c - 1),
+              x + lit(0.15f * (g + 1))).otherwise(x))
+            .as("embedding"),
+          col("label"))
+      }
     }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)

