@@ -168,7 +168,8 @@ object Similarity {
   private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[
     ((Long, String), Int), DataFrame]()
   private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    ((Long, String), Int, Int, Int), DataFrame]()
+    ((Long, String), Int, Int, Int, Boolean),
+    (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame)]()
 
   def knnIvf(emb: DataFrame, queries: DataFrame, k: Int,
              cells: Int = 16, nprobe: Int = 8, lloydIters: Int = 3): DataFrame = {
@@ -369,11 +370,15 @@ object Similarity {
         (knnIvf(emb, queries, k), knnIvfPq(emb, queries, k),
           knnLsh(emb, queries, k), knnPq(emb, queries, k))
       else {
-        val (_, _, index) = ivfPqIndex(emb) // cache-backed: encode once
+        // the ivfpq tier's RESIDUAL codes are a different encoding
+        // from the pq tier's unit-sphere codes, so each tier reads its
+        // own cache-backed artifact (both encode exactly once per JVM)
+        val (_, cbIdx, index) = ivfPqIndex(emb)
         (knnIvfWith(e, cents, queries, k, 8),
-          knnIvfPqWith(emb, index, cents, cb, queries, k, 8, 50),
+          knnIvfPqWith(emb, index, cents, cbIdx, queries, k, 8, 50,
+            residual = false),
           knnLsh(emb, queries, k),
-          knnPqWith(emb, index.select("nn_id", "codes"), cb, queries, k, 50))
+          knnPq(emb, queries, k))
       }
     gate("ivf", ivf, ivfFloor)
       .unionAll(gate("ivfpq", ivfpq, ivfpqFloor))
@@ -525,6 +530,38 @@ object Similarity {
       next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
     next
+  }
+
+  /** PQ seeding/training over an arbitrary pre-decoded (vec_id, v)
+    * frame — the residual path's trainer: seeds are the first PqK rows
+    * in hash order taken AS-IS (cell residuals are not unit vectors;
+    * re-normalizing them would distort exactly the geometry ADC must
+    * approximate), Lloyd steps are the same single-aggregation
+    * updates as the unit-sphere path. */
+  private def pqSeedOf(vf: DataFrame): Array[Array[Array[Double]]] = {
+    val seeds = vf.orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
+      .limit(PqK).select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (seeds.isEmpty || seeds.head.length < PqM * PqSubDim) Array.empty
+    else Array.tabulate(PqM, PqK) { (s, kk) =>
+      seeds(kk % seeds.length).slice(s * PqSubDim, (s + 1) * PqSubDim)
+    }
+  }
+
+  private def pqSubVectorsOf(vf: DataFrame): DataFrame =
+    vf.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+        s => slice(col("v"), s * PqSubDim + 1, lit(PqSubDim))))
+        .as(Seq("sub", "sv")))
+
+  private def pqTrainOn(vf: DataFrame, iters: Int)
+      : Array[Array[Array[Double]]] = {
+    var cb = pqSeedOf(vf)
+    if (cb.isEmpty) return cb
+    val sv = pqSubVectorsOf(vf).persist()
+    for (_ <- 1 to iters) cb = pqLloydStep(sv, cb)
+    sv.unpersist(false)
+    cb
   }
 
   /** Train the M per-subspace codebooks: seeded init + `iters` Lloyd
@@ -699,32 +736,60 @@ object Similarity {
     * cell-partitioned write of this frame prunes to the probed cells'
     * directories on re-scan. */
   def ivfPqIndex(emb: DataFrame, cells: Int = 16, lloydIters: Int = 3,
-                 iters: Int = PqIters)
+                 iters: Int = PqIters, residual: Boolean = false)
       : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
     val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val cents = trainIvf(e, cells, lloydIters)
-    val cb = if (cents.isEmpty) Array.empty[Array[Array[Double]]]
-             else pqTrain(emb, iters)
-    if (cents.isEmpty || cb.isEmpty) {
+    def emptyTriple = {
       val empty = e.select(col("vec_id").as("nn_id"))
         .withColumn("cell", lit(0))
         .withColumn("codes", typedlit(Seq.empty[Int])).limit(0)
-      return (Array.empty[Array[Double]],
+      (Array.empty[Array[Double]],
         Array.empty[Array[Array[Double]]], empty)
     }
-    val cbSeq = cb.map(_.toSeq.map(_.toSeq)).toSeq
-    // cell assignment and PQ encode fuse into ONE corpus scan; the
-    // scratch checkpoint materializes the index exactly once (both the
-    // ADC probe and a partitioned write would otherwise re-encode),
-    // and the per-JVM cache keeps the built index across queries —
-    // encode-once is the index contract, like the codebooks themselves
-    val index = ivfPqIndexCache.computeIfAbsent(
-      (corpusFp(emb, Seq("vec_id", "embedding")), cells, lloydIters, iters),
-      _ => Checkpoints.scratch(
-        assignCells(e, cents).drop("best_dot")
-          .select(col("vec_id").as("nn_id"), col("cell"),
-            pqCodes(unitVec(col("v")), cbSeq).as("codes"))))
-    (cents, cb, index)
+    if (cents.isEmpty) return emptyTriple
+    // cell assignment and the encode input fuse into ONE corpus scan;
+    // the scratch checkpoint materializes the index exactly once (both
+    // the ADC probe and a partitioned write would otherwise re-encode),
+    // and the per-JVM cache keeps the whole (centroids, codebook,
+    // index) artifact across queries — encode-once is the index
+    // contract. `residual = true` is textbook IVFADC: PQ trains on and
+    // encodes r = unit(v) − centroid(cell) (valid because
+    // unit(q) − unit(v) = r_q − r exactly, so per-(query, cell) ADC
+    // tables approximate the true unit-space L2). MEASURED on this
+    // testdata it does NOT pay: recall@5 0.80 vs 0.90 raw at sf0.001,
+    // 0.72 vs 0.74 at sf0.01 (tools/IvfPqProbe) — with only 16 coarse
+    // cells over near-uniform synthetic vectors the residuals carry
+    // nearly the raw variance, so the finer-quantization argument
+    // (Jégou et al. §IV) only bites at production cell counts
+    // (√N cells shrink residual norms; revisit the default there).
+    // Hence the measurement-driven default: residual = false. */
+    val (_, cb, index) = ivfPqIndexCache.computeIfAbsent(
+      (corpusFp(emb, Seq("vec_id", "embedding")), cells, lloydIters,
+        iters, residual),
+      _ => {
+        val assigned = assignCells(e, cents).drop("best_dot")
+        val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+        val enc =
+          if (residual)
+            Checkpoints.scratch(assigned.select(col("vec_id"), col("cell"),
+              zip_with(unitVec(col("v")),
+                element_at(centsLit, col("cell") + 1),
+                (a, b) => a - b).as("v")))
+          else
+            assigned.select(col("vec_id"), col("cell"),
+              unitVec(col("v")).as("v"))
+        val cb2 = if (residual) pqTrainOn(enc.select("vec_id", "v"), iters)
+                  else pqTrain(emb, iters)
+        if (cb2.isEmpty) (cents, cb2, emptyTriple._3)
+        else {
+          val cbSeq = cb2.map(_.toSeq.map(_.toSeq)).toSeq
+          (cents, cb2, Checkpoints.scratch(
+            enc.select(col("vec_id").as("nn_id"), col("cell"),
+              pqCodes(col("v"), cbSeq).as("codes"))))
+        }
+      })
+    if (cb.isEmpty) emptyTriple else (cents, cb, index)
   }
 
   /** ANN top-k via the COMPOSED IVF×PQ index — the production shape at
@@ -753,45 +818,58 @@ object Similarity {
     * nn_id. */
   def knnIvfPq(emb: DataFrame, queries: DataFrame, k: Int,
                cells: Int = 16, nprobe: Int = 8, lloydIters: Int = 3,
-               iters: Int = PqIters, rerank: Int = 50): DataFrame = {
-    val (cents, cb, index) = ivfPqIndex(emb, cells, lloydIters, iters)
-    if (cents.isEmpty) {
+               iters: Int = PqIters, rerank: Int = 50,
+               residual: Boolean = false): DataFrame = {
+    val (cents, cb, index) =
+      ivfPqIndex(emb, cells, lloydIters, iters, residual)
+    if (cents.isEmpty || cb.isEmpty) {
       val s = emb.sparkSession
       import s.implicits._
       return Seq.empty[(Long, Long, Int)].toDF("query_id", "nn_id", "rn")
     }
-    knnIvfPqWith(emb, index, cents, cb, queries, k, nprobe, rerank)
+    knnIvfPqWith(emb, index, cents, cb, queries, k, nprobe, rerank,
+      residual)
   }
 
   /** Probe → ADC → re-rank of [[knnIvfPq]] against an already-built
-    * index — split out for [[knnRecallGates]]'s shared-model path. */
+    * index — split out for [[knnRecallGates]]'s shared-model path.
+    * Under `residual` the ADC table is per (query, probed cell) —
+    * built from r_q = unit(q) − centroid(cell) on each probe row
+    * (nq·nprobe driver-bounded rows, still scan-fused math). */
   private def knnIvfPqWith(emb: DataFrame, index: DataFrame,
                            cents: Array[Array[Double]],
                            cb: Array[Array[Array[Double]]],
                            queries: DataFrame, k: Int, nprobe: Int,
-                           rerank: Int): DataFrame = {
+                           rerank: Int, residual: Boolean): DataFrame = {
     val cbSeq = cb.map(_.toSeq.map(_.toSeq)).toSeq
     val cbl = typedlit(cbSeq)
-    // probe frame: one row per (query, probed cell), carrying the ADC
-    // table once per query row — nq·nprobe rows of driver-bounded size
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    // probe frame: one row per (query, probed cell), carrying that
+    // row's ADC table — nq·nprobe rows of driver-bounded size
     val probeStructs = array(cents.indices.map(i =>
       struct(dot_native(col("v"), typedlit(cents(i).toSeq)).as("d"),
         lit(i).as("cell"))): _*)
+    val qv = if (residual)
+        zip_with(col("vq"), element_at(centsLit, col("cell") + 1),
+          (a, b) => a - b)
+      else col("vq")
     val q = Checkpoints.scratch(
       queries.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
         .withColumn("vq", unitVec(col("v")))
+        .withColumn("probe",
+          explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
+        .withColumn("cell", col("probe.cell"))
+        .withColumn("qv", qv)
         .withColumn("tabs",
           transform(sequence(lit(0), lit(PqM - 1)), s =>
             transform(sequence(lit(1), lit(PqK)), kk =>
               aggregate(
-                zip_with(slice(col("vq"), s * PqSubDim + 1, lit(PqSubDim)),
+                zip_with(slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)),
                   element_at(element_at(cbl, s + 1), kk),
                   (a, b) => (a - b) * (a - b)),
                 lit(0.0d), (acc, x) => acc + x))))
-        .withColumn("probe",
-          explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
         .select(col("vec_id").as("query_id"), col("vq"), col("tabs"),
-          col("probe.cell").as("cell")))
+          col("cell")))
     // each corpus vector lives in exactly one cell and a query probes
     // distinct cells → a (query, nn) candidate appears at most once
     val wA = Window.partitionBy("query_id")

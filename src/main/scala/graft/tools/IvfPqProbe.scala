@@ -20,13 +20,18 @@ object IvfPqProbe {
       val dir = s"/root/testdata/$sf"
       val emb = Tables.embeddings(spark, dir)
       val q = emb.filter(col("vec_id") < 10)
-      val ann = t(s"$sf plan")(Similarity.knnIvfPq(emb, q, 5))
-      t(s"$sf run")(ann.write.format("noop").mode("overwrite").save())
       val bf = Similarity.knnBruteForce(emb, q, 5).select("query_id", "nn_id")
-      val hits = ann.select("query_id", "nn_id")
-        .join(bf, Seq("query_id", "nn_id")).count()
-      val n = ann.count()
-      println(s"[ivfpqprobe] $sf n_results=$n recall@5=${hits / 50.0}")
+      for (residual <- Seq(false, true)) {
+        val ann = t(s"$sf res=$residual plan")(
+          Similarity.knnIvfPq(emb, q, 5, residual = residual))
+        t(s"$sf res=$residual run")(
+          ann.write.format("noop").mode("overwrite").save())
+        val hits = ann.select("query_id", "nn_id")
+          .join(bf, Seq("query_id", "nn_id")).count()
+        val n = ann.count()
+        println(s"[ivfpqprobe] $sf residual=$residual " +
+          s"n_results=$n recall@5=${hits / 50.0}")
+      }
     }
     spark.stop()
   }
