@@ -721,6 +721,68 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("rn"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-corpus miner): candidate translation
+    * pairs between two languages scored by the RATIO margin
+    * cos(x, y) / (½·(avgTopK(x→tgt) + avgTopK(y→src))), which
+    * normalizes away hubness — a vector close to EVERYTHING gets a
+    * high denominator and stops dominating, the failure mode raw
+    * cosine thresholds can't fix. Returns each source doc's
+    * best-margin target with margin ≥ `marginFloor`.
+    *
+    * Engine-exact arithmetic: cosines round to 6 dp; top-k
+    * neighborhood means are summed as cosine-MICROS (exact int64,
+    * order-independent — a float avg's summation order differs
+    * across engines at the last ulp); the margin itself is the
+    * integer floor division cos_micro·2k·1e6 ÷ (sa + sb), emitted as
+    * `margin_micros` — so the whole ranking hash-checks.
+    *
+    * This is the exact all-pairs tier (src × tgt cosine, target side
+    * broadcast) — the oracle-checkable baseline. At 100 TB margins
+    * need only each vector's top-k cross-lingual neighborhood, so
+    * the production path mines with 2 ANN probes per doc
+    * ([[knnIvfPq]] per side) and this tier gates it on samples. */
+  def mineBitext(s: SparkSession, dir: String, srcLang: String = "en",
+                 tgtLang: String = "de", k: Int = 4,
+                 marginFloor: Double = 1.0): DataFrame = {
+    import graft.sources.Tables
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val emb = Tables.embeddings(s, dir)
+    def side(l: String, id: String, v: String) =
+      emb.join(docs.filter(col("lang") === l)
+          .select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        .select(col("vec_id").as(id), toDoubleVec(col("embedding")).as(v))
+    val a = side(srcLang, "src_id", "va")
+      .withColumn("na", sqrt(dot_native(col("va"), col("va"))))
+    val b = side(tgtLang, "tgt_id", "vb")
+      .withColumn("nb", sqrt(dot_native(col("vb"), col("vb"))))
+    val pairs = a.crossJoin(broadcast(b))
+      .withColumn("cos",
+        round(dot_native(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos_micro", round(col("cos") * 1e6).cast("long"))
+      .select("src_id", "tgt_id", "cos", "cos_micro")
+    val wa = Window.partitionBy("src_id").orderBy(desc("cos"), asc("tgt_id"))
+    val wb = Window.partitionBy("tgt_id").orderBy(desc("cos"), asc("src_id"))
+    val ranked = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .localCheckpoint(true) // feeds both neighborhood sums + the margin
+    val sa = ranked.filter(col("ra") <= k)
+      .groupBy("src_id").agg(sum("cos_micro").as("sa"))
+    val sb = ranked.filter(col("rb") <= k)
+      .groupBy("tgt_id").agg(sum("cos_micro").as("sb"))
+    val wm = Window.partitionBy("src_id")
+      .orderBy(desc("margin_micros"), asc("tgt_id"))
+    ranked.join(sa, "src_id").join(sb, "tgt_id")
+      .filter(col("sa") + col("sb") > 0)
+      .withColumn("margin_micros",
+        expr(s"(cos_micro * ${2L * k} * 1000000) div (sa + sb)"))
+      .withColumn("rn", row_number().over(wm))
+      .filter(col("rn") === 1 &&
+        col("margin_micros") >= math.round(marginFloor * 1e6))
+      .select("src_id", "tgt_id", "cos", "margin_micros")
+  }
+
   // ---- IVF × PQ: the composed production index (IVFADC) ----
 
   /** The IVF-PQ INDEX: every corpus vector's IVF cell id plus its PQ

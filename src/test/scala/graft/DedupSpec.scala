@@ -342,6 +342,49 @@ class DedupSpec extends AnyFunSuite {
     assert(agree === exact)
   }
 
+  test("bitext mining: full result equals an independent driver recompute") {
+    import graft.operators.Similarity
+    val out = Similarity.mineBitext(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(out.nonEmpty)
+    // independent path: collect vectors + langs, redo cosine/rank/
+    // margin in plain Scala with the same 6-dp HALF_UP rounding and
+    // the same integer-micro margin arithmetic
+    val langs = Tables.documents(spark, dir)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val en = vecs.keys.filter(langs.get(_).contains("en")).toSeq.sorted
+    val de = vecs.keys.filter(langs.get(_).contains("de")).toSeq.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val pairs = for (s <- en; t <- de)
+      yield (s, t, cos(vecs(s), vecs(t)))
+    val cm = pairs.map { case (s, t, c) => (s, t) -> math.round(c * 1e6) }.toMap
+    val saM = en.map(s => s -> pairs.filter(_._1 == s)
+      .sortBy(p => (-p._3, p._2)).take(4).map(p => cm((p._1, p._2))).sum).toMap
+    val sbM = de.map(t => t -> pairs.filter(_._2 == t)
+      .sortBy(p => (-p._3, p._1)).take(4).map(p => cm((p._1, p._2))).sum).toMap
+    val expected = en.flatMap { s =>
+      val cands = de.map { t =>
+        val denom = saM(s) + sbM(t)
+        (t, pairs.find(p => p._1 == s && p._2 == t).get._3,
+          if (denom > 0) cm((s, t)) * 8L * 1000000L / denom else Long.MinValue)
+      }.filter(_._3 != Long.MinValue)
+      cands.sortBy(c => (-c._3, c._1)).headOption
+        .filter(_._3 >= 1000000L)
+        .map { case (t, c, m) => (s, t, c, m) }
+    }.toSet
+    assert(out === expected)
+  }
+
   test("knn recall gates assert full-k and recall floors for all tiers") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.knnRecallGates(emb, emb.filter(col("vec_id") < 10), 5)
