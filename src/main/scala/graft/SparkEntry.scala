@@ -219,6 +219,12 @@ object SparkEntry {
     "unigram_pieces" -> ((s, dir) =>
       TextAnalysis.unigramTrainPieces(s, dir)),
     "unigram_gate" -> ((s, dir) => TextAnalysis.unigramGate(s, dir)),
+    // the unigram ENCODE surface (bpe_encode_stats' twin): per-doc
+    // Viterbi piece counts (rows-only) + the roundtrip/bounds gate
+    "unigram_encode_stats" -> ((s, dir) =>
+      TextAnalysis.unigramEncodeStats(s, dir)),
+    "unigram_encode_gate" -> ((s, dir) =>
+      TextAnalysis.unigramEncodeGate(s, dir)),
     "bpe_encode_stats" -> ((s, dir) =>
       TextAnalysis.bpeEncodeStats(s, dir, nMerges = 20)),
     "bpe_encode_gate" -> ((s, dir) =>
@@ -1581,6 +1587,19 @@ object SparkEntry {
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_chars,
          |  1 AS chars_ok, 1 AS coverage_ok, 1 AS monotone_ok,
          |  1 AS vocab_ok""".stripMargin,
+    // the unigram encoder's gate carries the SAME ANSI-checkable
+    // surface as bpe_encode_gate (the flags gate a Viterbi backtrack
+    // instead of a merge chain, but the exact counts and the pinned
+    // invariants are identical SQL)
+    "unigram_encode_gate" ->
+      s"""SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |  1 AS roundtrip_ok, 1 AS bounds_ok
+         |FROM (SELECT doc_id, lower(word) AS word
+         |      FROM (SELECT doc_id, unnest($DuckTokList) AS word
+         |            FROM documents) u) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact word/char counts recomputed; the encode invariants
     // (symbol concat round-trips the word, counts in [1, n_chars])
     // are pinned at 1 — a broken merge flips them and fails the hash

@@ -1461,6 +1461,62 @@ object TextAnalysis {
       stats.toSeq, coverage)
   }
 
+  /** Encode side of the unigram tokenizer — the serving path
+    * [[bpeEncoded]] has for BPE: segment every corpus word with the
+    * TRAINED piece inventory's Viterbi (the final cost map compiled
+    * into the plan as a literal; per-row column math, no join, no
+    * shuffle). The trained model is the cached artifact, so encode
+    * never retrains. */
+  private def unigramEncoded(s: SparkSession, dir: String,
+                             vocabTarget: Int): DataFrame = {
+    val (pieces, _, _) = unigramCache.computeIfAbsent(
+      (dir, vocabTarget), _ => trainUnigram(s, dir, vocabTarget))
+    val costs = pieces.map(p => p._1 -> p._3).toMap
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("word"))
+    if (costs.isEmpty)
+      return words.withColumn("pieces", typedlit(Seq.empty[String]))
+    words
+      .withColumn("seg", unigramSegExpr(col("word"), typedlit(costs)))
+      .select(col("doc_id"), col("word"), col("seg.pieces").as("pieces"))
+  }
+
+  /** Per-doc unigram-encoding stats (rows-only — the learned inventory
+    * isn't ANSI-trainable; [[unigramEncodeGate]] is the hash-checked
+    * companion, and the BPE twin is [[bpeEncodeStats]]). */
+  def unigramEncodeStats(s: SparkSession, dir: String,
+                         vocabTarget: Int = UnigramVocabTarget): DataFrame =
+    unigramEncoded(s, dir, vocabTarget)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("pieces"))).as("n_pieces"),
+        sum(length(col("word"))).as("n_chars"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words"), 4))
+
+  /** Hash-checked gate for the unigram encoder — [[bpeEncodeGate]]'s
+    * twin: exact per-doc word/char counts (ANSI-recomputable) plus the
+    * invariants the oracle pins at 1 — concatenating a word's Viterbi
+    * pieces must reproduce the word (segmentation is a partition of
+    * the character sequence) and the piece count lies in
+    * [1, n_chars]. A lost character, a broken DP backtrack, or an
+    * unsegmentable word flips a flag and fails the hash. */
+  def unigramEncodeGate(s: SparkSession, dir: String,
+                        vocabTarget: Int = UnigramVocabTarget): DataFrame =
+    unigramEncoded(s, dir, vocabTarget)
+      .select(col("doc_id"), col("word"),
+        (concat_ws("", col("pieces")) === col("word")).as("rt"),
+        (size(col("pieces")) >= 1 &&
+          size(col("pieces")) <= length(col("word"))).as("bd"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        min(when(col("rt"), 1).otherwise(0)).cast("int")
+          .as("roundtrip_ok"),
+        min(when(col("bd"), 1).otherwise(0)).cast("int")
+          .as("bounds_ok"))
+
   /** Hash-checked gate for the unigram trainer — the invariants ANSI
     * SQL can check without re-running EM: the corpus character
     * inventory (exact, SQL-recomputable — tokenize, lowercase, count

@@ -85,6 +85,12 @@ object Streaming {
     * and the partition count is locked into the checkpoint anyway. */
   private val SettlePartitions = "4"
 
+  /** Final progress of the most recent settle run — test introspection
+    * only (StreamingSpec pins statelessness claims against the actual
+    * stateOperators the run reported). */
+  @volatile private[graft] var lastSettleProgress
+      : Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = None
+
   private def settle(agg: DataFrame, name0: String,
                      mode: String = "complete"): DataFrame = {
     val s = agg.sparkSession
@@ -99,6 +105,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastSettleProgress = Option(q.lastProgress)
     } finally s.conf.set(key, saved)
     s.table(name)
   }

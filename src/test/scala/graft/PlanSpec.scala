@@ -139,6 +139,20 @@ class PlanSpec extends AnyFunSuite {
       s"ADC join does not key on the cell id:\n$p")
   }
 
+  test("hybrid_rrf: leg joins stay bounded — no cartesian off the fusion path") {
+    import graft.operators.Retrieval
+    val p = plan(Retrieval.hybridRrf(spark, dir))
+    // the lexical leg probes postings through broadcast-joined query
+    // terms and the fusion joins finalists on (qid, doc_id) — the only
+    // permissible product is the dense leg's deliberate broadcast
+    // corpus scan (knnBruteForce's =!= join); a CartesianProduct would
+    // mean a leg lost its keys
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // fusion is a full outer on the two finalist frames
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("knn_lsh: signature is the fused native expression, not HOFs") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.col

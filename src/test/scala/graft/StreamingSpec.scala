@@ -220,6 +220,14 @@ class StreamingSpec extends AnyFunSuite {
     // the plant guarantees matches exist — an empty match set would
     // pass set-equality vacuously
     assert(streamed.nonEmpty)
+    // the scaladoc's statelessness claim, pinned against the run's own
+    // progress: the broadcast base index IS the state, so the stream
+    // must report ZERO stateful operators (a dropDuplicates or
+    // stream-side aggregation sneaking in would show up here)
+    val prog = Streaming.lastSettleProgress
+    assert(prog.isDefined, "settle recorded no progress")
+    assert(prog.get.stateOperators.isEmpty,
+      s"ingest stream grew state operators: ${prog.get.stateOperators.toSeq}")
   }
 
   test("checkpointed file stream resumes after a kill and settles to batch") {
