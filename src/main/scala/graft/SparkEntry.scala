@@ -374,6 +374,11 @@ object SparkEntry {
     // per-iteration PQ codebook contract (kmeans_train_stats pattern)
     "pq_train_stats" -> ((s, dir) =>
       Similarity.pqTrainStats(Tables.embeddings(s, dir))),
+    // incremental index maintenance: an increment encoded under frozen
+    // models reproduces the full build's rows exactly (append-only
+    // ingest contract; counts SQL-recomputable, equality flags pinned)
+    "ivfpq_append_gate" -> ((s, dir) =>
+      Similarity.ivfPqAppendGate(s, dir)),
     "embedding_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(Tables.embeddings(s, dir))),
     "kmeans_train_stats" -> ((s, dir) =>
@@ -2727,6 +2732,12 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM e) AS n_vectors,
         |  (SELECT count(*) FROM pairs) AS n_pairs_exact,
         |  1 AS subset_ok, 1 AS recall_ok, 1 AS survivors_ok""".stripMargin,
+    // append-path determinism gate: exact counts + pinned equality
+    "ivfpq_append_gate" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_emb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 50) AS n_inc,
+        |  1 AS count_ok, 1 AS rows_ok""".stripMargin,
     // exact recompute of the ratio-margin miner: all-pairs en×de
     // cosine, top-4 neighborhood sums in integer micros, floor-division
     // margin, best per source doc above the 1.0 floor

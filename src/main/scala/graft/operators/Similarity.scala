@@ -375,7 +375,7 @@ object Similarity {
         // own cache-backed artifact (both encode exactly once per JVM)
         val (_, cbIdx, index) = ivfPqIndex(emb)
         (knnIvfWith(e, cents, queries, k, 8),
-          knnIvfPqWith(emb, index, cents, cbIdx, queries, k, 8, 50,
+          knnIvfPqWith(emb, index, cents, cbIdx, queries, k, 8, 100,
             residual = false),
           knnLsh(emb, queries, k),
           knnPq(emb, queries, k))
@@ -854,6 +854,71 @@ object Similarity {
     if (cb.isEmpty) emptyTriple else (cents, cb, index)
   }
 
+  /** Incremental index maintenance — the daily-embedding-ingest shape:
+    * encode a NEW increment of vectors against the FROZEN models (IVF
+    * centroids + PQ codebooks), so an ingest costs ONE scan of the
+    * increment — never a retrain, never a re-encode of the base. The
+    * returned (nn_id, cell, codes) rows union with the stored index,
+    * or write straight into the cell-partitioned layout as new files
+    * per cell dir (partition-append, no rewrite). Because assignment
+    * and encode are pure functions of (vector, models), an appended
+    * row is BYTE-EQUAL to the row a full rebuild under the same models
+    * would produce — [[ivfPqAppendGate]] pins exactly that. */
+  def ivfPqAppend(cents: Array[Array[Double]],
+                  cb: Array[Array[Array[Double]]],
+                  newEmb: DataFrame,
+                  residual: Boolean = false): DataFrame = {
+    val e = newEmb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    if (cents.isEmpty || cb.isEmpty)
+      return e.select(col("vec_id").as("nn_id"))
+        .withColumn("cell", lit(0))
+        .withColumn("codes", typedlit(Seq.empty[Int])).limit(0)
+    val cbSeq = cb.map(_.toSeq.map(_.toSeq)).toSeq
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val assigned = assignCells(e, cents).drop("best_dot")
+    val vcol =
+      if (residual)
+        zip_with(unitVec(col("v")), element_at(centsLit, col("cell") + 1),
+          (a, b) => a - b)
+      else unitVec(col("v"))
+    assigned.select(col("vec_id").as("nn_id"), col("cell"),
+      pqCodes(vcol, cbSeq).as("codes"))
+  }
+
+  /** Hash-checked gate for the append path: the increment (vec_id <
+    * 50) encoded through [[ivfPqAppend]] under the full build's frozen
+    * models must reproduce the full index's rows for those ids — cell
+    * AND codes — exactly, row for row. Counts are SQL-recomputable;
+    * the equality flags pin the frozen-model determinism contract a
+    * partition-append index depends on (a retrain sneaking into the
+    * ingest path, or nondeterministic assignment, flips them). */
+  def ivfPqAppendGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val (cents, cb, index) = ivfPqIndex(emb)
+    val nEmb = emb.count()
+    if (cents.isEmpty || cb.isEmpty)
+      return Seq((nEmb, 0L, 1, 1))
+        .toDF("n_emb", "n_inc", "count_ok", "rows_ok")
+    val inc = emb.filter(col("vec_id") < 50)
+    val appended = ivfPqAppend(cents, cb, inc)
+    val fromFull = index.filter(col("nn_id") < 50)
+      .select(col("nn_id"), col("cell").as("cell_f"),
+        col("codes").as("codes_f"))
+    val j = appended.join(fromFull, Seq("nn_id"))
+      .agg(count(lit(1)).as("n_join"),
+        coalesce(sum((col("cell") === col("cell_f") &&
+          col("codes") === col("codes_f")).cast("long")), lit(0L))
+          .as("n_eq"))
+      .head()
+    val nInc = inc.count()
+    Seq((nEmb, nInc,
+      if (j.getLong(0) == nInc) 1 else 0,
+      if (j.getLong(1) == nInc) 1 else 0))
+      .toDF("n_emb", "n_inc", "count_ok", "rows_ok")
+  }
+
   /** ANN top-k via the COMPOSED IVF×PQ index — the production shape at
     * 100 TB, uniting [[knnIvf]]'s partition pruning with [[knnPq]]'s
     * 8-byte scan tier:
@@ -871,16 +936,19 @@ object Similarity {
     *      rows, driver-bounded) fetches true vectors via broadcast
     *      join and re-ranks by exact cosine.
     *
-    * Recall vs exact top-5 on the testdata (tools/IvfPqProbe): 0.74
-    * (sf0.01) / 0.90 (sf0.001) with cells=16, nprobe=8 — the IVF
-    * probe-miss and ADC distortion losses compose (ivf alone 0.82/0.90,
-    * pq alone 0.90); the 0.6 floor in [[knnRecallGates]] keeps real
-    * margin under the composition. Deterministic end-to-end: seeded
+    * Recall vs exact top-5 on the testdata (tools/IvfPqProbe): 0.90 /
+    * 0.82 / 0.70 at sf0.001/0.01/0.1 with cells=16, nprobe=8,
+    * rerank=100 — the IVF probe-miss and ADC distortion losses compose
+    * (ivf alone 0.82/0.90, pq alone 0.90), and the shortlist depth is
+    * the recall lever as the corpus grows (50 → 100 lifted sf0.1 from
+    * 0.56 to 0.70; production scales rerank with ln N, still an
+    * nq·rerank driver-bounded set); the 0.6 floor in [[knnRecallGates]]
+    * keeps real margin at every SF the driver replays. Deterministic end-to-end: seeded
     * codebooks, argmin/argmax first-index tie-breaks, rank ties on
     * nn_id. */
   def knnIvfPq(emb: DataFrame, queries: DataFrame, k: Int,
                cells: Int = 16, nprobe: Int = 8, lloydIters: Int = 3,
-               iters: Int = PqIters, rerank: Int = 50,
+               iters: Int = PqIters, rerank: Int = 100,
                residual: Boolean = false): DataFrame = {
     val (cents, cb, index) =
       ivfPqIndex(emb, cells, lloydIters, iters, residual)

@@ -1276,8 +1276,8 @@ object TextAnalysis {
     * inventory lost a character) yields cost ≥ sentinel and EMPTY
     * pieces — the coverage gate's trigger. try_element_at: ANSI mode
     * makes plain element_at throw on a missing map key. */
-  private def unigramSegExpr(word: org.apache.spark.sql.Column,
-                             costMap: org.apache.spark.sql.Column)
+  private[graft] def unigramSegExpr(word: org.apache.spark.sql.Column,
+                                    costMap: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val L = UnigramMaxPieceLen
     val inf = lit(UnigramInf)

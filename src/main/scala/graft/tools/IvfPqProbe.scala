@@ -16,20 +16,19 @@ object IvfPqProbe {
     val spark = graft.GraftSession.builder("local[8]", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       val emb = Tables.embeddings(spark, dir)
       val q = emb.filter(col("vec_id") < 10)
       val bf = Similarity.knnBruteForce(emb, q, 5).select("query_id", "nn_id")
-      for (residual <- Seq(false, true)) {
-        val ann = t(s"$sf res=$residual plan")(
-          Similarity.knnIvfPq(emb, q, 5, residual = residual))
-        t(s"$sf res=$residual run")(
-          ann.write.format("noop").mode("overwrite").save())
+      for (residual <- Seq(false, true);
+           rerank <- Seq(50, 100, 200)) {
+        val ann = Similarity.knnIvfPq(emb, q, 5,
+          rerank = rerank, residual = residual)
         val hits = ann.select("query_id", "nn_id")
           .join(bf, Seq("query_id", "nn_id")).count()
         val n = ann.count()
-        println(s"[ivfpqprobe] $sf residual=$residual " +
+        println(s"[ivfpqprobe] $sf residual=$residual rerank=$rerank " +
           s"n_results=$n recall@5=${hits / 50.0}")
       }
     }

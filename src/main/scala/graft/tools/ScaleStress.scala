@@ -236,7 +236,16 @@ object ScaleStress {
       timed("snapshot_drift") {
         graft.operators.Profile.snapshotDrift(spark, outDir) },
       timed("contrastive_pairs") {
-        Curation.contrastivePairs(spark, outDir) }
+        Curation.contrastivePairs(spark, outDir) },
+      // r11 additions: the hybrid fusion (legs bounded by query-term
+      // postings + the dense broadcast scan), the all-pairs bitext
+      // tier (|en|·|de| cosine — the exact/gate tier; production mines
+      // via 2 ANN probes/doc), and the unigram trainer (vocabulary-
+      // bounded EM — slope should track the vocab aggregation)
+      timed("hybrid_rrf") { Retrieval.hybridRrf(spark, outDir) },
+      timed("bitext_mining") { Similarity.mineBitext(spark, outDir) },
+      timed("unigram_pieces") {
+        TextAnalysis.unigramTrainPieces(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

@@ -176,6 +176,8 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Similarity.knnIvfPq(emptyEmb, oneEmb, 5).count() === 0)
     assert(Similarity.knnIvfPq(oneEmb, emptyEmb, 5).count() === 0)
     assert(Similarity.ivfPqIndex(emptyEmb)._3.count() === 0)
+    assert(Similarity.ivfPqAppend(Array.empty, Array.empty, oneEmb)
+      .count() === 0)
     assert(Similarity.pqTrainStats(emptyEmb).count() === 0)
     assert(Similarity.normalizeQuantize(emptyEmb).count() === 0)
     assert(Similarity.kmeansTrainStats(emptyEmb).count() === 0)

@@ -196,6 +196,77 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("unigram Viterbi expression matches a reference DP on random inventories") {
+    import graft.operators.TextAnalysis
+    val L = TextAnalysis.UnigramMaxPieceLen
+    val Inf = 1000000000000000L
+    // independent plain-Scala Viterbi with the EXACT tie semantics the
+    // expression encodes: min (cost, start) via first-wins on ascending
+    // start; unreachable/missing-piece candidates excluded at the same
+    // < Inf boundary; backtrack collects pieces, unsegmentable → empty
+    def ref(word: String, costs: Map[String, Long]): (Long, Seq[String]) = {
+      val n = word.length
+      val best = Array.fill(n + 2)((Inf, 0))
+      best(1) = (0L, 0)
+      for (i <- 2 to n + 1) {
+        var bc = Inf; var bj = 0
+        for (j <- math.max(1, i - L) to i - 1) {
+          val c = best(j)._1 + costs.getOrElse(
+            word.substring(j - 1, i - 1), Inf)
+          if (c < Inf && c < bc) { bc = c; bj = j }
+        }
+        best(i) = (bc, bj)
+      }
+      var pos = n + 1
+      val ps = scala.collection.mutable.ArrayBuffer[String]()
+      var steps = 0
+      while (pos > 1 && steps <= n) {
+        val (_, bp) = best(pos)
+        if (bp >= 1) ps += word.substring(bp - 1, pos - 1)
+        pos = bp; steps += 1
+      }
+      (best(n + 1)._1,
+        if (pos == 1) ps.reverse.toSeq else Seq.empty)
+    }
+    val wordGen = for {
+      len <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val invGen = for {
+      // random multi-char pieces over the same alphabet
+      n <- Gen.choose(0, 12)
+      ps <- Gen.listOfN(n, for {
+        l <- Gen.choose(2, L)
+        cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+      // chars individually present-or-absent: absence exercises the
+      // unsegmentable path the coverage gate guards
+      chars <- Gen.someOf(Seq("a", "b", "c"))
+      costs <- Gen.listOfN(n + chars.size, Gen.choose(0L, 5000000L))
+    } yield ((ps ++ chars).distinct zip costs).toMap
+    val prop = forAll(Gen.listOfN(8, wordGen), invGen) {
+      (words: List[String], inv: Map[String, Long]) =>
+        words.isEmpty || inv.isEmpty || {
+          val out = words.toDF("word")
+            .select(col("word"),
+              TextAnalysis.unigramSegExpr(col("word"), typedLit(inv))
+                .as("seg"))
+            .select(col("word"), col("seg.cost"), col("seg.pieces"))
+            .as[(String, Long, Seq[String])].collect()
+          out.forall { case (w, cost, pieces) =>
+            val (rc, rp) = ref(w, inv)
+            // cost compares only when segmentable (unreachable cost is
+            // sentinel-ish on both sides but may differ in magnitude)
+            (rp.isEmpty && pieces.isEmpty) ||
+              (cost == rc && pieces == rp)
+          }
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("containment tiers agree on arbitrary corpora and thresholds") {
     import graft.operators.Dedup
     // a tiny token pool forces dense shared-bigram structure, so the
