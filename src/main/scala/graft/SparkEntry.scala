@@ -348,6 +348,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // multi-probe LSH (Lv et al. 2007): Hamming-1 bucket perturbation
+    // on the QUERY side only — recall tuning over the unchanged index
+    "knn_lsh_mp" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), 5,
+        multiProbe = true)
+    }),
     "knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), 5)
@@ -2675,6 +2682,8 @@ object SparkEntry {
         |SELECT 'ivfpq', 50, 10, 1, 1
         |UNION ALL
         |SELECT 'lsh', 50, 10, 1, 1
+        |UNION ALL
+        |SELECT 'lsh_mp', 50, 10, 1, 1
         |UNION ALL
         |SELECT 'pq', 50, 10, 1, 1
         |ORDER BY method""".stripMargin,

@@ -1467,19 +1467,36 @@ object TextAnalysis {
     * into the plan as a literal; per-row column math, no join, no
     * shuffle). The trained model is the cached artifact, so encode
     * never retrains. */
+  // (dir, target) → checkpointed (word, pieces) VOCABULARY segmentation
+  // — the Viterbi DP is the expensive per-row expression, so it runs
+  // once per DISTINCT word (the trainer's own vocabulary-collapse
+  // argument: Heaps' law bounds the vocab, occurrences don't), cached
+  // per JVM like the model itself
+  private val unigramEncCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), DataFrame]()
+
   private def unigramEncoded(s: SparkSession, dir: String,
                              vocabTarget: Int): DataFrame = {
-    val (pieces, _, _) = unigramCache.computeIfAbsent(
-      (dir, vocabTarget), _ => trainUnigram(s, dir, vocabTarget))
-    val costs = pieces.map(p => p._1 -> p._3).toMap
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("word"))
-    if (costs.isEmpty)
-      return words.withColumn("pieces", typedlit(Seq.empty[String]))
-    words
-      .withColumn("seg", unigramSegExpr(col("word"), typedlit(costs)))
-      .select(col("doc_id"), col("word"), col("seg.pieces").as("pieces"))
+    val vocabSeg = unigramEncCache.computeIfAbsent((dir, vocabTarget), _ => {
+      val (pieces, _, _) = unigramCache.computeIfAbsent(
+        (dir, vocabTarget), _ => trainUnigram(s, dir, vocabTarget))
+      val costs = pieces.map(p => p._1 -> p._3).toMap
+      val vocab = words.select("word").distinct()
+      Checkpoints.scratch(
+        if (costs.isEmpty)
+          vocab.withColumn("pieces", typedlit(Seq.empty[String]))
+        else vocab
+          .withColumn("seg", unigramSegExpr(col("word"), typedlit(costs)))
+          .select(col("word"), col("seg.pieces").as("pieces")))
+    })
+    // occurrence rows re-attach their word's segmentation through a
+    // vocab-keyed join (AQE broadcasts it at test scale; at corpus
+    // scale it's the standard token-dictionary hash join)
+    words.join(vocabSeg, Seq("word"))
+      .select("doc_id", "word", "pieces")
   }
 
   /** Per-doc unigram-encoding stats (rows-only — the learned inventory
