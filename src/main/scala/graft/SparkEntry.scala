@@ -152,6 +152,10 @@ object SparkEntry {
     // --- text analysis (north-star LLM-pipeline operators) ---
     "token_stats" -> (TextAnalysis.tokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
+    // curriculum-learning order: quality-quantile stages with per-stage
+    // doc/token accounting (ntile semantics, no global window)
+    "curriculum_stages" -> ((s, dir) =>
+      TextAnalysis.curriculumStages(s, dir)),
     "lang_id" -> (TextAnalysis.langId _),
     // trained count-space Naive Bayes over the marker-planted corpus:
     // integer-millionth log weights make the argmax hash-exact
@@ -225,6 +229,10 @@ object SparkEntry {
       TextAnalysis.unigramEncodeStats(s, dir)),
     "unigram_encode_gate" -> ((s, dir) =>
       TextAnalysis.unigramEncodeGate(s, dir)),
+    // per-language fertility of the two trained tokenizers (rows-only;
+    // re-aggregates the frames the two encode gates hash-check)
+    "tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(s, dir)),
     "bpe_encode_stats" -> ((s, dir) =>
       TextAnalysis.bpeEncodeStats(s, dir, nMerges = 20)),
     "bpe_encode_gate" -> ((s, dir) =>
@@ -1503,6 +1511,26 @@ object SparkEntry {
          |      AS distinct_ratio
          |  FROM (SELECT doc_id, $DuckTokList AS toks FROM documents) t) q
          |ORDER BY doc_id""".stripMargin,
+    // the staging is EXACTLY ntile over (quality DESC, doc_id) — the
+    // Spark side computes the same assignment without the global window
+    "curriculum_stages" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(0.4*round(len(list_filter(toks, x -> list_contains(
+         |        ['${TextAnalysis.Stopwords.mkString("','")}'], x)))::DOUBLE
+         |        / len(toks), 4) +
+         |      0.6*round(len(list_distinct(toks))::DOUBLE / len(toks), 4),
+         |      4) AS quality_score
+         |  FROM (SELECT doc_id, $DuckTokList AS toks FROM documents) t),
+         |s AS (
+         |  SELECT n_tokens, quality_score,
+         |    ntile(4) OVER (ORDER BY quality_score DESC, doc_id) AS stage
+         |  FROM q)
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(quality_score) AS min_quality,
+         |  max(quality_score) AS max_quality
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "bpe_token_stats" ->
       s"""SELECT doc_id, len(bt) AS n_bpe_tokens, len(wt) AS n_ws_tokens,
          |  round(len(bt)::DOUBLE / greatest(len(wt), 1), 4) AS bpe_per_word

@@ -76,6 +76,53 @@ object TextAnalysis {
               lit(0.6) * col("distinct_ratio"), 4))
   }
 
+  /** Curriculum staging: partition the corpus into `stages` quality
+    * quantiles (high quality first — the classic curriculum-learning
+    * order) and emit the per-stage accounting a trainer consumes:
+    * doc count, token mass, quality bounds.
+    *
+    * Semantics are EXACTLY SQL ntile over (quality_score DESC, doc_id)
+    * — the oracle states it that way — but the implementation never
+    * runs the global single-partition window ntile compiles to:
+    * 4-dp scores take ≤10001 distinct values, so per-score-bucket
+    * counts are DRIVER METADATA (the model-registry collect class);
+    * each doc's global rank is cumBefore(score) + its row_number
+    * WITHIN its score bucket (a bounded, score-partitioned window),
+    * and the ntile bucket index inverts from the rank in pure integer
+    * math (first n%stages buckets hold ⌈n/stages⌉ rows). At 100 TB
+    * that is one vocabulary-bounded aggregate + one bounded-partition
+    * window + a scan-fused stage expression — no global sort. */
+  def curriculumStages(s: SparkSession, dir: String,
+                       stages: Int = 4): DataFrame = {
+    import s.implicits._
+    val q = qualityScore(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val buckets = q.groupBy("quality_score")
+      .agg(count(lit(1)).as("c"))
+      .as[(Double, Long)].collect().sortBy(-_._1)
+    if (buckets.isEmpty)
+      return Seq.empty[(Int, Long, Long, Double, Double)]
+        .toDF("stage", "n_docs", "sum_tokens", "min_quality", "max_quality")
+    val n = buckets.map(_._2).sum
+    val cumBefore = buckets.scanLeft(0L)(_ + _._2).init
+    val cumMap = buckets.map(_._1).zip(cumBefore).toMap
+    val big = n / stages; val r = n % stages
+    val wS = Window.partitionBy("quality_score").orderBy("doc_id")
+    val rank0 = element_at(typedlit(cumMap), col("quality_score")) +
+      row_number().over(wS) - 1
+    val stage = when(rank0 < lit((big + 1) * r),
+        (rank0 / lit(big + 1)).cast("int") + 1)
+      .otherwise((lit(r) +
+        (rank0 - lit((big + 1) * r)) / lit(math.max(big, 1L))).cast("int") + 1)
+    q.withColumn("stage", stage)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("quality_score").as("min_quality"),
+        max("quality_score").as("max_quality"))
+      .orderBy("stage")
+  }
+
   /** Language-ID heuristic: character-class evidence first (CJK, kana,
     * Cyrillic, Spanish diacritics), else default 'en'. A real pipeline
     * swaps in an n-gram profile model; the plumbing (pure column
@@ -1533,6 +1580,35 @@ object TextAnalysis {
           .as("roundtrip_ok"),
         min(when(col("bd"), 1).otherwise(0)).cast("int")
           .as("bounds_ok"))
+
+  /** Tokenizer comparison — FERTILITY (pieces per word) per language
+    * for the two trained tokenizers, the eval view a tokenizer choice
+    * runs on a held corpus (high fertility on a language = that
+    * language pays more sequence length per word — the practical
+    * multilingual-tokenizer selection metric). Re-aggregates the two
+    * encode frames whose per-doc counts the encode gates already
+    * hash-check (`bpe_encode_gate` / `unigram_encode_gate` are this
+    * view's companions); rows-only because the piece counts come from
+    * the learned models. Langs-bounded output; both encodes are
+    * cached per JVM. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(s, dir).select("doc_id", "lang")
+    def agg(df: DataFrame, piecesCol: org.apache.spark.sql.Column,
+            tok: String) =
+      df.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(piecesCol)).as("n_pieces"))
+        .withColumn("tokenizer", lit(tok))
+    agg(bpeEncoded(s, dir, 20), col("syms"), "bpe")
+      .unionByName(
+        agg(unigramEncoded(s, dir, UnigramVocabTarget), col("pieces"),
+          "unigram"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words"), 4))
+      .select("tokenizer", "lang", "n_words", "n_pieces", "fertility")
+      .orderBy("tokenizer", "lang")
+  }
 
   /** Hash-checked gate for the unigram trainer — the invariants ANSI
     * SQL can check without re-running EM: the corpus character

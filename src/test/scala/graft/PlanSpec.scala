@@ -139,6 +139,21 @@ class PlanSpec extends AnyFunSuite {
       s"ADC join does not key on the cell id:\n$p")
   }
 
+  test("curriculum_stages: every window is partitioned — no global sort") {
+    import graft.operators.TextAnalysis
+    val df = TextAnalysis.curriculumStages(spark, dir)
+    // the operator's whole point vs plain ntile: the stage assignment
+    // must never compile to a single-partition global window (the
+    // WindowExec everything-to-one-task pathology); the only window
+    // allowed is the score-bucket row_number, which is partitioned
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "curriculum staging fell back to a global unpartitioned window")
+  }
+
   test("hybrid_rrf: leg joins stay bounded — no cartesian off the fusion path") {
     import graft.operators.Retrieval
     val p = plan(Retrieval.hybridRrf(spark, dir))
