@@ -154,6 +154,22 @@ class PlanSpec extends AnyFunSuite {
       "curriculum staging fell back to a global unpartitioned window")
   }
 
+  test("bitext mining: pair frame materializes once; neighborhood joins keyed") {
+    import graft.operators.Similarity
+    val p = plan(Similarity.mineBitext(spark, dir))
+    // the deliberate all-pairs broadcast product runs ONCE while the
+    // ranked pair frame checkpoints; the downstream plan must read
+    // that materialization (ExistingRDD scans), never re-derive the
+    // product per consumer, and the sa/sb neighborhood joins must be
+    // KEYED joins on src_id/tgt_id — not products
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the pair product leaked past the checkpoint into the probe plan")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 2, p)
+  }
+
   test("hybrid_rrf: leg joins stay bounded — no cartesian off the fusion path") {
     import graft.operators.Retrieval
     val p = plan(Retrieval.hybridRrf(spark, dir))
