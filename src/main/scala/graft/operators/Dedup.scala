@@ -976,7 +976,10 @@ object Dedup {
     import graft.functions.VectorExpressions.dot_native
     val e = emb.select(col("vec_id"),
         VectorFunctions.toDoubleVec(col("embedding")).as("v"))
-      .withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
+      // 1e-9 norm floor: a zero vector must not turn the cosine into
+      // an ANSI division error (Similarity.knnBruteForce's comment)
+      .withColumn("norm",
+        greatest(sqrt(dot_native(col("v"), col("v"))), lit(1e-9)))
     // spread the probe side: a single-file parquet scan arrives as one
     // partition, which would serialize the O(n²) pair scan on one core
     val par = emb.sparkSession.sparkContext.defaultParallelism

@@ -31,9 +31,14 @@ object Similarity {
     * Norms precomputed per side; per-pair dot is the codegen'd native
     * expression (graft.functions.VectorExpressions). */
   def knnBruteForce(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms floored at 1e-9 (the normalizeQuantize convention): a zero
+    // vector would otherwise make the cosine division an ANSI
+    // DIVIDE_BY_ZERO error and crash the scan — floored, it scores 0
+    // against everything (DegenerateSpec pins the no-throw contract)
     def side(df: DataFrame, id: String, v: String, n: String) =
       df.select(col("vec_id").as(id), toDoubleVec(col("embedding")).as(v))
-        .withColumn(n, sqrt(dot_native(col(v), col(v))))
+        .withColumn(n,
+          greatest(sqrt(dot_native(col(v), col(v))), lit(1e-9)))
     val corpus = side(emb, "nn_id", "vc", "nc")
     val q = side(queries, "query_id", "vq", "nq")
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nn_id"))
@@ -193,7 +198,10 @@ object Similarity {
   private def knnIvfWith(e: DataFrame, refined: Array[Array[Double]],
                          queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val assigned = assignCells(e, refined).drop("best_dot")
-      .withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
+      // 1e-9 norm floor: zero vectors must not turn the cosine into an
+      // ANSI division error (knnBruteForce's comment)
+      .withColumn("norm",
+        greatest(sqrt(dot_native(col("v"), col("v"))), lit(1e-9)))
 
     // top-nprobe cells per query: sort a C-element (dot, cell) struct
     // array descending, slice, explode — per-row math, no window
@@ -205,7 +213,7 @@ object Similarity {
       .withColumn("probe",
         explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
       .select(col("vec_id").as("query_id"), col("v").as("vq"),
-        sqrt(dot_native(col("v"), col("v"))).as("nq"),
+        greatest(sqrt(dot_native(col("v"), col("v"))), lit(1e-9)).as("nq"),
         col("probe.cell").as("cell"))
 
     // each corpus vector lives in exactly one cell and a query probes
@@ -242,7 +250,8 @@ object Similarity {
     val probeStructs = array(refined.indices.map(i =>
       struct(dot_native(col("v"), typedlit(refined(i).toSeq)).as("d"),
         lit(i).as("cell"))): _*)
-    e.withColumn("norm", sqrt(dot_native(col("v"), col("v"))))
+    e.withColumn("norm",
+        greatest(sqrt(dot_native(col("v"), col("v"))), lit(1e-9)))
       .withColumn("probe",
         explode(slice(reverse(array_sort(probeStructs)), 1, probes)))
       .select(col("vec_id"), col("v"), col("norm"),
@@ -413,7 +422,8 @@ object Similarity {
     def banded(df: DataFrame, idCol: String, vecCol: String, nCol: String) =
       df.select(col("vec_id").as(idCol),
           toDoubleVec(col("embedding")).as(vecCol))
-        .withColumn(nCol, sqrt(dot_native(col(vecCol), col(vecCol))))
+        .withColumn(nCol,
+          greatest(sqrt(dot_native(col(vecCol), col(vecCol))), lit(1e-9)))
         .withColumn("sig", lsh_sign_bits(col(vecCol), nBits))
         .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
         .withColumn("band_key",
@@ -771,9 +781,11 @@ object Similarity {
           .select(col("doc_id").as("vec_id")), Seq("vec_id"))
         .select(col("vec_id").as(id), toDoubleVec(col("embedding")).as(v))
     val a = side(srcLang, "src_id", "va")
-      .withColumn("na", sqrt(dot_native(col("va"), col("va"))))
+      .withColumn("na",
+        greatest(sqrt(dot_native(col("va"), col("va"))), lit(1e-9)))
     val b = side(tgtLang, "tgt_id", "vb")
-      .withColumn("nb", sqrt(dot_native(col("vb"), col("vb"))))
+      .withColumn("nb",
+        greatest(sqrt(dot_native(col("vb"), col("vb"))), lit(1e-9)))
     val pairs = a.crossJoin(broadcast(b))
       .withColumn("cos",
         round(dot_native(col("va"), col("vb")) / (col("na") * col("nb")), 6))

@@ -178,6 +178,20 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Similarity.ivfPqIndex(emptyEmb)._3.count() === 0)
     assert(Similarity.ivfPqAppend(Array.empty, Array.empty, oneEmb)
       .count() === 0)
+    // a zero vector has no direction: its cosine row divides by a zero
+    // norm (double NaN/Inf, not an ANSI error) — every tier must
+    // survive a corpus containing one rather than crash; result
+    // contents for the degenerate row are unspecified, the pin is
+    // no-throw + bounded output
+    val withZero = Seq(
+      (1L, Array(1f, 2f, 3f), 0),
+      (2L, Array(0f, 0f, 0f), 0),
+      (3L, Array(3f, 2f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val zq = withZero.filter(col("vec_id") <= 2)
+    assert(Similarity.knnBruteForce(withZero, zq, 2).count() <= 4)
+    assert(Similarity.knnLsh(withZero, zq, 2).count() <= 4)
+    assert(Similarity.knnIvf(withZero, zq, 2).count() <= 4)
+    assert(Similarity.normalizeQuantize(withZero).count() === 3)
     assert(Similarity.pqTrainStats(emptyEmb).count() === 0)
     assert(Similarity.normalizeQuantize(emptyEmb).count() === 0)
     assert(Similarity.kmeansTrainStats(emptyEmb).count() === 0)
