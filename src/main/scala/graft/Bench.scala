@@ -142,7 +142,12 @@ object Bench {
     val windowDegraded = canaryRatios.exists(_ > 1.5)
     val canaryJson =
       s""""canary":{"ref":$CanaryRef,""" +
-      s""""ratios":${canaryRatios.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
+      s""""ratios":${canaryRatios.map(r =>
+        // explicit ROOT locale: the default f"" interpolator is
+        // locale-sensitive and a comma-decimal locale would emit
+        // "1,09" here, corrupting the JSON bench_diff.py parses
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(r)))
+        .mkString("[", ",", "]")},""" +
       s""""window_degraded":$windowDegraded}"""
     val total = results.map(_._2).filter(valid).sum
     // Verbose per-query line first (distinct metric name so a consumer

@@ -46,6 +46,15 @@ object ScaleStress {
   def docs10(base: DataFrame, mult: Int): DataFrame = {
     val groups = math.max(1, mult / 10)
     val width = math.min(mult, 10)
+    // the per-group Caesar salt has only 26 distinct rotations and
+    // g % 26 == 0 is the IDENTITY (group 26 would be byte-identical to
+    // group 0) — a silent corpus-degeneracy cap of exactly the class
+    // this file elsewhere converts to loud failures, so fail loudly
+    // past mult 260 instead of silently re-planting exact duplicates
+    require(groups <= 26,
+      s"docs10: groups=$groups > 26 — the Caesar salt wraps at 26 " +
+        "rotations (g % 26 == 0 repeats group 0's bytes); use a wider " +
+        "salt before scaling past mult=260")
     val abc = "abcdefghijklmnopqrstuvwxyz"
     (0 until groups).flatMap { g =>
       (0 until width).map { c =>
@@ -68,11 +77,16 @@ object ScaleStress {
   }
 
   /** Same width cap as [[docs10]]: copy (g, c) bumps coordinate c by
-    * 0.15·(g+1), so every copy is distinct for any mult (the flat k−1
-    * coordinate index went out of the 64-dim range past mult=64 and
-    * produced byte-identical vectors). Cross-group vectors still share
-    * the base direction, so embedding-tier cluster COUNT scales only
-    * approximately — the 100× spot-check targets the text tiers. */
+    * 0.15·(g+1), so every copy is distinct for any mult — ONLY k = 0
+    * is the unmodified base, and within a group the bumped coordinate
+    * is c itself (0..9, always inside the 64-dim range). The previous
+    * max(0, c−1) index made copies (g, 0) and (g, 1) byte-identical
+    * for every g ≥ 1 (both bumped coordinate 0 by the same amount),
+    * re-planting one exact-duplicate embedding pair per base vector
+    * per group into the >10× corpora (r11 ADVICE). Cross-group vectors
+    * still share the base direction, so embedding-tier cluster COUNT
+    * scales only approximately — the 100× spot-check targets the text
+    * tiers. */
   def emb10(base: DataFrame, mult: Int): DataFrame = {
     val groups = math.max(1, mult / 10)
     val width = math.min(mult, 10)
@@ -83,7 +97,7 @@ object ScaleStress {
         else base.select(
           (col("vec_id") + lit(k * CopyStride)).as("vec_id"),
           transform(col("embedding"),
-            (x, i) => when(i === math.max(0, c - 1),
+            (x, i) => when(i === c,
               x + lit(0.15f * (g + 1))).otherwise(x))
             .as("embedding"),
           col("label"))
