@@ -379,6 +379,15 @@ object SparkEntry {
     // margin-based bitext mining (LASER/CCMatrix): each en doc's
     // best-margin de counterpart, ratio margin in exact integer micros
     "bitext_mining" -> ((s, dir) => Similarity.mineBitext(s, dir)),
+    // the PRODUCTION miner: same margin scoring over 2 knnIvfPq probes
+    // per doc — k·(|en|+|de|) candidates, never the all-pairs product
+    // (rows-only; bitext_ann_gate is the hash-green companion)
+    "bitext_mining_ann" -> ((s, dir) => Similarity.mineBitextAnn(s, dir)),
+    // pair recall of the ANN miner vs the exact tier ≥ 0.8 (measured
+    // 0.939/0.961/0.949 at sf0.001/0.01/0.1 — tools/BitextProbe), plus
+    // the one-pair-per-source bound; side sizes + exact pair count
+    // SQL-recomputed
+    "bitext_ann_gate" -> ((s, dir) => Similarity.bitextAnnGate(s, dir)),
     // the composed IVFADC production tier: probe reads nprobe cells'
     // PQ codes only (rows-only; the recall gate's 4th row is the
     // hash-green companion)
@@ -2818,6 +2827,53 @@ object SparkEntry {
         |  FROM m) x
         |WHERE rn = 1 AND margin_micros >= 1000000
         |ORDER BY src_id""".stripMargin,
+    // ANN-miner gate: side sizes + the exact tier's pair count
+    // recomputed (the same all-pairs margin pipeline as bitext_mining,
+    // wrapped in counts); recall/bound invariants pinned as flags
+    "bitext_ann_gate" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |a AS (SELECT vec_id AS src_id, v AS va FROM e
+        |      JOIN d ON vec_id = doc_id AND lang = 'en'),
+        |b AS (SELECT vec_id AS tgt_id, v AS vb FROM e
+        |      JOIN d ON vec_id = doc_id AND lang = 'de'),
+        |p AS (
+        |  SELECT src_id, tgt_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(va, vb), x -> x[1]*x[2])) /
+        |      (sqrt(list_sum(list_transform(va, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(vb, x -> x*x)))), 6) AS cos
+        |  FROM a CROSS JOIN b),
+        |pm AS (SELECT src_id, tgt_id, cos,
+        |         CAST(round(cos * 1e6) AS BIGINT) AS cm FROM p),
+        |r AS (SELECT src_id, tgt_id, cos, cm,
+        |        row_number() OVER (PARTITION BY src_id
+        |          ORDER BY cos DESC, tgt_id) AS ra,
+        |        row_number() OVER (PARTITION BY tgt_id
+        |          ORDER BY cos DESC, src_id) AS rb
+        |      FROM pm),
+        |sa AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS sa FROM r
+        |       WHERE ra <= 4 GROUP BY 1),
+        |sb AS (SELECT tgt_id, CAST(sum(cm) AS BIGINT) AS sb FROM r
+        |       WHERE rb <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT r.src_id, r.tgt_id,
+        |    (r.cm * 8 * 1000000) // (sa.sa + sb.sb) AS margin_micros
+        |  FROM r JOIN sa ON r.src_id = sa.src_id
+        |         JOIN sb ON r.tgt_id = sb.tgt_id
+        |  WHERE sa.sa + sb.sb > 0),
+        |best AS (
+        |  SELECT src_id FROM (
+        |    SELECT src_id, margin_micros,
+        |      row_number() OVER (PARTITION BY src_id
+        |        ORDER BY margin_micros DESC, tgt_id) AS rn
+        |    FROM m) x
+        |  WHERE rn = 1 AND margin_micros >= 1000000)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_src,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_tgt,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM best) AS n_exact,
+        |  1 AS recall_ok, 1 AS bounded_ok""".stripMargin,
     "knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

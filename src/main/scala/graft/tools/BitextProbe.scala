@@ -3,7 +3,9 @@ import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
 /** Row counts + margin distribution of the bitext miner at each SF —
-  * the evidence behind the query's margin floor. */
+  * the evidence behind the query's margin floor — plus the ANN tier's
+  * pair recall vs the exact tier, the evidence behind
+  * [[graft.operators.Similarity.bitextAnnGate]]'s recall floor. */
 object BitextProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("local[8]", 8)
@@ -13,11 +15,22 @@ object BitextProbe {
       val dir = s"/root/testdata/$sf"
       val t0 = System.nanoTime()
       val m = Similarity.mineBitext(spark, dir)
-      val st = m.agg(count(lit(1)), min("margin_micros"),
-        max("margin_micros")).head()
-      println(s"[bitext] $sf rows=${st.getLong(0)} " +
-        s"margin=[${st.get(1)}, ${st.get(2)}] " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        .select("src_id", "tgt_id").localCheckpoint(true)
+      val nExact = m.count()
+      val st = Similarity.mineBitext(spark, dir)
+        .agg(min("margin_micros"), max("margin_micros")).head()
+      val tExact = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val ann = Similarity.mineBitextAnn(spark, dir)
+        .select("src_id", "tgt_id").localCheckpoint(true)
+      val nAnn = ann.count()
+      val tAnn = (System.nanoTime() - t1) / 1e9
+      val nHit = ann.join(m, Seq("src_id", "tgt_id"), "left_semi").count()
+      val recall = if (nExact == 0) 1.0 else nHit.toDouble / nExact
+      println(s"[bitext] $sf exact=$nExact " +
+        s"margin=[${st.get(0)}, ${st.get(1)}] " +
+        f"$tExact%.1f s | ann=$nAnn hit=$nHit recall=$recall%.3f " +
+        f"$tAnn%.1f s")
     }
     spark.stop()
   }

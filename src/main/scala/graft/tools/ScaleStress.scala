@@ -259,7 +259,22 @@ object ScaleStress {
       timed("hybrid_rrf") { Retrieval.hybridRrf(spark, outDir) },
       timed("bitext_mining") { Similarity.mineBitext(spark, outDir) },
       timed("unigram_pieces") {
-        TextAnalysis.unigramTrainPieces(spark, outDir) }
+        TextAnalysis.unigramTrainPieces(spark, outDir) },
+      // r12: the production bitext tier — candidates are 2 knnIvfPq
+      // probes per doc (k·(|en|+|de|) rows), so its slope should track
+      // the per-side corpus scans where the exact tier's tracks the
+      // |en|·|de| product (measured 7.7× per 10×)
+      timed("bitext_mining_ann") { Similarity.mineBitextAnn(spark, outDir) },
+      // r12: the composed IVFADC probe itself at stress scale (train +
+      // encode + probe; the per-JVM model cache means repeated probes
+      // amortize to the ADC join alone)
+      timed("knn_ivfpq") {
+        Similarity.knnIvfPq(emb, emb.filter(col("vec_id") < 10), 5) },
+      // r12: the unigram ENCODE path (per-row Viterbi over the trained
+      // vocab) — train slope is vocab-bounded (unigram_pieces above);
+      // encode should track the corpus scan
+      timed("unigram_encode") {
+        TextAnalysis.unigramEncodeStats(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

@@ -385,6 +385,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("ANN bitext miner: gate clears the recall floor; one pair per source") {
+    import graft.operators.Similarity
+    val g = Similarity.bitextAnnGate(spark, dir)
+      .as[(Long, Long, Long, Int, Int)].head()
+    assert(g._1 > 0 && g._2 > 0)  // both language sides populated
+    assert(g._3 > 0)              // the exact tier mined pairs to recall against
+    assert(g._4 === 1, "ANN pair recall under the 0.8 floor")
+    assert(g._5 === 1, "miner emitted more than one pair per source doc")
+    val out = Similarity.mineBitextAnn(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    // miner contract: at most one best-margin target per source, every
+    // emitted margin clears the floor, cosines are genuine cosines
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.forall(_._4 >= 1000000L))
+    assert(out.forall(p => p._3 >= -1.0 && p._3 <= 1.0))
+  }
+
   test("knn recall gates assert full-k and recall floors for all tiers") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.knnRecallGates(emb, emb.filter(col("vec_id") < 10), 5)

@@ -170,6 +170,36 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).size >= 2, p)
   }
 
+  test("bitext ANN miner: no pair product anywhere — probe and margin keyed") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // the probe stage (knnIvfPq per side, MINING shape: the query set
+    // is a whole language corpus, so no forced query broadcast) must
+    // stay keyed joins — cell equi-join for ADC, key joins for the
+    // re-rank — never a nested-loop product of the two languages
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    def side(l: String) = emb.join(
+      docs.filter(col("lang") === l).select(col("doc_id").as("vec_id")),
+      Seq("vec_id")).select("vec_id", "embedding")
+    val probe = plan(Similarity.knnIvfPq(side("de"), side("en"), 4,
+      broadcastQueries = false))
+    assert(!probe.contains("CartesianProduct"), probe)
+    assert(!probe.contains("BroadcastNestedLoopJoin"), probe)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(probe).size >= 2, probe)
+    // the margin stage reads the checkpointed bounded candidates and
+    // joins sa/sb by key — the exact tier's all-pairs product (its
+    // BroadcastNestedLoopJoin) must appear NOWHERE in the ANN plan
+    val p = plan(Similarity.mineBitextAnn(spark, dir))
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the all-pairs product leaked into the ANN miner's margin plan")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 2, p)
+  }
+
   test("hybrid_rrf: leg joins stay bounded — no cartesian off the fusion path") {
     import graft.operators.Retrieval
     val p = plan(Retrieval.hybridRrf(spark, dir))
