@@ -388,12 +388,12 @@ object SparkEntry {
     // the one-pair-per-source bound; side sizes + exact pair count
     // SQL-recomputed
     "bitext_ann_gate" -> ((s, dir) => Similarity.bitextAnnGate(s, dir)),
-    // the composed IVFADC production tier: probe reads nprobe cells'
-    // PQ codes only (rows-only; the recall gate's 4th row is the
-    // hash-green companion)
+    // the composed IVFADC production tier under the measured scaling
+    // policies — ln-scaled rerank + candidate-mass nprobe (rows-only;
+    // the recall gate's ivfpq row is the hash-green companion)
     "knn_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.knnIvfPq(emb, emb.filter(col("vec_id") < 10), 5)
+      Similarity.knnIvfPqAuto(emb, emb.filter(col("vec_id") < 10), 5)
     }),
     // per-iteration PQ codebook contract (kmeans_train_stats pattern)
     "pq_train_stats" -> ((s, dir) =>
@@ -2717,6 +2717,8 @@ object SparkEntry {
         |  CAST(10 AS BIGINT) AS n_queries, 1 AS full_k, 1 AS recall_ok
         |UNION ALL
         |SELECT 'ivfpq', 50, 10, 1, 1
+        |UNION ALL
+        |SELECT 'ivfpq_res', 50, 10, 1, 1
         |UNION ALL
         |SELECT 'lsh', 50, 10, 1, 1
         |UNION ALL

@@ -343,7 +343,8 @@ object Similarity {
                      lshFloor: Double = 0.6,
                      ivfFloor: Double = 0.6,
                      pqFloor: Double = 0.6,
-                     ivfpqFloor: Double = 0.6): DataFrame = {
+                     ivfpqFloor: Double = 0.6,
+                     ivfpqResFloor: Double = 0.6): DataFrame = {
     // ONE brute-force scan serves every approximate tier's recall join:
     // the exact top-k is scratch-materialized (nq·k rows) instead of
     // re-deriving the full corpus × queries pair scan per gate — with
@@ -374,23 +375,35 @@ object Similarity {
     val cents = trainIvf(e, 16, 3)
     val cb = if (cents.isEmpty) Array.empty[Array[Array[Double]]]
              else pqTrain(emb)
-    val (ivf, ivfpq, lsh, pq) =
+    // both composed tiers run the SHIPPED scaling policies (ln-scaled
+    // rerank, candidate-mass nprobe) — the gate measures the exact
+    // configuration the gated queries deploy, not a fixed test point
+    val nCorpus = emb.count()
+    val rr = scaledRerank(nCorpus)
+    val np = scaledNprobe(nCorpus, 16, rr)
+    val (ivf, ivfpq, ivfpqRes, lsh, pq) =
       if (cents.isEmpty || cb.isEmpty)
         (knnIvf(emb, queries, k), knnIvfPq(emb, queries, k),
+          knnIvfPq(emb, queries, k, residual = true),
           knnLsh(emb, queries, k), knnPq(emb, queries, k))
       else {
-        // the ivfpq tier's RESIDUAL codes are a different encoding
-        // from the pq tier's unit-sphere codes, so each tier reads its
-        // own cache-backed artifact (both encode exactly once per JVM)
+        // the ivfpq_res tier's RESIDUAL codes are a different encoding
+        // from the raw unit-sphere codes, so each tier reads its own
+        // cache-backed artifact (each encodes exactly once per JVM)
         val (_, cbIdx, index) = ivfPqIndex(emb)
+        val (_, cbRes, indexRes) = ivfPqIndex(emb, residual = true)
         (knnIvfWith(e, cents, queries, k, 8),
-          knnIvfPqWith(emb, index, cents, cbIdx, queries, k, 8, 100,
+          knnIvfPqWith(emb, index, cents, cbIdx, queries, k, np, rr,
             residual = false),
+          if (cbRes.isEmpty) knnIvfPq(emb, queries, k, residual = true)
+          else knnIvfPqWith(emb, indexRes, cents, cbRes, queries, k, np,
+            rr, residual = true),
           knnLsh(emb, queries, k),
           knnPq(emb, queries, k))
       }
     gate("ivf", ivf, ivfFloor)
       .unionAll(gate("ivfpq", ivfpq, ivfpqFloor))
+      .unionAll(gate("ivfpq_res", ivfpqRes, ivfpqResFloor))
       .unionAll(gate("lsh", lsh, lshFloor))
       .unionAll(gate("lsh_mp",
         knnLsh(emb, queries, k, multiProbe = true), lshFloor))
@@ -1067,6 +1080,39 @@ object Similarity {
       .withColumn("rn", row_number().over(wE))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("nn_id"), col("rn"))
+  }
+
+  /** Rerank-shortlist depth policy for [[knnIvfPq]]: ln-scaled from
+    * the 100-at-N=500 anchor (rerank = ⌈16.1·ln N⌉, floor 100), so the
+    * exact re-rank stays an nq·O(ln N) driver-bounded set while the
+    * shortlist deepens as the corpus grows. */
+  def scaledRerank(n: Long): Int =
+    math.max(100, math.ceil(16.1 * math.log(math.max(n, 2).toDouble)).toInt)
+
+  /** Probe-width policy for [[knnIvfPq]]: probe enough cells that the
+    * EXPECTED candidate mass covers the shortlist with margin —
+    * nprobe = ⌈12·rerank·cells/N⌉ clamped to [8, cells]. The sweep
+    * behind it (tools/IvfPqProbe): at sf0.1 nprobe=8 caps recall@5 at
+    * 0.74 regardless of rerank (probe loss, not ADC distortion, is
+    * binding once cells hold N/cells=125 vectors), while the policy's
+    * nprobe=12 with the ln-scaled rerank reaches 0.88 (raw) / 0.80
+    * (residual). At production scale cells is provisioned O(√N), so
+    * the mass term keeps nprobe near its floor and pruning real. */
+  def scaledNprobe(n: Long, cells: Int = 16, rerank: Int = 100): Int =
+    math.min(cells, math.max(8,
+      math.ceil(12.0 * rerank * cells / math.max(n, 1).toDouble).toInt))
+
+  /** [[knnIvfPq]] under the measured scaling policies: one corpus
+    * count picks rerank (ln-scaled) and nprobe (candidate-mass) — the
+    * configuration the gated query and the recall gates replay. */
+  def knnIvfPqAuto(emb: DataFrame, queries: DataFrame, k: Int,
+                   cells: Int = 16,
+                   residual: Boolean = false): DataFrame = {
+    val n = emb.count()
+    val rr = scaledRerank(n)
+    knnIvfPq(emb, queries, k, cells,
+      nprobe = scaledNprobe(n, cells, rr), rerank = rr,
+      residual = residual)
   }
 
   // ---- ANN-backed bitext mining: the production tier ----

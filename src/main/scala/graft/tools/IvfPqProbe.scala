@@ -21,15 +21,28 @@ object IvfPqProbe {
       val emb = Tables.embeddings(spark, dir)
       val q = emb.filter(col("vec_id") < 10)
       val bf = Similarity.knnBruteForce(emb, q, 5).select("query_id", "nn_id")
+      val n = emb.count()
       for (residual <- Seq(false, true);
-           rerank <- Seq(50, 100, 200)) {
-        val ann = Similarity.knnIvfPq(emb, q, 5,
+           nprobe <- Seq(8, 12, 16);
+           rerank <- Seq(50, 100, 200, 400,
+             Similarity.scaledRerank(n))) {
+        val ann = Similarity.knnIvfPq(emb, q, 5, nprobe = nprobe,
           rerank = rerank, residual = residual)
         val hits = ann.select("query_id", "nn_id")
           .join(bf, Seq("query_id", "nn_id")).count()
-        val n = ann.count()
-        println(s"[ivfpqprobe] $sf residual=$residual rerank=$rerank " +
-          s"n_results=$n recall@5=${hits / 50.0}")
+        val nr = ann.count()
+        println(s"[ivfpqprobe] $sf residual=$residual nprobe=$nprobe " +
+          s"rerank=$rerank n_results=$nr recall@5=${hits / 50.0}")
+      }
+      // the shipped policy point (knnIvfPqAuto): what the gated query runs
+      for (residual <- Seq(false, true)) {
+        val rr = Similarity.scaledRerank(n)
+        val np = Similarity.scaledNprobe(n, 16, rr)
+        val ann = Similarity.knnIvfPqAuto(emb, q, 5, residual = residual)
+        val hits = ann.select("query_id", "nn_id")
+          .join(bf, Seq("query_id", "nn_id")).count()
+        println(s"[ivfpqprobe] $sf POLICY residual=$residual " +
+          s"nprobe=$np rerank=$rr recall@5=${hits / 50.0}")
       }
     }
     spark.stop()

@@ -407,7 +407,7 @@ class DedupSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.knnRecallGates(emb, emb.filter(col("vec_id") < 10), 5)
       .as[(String, Long, Long, Int, Int)].collect()
-    assert(rows.map(_._1).toSeq === Seq("ivf", "ivfpq", "lsh", "lsh_mp", "pq"))
+    assert(rows.map(_._1).toSeq === Seq("ivf", "ivfpq", "ivfpq_res", "lsh", "lsh_mp", "pq"))
     rows.foreach { case (m, nRes, nQ, fullK, recallOk) =>
       assert(nRes === 50L, m)
       assert(nQ === 10L, m)

@@ -241,7 +241,7 @@ class DegenerateSpec extends AnyFunSuite {
     // the driver's hash compare
     val rows = Similarity.knnRecallGates(oneEmb, emptyEmb, 5)
       .as[(String, Long, Long, Int, Int)].collect()
-    assert(rows.map(_._1).toSeq === Seq("ivf", "ivfpq", "lsh", "lsh_mp", "pq"))
+    assert(rows.map(_._1).toSeq === Seq("ivf", "ivfpq", "ivfpq_res", "lsh", "lsh_mp", "pq"))
     rows.foreach { case (_, nRes, nQ, fullK, recallOk) =>
       assert(nRes === 0L && nQ === 0L && fullK === 1 && recallOk === 1)
     }
