@@ -230,9 +230,13 @@ object SparkEntry {
     "unigram_encode_gate" -> ((s, dir) =>
       TextAnalysis.unigramEncodeGate(s, dir)),
     // per-language fertility of the two trained tokenizers (rows-only;
-    // re-aggregates the frames the two encode gates hash-check)
+    // re-aggregates the frames the two encode gates hash-check) + its
+    // DIRECT hash-green gate (r13): exact per-lang word/char counts
+    // with the view's consistency flags pinned at 1
     "tokenizer_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(s, dir)),
+    "tokenizer_fertility_gate" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertilityGate(s, dir)),
     "bpe_encode_stats" -> ((s, dir) =>
       TextAnalysis.bpeEncodeStats(s, dir, nMerges = 20)),
     "bpe_encode_gate" -> ((s, dir) =>
@@ -1649,6 +1653,22 @@ object SparkEntry {
          |      FROM (SELECT doc_id, unnest($DuckTokList) AS word
          |            FROM documents) u) t
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the fertility view's direct gate: per-language word/char counts
+    // are exact SQL (the encode gates' per-doc surface re-aggregated by
+    // lang, crossed with the two tokenizer labels); the view-consistency
+    // flags (word counts match, piece counts within [n_words, n_chars],
+    // fertility = round(pieces/words, 4)) are pinned at 1
+    "tokenizer_fertility_gate" ->
+      s"""WITH t AS (SELECT lang, lower(word) AS word
+         |           FROM (SELECT lang, unnest($DuckTokList) AS word
+         |                 FROM documents) u),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |             CAST(sum(length(word)) AS BIGINT) AS n_chars
+         |      FROM t GROUP BY 1)
+         |SELECT tok AS tokenizer, lang, n_words, n_chars,
+         |  1 AS words_ok, 1 AS bounds_ok, 1 AS ratio_ok
+         |FROM a CROSS JOIN (SELECT unnest(['bpe', 'unigram']) AS tok) k
+         |ORDER BY 1, 2""".stripMargin,
     // exact word/char counts recomputed; the encode invariants
     // (symbol concat round-trips the word, counts in [1, n_chars])
     // are pinned at 1 — a broken merge flips them and fails the hash
@@ -2785,7 +2805,8 @@ object SparkEntry {
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_emb,
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id < 50) AS n_inc,
-        |  1 AS count_ok, 1 AS rows_ok""".stripMargin,
+        |  1 AS count_ok, 1 AS rows_ok,
+        |  1 AS res_count_ok, 1 AS res_rows_ok""".stripMargin,
     // exact recompute of the ratio-margin miner: all-pairs en×de
     // cosine, top-4 neighborhood sums in integer micros, floor-division
     // margin, best per source doc above the 1.0 floor

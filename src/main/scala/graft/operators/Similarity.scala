@@ -939,27 +939,35 @@ object Similarity {
     import s.implicits._
     import graft.sources.Tables
     val emb = Tables.embeddings(s, dir)
-    val (cents, cb, index) = ivfPqIndex(emb)
     val nEmb = emb.count()
-    if (cents.isEmpty || cb.isEmpty)
-      return Seq((nEmb, 0L, 1, 1))
-        .toDF("n_emb", "n_inc", "count_ok", "rows_ok")
     val inc = emb.filter(col("vec_id") < 50)
-    val appended = ivfPqAppend(cents, cb, inc)
-    val fromFull = index.filter(col("nn_id") < 50)
-      .select(col("nn_id"), col("cell").as("cell_f"),
-        col("codes").as("codes_f"))
-    val j = appended.join(fromFull, Seq("nn_id"))
-      .agg(count(lit(1)).as("n_join"),
-        coalesce(sum((col("cell") === col("cell_f") &&
-          col("codes") === col("codes_f")).cast("long")), lit(0L))
-          .as("n_eq"))
-      .head()
     val nInc = inc.count()
-    Seq((nEmb, nInc,
-      if (j.getLong(0) == nInc) 1 else 0,
-      if (j.getLong(1) == nInc) 1 else 0))
-      .toDF("n_emb", "n_inc", "count_ok", "rows_ok")
+    // the frozen-model determinism contract holds PER ENCODING: raw
+    // codes (the measured default) and residual codes (r = unit(v) −
+    // centroid, a different pure function of the same models) are
+    // checked separately — an ingest-path divergence in either flips
+    // its own pair of flags
+    def check(residual: Boolean): (Int, Int) = {
+      val (cents, cb, index) = ivfPqIndex(emb, residual = residual)
+      if (cents.isEmpty || cb.isEmpty) return (1, 1)
+      val appended = ivfPqAppend(cents, cb, inc, residual)
+      val fromFull = index.filter(col("nn_id") < 50)
+        .select(col("nn_id"), col("cell").as("cell_f"),
+          col("codes").as("codes_f"))
+      val j = appended.join(fromFull, Seq("nn_id"))
+        .agg(count(lit(1)).as("n_join"),
+          coalesce(sum((col("cell") === col("cell_f") &&
+            col("codes") === col("codes_f")).cast("long")), lit(0L))
+            .as("n_eq"))
+        .head()
+      (if (j.getLong(0) == nInc) 1 else 0,
+        if (j.getLong(1) == nInc) 1 else 0)
+    }
+    val (countOk, rowsOk) = check(residual = false)
+    val (resCountOk, resRowsOk) = check(residual = true)
+    Seq((nEmb, nInc, countOk, rowsOk, resCountOk, resRowsOk))
+      .toDF("n_emb", "n_inc", "count_ok", "rows_ok",
+        "res_count_ok", "res_rows_ok")
   }
 
   /** ANN top-k via the COMPOSED IVF×PQ index — the production shape at
@@ -1145,21 +1153,46 @@ object Similarity {
     * Each side's neighborhood sum uses its own direction's ANN top-k
     * (the per-query rank the probe already returns), so a hub vector's
     * denominator still grows with its retrieved neighborhood and the
-    * hubness normalization survives the ANN substitution.
-    * [[bitextAnnGate]] hash-checks pair recall vs the exact tier. */
+    * hubness normalization survives the ANN substitution. When the
+    * probe delivers an UNDER-FULL neighborhood (possible when nprobe
+    * cells hold fewer than k candidates — degenerate corpora), the
+    * margin divides by the ACTUAL retrieved count (ca + cb) instead of
+    * an assumed-full 2k, and a side with no own-direction retrievals
+    * contributes (0, 0) via a left join — integer-identical to the
+    * exact tier whenever both neighborhoods are full, never inflated
+    * when they aren't.
+    *
+    * Probe configuration: `nprobe`/`rerank` ≤ 0 (the default) derives
+    * each direction's values from the PROBED side's corpus count via
+    * the measured scaling policies ([[scaledRerank]] /
+    * [[scaledNprobe]]) — the same configuration the gated IVFADC tier
+    * ships, so the miner's recall doesn't silently erode as cells fill
+    * (IvfPqProbe: fixed nprobe=8 becomes probe-loss-bound as N/cells
+    * grows). [[bitextAnnGate]] hash-checks pair recall vs the exact
+    * tier. */
   def mineBitextAnn(s: SparkSession, dir: String, srcLang: String = "en",
                     tgtLang: String = "de", k: Int = 4,
                     marginFloor: Double = 1.0, cells: Int = 16,
-                    nprobe: Int = 8, rerank: Int = 100): DataFrame = {
+                    nprobe: Int = 0, rerank: Int = 0): DataFrame = {
     val a = bitextSide(s, dir, srcLang)
     val b = bitextSide(s, dir, tgtLang)
+    // per-direction probe parameters from the indexed side's count —
+    // two bounded metadata actions, the knnIvfPqAuto pattern
+    def params(indexed: DataFrame): (Int, Int) = {
+      val n = indexed.count()
+      val rr = if (rerank > 0) rerank else scaledRerank(n)
+      val np = if (nprobe > 0) nprobe else scaledNprobe(n, cells, rr)
+      (np, rr)
+    }
+    val (npA, rrA) = params(b)
+    val (npB, rrB) = params(a)
     // 2 ANN probes per doc, one per direction; doc_ids are globally
     // unique so the cross-lingual query never self-matches
-    val nnA = knnIvfPq(b, a, k, cells, nprobe, rerank = rerank,
+    val nnA = knnIvfPq(b, a, k, cells, npA, rerank = rrA,
         broadcastQueries = false)
       .select(col("query_id").as("src_id"), col("nn_id").as("tgt_id"),
         lit(1).as("da"), lit(0).as("db"))
-    val nnB = knnIvfPq(a, b, k, cells, nprobe, rerank = rerank,
+    val nnB = knnIvfPq(a, b, k, cells, npB, rerank = rrB,
         broadcastQueries = false)
       .select(col("nn_id").as("src_id"), col("query_id").as("tgt_id"),
         lit(0).as("da"), lit(1).as("db"))
@@ -1184,15 +1217,27 @@ object Similarity {
       .withColumn("cos_micro", round(col("cos") * 1e6).cast("long"))
       .select("src_id", "tgt_id", "cos", "cos_micro", "da", "db"))
     val sa = scored.filter(col("da") === 1)
-      .groupBy("src_id").agg(sum("cos_micro").as("sa"))
+      .groupBy("src_id").agg(sum("cos_micro").as("sa"),
+        count(lit(1)).as("ca"))
     val sb = scored.filter(col("db") === 1)
-      .groupBy("tgt_id").agg(sum("cos_micro").as("sb"))
+      .groupBy("tgt_id").agg(sum("cos_micro").as("sb"),
+        count(lit(1)).as("cb"))
     val wm = Window.partitionBy("src_id")
       .orderBy(desc("margin_micros"), asc("tgt_id"))
-    scored.join(sa, "src_id").join(sb, "tgt_id")
+    // LEFT joins: a pair retrieved only by the reverse direction whose
+    // src (or tgt) has no own-direction retrievals keeps its row with a
+    // (0, 0) neighborhood instead of silently dropping; the actual
+    // count (ca + cb) replaces the exact tier's always-full 2k — equal
+    // integers whenever both neighborhoods hold k rows (the
+    // non-degenerate case), smaller (never inflated) margins otherwise
+    scored.join(sa, Seq("src_id"), "left").join(sb, Seq("tgt_id"), "left")
+      .withColumn("sa", coalesce(col("sa"), lit(0L)))
+      .withColumn("sb", coalesce(col("sb"), lit(0L)))
+      .withColumn("ca", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
       .filter(col("sa") + col("sb") > 0)
       .withColumn("margin_micros",
-        expr(s"(cos_micro * ${2L * k} * 1000000) div (sa + sb)"))
+        expr("(cos_micro * (ca + cb) * 1000000) div (sa + sb)"))
       .withColumn("rn", row_number().over(wm))
       .filter(col("rn") === 1 &&
         col("margin_micros") >= math.round(marginFloor * 1e6))

@@ -1610,6 +1610,43 @@ object TextAnalysis {
       .orderBy("tokenizer", "lang")
   }
 
+  /** Hash-checked DIRECT gate for [[tokenizerFertility]] — previously
+    * the only rows-only query whose check was transitive (through the
+    * two encode gates). Per (tokenizer, lang): `n_words`/`n_chars` are
+    * EXACT and SQL-recomputable (tokenize → lowercase → count / sum of
+    * word lengths — the encode gates' per-doc surface re-aggregated by
+    * language), and three pinned flags tie the fertility view to them:
+    * words_ok — the view's per-lang word count equals the exact count
+    * (an encoder dropping or duplicating word rows flips it);
+    * bounds_ok — n_words ≤ n_pieces ≤ n_chars (every word segments
+    * into ≥1 piece and at most one piece per character, for BOTH
+    * trained tokenizers); ratio_ok — the emitted fertility is exactly
+    * round(n_pieces / n_words, 4). Langs-bounded output; reuses the
+    * per-JVM encode caches the view itself fills. */
+  def tokenizerFertilityGate(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.documents(s, dir)
+      .select(col("lang"), explode(toks).as("w0"))
+      .select(col("lang"), lower(col("w0")).as("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words_x"),
+        sum(length(col("word"))).as("n_chars"))
+    tokenizerFertility(s, dir)
+      .join(exact, Seq("lang"))
+      .withColumn("words_ok",
+        when(col("n_words") === col("n_words_x"), 1).otherwise(0))
+      .withColumn("bounds_ok",
+        when(col("n_words_x") <= col("n_pieces") &&
+          col("n_pieces") <= col("n_chars"), 1).otherwise(0))
+      .withColumn("ratio_ok",
+        when(col("fertility") ===
+          round(col("n_pieces").cast("double") / col("n_words"), 4), 1)
+          .otherwise(0))
+      .select(col("tokenizer"), col("lang"),
+        col("n_words_x").as("n_words"), col("n_chars"),
+        col("words_ok"), col("bounds_ok"), col("ratio_ok"))
+      .orderBy("tokenizer", "lang")
+  }
+
   /** Hash-checked gate for the unigram trainer — the invariants ANSI
     * SQL can check without re-running EM: the corpus character
     * inventory (exact, SQL-recomputable — tokenize, lowercase, count

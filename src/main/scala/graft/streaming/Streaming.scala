@@ -299,12 +299,40 @@ object Streaming {
     * settled matches (single-stateful-operator discipline — here even
     * the stream is stateless). */
   def streamedNearDupIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val base = graft.sources.Tables.documents(s, dir).select(
+      Dedup.guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
+    val fresh = nearDupIngestFresh(documentsStream(s, dir))
+    nearDupIngestKeepFirst(
+      settle(nearDupIngestMatches(base, fresh),
+        "graft_stream_neardup", mode = "append"))
+  }
+
+  /** The planted re-crawl increment of [[streamedNearDupIngest]]: near
+    * copies of doc_id < PlantCount under shifted ids (the dedup-family
+    * convention). Factored over any documents frame — streaming in the
+    * gated query, the spec's own checkpointed file stream in the
+    * kill-resume proof. */
+  private[graft] def nearDupIngestFresh(docs: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    docs.filter(col("doc_id") < Dedup.PlantCount)
+      .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+  }
+
+  /** Stream-side core of [[streamedNearDupIngest]]: scan-fused
+    * signature/band-key/feature computation on the fresh side, then
+    * the stream-static broadcast band join + estimate cut + exact
+    * bigram-Jaccard verify. Stateless — the broadcast base tables ARE
+    * the state — so a checkpointed restart replays only unprocessed
+    * files and emitted match rows are a pure per-row function of
+    * (fresh row, static base): the kill-resume proof's foundation. */
+  private[graft] def nearDupIngestMatches(base: DataFrame,
+                                          fresh0: DataFrame): DataFrame = {
     import graft.operators.{Checkpoints, Dedup}
     import graft.functions.MinHashExpression.sig_agree_count
     val k = 32; val bands = 8; val r = k / bands
     val estTau = 0.4
-    val base = graft.sources.Tables.documents(s, dir).select(
-      Dedup.guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
     // base model tables, built once: signatures + distinct-bigram
     // feature arrays (the verify tier's payload), and the band index
     val baseSigs = Checkpoints.scratch(
@@ -318,13 +346,8 @@ object Streaming {
       .select(col("base_id"), col("band"),
         xxhash64(col("band"), expr(s"slice(sig_b, band * $r + 1, $r)"))
           .as("band_key"))
-    // the fresh increment streams in (the planted re-crawl: near copies
-    // of doc_id < PlantCount under shifted ids, the dedup-family
-    // convention); signature, band keys and features are scan-fused
-    val fresh = documentsStream(s, dir)
-      .filter(col("doc_id") < Dedup.PlantCount)
-      .select((col("doc_id") + Dedup.DupIdOffset).as("doc_id"),
-        regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+    // signature, band keys and features are scan-fused on the fresh side
+    val fresh = fresh0
       .withColumn("sig", Dedup.minhashSignature(col("text"), k))
       .withColumn("fa",
         transform(array_distinct(wordNgrams(tokenize(col("text")), 2)),
@@ -332,7 +355,7 @@ object Streaming {
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key",
         xxhash64(col("band"), expr(s"slice(sig, band * $r + 1, $r)")))
-    val matches = fresh
+    fresh
       .join(broadcast(baseBandIdx), Seq("band", "band_key"))
       .join(broadcast(baseSigs), Seq("base_id"))
       .filter(round(sig_agree_count(col("sig"), col("sig_b"))
@@ -345,12 +368,19 @@ object Streaming {
         round(col("n_inter").cast("double") / col("denom"), 6))
       .filter(col("jaccard") >= Dedup.IncrementalTau)
       .select(col("doc_id"), col("base_id"), col("jaccard"))
-    // settle, then keep each dropped doc's FIRST base match — the
-    // incrementalNearDup contract (multi-band hits of the same pair
-    // are value-identical rows; rn = 1 picks one deterministically)
+  }
+
+  /** Batch-side settle aggregation of [[streamedNearDupIngest]]: keep
+    * each dropped doc's FIRST base match — the incrementalNearDup
+    * contract (multi-band hits of the same pair are value-identical
+    * rows; rn = 1 picks one deterministically). Idempotent over
+    * duplicated match rows, so a replayed-then-overwritten micro-batch
+    * in an idempotent file sink cannot change the settled answer. */
+  private[graft] def nearDupIngestKeepFirst(matches: DataFrame)
+      : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("base_id")
-    settle(matches, "graft_stream_neardup", mode = "append")
+    matches
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("base_id").as("dup_of"), col("jaccard"))

@@ -14,11 +14,14 @@ object BitextProbe {
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       val t0 = System.nanoTime()
+      // ONE materialization of the quadratic exact tier: margin stats
+      // and the pair frame both come off the same checkpointed
+      // projection (r12 ADVICE — the second mineBitext call doubled
+      // the probe's dominant cost)
       val m = Similarity.mineBitext(spark, dir)
-        .select("src_id", "tgt_id").localCheckpoint(true)
+        .select("src_id", "tgt_id", "margin_micros").localCheckpoint(true)
       val nExact = m.count()
-      val st = Similarity.mineBitext(spark, dir)
-        .agg(min("margin_micros"), max("margin_micros")).head()
+      val st = m.agg(min("margin_micros"), max("margin_micros")).head()
       val tExact = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val ann = Similarity.mineBitextAnn(spark, dir)

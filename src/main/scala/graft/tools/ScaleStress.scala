@@ -267,9 +267,12 @@ object ScaleStress {
       timed("bitext_mining_ann") { Similarity.mineBitextAnn(spark, outDir) },
       // r12: the composed IVFADC probe itself at stress scale (train +
       // encode + probe; the per-JVM model cache means repeated probes
-      // amortize to the ADC join alone)
+      // amortize to the ADC join alone). r13: via knnIvfPqAuto so the
+      // measured slope is the DEPLOYED configuration's — the gated
+      // query ships the scaled nprobe/rerank policies, not the fixed
+      // defaults (r12 ADVICE)
       timed("knn_ivfpq") {
-        Similarity.knnIvfPq(emb, emb.filter(col("vec_id") < 10), 5) },
+        Similarity.knnIvfPqAuto(emb, emb.filter(col("vec_id") < 10), 5) },
       // r12: the unigram ENCODE path (per-row Viterbi over the trained
       // vocab) — train slope is vocab-bounded (unigram_pieces above);
       // encode should track the corpus scan

@@ -230,6 +230,62 @@ class StreamingSpec extends AnyFunSuite {
       s"ingest stream grew state operators: ${prog.get.stateOperators.toSeq}")
   }
 
+  test("near-dup ingest resumes from its checkpoint after a kill and settles to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(
+      Dedup.guardPlantWindow(col("doc_id")).as("doc_id"), col("text"))
+    val total = docs.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    // 32 single-file micro-batches so the kill lands mid-corpus
+    docs.repartition(32).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def matches() = Streaming.nearDupIngestMatches(docs,
+      Streaming.nearDupIngestFresh(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)))
+    def sink(df: org.apache.spark.sql.DataFrame) = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // batch-id-keyed overwrite: a batch replayed after the kill
+        // rewrites ITS OWN directory — the idempotent-sink pattern for
+        // append streams
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+      }
+    val q1 = sink(matches()).start()
+    // wait for >= 3 committed micro-batches, then kill mid-corpus
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 3 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    val run1Batches = q1.recentProgress.count(_.numInputRows > 0)
+    q1.stop()
+    q1.awaitTermination()
+    assert(run1Batches >= 3, s"only $run1Batches batches before the kill")
+    // restart from the same checkpoint; drain what's left, then stop
+    val q2 = sink(matches()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val replayed = q2.recentProgress.map(_.numInputRows).sum
+    // the restart RESUMED from the checkpoint instead of replaying the
+    // corpus: it saw strictly fewer input rows than a cold start would
+    assert(replayed < total, s"restart reprocessed all $total rows")
+    // settle batch-side over every written micro-batch dir and compare
+    // to the batch incremental filter — the same answer the unkilled
+    // gated query settles to
+    val settled = Streaming.nearDupIngestKeepFirst(
+        spark.read.parquet(s"$out/b*"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Dedup.incrementalNearDup(docs,
+        Streaming.nearDupIngestFresh(docs))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(settled === batch)
+    assert(settled.nonEmpty)
+  }
+
   test("checkpointed file stream resumes after a kill and settles to batch") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
