@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,40 @@ object Similarity {
       .limit(cells).select("v").collect()
       .map(_.getSeq[Double](0).toArray)
 
+  /** Above this cell count, centroid-distance math switches from the
+    * per-centroid expression expansion (C separate codegen'd dot_native
+    * children — the fastest shape whole-stage codegen produces, and the
+    * right one at the 16-cell test default) to ONE higher-order
+    * transform over a single 2-D centroid literal. At the production
+    * O(√N) cell counts [[scaledCells]] provisions, C inline dot bodies
+    * would blow the generated method past Janino's 64 KB limit (and the
+    * class constant pool with C×dim literal doubles), collapsing the
+    * whole stage to interpreted fallback — the HOF keeps the stage
+    * codegen'd and only the centroid loop itself interpreted
+    * (dot_native still evaluates its tight nullSafeEval loop). */
+  private val HofCellThreshold = 64
+
+  /** All-cells dot products of `v` against the codebook — hybrid tier
+    * per [[HofCellThreshold]]. */
+  private def centDots(v: Column, cents: Array[Array[Double]]): Column =
+    if (cents.length <= HofCellThreshold)
+      array(cents.toIndexedSeq.map(c =>
+        dot_native(v, typedlit(c.toSeq))): _*)
+    else
+      transform(typedlit(cents.map(_.toSeq).toSeq), c => dot_native(v, c))
+
+  /** (dot, cell-id) struct array for probe selection — the sortable
+    * form of [[centDots]], same hybrid tier. */
+  private def centDotStructs(v: Column,
+                             cents: Array[Array[Double]]): Column =
+    if (cents.length <= HofCellThreshold)
+      array(cents.indices.map(i =>
+        struct(dot_native(v, typedlit(cents(i).toSeq)).as("d"),
+          lit(i).as("cell"))): _*)
+    else
+      transform(typedlit(cents.map(_.toSeq).toSeq), (c, i) =>
+        struct(dot_native(v, c).as("d"), i.as("cell")))
+
   /** Nearest cell by cosine = argmax of dot with UNIT-norm centroids (the
     * row's own norm is constant across cells); ties resolve to the first
     * (lowest) cell id via array_position — deterministic. Keeps the
@@ -83,8 +117,7 @@ object Similarity {
     * the scan — no explode, no window, no shuffle, any embedding dim. */
   private def assignCells(df: DataFrame,
                           cents: Array[Array[Double]]): DataFrame = {
-    val dots = array(cents.toIndexedSeq.map(c =>
-      dot_native(col("v"), typedlit(c.toSeq))): _*)
+    val dots = centDots(col("v"), cents)
     df.withColumn("__d", dots)
       .withColumn("cell",
         (array_position(col("__d"), array_max(col("__d"))) - 1).cast("int"))
@@ -134,8 +167,19 @@ object Similarity {
       (corpusFp(e, Seq("vec_id", "v")), cells, lloydIters),
       _ => trainIvfUncached(e, cells, lloydIters))
 
-  private def trainIvfUncached(e: DataFrame, cells: Int,
+  private def trainIvfUncached(e0: DataFrame, cells: Int,
                                lloydIters: Int): Array[Array[Double]] = {
+    // the production trainer discipline the scaladoc above promises:
+    // past 2× the statistical need (≥40 training vectors per cell,
+    // floor 50k rows) the codebook trains on a deterministic
+    // hash-sample — Lloyd means converge on the sample; the assignment
+    // pass is the only stage that must see every row
+    val target = math.max(50000L, 40L * cells)
+    val n = e0.count()
+    val e =
+      if (n <= 2 * target) e0
+      else e0.filter(pmod(xxhash64(col("vec_id"), lit(41)), lit(1000000L))
+        < lit(1000000L * target / n))
     val seeds = seedCentroids(e, cells)
     if (seeds.isEmpty) return Array.empty
     val dim = seeds.head.length // derived from the data, no fixed 64
@@ -206,9 +250,7 @@ object Similarity {
     // top-nprobe cells per query: sort a C-element (dot, cell) struct
     // array descending, slice, explode — per-row math, no window
     val q = queries.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val probeStructs = array(refined.indices.map(i =>
-      struct(dot_native(col("v"), typedlit(refined(i).toSeq)).as("d"),
-        lit(i).as("cell"))): _*)
+    val probeStructs = centDotStructs(col("v"), refined)
     val probes = q
       .withColumn("probe",
         explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
@@ -247,9 +289,7 @@ object Similarity {
     if (refined.isEmpty)
       return e.withColumn("norm", lit(0.0))
         .withColumn("cell", lit(0)).limit(0)
-    val probeStructs = array(refined.indices.map(i =>
-      struct(dot_native(col("v"), typedlit(refined(i).toSeq)).as("d"),
-        lit(i).as("cell"))): _*)
+    val probeStructs = centDotStructs(col("v"), refined)
     e.withColumn("norm",
         greatest(sqrt(dot_native(col("v"), col("v"))), lit(1e-9)))
       .withColumn("probe",
@@ -375,12 +415,15 @@ object Similarity {
     val cents = trainIvf(e, 16, 3)
     val cb = if (cents.isEmpty) Array.empty[Array[Array[Double]]]
              else pqTrain(emb)
-    // both composed tiers run the SHIPPED scaling policies (ln-scaled
-    // rerank, candidate-mass nprobe) — the gate measures the exact
-    // configuration the gated queries deploy, not a fixed test point
+    // both composed tiers run the SHIPPED scaling policies (cells
+    // ~4√N, ln-scaled rerank, candidate-mass nprobe) — the gate
+    // measures the exact configuration the gated queries deploy, not a
+    // fixed test point. The plain-ivf tier keeps its own 16-cell
+    // codebook (knnIvf's gated defaults).
     val nCorpus = emb.count()
+    val cellsAuto = scaledCells(nCorpus)
     val rr = scaledRerank(nCorpus)
-    val np = scaledNprobe(nCorpus, 16, rr)
+    val np = scaledNprobe(nCorpus, cellsAuto, rr)
     val (ivf, ivfpq, ivfpqRes, lsh, pq) =
       if (cents.isEmpty || cb.isEmpty)
         (knnIvf(emb, queries, k), knnIvfPq(emb, queries, k),
@@ -390,14 +433,16 @@ object Similarity {
         // the ivfpq_res tier's RESIDUAL codes are a different encoding
         // from the raw unit-sphere codes, so each tier reads its own
         // cache-backed artifact (each encodes exactly once per JVM)
-        val (_, cbIdx, index) = ivfPqIndex(emb)
-        val (_, cbRes, indexRes) = ivfPqIndex(emb, residual = true)
+        val (centsIdx, cbIdx, index) = ivfPqIndex(emb, cellsAuto)
+        val (_, cbRes, indexRes) =
+          ivfPqIndex(emb, cellsAuto, residual = true)
         (knnIvfWith(e, cents, queries, k, 8),
-          knnIvfPqWith(emb, index, cents, cbIdx, queries, k, np, rr,
-            residual = false),
+          if (cbIdx.isEmpty) knnIvfPq(emb, queries, k)
+          else knnIvfPqWith(emb, index, centsIdx, cbIdx, queries, k, np,
+            rr, residual = false),
           if (cbRes.isEmpty) knnIvfPq(emb, queries, k, residual = true)
-          else knnIvfPqWith(emb, indexRes, cents, cbRes, queries, k, np,
-            rr, residual = true),
+          else knnIvfPqWith(emb, indexRes, centsIdx, cbRes, queries, k,
+            np, rr, residual = true),
           knnLsh(emb, queries, k),
           knnPq(emb, queries, k))
       }
@@ -948,7 +993,9 @@ object Similarity {
     // checked separately — an ingest-path divergence in either flips
     // its own pair of flags
     def check(residual: Boolean): (Int, Int) = {
-      val (cents, cb, index) = ivfPqIndex(emb, residual = residual)
+      // the deployed index shape: cells from the corpus-count policy
+      val (cents, cb, index) =
+        ivfPqIndex(emb, scaledCells(nEmb), residual = residual)
       if (cents.isEmpty || cb.isEmpty) return (1, 1)
       val appended = ivfPqAppend(cents, cb, inc, residual)
       val fromFull = index.filter(col("nn_id") < 50)
@@ -1039,30 +1086,41 @@ object Similarity {
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     // probe frame: one row per (query, probed cell), carrying that
     // row's ADC table — nq·nprobe rows of driver-bounded size
-    val probeStructs = array(cents.indices.map(i =>
-      struct(dot_native(col("v"), typedlit(cents(i).toSeq)).as("d"),
-        lit(i).as("cell"))): _*)
-    val qv = if (residual)
-        zip_with(col("vq"), element_at(centsLit, col("cell") + 1),
-          (a, b) => a - b)
-      else col("vq")
+    val probeStructs = centDotStructs(col("v"), cents)
+    def tabsOf(qvc: Column): Column =
+      transform(sequence(lit(0), lit(PqM - 1)), s =>
+        transform(sequence(lit(1), lit(PqK)), kk =>
+          aggregate(
+            zip_with(slice(qvc, s * PqSubDim + 1, lit(PqSubDim)),
+              element_at(element_at(cbl, s + 1), kk),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0d), (acc, x) => acc + x)))
+    val qBase = queries
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vq", unitVec(col("v")))
+    val qExpanded =
+      if (residual)
+        // residual ADC tables are PER (query, cell): r_q depends on the
+        // probed centroid, so the table builds after the explode
+        qBase.withColumn("probe",
+            explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
+          .withColumn("cell", col("probe.cell"))
+          .withColumn("qv",
+            zip_with(col("vq"), element_at(centsLit, col("cell") + 1),
+              (a, b) => a - b))
+          .withColumn("tabs", tabsOf(col("qv")))
+      else
+        // raw-mode ADC tables are cell-INVARIANT: build the [M][K]
+        // table ONCE per query, then explode to probe rows — an
+        // nprobe× saving on the probe stage's dominant math
+        qBase.withColumn("tabs", tabsOf(col("vq")))
+          .withColumn("probe",
+            explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
+          .withColumn("cell", col("probe.cell"))
+          .withColumn("qv", col("vq"))
     val q = Checkpoints.scratch(
-      queries.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-        .withColumn("vq", unitVec(col("v")))
-        .withColumn("probe",
-          explode(slice(reverse(array_sort(probeStructs)), 1, nprobe)))
-        .withColumn("cell", col("probe.cell"))
-        .withColumn("qv", qv)
-        .withColumn("tabs",
-          transform(sequence(lit(0), lit(PqM - 1)), s =>
-            transform(sequence(lit(1), lit(PqK)), kk =>
-              aggregate(
-                zip_with(slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)),
-                  element_at(element_at(cbl, s + 1), kk),
-                  (a, b) => (a - b) * (a - b)),
-                lit(0.0d), (acc, x) => acc + x))))
-        .select(col("vec_id").as("query_id"), col("vq"), col("tabs"),
-          col("cell")))
+      qExpanded.select(col("vec_id").as("query_id"), col("vq"),
+        col("tabs"), col("cell")))
     // each corpus vector lives in exactly one cell and a query probes
     // distinct cells → a (query, nn) candidate appears at most once
     val wA = Window.partitionBy("query_id")
@@ -1110,16 +1168,36 @@ object Similarity {
     math.min(cells, math.max(8,
       math.ceil(12.0 * rerank * cells / math.max(n, 1).toDouble).toInt))
 
+  /** Cell-count policy for the composed IVFADC tier: cells ≈ 4√N (the
+    * IVF provisioning rule — Jégou et al. §V size the coarse quantizer
+    * O(√N)), floored at the 16-cell test default, capped by ⌊N/32⌋
+    * (≥32 training vectors per cell keeps the Lloyd means
+    * statistically real on small corpora) and 4096 (the codebook stays
+    * driver metadata). The policy exists because FIXED cells=16 makes
+    * per-cell size N/16: the ADC join then touches nprobe·N/16 code
+    * rows per query and the whole probe goes QUADRATIC in N — measured
+    * at the 100× stress corpus before this policy, the miner's ADC
+    * frame was ~2×10⁹ rows. O(√N) cells keep per-cell size O(√N), the
+    * probe subquadratic, and (with [[scaledNprobe]]'s candidate-mass
+    * rule) nprobe a small constant fraction of a much larger codebook. */
+  def scaledCells(n: Long): Int =
+    math.max(16, math.min(4096, math.min(
+      math.ceil(4.0 * math.sqrt(math.max(n, 1).toDouble)).toInt,
+      (n / 32L).toInt)))
+
   /** [[knnIvfPq]] under the measured scaling policies: one corpus
-    * count picks rerank (ln-scaled) and nprobe (candidate-mass) — the
-    * configuration the gated query and the recall gates replay. */
+    * count picks cells (~4√N), rerank (ln-scaled) and nprobe
+    * (candidate-mass) — the configuration the gated query and the
+    * recall gates replay. `cells` ≤ 0 (the default) derives from the
+    * corpus count; a positive value pins it (test hooks). */
   def knnIvfPqAuto(emb: DataFrame, queries: DataFrame, k: Int,
-                   cells: Int = 16,
+                   cells: Int = 0,
                    residual: Boolean = false): DataFrame = {
     val n = emb.count()
+    val cc = if (cells > 0) cells else scaledCells(n)
     val rr = scaledRerank(n)
-    knnIvfPq(emb, queries, k, cells,
-      nprobe = scaledNprobe(n, cells, rr), rerank = rr,
+    knnIvfPq(emb, queries, k, cc,
+      nprobe = scaledNprobe(n, cc, rr), rerank = rr,
       residual = residual)
   }
 
@@ -1172,27 +1250,28 @@ object Similarity {
     * tier. */
   def mineBitextAnn(s: SparkSession, dir: String, srcLang: String = "en",
                     tgtLang: String = "de", k: Int = 4,
-                    marginFloor: Double = 1.0, cells: Int = 16,
+                    marginFloor: Double = 1.0, cells: Int = 0,
                     nprobe: Int = 0, rerank: Int = 0): DataFrame = {
     val a = bitextSide(s, dir, srcLang)
     val b = bitextSide(s, dir, tgtLang)
     // per-direction probe parameters from the indexed side's count —
     // two bounded metadata actions, the knnIvfPqAuto pattern
-    def params(indexed: DataFrame): (Int, Int) = {
+    def params(indexed: DataFrame): (Int, Int, Int) = {
       val n = indexed.count()
+      val cc = if (cells > 0) cells else scaledCells(n)
       val rr = if (rerank > 0) rerank else scaledRerank(n)
-      val np = if (nprobe > 0) nprobe else scaledNprobe(n, cells, rr)
-      (np, rr)
+      val np = if (nprobe > 0) nprobe else scaledNprobe(n, cc, rr)
+      (cc, np, rr)
     }
-    val (npA, rrA) = params(b)
-    val (npB, rrB) = params(a)
+    val (ccA, npA, rrA) = params(b)
+    val (ccB, npB, rrB) = params(a)
     // 2 ANN probes per doc, one per direction; doc_ids are globally
     // unique so the cross-lingual query never self-matches
-    val nnA = knnIvfPq(b, a, k, cells, npA, rerank = rrA,
+    val nnA = knnIvfPq(b, a, k, ccA, npA, rerank = rrA,
         broadcastQueries = false)
       .select(col("query_id").as("src_id"), col("nn_id").as("tgt_id"),
         lit(1).as("da"), lit(0).as("db"))
-    val nnB = knnIvfPq(a, b, k, cells, npB, rerank = rrB,
+    val nnB = knnIvfPq(a, b, k, ccB, npB, rerank = rrB,
         broadcastQueries = false)
       .select(col("nn_id").as("src_id"), col("query_id").as("tgt_id"),
         lit(0).as("da"), lit(1).as("db"))

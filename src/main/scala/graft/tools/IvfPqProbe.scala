@@ -36,12 +36,13 @@ object IvfPqProbe {
       }
       // the shipped policy point (knnIvfPqAuto): what the gated query runs
       for (residual <- Seq(false, true)) {
+        val cc = Similarity.scaledCells(n)
         val rr = Similarity.scaledRerank(n)
-        val np = Similarity.scaledNprobe(n, 16, rr)
+        val np = Similarity.scaledNprobe(n, cc, rr)
         val ann = Similarity.knnIvfPqAuto(emb, q, 5, residual = residual)
         val hits = ann.select("query_id", "nn_id")
           .join(bf, Seq("query_id", "nn_id")).count()
-        println(s"[ivfpqprobe] $sf POLICY residual=$residual " +
+        println(s"[ivfpqprobe] $sf POLICY residual=$residual cells=$cc " +
           s"nprobe=$np rerank=$rr recall@5=${hits / 50.0}")
       }
     }

@@ -210,6 +210,25 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6)
   }
 
+  test("IVFADC HOF probe tier (cells > 64) is exhaustive-exact when saturated") {
+    import graft.operators.Similarity
+    // cells = 80 crosses HofCellThreshold, so the centroid math runs
+    // the single-2-D-literal transform tier (the O(√N)-cells production
+    // shape) instead of the per-centroid codegen expansion; with
+    // nprobe = cells and rerank ≥ corpus the probe is an exhaustive
+    // exact-cosine retrieval — it must EQUAL brute force row for row,
+    // pinning the HOF tier's struct naming, sort, ADC and re-rank
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.knnBruteForce(emb, q, 5)
+      .select("query_id", "nn_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val hof = Similarity.knnIvfPq(emb, q, 5, cells = 80, nprobe = 80,
+        rerank = 100000)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hof === bf)
+  }
+
   test("knn LSH result is a subset-quality approximation of brute force") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 10)
