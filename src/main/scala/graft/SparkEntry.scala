@@ -407,6 +407,24 @@ object SparkEntry {
     // ingest contract; counts SQL-recomputable, equality flags pinned)
     "ivfpq_append_gate" -> ((s, dir) =>
       Similarity.ivfPqAppendGate(s, dir)),
+    // rebuild-trigger policy for the partition-appended index: retrain
+    // when the count policy wants >= 2x the trained cells; policy
+    // arithmetic SQL-recomputable (IEEE sqrt is correctly rounded),
+    // append completeness + cell-range safety measured on the real path
+    "ivfpq_reindex_gate" -> ((s, dir) =>
+      Similarity.ivfPqReindexGate(s, dir)),
+    // approximate all-corpus k-NN GRAPH via NN-Descent — the third ANN
+    // shape (bounded-query probes, index ingest, now graph-for-every-
+    // node); iterative seeded descent → rows-only, nndescent_gate is
+    // the hash-green companion
+    "knn_graph_nndescent" -> ((s, dir) =>
+      Similarity.knnGraphNnDescent(Tables.embeddings(s, dir), 10)),
+    // graph-shape counts (every node holds exactly min(k, N-1) edges)
+    // + recall floor vs the exact graph on a deterministic node sample,
+    // restated as oracle constants (floor 0.6; measured recall@10
+    // 0.998/0.990/0.936 at sf0.001/0.01/0.1 — full-graph, not sampled)
+    "nndescent_gate" -> ((s, dir) =>
+      Similarity.nndescentGate(Tables.embeddings(s, dir))),
     "embedding_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(Tables.embeddings(s, dir))),
     "kmeans_train_stats" -> ((s, dir) =>
@@ -421,6 +439,15 @@ object SparkEntry {
       Dedup.semanticDedup(Tables.embeddings(s, dir), tau = 0.45)),
     "semantic_dedup_gate" -> ((s, dir) =>
       Dedup.semanticDedupGate(Tables.embeddings(s, dir), tau = 0.45)),
+    // graph-tier semantic dedup: the NN-Descent k-NN graph as the
+    // candidate tier (codebook-free — no rebuild cycle; appends just
+    // descend further), exact-formula re-verify (rows-only; the gate
+    // next is the hash-green companion — measured pair recall
+    // 1.000/1.000/0.979 at the three SFs vs floor 0.75)
+    "semantic_dedup_graph" -> ((s, dir) =>
+      Dedup.semanticDedupGraph(Tables.embeddings(s, dir), tau = 0.45)),
+    "semantic_dedup_graph_gate" -> ((s, dir) =>
+      Dedup.semanticDedupGraphGate(Tables.embeddings(s, dir), tau = 0.45)),
     // --- as-of join (operator Spark lacks; composed, not ported) ---
     "asof_event_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
@@ -534,6 +561,12 @@ object SparkEntry {
     // settles to the batch incrementalNearDup answer (shared oracle)
     "streamed_neardup_ingest" ->
       (graft.streaming.Streaming.streamedNearDupIngest _),
+    // streaming ANN-index ingest: arrivals IVF-assign + PQ-encode
+    // scan-side under the frozen nightly models (stateless — the
+    // models are the state); settled rows pinned equal to the batch
+    // ivfPqAppend of the same replay, counts SQL-recomputable
+    "streamed_ivfpq_ingest" ->
+      (graft.streaming.Streaming.streamedIvfPqIngest _),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // k-anonymity-style small-cell suppression for published breakdowns
@@ -2746,6 +2779,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'pq', 50, 10, 1, 1
         |ORDER BY method""".stripMargin,
+    // NN-Descent graph gate: shape counts are exact SQL (N nodes ×
+    // min(k, N-1) edges each — full_k pins the graph delivers them
+    // all), recall floor restated as a constant like knn_recall_gates
+    "nndescent_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) * LEAST(10, count(*) - 1) AS BIGINT) AS n_edges,
+        |  1 AS full_k, 1 AS recall_ok
+        |FROM embeddings""".stripMargin,
     // per-iteration PQ contract: every sub-vector assigned (rows × M),
     // cells bounded, L2 error non-increasing (Lloyd monotonicity) —
     // float error stays out of the hash, like kmeans_train_stats
@@ -2800,6 +2841,21 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM e) AS n_vectors,
         |  (SELECT count(*) FROM pairs) AS n_pairs_exact,
         |  1 AS subset_ok, 1 AS recall_ok, 1 AS survivors_ok""".stripMargin,
+    // graph-tier twin of semantic_dedup_gate: identical exact-side
+    // recompute (corpus size + global τ-pair count), flags constant
+    "semantic_dedup_graph_gate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.45)
+        |SELECT (SELECT count(*) FROM e) AS n_vectors,
+        |  (SELECT count(*) FROM pairs) AS n_pairs_exact,
+        |  1 AS subset_ok, 1 AS recall_ok, 1 AS survivors_ok""".stripMargin,
     // append-path determinism gate: exact counts + pinned equality
     "ivfpq_append_gate" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_emb,
@@ -2807,6 +2863,30 @@ object SparkEntry {
         |   WHERE vec_id < 50) AS n_inc,
         |  1 AS count_ok, 1 AS rows_ok,
         |  1 AS res_count_ok, 1 AS res_rows_ok""".stripMargin,
+    // rebuild-trigger policy recompute: the cell-count policy
+    // (max(16, min(4096, min(ceil(4*sqrt(n)), n/32)))) is exact in SQL
+    // because IEEE sqrt is correctly rounded, *4 and ceil are exact,
+    // and the rest is integer min/max; measured append flags pinned 1
+    "ivfpq_reindex_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_now
+        |           FROM embeddings),
+        |p AS (SELECT n_now, GREATEST(1, n_now // 8) AS n_base FROM n),
+        |c AS (SELECT n_now, n_base,
+        |  CAST(GREATEST(16, LEAST(4096,
+        |    LEAST(CAST(ceil(4*sqrt(n_base)) AS BIGINT), n_base // 32)))
+        |    AS INTEGER) AS stale_cells,
+        |  CAST(GREATEST(16, LEAST(4096,
+        |    LEAST(CAST(ceil(4*sqrt(n_now)) AS BIGINT), n_now // 32)))
+        |    AS INTEGER) AS fresh_cells
+        |  FROM p)
+        |SELECT 'stale' AS snapshot, n_base AS n_trained_at, n_now,
+        |  stale_cells AS cells, n_now // stale_cells AS occ_mean,
+        |  CASE WHEN fresh_cells >= 2*stale_cells THEN 1 ELSE 0 END
+        |    AS rebuild,
+        |  1 AS append_complete, 1 AS cells_in_range FROM c
+        |UNION ALL
+        |SELECT 'fresh', n_now, n_now, fresh_cells,
+        |  n_now // fresh_cells, 0, 1, 1 FROM c""".stripMargin,
     // exact recompute of the ratio-margin miner: all-pairs en×de
     // cosine, top-4 neighborhood sums in integer micros, floor-division
     // margin, best per source doc above the 1.0 floor
@@ -3606,6 +3686,12 @@ object SparkEntry {
     // candidates, same estimate cut, same exact J — see
     // Streaming.streamedNearDupIngest), so it shares the exact oracle
     "streamed_neardup_ingest" -> incrementalNearDupSql,
+    // streaming ANN-index ingest: settled = batch ivfPqAppend of the
+    // same replay (equality flags pinned; counts SQL-recomputable)
+    "streamed_ivfpq_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_emb,
+        |  CAST(count(*) AS BIGINT) AS n_stream,
+        |  1 AS count_ok, 1 AS rows_ok FROM embeddings""".stripMargin,
     // refresh capstone recompute, stage by stage: syntheticDelta merge
     // (corpus_refresh's fragment) → fresh-vs-existing bigram Jaccard ≥
     // tau (incremental_neardup's fragment) → per-shard stats over the

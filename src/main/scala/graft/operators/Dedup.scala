@@ -1359,6 +1359,97 @@ object Dedup {
         "survivors_ok")
   }
 
+  /** NN-Descent GRAPH candidate tier for semantic dedup — the
+    * codebook-free alternative to [[semanticPairs]]'s k-means cells:
+    * candidates are the undirected edge set of
+    * [[Similarity.knnGraphNnDescent]]'s converged approximate k-NN
+    * graph (≤ N·k rows), then each candidate re-verifies through the
+    * IDENTICAL 6-dp cosine formula as [[embeddingNearDupPairs]] (the
+    * graph's own sims are discarded — unit-vector dots round-trip
+    * differently from dot/(na·nb) in the 6th decimal, and subset-by-
+    * construction is the gate's first invariant). Two id equi-joins on
+    * a graph-bounded pair list; no trained model, no rebuild cycle —
+    * where [[semanticPairs]] needs [[Similarity.ivfPqReindexGate]]-style
+    * re-provisioning as the corpus outgrows its cells, appended rows
+    * here just descend into the existing graph. A τ-pair is missed only
+    * when NEITHER endpoint ranks the other in its approximate top-k
+    * (dense τ-balls bigger than k truncate — raising k is the knob);
+    * components then bridge missed pairs transitively, which is why the
+    * survivor gap stays smaller than the pair gap. */
+  def semanticPairsGraph(emb: DataFrame, tau: Double,
+                         k: Int = 10): DataFrame = {
+    import graft.functions.VectorExpressions.dot_native
+    val cand = Similarity.knnGraphNnDescent(emb, k)
+      .select(least(col("query_id"), col("nn_id")).as("id_a"),
+        greatest(col("query_id"), col("nn_id")).as("id_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"),
+        VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("norm",
+        greatest(sqrt(dot_native(col("v"), col("v"))), lit(1e-9)))
+    val sim =
+      round(dot_native(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("norm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("norm").as("nb")), "id_b")
+      .filter(sim >= tau)
+      .select("id_a", "id_b")
+  }
+
+  /** Semantic dedup over the NN-Descent graph tier: [[semanticDedup]]
+    * with [[semanticPairsGraph]] as the candidate+verify stage —
+    * components (star tier) + min-id representative, returning the
+    * surviving vec_ids. The 100 TB shape when no codebook lifecycle is
+    * wanted: graph construction is the candidate cost (per-round
+    * ≤ N·(2·buildK)² hash-partitioned rows), verification is two
+    * equi-joins on ≤ N·k pairs, and the component graph is sparse. */
+  def semanticDedupGraph(emb: DataFrame, tau: Double,
+                         k: Int = 10): DataFrame = {
+    val dropped =
+      connectedComponentsStar(semanticPairsGraph(emb, tau, k))
+        .filter(col("comp") =!= col("doc_id"))
+        .select(col("doc_id").as("vec_id"))
+    emb.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** [[semanticDedupGate]]'s invariants for the graph tier — same
+    * flags, same oracle shape (exact corpus size + global τ-pair count
+    * recomputed in SQL, flags restated as constants): subset (must hold
+    * by construction — the verify re-runs the exact formula), pair
+    * recall ≥ floor vs the global pair set, survivors ⊇-count the
+    * global closure's. */
+  def semanticDedupGraphGate(emb: DataFrame, tau: Double, k: Int = 10,
+                             recallFloor: Double = 0.75): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val globalPairs = embeddingNearDupPairs(emb, tau)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val graphPairs = semanticPairsGraph(emb, tau, k)
+      .localCheckpoint(true)
+    val nVec = emb.count()
+    val nExact = globalPairs.count()
+    val nExtra = graphPairs.join(globalPairs, Seq("id_a", "id_b"),
+      "left_anti").count()
+    val nMissed = globalPairs.join(graphPairs, Seq("id_a", "id_b"),
+      "left_anti").count()
+    val recall =
+      if (nExact == 0) 1.0 else (nExact - nMissed).toDouble / nExact
+    val graphSurvivors =
+      nVec - connectedComponentsStar(graphPairs)
+        .filter(col("comp") =!= col("doc_id")).count()
+    val globalSurvivors =
+      nVec - connectedComponentsStar(globalPairs)
+        .filter(col("comp") =!= col("doc_id")).count()
+    Seq((nVec, nExact,
+      if (nExtra == 0) 1 else 0,
+      if (recall >= recallFloor) 1 else 0,
+      if (graphSurvivors >= globalSurvivors) 1 else 0))
+      .toDF("n_vectors", "n_pairs_exact", "subset_ok", "recall_ok",
+        "survivors_ok")
+  }
+
   /** Exact bigram-Jaccard verification of an EXPLICIT candidate pair
     * set: per-doc distinct hashed-bigram feature arrays join onto the
     * pairs (two doc_id hash joins), intersection size via codegen'd

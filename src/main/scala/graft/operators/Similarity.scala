@@ -1017,6 +1017,70 @@ object Similarity {
         "res_count_ok", "res_rows_ok")
   }
 
+  /** REBUILD-TRIGGER gate for the partition-appended IVFADC layout.
+    * [[ivfPqAppend]] (and its streaming twin) encode arrivals under
+    * FROZEN models, so as the corpus outgrows the count the cells were
+    * provisioned for, per-cell occupancy — and with it every probe's
+    * ADC row count — drifts up linearly while the cell count stands
+    * still: exactly the fixed-cells quadratic §9.3 measured (893 s at
+    * the 100× stress before [[scaledCells]]). The rule this gate pins:
+    * RETRAIN WHEN THE COUNT POLICY WANTS ≥ 2× THE TRAINED CELLS. With
+    * cells ~ 4√N that trips at ~4× corpus growth, so (a) rebuilds are
+    * O(log₄ N) over the corpus lifetime, and (b) between rebuilds the
+    * stale mean occupancy N_now/cells_trained stays within 2× of the
+    * freshly-provisioned N_now/cells_policy — probe ADC cost drifts at
+    * most 2× before a rebuild amortizes it away.
+    *
+    * Evidence shape: one row per snapshot — a STALE one (models frozen
+    * when the corpus was 1/8th its current size, then the remaining 7/8
+    * appended through the real [[ivfPqAppend]] path) and a FRESH one
+    * (provisioned at the current count). The policy arithmetic
+    * (`scaledCells` = max(16, min(4096, min(⌈4√n⌉, n/32)))) is
+    * SQL-recomputable EXACTLY — IEEE sqrt is correctly rounded (unlike
+    * libm ln, the reason the NB/BM25 family uses integer millionths),
+    * ×4 and ⌈·⌉ are exact, and the rest is integer min/max — so
+    * cells/occupancy/rebuild all hash-check against DuckDB. The two
+    * measured flags pin the real append path at the stale cell count:
+    * `append_complete` (encode drops no rows: stale-index ∪ appended
+    * counts conserve to n_now) and `cells_in_range` (every appended
+    * row's cell id addresses a trained cell — partition-layout safety:
+    * an out-of-range id would write a directory no probe ever reads). */
+  def ivfPqReindexGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val nNow = emb.count()
+    val nBase = math.max(1L, nNow / 8)
+    val staleCells = scaledCells(nBase)
+    val freshCells = scaledCells(nNow)
+    // the stale snapshot's corpus: the n_base smallest vec_ids (a
+    // deterministic stand-in for the growth history; vec_id is unique,
+    // so the threshold cut is exactly n_base rows). TakeOrdered top-k,
+    // never a single-partition global window.
+    val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
+      .limit(nBase.toInt).agg(max("vec_id")).head().getLong(0)
+    val early = emb.filter(col("vec_id") <= thr)
+    val late = emb.filter(col("vec_id") > thr)
+    val (cents, cb, staleIdx) = ivfPqIndex(early, staleCells)
+    val appended = ivfPqAppend(cents, cb, late)
+    val unioned = staleIdx.select("nn_id", "cell")
+      .unionAll(appended.select("nn_id", "cell"))
+    val audit = unioned.agg(count(lit(1)).as("n_total"),
+      coalesce(sum((col("cell") >= 0 &&
+        col("cell") < staleCells).cast("long")), lit(0L)).as("n_in_range"))
+      .head()
+    val appendComplete = if (audit.getLong(0) == nNow) 1 else 0
+    val cellsInRange = if (audit.getLong(1) == nNow) 1 else 0
+    Seq(
+      ("stale", nBase, nNow, staleCells, nNow / staleCells,
+        if (freshCells >= 2 * staleCells) 1 else 0,
+        appendComplete, cellsInRange),
+      ("fresh", nNow, nNow, freshCells, nNow / freshCells,
+        0, 1, 1))
+      .toDF("snapshot", "n_trained_at", "n_now", "cells", "occ_mean",
+        "rebuild", "append_complete", "cells_in_range")
+  }
+
   /** ANN top-k via the COMPOSED IVF×PQ index — the production shape at
     * 100 TB, uniting [[knnIvf]]'s partition pruning with [[knnPq]]'s
     * 8-byte scan tier:
@@ -1349,5 +1413,165 @@ object Similarity {
     val boundedOk = if (nAnn <= nSrc) 1 else 0
     Seq((nSrc, nTgt, nExact, recallOk, boundedOk))
       .toDF("n_src", "n_tgt", "n_exact", "recall_ok", "bounded_ok")
+  }
+
+  // ---- NN-Descent: the approximate k-NN GRAPH tier ----
+
+  /** Approximate all-corpus k-NN GRAPH via NN-Descent (Dong, Charikar
+    * & Li, WWW 2011) — a different ANN SHAPE from the probe tiers:
+    * instead of "top-k for a bounded query set", EVERY corpus vector
+    * gets its k nearest neighbors — the frame semantic-dedup star
+    * components, graph clustering, and hubness audits consume. The
+    * exact graph is the N² self-product; NN-Descent converges toward
+    * it in a few rounds of O(N·k²) work on the paper's principle that
+    * a neighbor of a neighbor is likely a neighbor — no trained model,
+    * no index: the graph itself is the data structure, which is why it
+    * complements the IVFADC tiers (those need [[ivfPqReindexGate]]'s
+    * rebuild cycle; the graph just descends further on append).
+    *
+    * Spark shape — every stage an equi-join or key-partitioned window:
+    *  - INIT: `initRounds` seeded hash-bucketings (xxhash64(vec_id,
+    *    seed+r) mod N/bucketSize); within-bucket pairs are the random
+    *    starting edges. Bucketed equi-join keyed (round, bucket) —
+    *    rounds never merge, nothing is ever a cross join.
+    *  - ITERATE: incidence = edges ∪ reversed edges (each node's
+    *    neighbors AND reverse-neighbors — Dong's B(v)); candidate
+    *    pairs = incidence self-joined on the shared node (two
+    *    neighbors of a common node meet); pairs already in the graph
+    *    are anti-joined away; each fresh pair gets ONE exact dot
+    *    (unit vectors precomputed once, scratch-materialized); per-node
+    *    top-k over old ∪ new edges via window. Per-round cost:
+    *    Σ_v |B(v)|² ≤ N·(2k)² candidate rows, hash-partitioned by
+    *    node — no stage ever sees N².
+    *  - Each round materializes through [[Checkpoints.materialize]]
+    *    (lineage truncation; reliable-checkpoint under the cluster
+    *    knob) and snapshots into the resume store like the other
+    *    iterative operators, so a driver restart resumes mid-descent.
+    *
+    * Determinism: seeded buckets, 6-dp cosine, (desc sim, asc nn_id)
+    * tie-breaks, and a FIXED `iters` (not a convergence test) keep the
+    * output a pure function of (corpus, params). At 100 TB the knobs
+    * are Dong's ρ-sampling (score only a seeded-hash fraction of each
+    * incidence list per round) and k — the per-round join shape is
+    * unchanged. Returns (query_id, nn_id, sim, rn), the probe tiers'
+    * schema with the whole corpus as the query set.
+    *
+    * `buildK` (default 2k) is the OVER-BUILD width: the descent runs on
+    * a 2k-wide graph and the final window truncates to k. Measured on
+    * the near-uniform synthetic embeddings (the hard case — no cluster
+    * structure for the descent to exploit): at k=buildK=10, iters=3,
+    * recall@10 was 0.74/0.74/0.34 at N=500/500/2000 — the N=2000 graph
+    * was still far from converged; the wider graph both enlarges each
+    * round's candidate pool (|B(v)| ≈ 2·buildK) and keeps near-miss
+    * edges alive to seed later rounds. With buildK=2k and iters=5 the
+    * MEASURED full-graph recall@10 is 0.998/0.990/0.936 at the three
+    * SFs (gate floor 0.6) for ~4× the per-round pair count. */
+  def knnGraphNnDescent(emb: DataFrame, k: Int = 10, iters: Int = 5,
+                        initRounds: Int = 4, bucketSize: Int = 8,
+                        buildK: Int = 0,
+                        seed: Long = 41L): DataFrame = {
+    val s = emb.sparkSession
+    val u = Checkpoints.scratch(
+      emb.select(col("vec_id"),
+        unitVec(toDoubleVec(col("embedding"))).as("v")))
+    val n = u.count()
+    val empty = u.select(col("vec_id").as("query_id"),
+      col("vec_id").as("nn_id"), lit(0.0d).as("sim"), lit(0).as("rn"))
+      .filter(lit(false))
+    if (n < 2) return empty
+    val kb = if (buildK > 0) buildK else 2 * k
+    val nBuckets = math.max(1L, n / bucketSize)
+    // one exact dot per FRESH pair; both vector joins are id equi-joins
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(u.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+        .join(u.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+        .select(col("a"), col("b"),
+          round(dot_native(col("va"), col("vb")), 6).as("sim"))
+    // per-node top-k over prior directed edges ∪ both directions of the
+    // fresh scored pairs (fresh pairs are anti-joined against the prior
+    // pair set, so the union never duplicates a (query_id, nn_id) key)
+    def topK(fresh: DataFrame, prior: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("sim"), asc("nn_id"))
+      fresh.select(col("a").as("query_id"), col("b").as("nn_id"),
+          col("sim"))
+        .unionAll(fresh.select(col("b").as("query_id"),
+          col("a").as("nn_id"), col("sim")))
+        .unionAll(prior.select("query_id", "nn_id", "sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= kb)
+        .select("query_id", "nn_id", "sim", "rn")
+    }
+    val op = "nndescent"
+    val resume = Checkpoints.latestRound(s, op)
+    // a resumed round is store-backed: materialize off the files before
+    // clearRounds deletes them under a still-lazy result
+    var g = resume.map(r => Checkpoints.materialize(r._2)).getOrElse {
+      val rounds = (0 until initRounds).map { r =>
+        u.select(col("vec_id"),
+          lit(r).as("r"),
+          pmod(xxhash64(col("vec_id"), lit(seed + r)), lit(nBuckets))
+            .as("bkt"))
+      }.reduce(_ unionAll _)
+      val initPairs = rounds.as("x").join(rounds.as("y"), Seq("r", "bkt"))
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+        .distinct()
+      val g0 = Checkpoints.materialize(topK(score(initPairs), empty))
+      Checkpoints.saveRound(g0, op, 0)
+      g0
+    }
+    val startRound = resume.map(_._1).getOrElse(0)
+    for (i <- (startRound + 1) to iters) {
+      val inc = g.select(col("query_id").as("node"), col("nn_id").as("nb"))
+        .unionAll(g.select(col("nn_id").as("node"),
+          col("query_id").as("nb")))
+        .distinct()
+      val cand = inc.as("x").join(inc.as("y"), Seq("node"))
+        .filter(col("x.nb") < col("y.nb"))
+        .select(col("x.nb").as("a"), col("y.nb").as("b"))
+        .distinct()
+      val cur = g.select(least(col("query_id"), col("nn_id")).as("a"),
+        greatest(col("query_id"), col("nn_id")).as("b")).distinct()
+      val fresh = cand.join(cur, Seq("a", "b"), "left_anti")
+      val prev = g
+      g = Checkpoints.materialize(topK(score(fresh), g))
+      Checkpoints.saveRound(g, op, i)
+      Checkpoints.dropRound(prev)
+    }
+    Checkpoints.clearRounds(s, op)
+    // truncate the over-built graph to the requested k
+    if (kb == k) g else g.filter(col("rn") <= k)
+  }
+
+  /** Hash-checked gate for [[knnGraphNnDescent]]: graph shape counts
+    * plus a recall floor vs the exact graph, restated as oracle
+    * constants (the knnRecallGates pattern). Recall is measured on a
+    * deterministic `sampleN`-node sample (lowest xxhash64(vec_id, 99))
+    * — the scale-correct shape: the GRAPH builds on the full corpus,
+    * only the exact ground truth is sample-bounded, so the gate's cost
+    * is sampleN·N instead of N² and survives any corpus size. full_k
+    * is graph-wide: every node must hold exactly min(k, N−1) edges. */
+  def nndescentGate(emb: DataFrame, k: Int = 10,
+                    recallFloor: Double = 0.6,
+                    sampleN: Int = 200): DataFrame = {
+    import emb.sparkSession.implicits._
+    val g = Checkpoints.scratch(
+      knnGraphNnDescent(emb, k).select("query_id", "nn_id"))
+    val n = emb.count()
+    val kEff = math.min(k.toLong, math.max(n - 1, 0L))
+    val nEdges = g.count()
+    val fullK = if (nEdges == n * kEff) 1 else 0
+    val sample = emb.orderBy(xxhash64(col("vec_id"), lit(99)),
+        col("vec_id")).limit(sampleN)
+    val bf = knnBruteForce(emb, sample, k).select("query_id", "nn_id")
+    val nSample = math.min(sampleN.toLong, n)
+    val nHits = g.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    val recallOk =
+      if (nSample * kEff == 0L) 1
+      else if (nHits.toDouble / (nSample * kEff) >= recallFloor) 1 else 0
+    Seq((n, nEdges, fullK, recallOk))
+      .toDF("n_nodes", "n_edges", "full_k", "recall_ok")
   }
 }

@@ -176,6 +176,75 @@ object Streaming {
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
   }
 
+  /** File-source stream over the embeddings parquet table (same shape as
+    * [[eventsStream]]). */
+  def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/embeddings.parquet")
+    s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+  }
+
+  /** Streaming ANN-INDEX ingest — the embedding-side complement of
+    * [[streamedNearDupIngest]], closing the crawl → embed → index stack:
+    * freshly embedded documents stream in and each row is IVF-assigned +
+    * PQ-encoded under the FROZEN nightly models
+    * ([[graft.operators.Similarity.ivfPqAppend]]'s daily-ingest
+    * contract), producing (nn_id, cell, codes) rows that
+    * partition-append straight into the cell-partitioned IVFADC layout.
+    *
+    * Shape: the models (IVF centroids + PQ codebooks — driver-bounded
+    * metadata, ≤4096 cells × dim + 16×16×subdim doubles) train
+    * batch-side ONCE on the base corpus at the corpus-count cell policy
+    * (`scaledCells`); the stream side is PURE scan-fused column math —
+    * cell argmax against the centroid literal, 16 per-subspace code
+    * argmins — so the stream never shuffles and holds NO state store
+    * (the frozen models ARE the state, carried as literals in the
+    * expression tree). Every emitted row is a pure function of
+    * (vector, models), so a checkpointed restart replays only
+    * unprocessed files, and the settled row set EQUALS the batch
+    * [[graft.operators.Similarity.ivfPqAppend]] of the same replay —
+    * pinned here row-for-row (cell AND codes, both encodings' frozen-
+    * model determinism already gated by `ivfpq_append_gate`) with
+    * SQL-recomputable counts, and again by StreamingSpec's
+    * settled-equals-batch / zero-state-operators / kill-resume cases.
+    *
+    * At 100 TB: each micro-batch writes its rows as new per-cell files
+    * (partition-append, never a rewrite), so index freshness is bounded
+    * by the trigger interval while probes keep reading nprobe cell
+    * directories; staleness of the MODELS — the corpus outgrowing the
+    * trained cell count — is the rebuild trigger
+    * [[graft.operators.Similarity.ivfPqReindexGate]] pins. */
+  def streamedIvfPqIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    // yesterday's corpus: the nightly build the models freeze on (the
+    // ivfPqAppendGate increment convention — vec_id < 50 arrive "today")
+    val base = emb.filter(col("vec_id") >= 50)
+    val nBase = base.count()
+    val (cents, cb, _) =
+      Similarity.ivfPqIndex(base, Similarity.scaledCells(nBase))
+    val settled = settle(
+      Similarity.ivfPqAppend(cents, cb, embeddingsStream(s, dir)),
+      "graft_stream_ivfpq", mode = "append")
+    val batch = Similarity.ivfPqAppend(cents, cb, emb)
+      .select(col("nn_id"), col("cell").as("cell_b"),
+        col("codes").as("codes_b"))
+    val nEmb = emb.count()
+    val nSettled = settled.count()
+    val j = settled.join(batch, Seq("nn_id"))
+      .agg(count(lit(1)).as("n_join"),
+        coalesce(sum((col("cell") === col("cell_b") &&
+          col("codes") === col("codes_b")).cast("long")), lit(0L))
+          .as("n_eq"))
+      .head()
+    Seq((nEmb, nSettled,
+      if (j.getLong(0) == nEmb && nSettled == nEmb) 1 else 0,
+      if (j.getLong(1) == nEmb) 1 else 0))
+      .toDF("n_emb", "n_stream", "count_ok", "rows_ok")
+  }
+
   /** Streaming dedup against the HISTORICAL corpus — the ingest-time
     * complement of [[dedupStream]]'s in-stream suppression: newly crawled
     * documents stream in and are dropped when their content hash already

@@ -277,7 +277,23 @@ object ScaleStress {
       // vocab) — train slope is vocab-bounded (unigram_pieces above);
       // encode should track the corpus scan
       timed("unigram_encode") {
-        TextAnalysis.unigramEncodeStats(spark, outDir) }
+        TextAnalysis.unigramEncodeStats(spark, outDir) },
+      // r13: the ingest path (batch core of the streaming ANN-index
+      // ingest): frozen-model build on the corpus's first half
+      // (sampled Lloyd + per-iteration PQ aggregation + one assignment
+      // scan — all linear or bounded) then the second half encoded in
+      // one scan of pure per-row math against driver-held literals.
+      // Every stage is linear, so the slope should be ~1× per decade —
+      // the daily-ingest cost a 100 TB deployment pays per arrival
+      timed("ivfpq_append") {
+        val n2 = emb.count() / 2
+        val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
+          .limit(n2.toInt).agg(max("vec_id")).head().getLong(0)
+        val (cents, cb, _) = Similarity.ivfPqIndex(
+          emb.filter(col("vec_id") <= thr),
+          Similarity.scaledCells(n2))
+        Similarity.ivfPqAppend(cents, cb,
+          emb.filter(col("vec_id") > thr)) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

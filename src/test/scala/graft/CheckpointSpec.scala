@@ -191,6 +191,31 @@ class CheckpointSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.ResumeKey)
   }
 
+  test("kill-resume: nn-descent resumes from a planted graph round") {
+    // The descent's round state is the k-NN graph itself; plant a
+    // fabricated final round (sim = -9 is impossible for a cosine, so
+    // only the store could have produced it) at round = iters — the
+    // resumed run's descent loop never executes and the planted graph,
+    // truncated to k, IS the result.
+    val dir = java.nio.file.Files.createTempDirectory("graft-resumeNND").toString
+    spark.conf.set(Checkpoints.ResumeKey, dir)
+    try {
+      val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val planted = Seq((7L, 8L, -9.0d, 1), (7L, 9L, -9.0d, 11))
+        .toDF("query_id", "nn_id", "sim", "rn")
+      Checkpoints.saveRound(planted, "nndescent", 5)
+      val out = graft.operators.Similarity.knnGraphNnDescent(emb, 10)
+        .as[(Long, Long, Double, Int)].collect()
+      // the rn=1 sentinel survives the k-truncation; the rn=11 row (in
+      // the over-build margin beyond k) is cut by it
+      assert(out.toSeq === Seq((7L, 8L, -9.0d, 1)),
+        s"planted graph not replayed from the store: ${out.take(3).toSeq}")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "nndescent")),
+        "store not cleared after completion")
+    } finally spark.conf.unset(Checkpoints.ResumeKey)
+  }
+
   test("a conf change re-points the context checkpoint dir") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-ckptA").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-ckptB").toString

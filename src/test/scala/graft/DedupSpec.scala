@@ -229,6 +229,74 @@ class DedupSpec extends AnyFunSuite {
     assert(hof === bf)
   }
 
+  test("ivfpq reindex gate: trigger math, occupancy drift, append audit") {
+    import graft.operators.Similarity
+    // pure policy, sqrt regime (between the 16 floor and 4096 cap):
+    // cells ~ 4*sqrt(N), so the >=2x-cells trigger trips at ~4x corpus
+    // growth — 16x growth always trips, 2x growth never does
+    assert(Similarity.scaledCells(360000) >=
+      2 * Similarity.scaledCells(90000))
+    assert(Similarity.scaledCells(180000) <
+      2 * Similarity.scaledCells(90000))
+    assert(Similarity.scaledCells(1000000) >=
+      2 * Similarity.scaledCells(62500))
+    val g = Similarity.ivfPqReindexGate(spark, dir).collect()
+    assert(g.length === 2)
+    val stale = g.find(_.getAs[String]("snapshot") == "stale").get
+    val fresh = g.find(_.getAs[String]("snapshot") == "fresh").get
+    // the real append path at the stale cell count: no rows lost, every
+    // cell id addresses a trained cell (partition-layout safety)
+    assert(stale.getAs[Int]("append_complete") === 1)
+    assert(stale.getAs[Int]("cells_in_range") === 1)
+    // occupancy drift is what the trigger bounds: the stale snapshot's
+    // mean occupancy is never better than the freshly-provisioned one
+    assert(stale.getAs[Long]("occ_mean") >= fresh.getAs[Long]("occ_mean"))
+    // the emitted trigger flag IS the policy recomputed
+    val expect = if (Similarity.scaledCells(stale.getAs[Long]("n_now")) >=
+      2 * Similarity.scaledCells(stale.getAs[Long]("n_trained_at"))) 1 else 0
+    assert(stale.getAs[Int]("rebuild") === expect)
+  }
+
+  test("graph-tier semantic dedup: subset by construction, gated recall, survivors") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val g = Dedup.semanticDedupGraphGate(emb, tau = 0.45).head()
+    assert(g.getAs[Long]("n_vectors") === emb.count())
+    assert(g.getAs[Int]("subset_ok") === 1)
+    assert(g.getAs[Int]("recall_ok") === 1)
+    assert(g.getAs[Int]("survivors_ok") === 1)
+    // the verify stage re-runs embeddingNearDupPairs' exact formula, so
+    // every emitted pair must appear in the global pair set verbatim
+    val gp = Dedup.semanticPairsGraph(emb, 0.45)
+    val ex = Dedup.embeddingNearDupPairs(emb, 0.45).select("id_a", "id_b")
+    assert(gp.join(ex, Seq("id_a", "id_b"), "left_anti").count() === 0L)
+    // survivors + dropped partition the corpus
+    val surv = Dedup.semanticDedupGraph(emb, 0.45)
+    assert(surv.count() <= emb.count())
+    assert(surv.join(emb, Seq("vec_id"), "left_semi").count() === surv.count())
+  }
+
+  test("nn-descent graph: full-k shape, gated recall, deterministic replay") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val g = Similarity.nndescentGate(emb).head()
+    // every node holds exactly min(k, N-1) edges — the graph semantic
+    // (top-k FOR EVERY corpus vector, not just a bounded query set)
+    assert(g.getAs[Long]("n_nodes") === n)
+    assert(g.getAs[Long]("n_edges") === n * math.min(10L, n - 1))
+    assert(g.getAs[Int]("full_k") === 1)
+    assert(g.getAs[Int]("recall_ok") === 1)
+    // pure function of (corpus, params): seeded buckets + fixed iters +
+    // 6-dp sims + (desc sim, asc nn_id) tie-breaks — two runs identical
+    val r1 = Similarity.knnGraphNnDescent(emb, 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val r2 = Similarity.knnGraphNnDescent(emb, 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(r1 === r2)
+    assert(r1.size.toLong === n * math.min(10L, n - 1))
+  }
+
   test("knn LSH result is a subset-quality approximation of brute force") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 10)

@@ -286,6 +286,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(settled.nonEmpty)
   }
 
+  test("streamed ivfpq ingest settles to the batch append, stateless") {
+    val dir = "/root/testdata/sf0.001"
+    val row = Streaming.streamedIvfPqIngest(spark, dir).head()
+    // the gated query pins settled-equals-batch internally: both flags
+    // must hold, and the stream saw the whole replay
+    assert(row.getAs[Long]("n_emb") > 0)
+    assert(row.getAs[Long]("n_stream") === row.getAs[Long]("n_emb"))
+    assert(row.getAs[Int]("count_ok") === 1)
+    assert(row.getAs[Int]("rows_ok") === 1)
+    // the scaladoc's statelessness claim, pinned against the run's own
+    // progress: the frozen models are literals in the expression tree,
+    // so the stream must report ZERO stateful operators
+    val prog = Streaming.lastSettleProgress
+    assert(prog.isDefined, "settle recorded no progress")
+    assert(prog.get.stateOperators.isEmpty,
+      s"ingest stream grew state operators: ${prog.get.stateOperators.toSeq}")
+  }
+
+  test("ivfpq ingest resumes from its checkpoint after a kill and settles to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val total = emb.count()
+    // freeze the models batch-side once, exactly like the gated query
+    val base = emb.filter(col("vec_id") >= 50)
+    val (cents, cb, _) =
+      Similarity.ivfPqIndex(base, Similarity.scaledCells(base.count()))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-ckpt")
+      .toString
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    // 32 single-file micro-batches so the kill lands mid-corpus
+    emb.repartition(32).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def encoded() = Similarity.ivfPqAppend(cents, cb,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in))
+    def sink(df: org.apache.spark.sql.DataFrame) = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // batch-id-keyed overwrite: a batch replayed after the kill
+        // rewrites ITS OWN directory (idempotent-sink pattern)
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+      }
+    val q1 = sink(encoded()).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 3 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    val run1Batches = q1.recentProgress.count(_.numInputRows > 0)
+    q1.stop()
+    q1.awaitTermination()
+    assert(run1Batches >= 3, s"only $run1Batches batches before the kill")
+    // restart from the same checkpoint; drain what's left, then stop
+    val q2 = sink(encoded()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val replayed = q2.recentProgress.map(_.numInputRows).sum
+    assert(replayed < total, s"restart reprocessed all $total rows")
+    // settle over every written micro-batch dir: row-identical (cell
+    // AND codes) to the batch append of the whole corpus under the
+    // same frozen models — what the unkilled gated query settles to
+    val settled = spark.read.parquet(s"$out/b*")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val batch = Similarity.ivfPqAppend(cents, cb, emb)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(settled === batch)
+    assert(settled.size.toLong === total)
+  }
+
   test("checkpointed file stream resumes after a kill and settles to batch") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
