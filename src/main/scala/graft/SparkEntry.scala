@@ -152,6 +152,10 @@ object SparkEntry {
     // --- text analysis (north-star LLM-pipeline operators) ---
     "token_stats" -> (TextAnalysis.tokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
+    // Gopher/MassiveText composite reject rules as one scan; every
+    // threshold a cross-multiplied integer comparison so the per-rule
+    // rejection counts hash-match the ANSI recompute exactly
+    "gopher_rules" -> (TextAnalysis.gopherRules _),
     // curriculum-learning order: quality-quantile stages with per-stage
     // doc/token accounting (ntile semantics, no global window)
     "curriculum_stages" -> ((s, dir) =>
@@ -1545,6 +1549,64 @@ object SparkEntry {
          |        / len(toks), 4) AS avg_token_len
          |FROM (SELECT doc_id, text, $DuckTokList AS toks FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+    // Gopher composite rules: identical clean_words tokens, identical
+    // cross-multiplied integer thresholds — exact per-rule counts
+    "gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $DuckTokList AS toks
+         |           FROM documents),
+         |m AS (SELECT
+         |  len(toks)::BIGINT AS n_words,
+         |  COALESCE(list_sum(list_transform(toks, x -> length(x))),
+         |    0)::BIGINT AS sum_len,
+         |  (length(text) - length(replace(text, '#', '')))::BIGINT
+         |    AS n_hash,
+         |  ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+         |    AS n_ell,
+         |  len(string_split(text, chr(10)))::BIGINT AS n_lines,
+         |  len(list_filter(string_split(text, chr(10)), l ->
+         |    starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+         |    OR starts_with(ltrim(l), '•')))::BIGINT AS n_bullet,
+         |  len(list_filter(string_split(text, chr(10)), l ->
+         |    ends_with(rtrim(l), '...')))::BIGINT AS n_ell_end,
+         |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+         |    AS n_alpha,
+         |  len(list_intersect(list_distinct(toks),
+         |    ['the','be','to','of','and','that','have','with']))::BIGINT
+         |    AS n_stop
+         |  FROM t),
+         |fl AS (SELECT
+         |  CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+         |    AS r_wc,
+         |  CASE WHEN sum_len < 3*n_words OR sum_len > 10*n_words
+         |    THEN 1 ELSE 0 END AS r_mwl,
+         |  CASE WHEN 10*(n_hash + n_ell) > n_words THEN 1 ELSE 0 END
+         |    AS r_sym,
+         |  CASE WHEN 10*n_bullet > 9*n_lines THEN 1 ELSE 0 END AS r_bul,
+         |  CASE WHEN 10*n_ell_end > 3*n_lines THEN 1 ELSE 0 END AS r_ell,
+         |  CASE WHEN 10*n_alpha < 8*n_words THEN 1 ELSE 0 END AS r_alp,
+         |  CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS r_stp
+         |  FROM m),
+         |a AS (SELECT
+         |  COALESCE(CAST(sum(r_wc) AS BIGINT), 0) AS wc,
+         |  COALESCE(CAST(sum(r_mwl) AS BIGINT), 0) AS mwl,
+         |  COALESCE(CAST(sum(r_sym) AS BIGINT), 0) AS sym,
+         |  COALESCE(CAST(sum(r_bul) AS BIGINT), 0) AS bul,
+         |  COALESCE(CAST(sum(r_ell) AS BIGINT), 0) AS ell,
+         |  COALESCE(CAST(sum(r_alp) AS BIGINT), 0) AS alp,
+         |  COALESCE(CAST(sum(r_stp) AS BIGINT), 0) AS stp,
+         |  COALESCE(CAST(sum(CASE WHEN
+         |    r_wc+r_mwl+r_sym+r_bul+r_ell+r_alp+r_stp = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS pas
+         |  FROM fl)
+         |SELECT 'pass_all' AS rule, pas AS n_docs FROM a
+         |UNION ALL SELECT 'reject_alpha_words', alp FROM a
+         |UNION ALL SELECT 'reject_bullet_lines', bul FROM a
+         |UNION ALL SELECT 'reject_ellipsis_lines', ell FROM a
+         |UNION ALL SELECT 'reject_mean_word_len', mwl FROM a
+         |UNION ALL SELECT 'reject_stopwords', stp FROM a
+         |UNION ALL SELECT 'reject_symbol_ratio', sym FROM a
+         |UNION ALL SELECT 'reject_word_count', wc FROM a
+         |ORDER BY rule""".stripMargin,
     "quality_score" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, distinct_ratio,
          |  round(0.4*stop_ratio + 0.6*distinct_ratio, 4) AS quality_score

@@ -76,6 +76,100 @@ object TextAnalysis {
               lit(0.6) * col("distinct_ratio"), 4))
   }
 
+  /** Gopher-style composite quality rules (Rae et al. 2021, Appendix
+    * A1.1) — the published reject rules a MassiveText-class pipeline
+    * applies BEFORE any trained filter, composed over the corpus as ONE
+    * scan: word count outside [minWords, maxWords]; mean word length
+    * outside [3, 10]; symbol-to-word ratio ('#' chars + non-overlapping
+    * '...' occurrences) > 0.1; > 90% of lines bullet-led; > 30% of
+    * lines ellipsis-terminated; < 80% of words containing an alphabetic
+    * character; fewer than 2 distinct essential stop words (Gopher's
+    * the/be/to/of/and/that/have/with list, matched on the raw token —
+    * the [[qualityScoreOf]] case convention).
+    *
+    * Every threshold is applied as a CROSS-MULTIPLIED INTEGER
+    * comparison (10·symbols > words, 10·bullets > 9·lines, …): no float
+    * ratio ever crosses the engine boundary, so the per-rule rejection
+    * counts hash-match the ANSI recompute exactly. Words are the
+    * reference `clean_words` tokens; symbol/line evidence reads the RAW
+    * text (tokenization strips exactly the punctuation these rules
+    * count). Long-format output — one row per rule with the count of
+    * docs it rejects, plus the `pass_all` survivor count: the
+    * accounting a curation dashboard consumes. All per-doc work is
+    * scan-fused column math; the only aggregation is one 8-sum reduce. */
+  def gopherRulesOf(docs: DataFrame, minWords: Int = 50,
+                    maxWords: Int = 100000): DataFrame = {
+    val essential =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val sw = array(essential.map(lit): _*)
+    val bulletLed = (l: org.apache.spark.sql.Column) => {
+      val lt = ltrim(l)
+      lt.startsWith("-") || lt.startsWith("*") || lt.startsWith("•")
+    }
+    val f = docs
+      .select(col("doc_id"), col("text"), toks.as("toks"),
+        split(col("text"), "\n", -1).as("lines"))
+      .select(
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x))
+          .as("sum_len"),
+        (length(col("text")) -
+          length(replace(col("text"), lit("#")))).cast("long").as("n_hash"),
+        ((length(col("text")) -
+          length(replace(col("text"), lit("...")))) / lit(3))
+          .cast("long").as("n_ell"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), bulletLed)).cast("long").as("n_bullet"),
+        size(filter(col("lines"), l => rtrim(l).endsWith("...")))
+          .cast("long").as("n_ell_end"),
+        size(filter(col("toks"), x => x.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("toks")), sw)).cast("long")
+          .as("n_stop"))
+      .select(
+        (col("n_words") < minWords || col("n_words") > maxWords)
+          .cast("long").as("r_wc"),
+        (col("sum_len") < lit(3L) * col("n_words") ||
+          col("sum_len") > lit(10L) * col("n_words"))
+          .cast("long").as("r_mwl"),
+        (lit(10L) * (col("n_hash") + col("n_ell")) > col("n_words"))
+          .cast("long").as("r_sym"),
+        (lit(10L) * col("n_bullet") > lit(9L) * col("n_lines"))
+          .cast("long").as("r_bul"),
+        (lit(10L) * col("n_ell_end") > lit(3L) * col("n_lines"))
+          .cast("long").as("r_ell"),
+        (lit(10L) * col("n_alpha") < lit(8L) * col("n_words"))
+          .cast("long").as("r_alp"),
+        (col("n_stop") < 2).cast("long").as("r_stp"))
+      .withColumn("pass",
+        (col("r_wc") + col("r_mwl") + col("r_sym") + col("r_bul") +
+          col("r_ell") + col("r_alp") + col("r_stp") === 0L)
+          .cast("long"))
+    f.agg(
+        coalesce(sum("r_wc"), lit(0L)).as("wc"),
+        coalesce(sum("r_mwl"), lit(0L)).as("mwl"),
+        coalesce(sum("r_sym"), lit(0L)).as("sym"),
+        coalesce(sum("r_bul"), lit(0L)).as("bul"),
+        coalesce(sum("r_ell"), lit(0L)).as("ell"),
+        coalesce(sum("r_alp"), lit(0L)).as("alp"),
+        coalesce(sum("r_stp"), lit(0L)).as("stp"),
+        coalesce(sum("pass"), lit(0L)).as("pas"))
+      .selectExpr("""stack(8,
+        'pass_all', pas,
+        'reject_alpha_words', alp,
+        'reject_bullet_lines', bul,
+        'reject_ellipsis_lines', ell,
+        'reject_mean_word_len', mwl,
+        'reject_stopwords', stp,
+        'reject_symbol_ratio', sym,
+        'reject_word_count', wc) as (rule, n_docs)""")
+      .orderBy("rule")
+  }
+
+  /** [[gopherRulesOf]] over the documents table. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(s, dir))
+
   /** Curriculum staging: partition the corpus into `stages` quality
     * quantiles (high quality first — the classic curriculum-learning
     * order) and emit the per-stage accounting a trainer consumes:

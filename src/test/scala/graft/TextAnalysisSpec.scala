@@ -13,6 +13,50 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextFunctions.wordNgrams(col("toks"), n).as("g"))
       .collect()(0).getSeq[String](0)
 
+  test("gopher rules: every reject branch fires on its planted doc, clean doc passes") {
+    import graft.operators.TextAnalysis
+    // one doc per rule violation + one clean doc; each plant is built
+    // NOT to trip any other rule (the assertions below pin that)
+    val docs = Seq(
+      (1L, "the cat and the dog have been to the house of cards with " +
+        "plenty people here today"),                          // clean
+      (2L, "the of three"),                                   // too short
+      (3L, "the of " + Seq.fill(19)("cats").mkString(" ")),   // too long
+      (4L, "the of aa bb cc dd ee"),                          // mean len < 3
+      (5L, "the of extraordinarily extraordinarily extraordinarily " +
+        "extraordinarily extraordinarily"),                   // mean len > 10
+      (6L, "the of one two three four # # #"),                // symbol ratio
+      (7L, "- the cat sat here\n- of dog ran there"),         // bullet lines
+      (8L, "the cat is here...\nof dog is there..."),         // ellipsis lines
+      (9L, "the of 1111 2222 3333 4444 5555 6666 7777 8888"), // alpha words
+      (10L, "cat dog bird fish cow horse goat sheep")         // stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesOf(docs, minWords = 5, maxWords = 20)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "pass_all" -> 1L,
+      "reject_word_count" -> 2L,
+      "reject_mean_word_len" -> 2L,
+      // 2: the '#' plant, plus the ellipsis plant — its two '...' are
+      // symbols too (Gopher counts ellipses anywhere, not just line
+      // ends), 2 symbols vs 8 words > 0.1
+      "reject_symbol_ratio" -> 2L,
+      "reject_bullet_lines" -> 1L,
+      "reject_ellipsis_lines" -> 1L,
+      "reject_alpha_words" -> 1L,
+      "reject_stopwords" -> 1L))
+    // the gated corpus query: 8 rows, counts conserve (a doc either
+    // passes all rules or is counted by >= 1 reject row)
+    val corpus = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect().toMap
+    assert(corpus.size === 8)
+    val n = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(corpus("pass_all") +
+      corpus.filterKeys(_ != "pass_all").values.sum >= n)
+    assert(corpus("pass_all") <= n)
+  }
+
   test("langId confusion matrix re-aggregates the per-doc predictions") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
