@@ -293,7 +293,18 @@ object ScaleStress {
           emb.filter(col("vec_id") <= thr),
           Similarity.scaledCells(n2))
         Similarity.ivfPqAppend(cents, cb,
-          emb.filter(col("vec_id") > thr)) }
+          emb.filter(col("vec_id") > thr)) },
+      // r13: the k-NN GRAPH tier — per-round candidate volume is
+      // Σ|B(v)|² ≤ N·(2·buildK)² incidence pairs, hash-partitioned by
+      // node, so the slope should track N (constant-size
+      // neighborhoods) where the brute-force graph tracks N²
+      timed("knn_graph_nndescent") {
+        Similarity.knnGraphNnDescent(emb, 10) },
+      // r13: graph-tier semantic dedup = the descent above + an
+      // N·k-bounded exact re-verify + star components on the sparse
+      // verified pair graph — the codebook-free SemDeDup path
+      timed("semantic_dedup_graph") {
+        Dedup.semanticDedupGraph(emb, 0.45) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
