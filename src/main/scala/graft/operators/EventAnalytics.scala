@@ -118,4 +118,37 @@ object EventAnalytics {
         expr("cnt * 1000000 DIV src_total").as("p_millionths"))
       .orderBy("src", "dst")
   }
+
+  /** The gap a session closes after — shared by the batch and streaming
+    * sessionizers so their outputs are definitionally comparable. */
+  val SessionGap = "2 hours"
+
+  /** Session aggregation body over any (user_id, ts, value) frame — ONE
+    * definition, two execution modes (batch here, append-mode streaming
+    * in Streaming.streamedSessions). `session_window` merges an event
+    * into the current session while ts < last_ts + gap, i.e. a new
+    * session starts exactly when the inter-event gap reaches
+    * [[SessionGap]] — the gaps-and-islands semantics the ANSI oracle
+    * recomputes with lag + a running break sum. Duration is exact
+    * integer microseconds (unix_micros both engines); the session key
+    * shuffles on user_id like any aggregation — no global window. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), SessionGap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("sum_value"),
+        (expr("unix_micros(last_ts)") - expr("unix_micros(sw.start)"))
+          .as("dur_us"))
+
+  /** Gated batch query: per-user 2-hour-gap sessions over the events
+    * table — count, revenue, exact duration. */
+  def userSessions(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir))
+      .orderBy("user_id", "session_start")
 }

@@ -43,6 +43,28 @@ object Streaming {
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
+  /** Streaming sessionization — per-user session windows with the gap
+    * timeout the batch [[graft.operators.EventAnalytics.sessionize]]
+    * uses (one aggregation body, two execution modes). Append mode +
+    * event-time watermark: a session FINALIZES (emits, state evicts)
+    * when the watermark passes its end (last event + gap), so the
+    * settled result is exactly the CLOSED sessions — every session
+    * whose end ≤ the final watermark (max event time, delay 0). The
+    * tail-open sessions (each user's last burst, still within one gap
+    * of the stream head) stay in the state store awaiting more data,
+    * which is precisely what a continuous pipeline means by an open
+    * session — and the cut is SQL-recomputable EXACTLY
+    * (last_ts + gap ≤ global max ts), so the query is hash-green, not
+    * rows-only. State is O(open sessions), watermark-bounded; the only
+    * shuffle is the user_id session aggregation. */
+  def streamedSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventAnalytics
+    val agg = EventAnalytics.sessionize(
+      eventsStream(s, dir).withWatermark("ts", "0 seconds"))
+    settle(agg, "graft_stream_sessions", mode = "append")
+      .orderBy("user_id", "session_start")
+  }
+
   /** Streaming exact dedup at ingest: drop rows whose content hash was
     * already seen, with state bounded by the watermark (late duplicates
     * beyond the delay are the batch dedup tier's job — this is the

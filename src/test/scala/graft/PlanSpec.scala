@@ -537,4 +537,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "cluster argmax regressed to a window")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("gopher rules: one corpus scan into one aggregation, no join, no window") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.gopherRules(spark, dir))
+    // all per-doc rule math is scan-fused column work; the only
+    // exchanges are the 8-sum reduce's partial->final single-partition
+    // hop and the presentation orderBy
+    val ex = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).toSeq
+    assert(ex.size <= 2, p)
+    assert(!p.contains("Join"), "gopher rules grew a join: " + p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("nn-descent round joins are keyed — no cartesian anywhere in the graph") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(Similarity.knnGraphNnDescent(emb, 10, iters = 1))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("graph-tier semantic dedup verify: candidate equi joins, no pair product") {
+    import graft.operators.Dedup
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(Dedup.semanticPairsGraph(emb, 0.45))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

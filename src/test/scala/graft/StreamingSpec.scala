@@ -286,6 +286,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(settled.nonEmpty)
   }
 
+  test("streamed sessions: settled = exactly the watermark-closed batch sessions") {
+    import graft.operators.EventAnalytics
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val st = Streaming.streamedSessions(spark, dir).collect().toSet
+    val batch = EventAnalytics.userSessions(spark, dir).collect().toSet
+    // closed sessions are a strict subset here (the stream head leaves
+    // each user's last burst open)...
+    assert(st.subsetOf(batch), "streamed sessions diverge from batch")
+    assert(st.size < batch.size, "no session stayed open at stream end")
+    // ...and the cut is exact: end (last event + gap) <= global max ts
+    val ev = Tables.events(spark, dir)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val expectClosed = ev
+      .groupBy(col("user_id"),
+        session_window(col("ts"), EventAnalytics.SessionGap))
+      .agg(max("ts").as("last_ts"))
+      .filter(col("last_ts") + expr("INTERVAL 2 HOUR") <= lit(maxTs))
+      .count()
+    assert(st.size.toLong === expectClosed)
+    // session windows are stateful — the settle run must report state
+    val prog = Streaming.lastSettleProgress
+    assert(prog.isDefined && prog.get.stateOperators.nonEmpty,
+      "session aggregation reported no state operator")
+  }
+
   test("streamed ivfpq ingest settles to the batch append, stateless") {
     val dir = "/root/testdata/sf0.001"
     val row = Streaming.streamedIvfPqIngest(spark, dir).head()
