@@ -312,6 +312,69 @@ class StreamingSpec extends AnyFunSuite {
       "session aggregation reported no state operator")
   }
 
+  test("session state survives a kill: restart resumes open sessions from the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.EventAnalytics
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val total = ev.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-ckpt")
+      .toString
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    // 32 single-file micro-batches RANGE-ORDERED BY EVENT TIME: with
+    // delay-0 watermarking, an out-of-order file would make everything
+    // behind it late-and-dropped — range partitioning guarantees batch
+    // N's minimum ts >= batch N-1's maximum, so nothing is ever late.
+    // FileStreamSource orders by MODIFICATION time, and parallel part
+    // writes tie at ms granularity (first run of this test: the
+    // earliest file replayed late and its whole day was watermark-
+    // dropped) — stamp strictly increasing mtimes in part order, which
+    // is range order by construction
+    ev.repartitionByRange(32, col("ts")).write.parquet(in)
+    val parts = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(f.lastModified() - (parts.length - i) * 2000L)
+    }
+    val schema = spark.read.parquet(in).schema
+    def sessions() = EventAnalytics.sessionize(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withWatermark("ts", "0 seconds"))
+    def sink(df: org.apache.spark.sql.DataFrame) = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+      }
+    val q1 = sink(sessions()).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 3 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    val run1Batches = q1.recentProgress.count(_.numInputRows > 0)
+    q1.stop()
+    q1.awaitTermination()
+    assert(run1Batches >= 3, s"only $run1Batches batches before the kill")
+    // restart from the checkpoint: sessions left OPEN at the kill must
+    // come back from the state store and close correctly as the
+    // remaining files replay
+    val q2 = sink(sessions()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val replayed = q2.recentProgress.map(_.numInputRows).sum
+    assert(replayed < total, s"restart reprocessed all $total rows")
+    val settled = spark.read.parquet(s"$out/b*")
+      .as[(Long, String, Long, Double, Long)].collect().toSeq
+    // no session emitted twice across the kill (append-mode finalize
+    // is checkpointed with the state)
+    assert(settled.size === settled.toSet.size, "duplicate session emission")
+    // row-identical to the unkilled gated query's settled answer
+    val unkilled = Streaming.streamedSessions(spark, dir)
+      .as[(Long, String, Long, Double, Long)].collect().toSet
+    assert(settled.toSet === unkilled)
+  }
+
   test("streamed ivfpq ingest settles to the batch append, stateless") {
     val dir = "/root/testdata/sf0.001"
     val row = Streaming.streamedIvfPqIngest(spark, dir).head()
