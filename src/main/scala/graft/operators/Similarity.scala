@@ -1470,6 +1470,30 @@ object Similarity {
                         initRounds: Int = 4, bucketSize: Int = 8,
                         buildK: Int = 0,
                         seed: Long = 41L): DataFrame = {
+    // a populated resume store means a restarted driver mid-descent:
+    // the store, not the registry, is the source of truth (and the
+    // kill-resume spec plants exactly that state) — never serve a
+    // cache hit across a resume boundary
+    if (Checkpoints.latestRound(emb.sparkSession, "nndescent").isDefined)
+      return knnGraphNnDescentBuild(emb, k, iters, initRounds,
+        bucketSize, buildK, seed)
+    // the converged graph is a PURE FUNCTION of (corpus, params) — the
+    // registry argument verbatim: four gated queries consume the same
+    // graph, so per-query rebuilds were pure job-count waste (bench:
+    // ~7 s per rebuild at sf0.1, 8 rebuilds across the two passes)
+    nnGraphCache.computeIfAbsent(
+      (corpusFp(emb, Seq("vec_id", "embedding")), k, iters, initRounds,
+        bucketSize, buildK, seed),
+      _ => knnGraphNnDescentBuild(emb, k, iters, initRounds,
+        bucketSize, buildK, seed))
+  }
+
+  private val nnGraphCache = new java.util.concurrent.ConcurrentHashMap[
+    ((Long, String), Int, Int, Int, Int, Int, Long), DataFrame]()
+
+  private def knnGraphNnDescentBuild(emb: DataFrame, k: Int, iters: Int,
+                                     initRounds: Int, bucketSize: Int,
+                                     buildK: Int, seed: Long): DataFrame = {
     val s = emb.sparkSession
     val u = Checkpoints.scratch(
       emb.select(col("vec_id"),

@@ -288,10 +288,13 @@ class DedupSpec extends AnyFunSuite {
     assert(g.getAs[Int]("full_k") === 1)
     assert(g.getAs[Int]("recall_ok") === 1)
     // pure function of (corpus, params): seeded buckets + fixed iters +
-    // 6-dp sims + (desc sim, asc nn_id) tie-breaks — two runs identical
+    // 6-dp sims + (desc sim, asc nn_id) tie-breaks — two runs identical.
+    // The second run passes buildK explicitly (same value the default
+    // resolves to, DIFFERENT registry key) so it is a real recompute,
+    // not a cache hit
     val r1 = Similarity.knnGraphNnDescent(emb, 10)
       .as[(Long, Long, Double, Int)].collect().toSet
-    val r2 = Similarity.knnGraphNnDescent(emb, 10)
+    val r2 = Similarity.knnGraphNnDescent(emb, 10, buildK = 20)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(r1 === r2)
     assert(r1.size.toLong === n * math.min(10L, n - 1))
