@@ -429,6 +429,15 @@ object SparkEntry {
     // 0.998/0.990/0.936 at sf0.001/0.01/0.1 — full-graph, not sampled)
     "nndescent_gate" -> ((s, dir) =>
       Similarity.nndescentGate(Tables.embeddings(s, dir))),
+    // hubness audit of the graph: in-degree histogram with the orphan
+    // (in_degree = 0) row — the embedding-pathology check (rows-only;
+    // hubness_gate pins the exact conservation laws)
+    "knn_graph_hubness" -> ((s, dir) =>
+      Similarity.knnGraphHubness(Tables.embeddings(s, dir))),
+    // node mass = N, edge mass = N·min(k, N-1), in-degree <= N-1 —
+    // all exact SQL on the corpus count
+    "hubness_gate" -> ((s, dir) =>
+      Similarity.hubnessGate(Tables.embeddings(s, dir))),
     "embedding_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(Tables.embeddings(s, dir))),
     "kmeans_train_stats" -> ((s, dir) =>
@@ -2884,6 +2893,13 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
         |  CAST(count(*) * LEAST(10, count(*) - 1) AS BIGINT) AS n_edges,
         |  1 AS full_k, 1 AS recall_ok
+        |FROM embeddings""".stripMargin,
+    // hubness conservation laws: node and edge mass are pure functions
+    // of the corpus count, the in-degree bound a constant flag
+    "hubness_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) * LEAST(10, count(*) - 1) AS BIGINT) AS n_edges,
+        |  1 AS edge_mass_ok, 1 AS node_mass_ok, 1 AS bound_ok
         |FROM embeddings""".stripMargin,
     // per-iteration PQ contract: every sub-vector assigned (rows × M),
     // cells bounded, L2 error non-increasing (Lloyd monotonicity) —

@@ -1474,26 +1474,53 @@ object Similarity {
     // the store, not the registry, is the source of truth (and the
     // kill-resume spec plants exactly that state) — never serve a
     // cache hit across a resume boundary
+    knnGraphNnDescent(emb, k, iters, initRounds, bucketSize, buildK,
+      seed, rho = 1.0)
+  }
+
+  /** [[knnGraphNnDescent]] with Dong's ρ-SAMPLING — the 100 TB cost
+    * knob: each descent round keeps only a seeded-hash fraction ρ of
+    * every node's incidence list before the self-join, cutting the
+    * per-round candidate volume to ρ²·Σ|B(v)|² while the kept subset
+    * varies per round (round-salted hash), so edges missed in one round
+    * get their chance in the next — Dong et al.'s local-join sampling
+    * argument. MEASURED (k=10, structure-free synthetic embeddings —
+    * the hard case): at iters=5, ρ=0.5 holds 0.867/0.880 recall@10 at
+    * sf0.001/0.01 but only 0.508 at sf0.1 (N=2000) — the sampled
+    * descent converges SLOWER, so ρ trades per-round volume for more
+    * rounds: ρ=0.5 with iters=8/10 recovers 0.716/0.791 at sf0.1 for
+    * ~half the full descent's total pair work (ρ²·iters). On clustered
+    * real corpora the trade is better (Dong §4.3); here it documents
+    * the knob honestly rather than flattering it. DedupSpec pins the
+    * 0.7 floor at the gated SF. */
+  def knnGraphNnDescent(emb: DataFrame, k: Int, iters: Int,
+                        initRounds: Int, bucketSize: Int, buildK: Int,
+                        seed: Long, rho: Double): DataFrame = {
+    // a populated resume store means a restarted driver mid-descent:
+    // the store, not the registry, is the source of truth (and the
+    // kill-resume spec plants exactly that state) — never serve a
+    // cache hit across a resume boundary
     if (Checkpoints.latestRound(emb.sparkSession, "nndescent").isDefined)
       return knnGraphNnDescentBuild(emb, k, iters, initRounds,
-        bucketSize, buildK, seed)
+        bucketSize, buildK, seed, rho)
     // the converged graph is a PURE FUNCTION of (corpus, params) — the
     // registry argument verbatim: four gated queries consume the same
     // graph, so per-query rebuilds were pure job-count waste (bench:
     // ~7 s per rebuild at sf0.1, 8 rebuilds across the two passes)
     nnGraphCache.computeIfAbsent(
       (corpusFp(emb, Seq("vec_id", "embedding")), k, iters, initRounds,
-        bucketSize, buildK, seed),
+        bucketSize, buildK, seed, rho),
       _ => knnGraphNnDescentBuild(emb, k, iters, initRounds,
-        bucketSize, buildK, seed))
+        bucketSize, buildK, seed, rho))
   }
 
   private val nnGraphCache = new java.util.concurrent.ConcurrentHashMap[
-    ((Long, String), Int, Int, Int, Int, Int, Long), DataFrame]()
+    ((Long, String), Int, Int, Int, Int, Int, Long, Double), DataFrame]()
 
   private def knnGraphNnDescentBuild(emb: DataFrame, k: Int, iters: Int,
                                      initRounds: Int, bucketSize: Int,
-                                     buildK: Int, seed: Long): DataFrame = {
+                                     buildK: Int, seed: Long,
+                                     rho: Double): DataFrame = {
     val s = emb.sparkSession
     val u = Checkpoints.scratch(
       emb.select(col("vec_id"),
@@ -1548,10 +1575,19 @@ object Similarity {
     }
     val startRound = resume.map(_._1).getOrElse(0)
     for (i <- (startRound + 1) to iters) {
-      val inc = g.select(col("query_id").as("node"), col("nn_id").as("nb"))
+      val incAll = g
+        .select(col("query_id").as("node"), col("nn_id").as("nb"))
         .unionAll(g.select(col("nn_id").as("node"),
           col("query_id").as("nb")))
         .distinct()
+      // Dong's ρ-sampling: keep a round-salted hash fraction of each
+      // incidence list — candidate volume drops ρ², and the kept
+      // subset rotates per round so missed meetings recur later
+      val inc =
+        if (rho >= 1.0) incAll
+        else incAll.filter(
+          pmod(xxhash64(col("node"), col("nb"), lit(seed + 7000 + i)),
+            lit(1000000L)) < (rho * 1e6).toLong)
       val cand = inc.as("x").join(inc.as("y"), Seq("node"))
         .filter(col("x.nb") < col("y.nb"))
         .select(col("x.nb").as("a"), col("y.nb").as("b"))
@@ -1597,5 +1633,53 @@ object Similarity {
       else if (nHits.toDouble / (nSample * kEff) >= recallFloor) 1 else 0
     Seq((n, nEdges, fullK, recallOk))
       .toDF("n_nodes", "n_edges", "full_k", "recall_ok")
+  }
+
+  /** HUBNESS audit of the approximate k-NN graph — the embedding-space
+    * pathology check a retrieval/dedup deployment runs before trusting
+    * neighbor structure: in high-dimensional or collapsed embedding
+    * spaces a few "hub" vectors appear in a large fraction of all
+    * neighbor lists (Radovanović et al., JMLR 2010), silently skewing
+    * graph dedup toward giant components and retrieval toward the same
+    * results for every query. Long-format in-degree histogram
+    * (in_degree, n_nodes) over [[knnGraphNnDescent]]'s edges, with
+    * never-retrieved vectors counted in the in_degree = 0 row — the
+    * two tails a reviewer reads (orphans and hubs). Work: one
+    * N·k-row aggregation + a left join back to the corpus ids; the
+    * histogram is ≤ N rows and in practice tiny. Approximate graph →
+    * rows-only; [[hubnessGate]] is the hash-green companion. */
+  def knnGraphHubness(emb: DataFrame, k: Int = 10): DataFrame = {
+    val g = knnGraphNnDescent(emb, k)
+    val indeg = g.groupBy(col("nn_id")).agg(count(lit(1)).as("in_degree"))
+    emb.select(col("vec_id").as("nn_id"))
+      .join(indeg, Seq("nn_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("in_degree")
+  }
+
+  /** Conservation + bounds invariants of [[knnGraphHubness]], restated
+    * as oracle constants: the histogram's node mass is exactly N
+    * (every vector appears in exactly one in-degree bucket), its edge
+    * mass Σ in_degree·n_nodes is exactly N·min(k, N−1) (every directed
+    * graph edge lands on exactly one target), and no in-degree exceeds
+    * N−1. All three are exact SQL on the corpus count. */
+  def hubnessGate(emb: DataFrame, k: Int = 10): DataFrame = {
+    import emb.sparkSession.implicits._
+    val h = Checkpoints.scratch(knnGraphHubness(emb, k))
+    val n = emb.count()
+    val kEff = math.min(k.toLong, math.max(n - 1, 0L))
+    val r = h.agg(
+      coalesce(sum(col("in_degree") * col("n_nodes")), lit(0L)),
+      coalesce(sum("n_nodes"), lit(0L)),
+      coalesce(max("in_degree"), lit(0L))).head()
+    val (edgeMass, nodeMass, maxIn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    Seq((n, n * kEff,
+      if (edgeMass == n * kEff) 1 else 0,
+      if (nodeMass == n) 1 else 0,
+      if (maxIn <= math.max(n - 1, 0L)) 1 else 0))
+      .toDF("n_nodes", "n_edges", "edge_mass_ok", "node_mass_ok",
+        "bound_ok")
   }
 }
