@@ -429,6 +429,11 @@ object SparkEntry {
     // 0.998/0.990/0.936 at sf0.001/0.01/0.1 — full-graph, not sampled)
     "nndescent_gate" -> ((s, dir) =>
       Similarity.nndescentGate(Tables.embeddings(s, dir))),
+    // incremental graph maintenance: base graph + bucket-seeded
+    // arrivals + bounded descent rounds — never a rebuild (measured
+    // recall 0.993/0.990/0.901 vs cold build's 0.998/0.990/0.936)
+    "nndescent_append_gate" -> ((s, dir) =>
+      Similarity.nndescentAppendGate(s, dir)),
     // hubness audit of the graph: in-degree histogram with the orphan
     // (in_degree = 0) row — the embedding-pathology check (rows-only;
     // hubness_gate pins the exact conservation laws)
@@ -2891,6 +2896,14 @@ object SparkEntry {
     // all), recall floor restated as a constant like knn_recall_gates
     "nndescent_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) * LEAST(10, count(*) - 1) AS BIGINT) AS n_edges,
+        |  1 AS full_k, 1 AS recall_ok
+        |FROM embeddings""".stripMargin,
+    // append-gate counts: the 1/8 split and edge mass are pure
+    // functions of the corpus count; recall/full-k flags constant
+    "nndescent_append_gate" ->
+      """SELECT CAST(count(*) - count(*) // 8 AS BIGINT) AS n_base,
+        |  CAST(count(*) // 8 AS BIGINT) AS n_inc,
         |  CAST(count(*) * LEAST(10, count(*) - 1) AS BIGINT) AS n_edges,
         |  1 AS full_k, 1 AS recall_ok
         |FROM embeddings""".stripMargin,

@@ -318,6 +318,29 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.7)
   }
 
+  test("graph append: arrivals descend into the base graph, full-k, gated recall") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val gate = Similarity.nndescentAppendGate(spark, dir).head()
+    val n = emb.count()
+    assert(gate.getAs[Long]("n_base") === n - n / 8)
+    assert(gate.getAs[Long]("n_inc") === n / 8)
+    assert(gate.getAs[Long]("n_edges") === n * math.min(10L, n - 1))
+    assert(gate.getAs[Int]("full_k") === 1)
+    assert(gate.getAs[Int]("recall_ok") === 1)
+    // every appended id is present as a query node with a full list —
+    // the arrivals really joined the graph, not just the base repair
+    val nBase = n - n / 8
+    val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
+      .limit(nBase.toInt).agg(max("vec_id")).head().getLong(0)
+    val g = Similarity.knnGraphAppend(emb.filter(col("vec_id") <= thr),
+      emb.filter(col("vec_id") > thr))
+    val newNodes = g.filter(col("query_id") > thr)
+      .groupBy("query_id").agg(count(lit(1)).as("c"))
+    assert(newNodes.count() === n / 8)
+    assert(newNodes.filter(col("c") =!= math.min(10L, n - 1)).count() === 0L)
+  }
+
   test("hubness histogram conserves node and edge mass") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, dir)
