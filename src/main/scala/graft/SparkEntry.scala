@@ -689,11 +689,9 @@ object SparkEntry {
     "supplier_triangles" -> (Graph.supplierTriangles _),
     // --- sequence + collocation statistics ---
     "event_transitions" -> (EventAnalytics.eventTransitions _),
-    // per-user 2h-gap session windows (batch session_window; the
-    // oracle recomputes gaps-and-islands with lag + running break sum)
-    "user_sessions" -> (EventAnalytics.userSessions _),
-    // the streaming twin: append mode + watermark finalizes exactly the
-    // CLOSED sessions (end <= final watermark = max ts), a cut the
+    // the streaming twin of user_sessions (the batch session_window
+    // query above at 549): append mode + watermark finalizes exactly
+    // the CLOSED sessions (end <= final watermark = max ts), a cut the
     // oracle re-states as a HAVING — hash-green, not rows-only
     "streamed_sessions" ->
       (graft.streaming.Streaming.streamedSessions _),
@@ -800,14 +798,12 @@ object SparkEntry {
       |                 '[!-/:-@\[-`{-~]', '', 'g'),
       |  ' +'), x -> regexp_matches(x, '\S'))""".stripMargin
 
-  /** Gaps-and-islands recompute of the 2h session windows; with
-    * `closedOnly` the HAVING keeps exactly the sessions the streaming
-    * twin's final watermark (global max ts, delay 0) has finalized. */
-  private def sessionsSql(closedOnly: Boolean): String = {
-    val having =
-      if (closedOnly)
-        "\nHAVING max(ts) + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)"
-      else ""
+  /** Gaps-and-islands recompute of the 2h session windows; the HAVING
+    * keeps exactly the sessions the streaming twin's final watermark
+    * (global max ts, delay 0) has finalized. The batch sessionization
+    * query (`user_sessions`, 30-min gap) has its own oracle — this one
+    * exists for the CLOSED-cut streaming semantics. */
+  private def streamedSessionsSql: String =
     s"""WITH b AS (
        |  SELECT user_id, ts, value,
        |    CASE WHEN lag(ts) OVER w IS NULL
@@ -824,9 +820,9 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_events,
        |  round(sum(value), 2) AS sum_value,
        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
-       |FROM s GROUP BY user_id, sid$having
+       |FROM s GROUP BY user_id, sid
+       |HAVING max(ts) + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)
        |ORDER BY user_id, session_start""".stripMargin
-  }
 
   /** The capstone oracle as a tau-parameterized template: the gated
     * exact-tier query interpolates DefaultTau, the LSH-tier gate
@@ -4054,13 +4050,9 @@ object SparkEntry {
         |  CAST(c.cnt * 1000000 // t.src_total AS BIGINT) AS p_millionths
         |FROM c JOIN t ON c.src = t.src
         |ORDER BY 1, 2""".stripMargin,
-    // 2h-gap sessionization, recomputed as gaps-and-islands: a session
-    // breaks exactly when the inter-event gap reaches the threshold
-    // (Spark's session_window extends its end past each member event)
-    "user_sessions" -> sessionsSql(closedOnly = false),
     // the streaming twin emits exactly the CLOSED sessions — end
     // (last event + gap) <= the final watermark (global max ts)
-    "streamed_sessions" -> sessionsSql(closedOnly = true),
+    "streamed_sessions" -> streamedSessionsSql,
     "collocations_pmi" ->
       s"""WITH t AS (SELECT doc_id, $DuckTokList AS toks FROM documents),
          |uni AS (

@@ -146,9 +146,4 @@ object EventAnalytics {
         (expr("unix_micros(last_ts)") - expr("unix_micros(sw.start)"))
           .as("dur_us"))
 
-  /** Gated batch query: per-user 2-hour-gap sessions over the events
-    * table — count, revenue, exact duration. */
-  def userSessions(s: SparkSession, dir: String): DataFrame =
-    sessionize(Tables.events(s, dir))
-      .orderBy("user_id", "session_start")
 }

@@ -304,7 +304,30 @@ object ScaleStress {
       // N·k-bounded exact re-verify + star components on the sparse
       // verified pair graph — the codebook-free SemDeDup path
       timed("semantic_dedup_graph") {
-        Dedup.semanticDedupGraph(emb, 0.45) }
+        Dedup.semanticDedupGraph(emb, 0.45) },
+      // r13: the Gopher rule battery — pure scan-fused column math
+      // into one 8-sum reduce; the slope IS the corpus scan's
+      timed("gopher_rules") { TextAnalysis.gopherRulesOf(docs) },
+      // r13: sessionization — one user-keyed session-window agg; the
+      // synthetic corpus multiplies DOCS not events, so feed the
+      // events table through a user-salted explode to scale it
+      timed("user_sessions") {
+        val mult10 = math.max(1, mult / 10)
+        val ev = spark.read.parquet(s"$baseDir/events.parquet")
+        val scaled = (0 until mult10).map { g =>
+          ev.select((col("user_id") + lit(g * CopyStride)).as("user_id"),
+            col("ts"), col("value"))
+        }.reduce(_ unionAll _)
+        graft.operators.EventAnalytics.sessionize(scaled) },
+      // r13: incremental graph append (1/8 increment, 2 bounded
+      // rounds) — the slope to compare against knn_graph_nndescent's
+      // cold build: increment-bounded init + 2 incidence rounds
+      timed("nndescent_append") {
+        val nb = emb.count() - emb.count() / 8
+        val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
+          .limit(nb.toInt).agg(max("vec_id")).head().getLong(0)
+        Similarity.knnGraphAppend(emb.filter(col("vec_id") <= thr),
+          emb.filter(col("vec_id") > thr)) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

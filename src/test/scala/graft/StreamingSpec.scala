@@ -291,7 +291,8 @@ class StreamingSpec extends AnyFunSuite {
     import graft.sources.Tables
     val dir = "/root/testdata/sf0.001"
     val st = Streaming.streamedSessions(spark, dir).collect().toSet
-    val batch = EventAnalytics.userSessions(spark, dir).collect().toSet
+    val batch = EventAnalytics.sessionize(Tables.events(spark, dir))
+      .collect().toSet
     // closed sessions are a strict subset here (the stream head leaves
     // each user's last burst open)...
     assert(st.subsetOf(batch), "streamed sessions diverge from batch")
