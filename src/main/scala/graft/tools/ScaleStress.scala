@@ -312,22 +312,32 @@ object ScaleStress {
       // synthetic corpus multiplies DOCS not events, so feed the
       // events table through a user-salted explode to scale it
       timed("user_sessions") {
-        val mult10 = math.max(1, mult / 10)
         val ev = spark.read.parquet(s"$baseDir/events.parquet")
-        val scaled = (0 until mult10).map { g =>
+        val scaled = (0 until mult).map { g =>
           ev.select((col("user_id") + lit(g * CopyStride)).as("user_id"),
-            col("ts"), col("value"))
+            // raw parquet reads NTZ; Tables.events normalizes to
+            // TIMESTAMP — mirror that here for unix_micros
+            col("ts").cast("timestamp").as("ts"), col("value"))
         }.reduce(_ unionAll _)
         graft.operators.EventAnalytics.sessionize(scaled) },
       // r13: incremental graph append (1/8 increment, 2 bounded
-      // rounds) — the slope to compare against knn_graph_nndescent's
-      // cold build: increment-bounded init + 2 incidence rounds
-      timed("nndescent_append") {
-        val nb = emb.count() - emb.count() / 8
-        val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
-          .limit(nb.toInt).agg(max("vec_id")).head().getLong(0)
-        Similarity.knnGraphAppend(emb.filter(col("vec_id") <= thr),
-          emb.filter(col("vec_id") > thr)) }
+      // rounds). The BASE graph builds OUTSIDE the timer (its cost is
+      // knn_graph_nndescent's row; the registry serves it back inside)
+      // so the row isolates the APPEND work — increment-bounded init
+      // + 2 incidence rounds — the daily cost a deployment pays
+      {
+        if (only.isEmpty || only.contains("nndescent_append")) {
+          val nb = emb.count() - emb.count() / 8
+          val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
+            .limit(nb.toInt).agg(max("vec_id")).head().getLong(0)
+          val base = emb.filter(col("vec_id") <= thr)
+          Similarity.knnGraphNnDescent(base, 20, 5, 4, 8, 20, 41L)
+            .queryExecution.toRdd.count()
+          timed("nndescent_append") {
+            Similarity.knnGraphAppend(base,
+              emb.filter(col("vec_id") > thr)) }
+        } else ("nndescent_append", 0.0, -1L)
+      }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
