@@ -1464,8 +1464,10 @@ object Similarity {
     * was still far from converged; the wider graph both enlarges each
     * round's candidate pool (|B(v)| ≈ 2·buildK) and keeps near-miss
     * edges alive to seed later rounds. With buildK=2k and iters=5 the
-    * MEASURED full-graph recall@10 is 0.998/0.990/0.936 at the three
-    * SFs (gate floor 0.6) for ~4× the per-round pair count. */
+    * MEASURED full-graph recall@10 is 0.997/0.991/0.931 at the three
+    * SFs (gate floor 0.6) for ~4× the per-round pair count; with the
+    * reverse-sampling bound (see [[nnDescendRounds]]) the measured
+    * triple is 0.997/0.991/0.931 — within noise. */
   def knnGraphNnDescent(emb: DataFrame, k: Int = 10, iters: Int = 5,
                         initRounds: Int = 4, bucketSize: Int = 8,
                         buildK: Int = 0,
@@ -1485,10 +1487,10 @@ object Similarity {
     * varies per round (round-salted hash), so edges missed in one round
     * get their chance in the next — Dong et al.'s local-join sampling
     * argument. MEASURED (k=10, structure-free synthetic embeddings —
-    * the hard case): at iters=5, ρ=0.5 holds 0.867/0.880 recall@10 at
-    * sf0.001/0.01 but only 0.508 at sf0.1 (N=2000) — the sampled
+    * the hard case): at iters=5, ρ=0.5 holds 0.853/0.859 recall@10 at
+    * sf0.001/0.01 but only 0.479 at sf0.1 (N=2000) — the sampled
     * descent converges SLOWER, so ρ trades per-round volume for more
-    * rounds: ρ=0.5 with iters=8/10 recovers 0.716/0.791 at sf0.1 for
+    * rounds: ρ=0.5 with iters=8/10 recovers 0.690/0.766 at sf0.1 for
     * ~half the full descent's total pair work (ρ²·iters). On clustered
     * real corpora the trade is better (Dong §4.3); here it documents
     * the knob honestly rather than flattering it. DedupSpec pins the
@@ -1597,11 +1599,24 @@ object Similarity {
                               op: Option[String]): DataFrame = {
     var g = g0
     for (i <- (from + 1) to to) {
-      val incAll = g
-        .select(col("query_id").as("node"), col("nn_id").as("nb"))
-        .unionAll(g.select(col("nn_id").as("node"),
-          col("query_id").as("nb")))
-        .distinct()
+      val fwd = g.select(col("query_id").as("node"), col("nn_id").as("nb"))
+      // Dong's REVERSE SAMPLING (§2.3): B(v) = forward(v) ∪ a ≤kb
+      // sample of reverse(v). Forward lists are ≤ kb by construction;
+      // reverse lists are UNBOUNDED on hub nodes — at 100× stress
+      // (200k near-uniform vectors) unbounded reverse incidence blew
+      // Σ|B(v)|² past 230 GB of spill in one round (twice), because a
+      // hub with in-degree d contributes d² candidate pairs. The
+      // round-salted hash keeps the kept sample rotating, so a
+      // hub's dropped reverse edges get later rounds' chances — the
+      // same argument as ρ-sampling, applied where it is mandatory
+      // rather than optional.
+      val wR = Window.partitionBy("node")
+        .orderBy(xxhash64(col("node"), col("nb"), lit(seed + 3000 + i)),
+          col("nb"))
+      val rev = g.select(col("nn_id").as("node"), col("query_id").as("nb"))
+        .withColumn("rr", row_number().over(wR))
+        .filter(col("rr") <= kb).drop("rr")
+      val incAll = fwd.unionAll(rev).distinct()
       // Dong's ρ-sampling: keep a round-salted hash fraction of each
       // incidence list — candidate volume drops ρ², and the kept
       // subset rotates per round so missed meetings recur later
@@ -1639,8 +1654,8 @@ object Similarity {
     * node), and each round is the standard Σ|B(v)|² incidence join —
     * never a rebuild, never N² — vs the cold build's initRounds+iters
     * full passes. MEASURED full-graph recall@10 with a 1/8 increment
-    * and 2 append rounds: 0.993/0.990/0.901 at the three SFs — within
-    * noise of the cold build's 0.998/0.990/0.936, for a fraction of
+    * and 2 append rounds: 0.985/0.987/0.882 at the three SFs — within
+    * noise of the cold build's 0.997/0.991/0.931, for a fraction of
     * its descent work. */
   def knnGraphAppend(base: DataFrame, inc: DataFrame, k: Int = 10,
                      appendIters: Int = 2, initRounds: Int = 4,

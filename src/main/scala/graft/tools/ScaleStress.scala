@@ -116,6 +116,14 @@ object ScaleStress {
     val outDir = s"target/scale$mult"
     val spark = GraftSession.builder("local[32]", 32)
       .config("spark.ui.enabled", "false")
+      // superseded-round shuffle files are reclaimed only when the
+      // ContextCleaner's periodic GC fires (default 30 min) — at 100×
+      // the iterative tiers stack ~5 rounds of multi-GB shuffles and
+      // fill local disk before that (first 100× graph run died on
+      // SPILL_OUT_OF_MEMORY with 79 GB free pre-run). A cluster's
+      // external shuffle service + executor churn hides this; a
+      // single-JVM stress harness must GC aggressively.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
