@@ -426,12 +426,12 @@ object SparkEntry {
     // graph-shape counts (every node holds exactly min(k, N-1) edges)
     // + recall floor vs the exact graph on a deterministic node sample,
     // restated as oracle constants (floor 0.6; measured recall@10
-    // 0.997/0.991/0.931 at sf0.001/0.01/0.1 — full-graph, not sampled)
+    // 0.998/0.991/0.934 at sf0.001/0.01/0.1 — full-graph, not sampled)
     "nndescent_gate" -> ((s, dir) =>
       Similarity.nndescentGate(Tables.embeddings(s, dir))),
     // incremental graph maintenance: base graph + bucket-seeded
     // arrivals + bounded descent rounds — never a rebuild (measured
-    // recall 0.985/0.987/0.882 vs cold build's 0.997/0.991/0.931)
+    // recall 0.992/0.989/0.890 vs cold build's 0.998/0.991/0.934)
     "nndescent_append_gate" -> ((s, dir) =>
       Similarity.nndescentAppendGate(s, dir)),
     // hubness audit of the graph: in-degree histogram with the orphan

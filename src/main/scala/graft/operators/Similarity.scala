@@ -1464,10 +1464,10 @@ object Similarity {
     * was still far from converged; the wider graph both enlarges each
     * round's candidate pool (|B(v)| ≈ 2·buildK) and keeps near-miss
     * edges alive to seed later rounds. With buildK=2k and iters=5 the
-    * MEASURED full-graph recall@10 is 0.997/0.991/0.931 at the three
-    * SFs (gate floor 0.6) for ~4× the per-round pair count; with the
-    * reverse-sampling bound (see [[nnDescendRounds]]) the measured
-    * triple is 0.997/0.991/0.931 — within noise. */
+    * MEASURED full-graph recall@10 is 0.998/0.991/0.934 at the three
+    * SFs (gate floor 0.6) for ~4× the per-round pair count — measured
+    * WITH [[nnDescendRounds]]'s reverse-sampling bound and tried-flag
+    * activation, the deployed configuration. */
   def knnGraphNnDescent(emb: DataFrame, k: Int = 10, iters: Int = 5,
                         initRounds: Int = 4, bucketSize: Int = 8,
                         buildK: Int = 0,
@@ -1484,17 +1484,19 @@ object Similarity {
     * knob: each descent round keeps only a seeded-hash fraction ρ of
     * every node's incidence list before the self-join, cutting the
     * per-round candidate volume to ρ²·Σ|B(v)|² while the kept subset
-    * varies per round (round-salted hash), so edges missed in one round
-    * get their chance in the next — Dong et al.'s local-join sampling
-    * argument. MEASURED (k=10, structure-free synthetic embeddings —
-    * the hard case): at iters=5, ρ=0.5 holds 0.853/0.859 recall@10 at
-    * sf0.001/0.01 but only 0.479 at sf0.1 (N=2000) — the sampled
-    * descent converges SLOWER, so ρ trades per-round volume for more
-    * rounds: ρ=0.5 with iters=8/10 recovers 0.690/0.766 at sf0.1 for
-    * ~half the full descent's total pair work (ρ²·iters). On clustered
-    * real corpora the trade is better (Dong §4.3); here it documents
-    * the knob honestly rather than flattering it. DedupSpec pins the
-    * 0.7 floor at the gated SF. */
+    * varies per round — Dong et al.'s local-join sampling argument,
+    * implemented through the TRIED flag: the ρ draw gates when a list
+    * entry ACTIVATES (joins its first local join), and entries the
+    * draw skips stay untried for later rounds, so sampling DEFERS
+    * meetings instead of dropping them. (A first implementation
+    * filtered each round's incidence lists independently; skipped
+    * old-old meetings then never recurred and sf0.1 recall collapsed
+    * 0.934 → 0.479 — the flag is load-bearing, not bookkeeping.)
+    * MEASURED (k=10, iters=5, structure-free synthetic embeddings —
+    * the hard case): ρ=0.5 holds recall@10 at 0.997/0.991/0.910 vs
+    * the full descent's 0.998/0.991/0.934, for roughly half the
+    * activated-meeting volume. DedupSpec pins the 0.7 floor at the
+    * gated SF. */
   def knnGraphNnDescent(emb: DataFrame, k: Int, iters: Int,
                         initRounds: Int, bucketSize: Int, buildK: Int,
                         seed: Long, rho: Double): DataFrame = {
@@ -1537,8 +1539,14 @@ object Similarity {
     val op = "nndescent"
     val resume = Checkpoints.latestRound(s, op)
     // a resumed round is store-backed: materialize off the files before
-    // clearRounds deletes them under a still-lazy result
-    val g0 = resume.map(r => Checkpoints.materialize(r._2)).getOrElse {
+    // clearRounds deletes them under a still-lazy result. A snapshot
+    // written before the tried flag existed (or a spec-planted round)
+    // resumes with every entry untried — over-scoring, same results.
+    val g0 = resume.map { r =>
+      val f = if (r._2.columns.contains("tried")) r._2
+              else r._2.withColumn("tried", lit(false))
+      Checkpoints.materialize(f)
+    }.getOrElse {
       val rounds = (0 until initRounds).map { r =>
         u.select(col("vec_id"),
           lit(r).as("r"),
@@ -1550,13 +1558,14 @@ object Similarity {
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
         .distinct()
       val g = Checkpoints.materialize(nnTopK(kb, nnScore(u, initPairs),
-        empty))
+        empty.withColumn("tried", lit(false))))
       Checkpoints.saveRound(g, op, 0)
       g
     }
     val startRound = resume.map(_._1).getOrElse(0)
     val g = nnDescendRounds(u, g0, startRound, iters, kb, rho, seed,
       Some(op))
+      .select("query_id", "nn_id", "sim", "rn")
     Checkpoints.clearRounds(s, op)
     // truncate the over-built graph to the requested k
     if (kb == k) g else g.filter(col("rn") <= k)
@@ -1575,18 +1584,21 @@ object Similarity {
   /** Per-node top-kb over prior directed edges ∪ both directions of the
     * fresh scored pairs (fresh pairs are anti-joined against the prior
     * pair set upstream, so the union never duplicates a key). */
+  /** `prior` carries the per-entry TRIED flag (Dong §2.3's incremental-
+    * search bit, stored in the list itself); fresh entries enter
+    * untried. */
   private def nnTopK(kb: Int, fresh: DataFrame,
                      prior: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("nn_id"))
     fresh.select(col("a").as("query_id"), col("b").as("nn_id"),
-        col("sim"))
+        col("sim"), lit(false).as("tried"))
       .unionAll(fresh.select(col("b").as("query_id"),
-        col("a").as("nn_id"), col("sim")))
-      .unionAll(prior.select("query_id", "nn_id", "sim"))
+        col("a").as("nn_id"), col("sim"), lit(false).as("tried")))
+      .unionAll(prior.select("query_id", "nn_id", "sim", "tried"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= kb)
-      .select("query_id", "nn_id", "sim", "rn")
+      .select("query_id", "nn_id", "sim", "rn", "tried")
   }
 
   /** Descent rounds `from`+1..`to` over a MATERIALIZED kb-wide graph
@@ -1597,43 +1609,65 @@ object Similarity {
   private def nnDescendRounds(u: DataFrame, g0: DataFrame, from: Int,
                               to: Int, kb: Int, rho: Double, seed: Long,
                               op: Option[String]): DataFrame = {
-    var g = g0
-    for (i <- (from + 1) to to) {
-      val fwd = g.select(col("query_id").as("node"), col("nn_id").as("nb"))
-      // Dong's REVERSE SAMPLING (§2.3): B(v) = forward(v) ∪ a ≤kb
-      // sample of reverse(v). Forward lists are ≤ kb by construction;
-      // reverse lists are UNBOUNDED on hub nodes — at 100× stress
-      // (200k near-uniform vectors) unbounded reverse incidence blew
-      // Σ|B(v)|² past 230 GB of spill in one round (twice), because a
-      // hub with in-degree d contributes d² candidate pairs. The
-      // round-salted hash keeps the kept sample rotating, so a
-      // hub's dropped reverse edges get later rounds' chances — the
-      // same argument as ρ-sampling, applied where it is mandatory
-      // rather than optional.
+    // Dong's REVERSE SAMPLING (§2.3): B(v) = forward(v) ∪ a ≤kb sample
+    // of reverse(v). Forward lists are ≤ kb by construction; reverse
+    // lists are UNBOUNDED on hub nodes — at 100× stress (200k
+    // near-uniform vectors) unbounded reverse incidence blew Σ|B(v)|²
+    // past 230 GB of spill in one round (twice), because a hub with
+    // in-degree d contributes d² candidate pairs. The round-salted
+    // hash keeps the kept sample rotating, so a hub's dropped reverse
+    // edges get later rounds' chances — the ρ-sampling argument,
+    // applied where it is mandatory rather than optional.
+    def incidence(edges: DataFrame, round: Int): DataFrame = {
+      val fwd = edges
+        .select(col("query_id").as("node"), col("nn_id").as("nb"))
       val wR = Window.partitionBy("node")
-        .orderBy(xxhash64(col("node"), col("nb"), lit(seed + 3000 + i)),
+        .orderBy(
+          xxhash64(col("node"), col("nb"), lit(seed + 3000 + round)),
           col("nb"))
-      val rev = g.select(col("nn_id").as("node"), col("query_id").as("nb"))
+      val rev = edges
+        .select(col("nn_id").as("node"), col("query_id").as("nb"))
         .withColumn("rr", row_number().over(wR))
         .filter(col("rr") <= kb).drop("rr")
-      val incAll = fwd.unionAll(rev).distinct()
-      // Dong's ρ-sampling: keep a round-salted hash fraction of each
-      // incidence list — candidate volume drops ρ², and the kept
-      // subset rotates per round so missed meetings recur later
-      val inc =
-        if (rho >= 1.0) incAll
-        else incAll.filter(
-          pmod(xxhash64(col("node"), col("nb"), lit(seed + 7000 + i)),
-            lit(1000000L)) < (rho * 1e6).toLong)
-      val cand = inc.as("x").join(inc.as("y"), Seq("node"))
-        .filter(col("x.nb") < col("y.nb"))
-        .select(col("x.nb").as("a"), col("y.nb").as("b"))
+      // ρ-sampling lives in the ACTIVATION draw (the tried flag), not
+      // here: a per-round incidence filter would permanently drop
+      // old-side meetings (the tried partner never re-activates),
+      // which is where the first ρ implementation lost recall
+      fwd.unionAll(rev).distinct()
+    }
+    // Dong's NEW/OLD split (§2.3, the local-join optimization): only
+    // meetings involving at least one UNTRIED list entry can produce a
+    // useful pair — a node's kb-th-best sim is NON-DECREASING, so a
+    // pair scored-and-rejected once can never enter later, and
+    // re-meeting two tried edges is provably wasted volume (the
+    // pre-optimization loop rescored every old-old meeting every round
+    // and anti-joined the survivors away). The flag lives IN the list
+    // (`tried` column): an entry activates once — when the ρ draw
+    // admits it — and ρ-skipped entries stay untried for later rounds,
+    // which is exactly where the independent-per-round ρ filter of the
+    // first implementation lost recall (old-old meetings never
+    // retried). Round volume is |activated|·|B| instead of Σ|B|², and
+    // the activated set shrinks as the graph converges.
+    var g = g0
+    for (i <- (from + 1) to to) {
+      val passNow =
+        if (rho >= 1.0) lit(true)
+        else pmod(xxhash64(col("query_id"), col("nn_id"),
+          lit(seed + 7000 + i)), lit(1000000L)) < (rho * 1e6).toLong
+      val act = g.filter(!col("tried") && passNow)
+      val incNew = incidence(act, i)
+      val incAll = incidence(g, i)
+      val cand = incNew.as("x").join(incAll.as("y"), Seq("node"))
+        .filter(col("x.nb") =!= col("y.nb"))
+        .select(least(col("x.nb"), col("y.nb")).as("a"),
+          greatest(col("x.nb"), col("y.nb")).as("b"))
         .distinct()
       val cur = g.select(least(col("query_id"), col("nn_id")).as("a"),
         greatest(col("query_id"), col("nn_id")).as("b")).distinct()
       val fresh = cand.join(cur, Seq("a", "b"), "left_anti")
       val prev = g
-      g = Checkpoints.materialize(nnTopK(kb, nnScore(u, fresh), g))
+      val prior = g.withColumn("tried", col("tried") || passNow)
+      g = Checkpoints.materialize(nnTopK(kb, nnScore(u, fresh), prior))
       op.foreach(Checkpoints.saveRound(g, _, i))
       Checkpoints.dropRound(prev)
     }
@@ -1654,8 +1688,8 @@ object Similarity {
     * node), and each round is the standard Σ|B(v)|² incidence join —
     * never a rebuild, never N² — vs the cold build's initRounds+iters
     * full passes. MEASURED full-graph recall@10 with a 1/8 increment
-    * and 2 append rounds: 0.985/0.987/0.882 at the three SFs — within
-    * noise of the cold build's 0.997/0.991/0.931, for a fraction of
+    * and 2 append rounds: 0.992/0.989/0.890 at the three SFs — within
+    * noise of the cold build's 0.998/0.991/0.934, for a fraction of
     * its descent work. */
   def knnGraphAppend(base: DataFrame, inc: DataFrame, k: Int = 10,
                      appendIters: Int = 2, initRounds: Int = 4,
@@ -1690,11 +1724,15 @@ object Similarity {
       .select(least(col("x.vec_id"), col("y.vec_id")).as("a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("b"))
       .distinct()
+    // base entries enter TRIED (their meetings all happened during the
+    // base build) — the append rounds activate only the fresh entries,
+    // which keeps round volume increment-bounded by construction
     val g0 = Checkpoints.materialize(
-      nnTopK(kb, nnScore(u, initPairs), baseGraph))
+      nnTopK(kb, nnScore(u, initPairs),
+        baseGraph.withColumn("tried", lit(true))))
     val g = nnDescendRounds(u, g0, 0, appendIters, kb, 1.0, seed + 900,
       None)
-    g.filter(col("rn") <= k)
+    g.filter(col("rn") <= k).select("query_id", "nn_id", "sim", "rn")
   }
 
   /** Gate for [[knnGraphAppend]] (the [[nndescentGate]] pattern over

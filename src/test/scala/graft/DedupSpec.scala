@@ -308,7 +308,7 @@ class DedupSpec extends AnyFunSuite {
       .select("query_id", "nn_id")
     // the sampled descent still delivers a full graph...
     assert(g.count() === n * math.min(10L, n - 1))
-    // ...and holds the recall floor vs brute force (measured 0.853 at
+    // ...and holds the recall floor vs brute force (measured 0.997 at
     // sf0.001 for 4x less per-round pair work; floor leaves margin)
     val bf = Similarity.knnBruteForce(emb, emb, 10)
       .select("query_id", "nn_id")
