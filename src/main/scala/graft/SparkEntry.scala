@@ -156,6 +156,10 @@ object SparkEntry {
     // threshold a cross-multiplied integer comparison so the per-rule
     // rejection counts hash-match the ANSI recompute exactly
     "gopher_rules" -> (TextAnalysis.gopherRules _),
+    // length-bucketed padding-waste accounting (batching prep): exact
+    // integer token masses per ceil(len/16)*16 bucket + a __total__
+    // row, waste in floor-division millionths
+    "padding_waste" -> ((s, dir) => TextAnalysis.paddingWaste(s, dir)),
     // curriculum-learning order: quality-quantile stages with per-stage
     // doc/token accounting (ntile semantics, no global window)
     "curriculum_stages" -> ((s, dir) =>
@@ -1595,6 +1599,28 @@ object SparkEntry {
          |        / len(toks), 4) AS avg_token_len
          |FROM (SELECT doc_id, text, $DuckTokList AS toks FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+    // padding-waste: same token lists, same integer bucket/ratio math
+    "padding_waste" ->
+      s"""WITH t AS (SELECT len($DuckTokList) AS len FROM documents),
+         |b AS (SELECT CAST(ceil(len / 16.0) * 16 AS BIGINT) AS hi,
+         |             len FROM t),
+         |g AS (SELECT hi, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(len) AS BIGINT) AS real_tokens
+         |      FROM b GROUP BY 1),
+         |u AS (SELECT format('{:05d}', hi) AS bucket, n_docs,
+         |             real_tokens, hi * n_docs AS padded_tokens
+         |      FROM g
+         |      UNION ALL
+         |      SELECT '__total__',
+         |             COALESCE(CAST(sum(n_docs) AS BIGINT), 0),
+         |             COALESCE(CAST(sum(real_tokens) AS BIGINT), 0),
+         |             COALESCE(CAST(sum(hi * n_docs) AS BIGINT), 0)
+         |      FROM g)
+         |SELECT bucket, n_docs, real_tokens, padded_tokens,
+         |  CAST((padded_tokens - real_tokens) * 1000000
+         |       // GREATEST(padded_tokens, 1) AS BIGINT)
+         |    AS waste_millionths
+         |FROM u ORDER BY bucket""".stripMargin,
     // Gopher composite rules: identical clean_words tokens, identical
     // cross-multiplied integer thresholds — exact per-rule counts
     "gopher_rules" ->

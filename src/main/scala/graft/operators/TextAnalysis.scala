@@ -170,6 +170,44 @@ object TextAnalysis {
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(Tables.documents(s, dir))
 
+  /** Length-bucketed PADDING-WASTE accounting — the batching-prep view
+    * a trainer reads before picking a bucketing width: documents are
+    * grouped into token-length buckets of width `w` (bucket_hi =
+    * ⌈len/w⌉·w, the padded length every member pays), and each bucket
+    * reports its doc count, real token mass, padded mass, and the
+    * waste in integer MILLIONTHS (the engine-portable ratio
+    * convention) — Σ(padded − real)·1e6 / padded, floor division.
+    * The all-corpus `__total__` row is what a bucketing sweep compares
+    * across widths: smaller w → less padding but more bucket switches;
+    * the number this view puts next to that tradeoff is exact. One
+    * scan-fused length projection + one bucket aggregation; the total
+    * re-aggregates ≤ maxLen/w bucket rows, never the corpus. */
+  def paddingWaste(s: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    val b = Tables.documents(s, dir)
+      .select(size(toks).as("len"))
+      .select(col("len"),
+        (ceil(col("len").cast("double") / w) * w).cast("long").as("hi"))
+    val buckets = b.groupBy("hi")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len").cast("long")).as("real_tokens"))
+      .withColumn("padded_tokens", col("hi") * col("n_docs"))
+    val total = buckets
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("real_tokens"), lit(0L)).as("real_tokens"),
+        coalesce(sum("padded_tokens"), lit(0L)).as("padded_tokens"))
+      .withColumn("hi", lit(-1L))
+    buckets.unionByName(total)
+      .withColumn("waste_millionths",
+        expr("(padded_tokens - real_tokens) * 1000000" +
+          " DIV greatest(padded_tokens, 1)"))
+      .select(
+        when(col("hi") === -1L, "__total__")
+          .otherwise(format_string("%05d", col("hi"))).as("bucket"),
+        col("n_docs"), col("real_tokens"), col("padded_tokens"),
+        col("waste_millionths"))
+      .orderBy("bucket")
+  }
+
   /** Curriculum staging: partition the corpus into `stages` quality
     * quantiles (high quality first — the classic curriculum-learning
     * order) and emit the per-stage accounting a trainer consumes:

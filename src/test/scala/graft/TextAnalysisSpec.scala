@@ -57,6 +57,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corpus("pass_all") <= n)
   }
 
+  test("padding waste: bucket and total arithmetic are exact") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.paddingWaste(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val total = got.find(_._1 == "__total__").get
+    val buckets = got.filterNot(_._1 == "__total__")
+    // totals re-aggregate the buckets exactly
+    assert(buckets.map(_._2).sum === total._2)
+    assert(buckets.map(_._3).sum === total._3)
+    assert(buckets.map(_._4).sum === total._4)
+    // every bucket: padded = hi * n_docs, real <= padded, ratio is the
+    // floor-division millionths of the same integers
+    buckets.foreach { case (b, n, real, padded, waste) =>
+      assert(padded === b.toLong * n)
+      assert(real <= padded && real > 0)
+      assert(waste === (padded - real) * 1000000L / padded)
+    }
+    // doc counts conserve to the corpus
+    val nDocs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001").count()
+    assert(total._2 === nDocs)
+  }
+
   test("langId confusion matrix re-aggregates the per-doc predictions") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
