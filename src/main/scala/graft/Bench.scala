@@ -64,6 +64,22 @@ object Bench {
     force("knn_recall_gates", 0)
     // + the unigram-LM trainer cache (same precedent as bpe_merges)
     force("unigram_pieces", 0)
+    // + the graph/ANN registries the recall gate does NOT touch: each
+    // of these trains its own per-(corpus, params) artifact — the
+    // full-corpus NN-Descent graph (also serving nndescent_gate,
+    // knn_graph_hubness, hubness_gate, semantic_dedup_graph*), the
+    // append gate's 7/8-base graph, the reindex/lifecycle gates'
+    // prefix-split indexes, the bitext miner's two per-language
+    // indexes, and the streaming-ingest base models. Without warmup
+    // each query's pass 1 deterministically carries its cold training
+    // cost and lands on the noisy list EVERY round (r13 verdict: five
+    // permanent noisy rows, pure p1 inflation, the exact
+    // bpe_encode_gate pathology r10 fixed this same way).
+    Seq("knn_graph_nndescent", "nndescent_append_gate",
+        "ivfpq_reindex_gate", "bitext_ann_gate",
+        "streamed_ivfpq_ingest")
+      .filter(SparkEntry.queries.contains)
+      .foreach(force(_, 0))
 
     // Pass 2 walks the queries in a SEEDED-SHUFFLED order: with both
     // passes in the same order, a multi-minute slow window lands on the
@@ -167,6 +183,15 @@ object Bench {
     // exactly which timings moved. Best-effort: a read-only repo mount
     // must not fail the bench itself. A filtered (targeted) run skips
     // the write — a partial map must never clobber the committed full one.
+    //
+    // A window-DEGRADED run refuses to overwrite bench_full.json and
+    // lands in bench_full.degraded.json instead: by the repo's own
+    // canary rule (SURVEY §6) a degraded run must be discounted, so
+    // letting it clobber the committed healthy anchor forced every
+    // later reader into "which run do I trust" forensics (r13: the
+    // driver's degraded BENCH_r13 vs the committed 98bdac5 run). The
+    // degraded copy still persists for auditability — it just never
+    // replaces the anchor.
     try if (only.isEmpty) {
       val perQuery = names.map { n =>
         // fields joined as ONE list: a query with zero valid passes
@@ -188,8 +213,15 @@ object Bench {
            |}
            |}
            |""".stripMargin
+      val target =
+        if (windowDegraded) "/root/repo/bench_full.degraded.json"
+        else "/root/repo/bench_full.json"
+      if (windowDegraded)
+        System.err.println(
+          "[bench] window degraded — writing bench_full.degraded.json, " +
+            "keeping the committed healthy anchor untouched")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_full.json"),
+        java.nio.file.Paths.get(target),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     } catch { case e: java.io.IOException =>

@@ -1607,7 +1607,7 @@ object SparkEntry {
          |g AS (SELECT hi, CAST(count(*) AS BIGINT) AS n_docs,
          |             CAST(sum(len) AS BIGINT) AS real_tokens
          |      FROM b GROUP BY 1),
-         |u AS (SELECT format('{:05d}', hi) AS bucket, n_docs,
+         |u AS (SELECT format('{:09d}', hi) AS bucket, n_docs,
          |             real_tokens, hi * n_docs AS padded_tokens
          |      FROM g
          |      UNION ALL
@@ -1651,8 +1651,8 @@ object SparkEntry {
          |    AS r_wc,
          |  CASE WHEN sum_len < 3*n_words OR sum_len > 10*n_words
          |    THEN 1 ELSE 0 END AS r_mwl,
-         |  CASE WHEN 10*(n_hash + n_ell) > n_words THEN 1 ELSE 0 END
-         |    AS r_sym,
+         |  CASE WHEN 10*n_hash > n_words OR 10*n_ell > n_words
+         |    THEN 1 ELSE 0 END AS r_sym,
          |  CASE WHEN 10*n_bullet > 9*n_lines THEN 1 ELSE 0 END AS r_bul,
          |  CASE WHEN 10*n_ell_end > 3*n_lines THEN 1 ELSE 0 END AS r_ell,
          |  CASE WHEN 10*n_alpha < 8*n_words THEN 1 ELSE 0 END AS r_alp,

@@ -1045,6 +1045,20 @@ object Similarity {
     * counts conserve to n_now) and `cells_in_range` (every appended
     * row's cell id addresses a trained cell — partition-layout safety:
     * an out-of-range id would write a directory no probe ever reads). */
+  /** Exact `nRows`-th smallest vec_id — the deterministic prefix-split
+    * threshold the evidence gates cut their base/increment corpora on.
+    * Long-safe by construction: a distributed range sort plus
+    * per-partition offset indices (RDD zipWithIndex — partition counts
+    * and offsets, no single-partition window), never
+    * `limit(nRows.toInt)`, whose silent Int truncation is at odds with
+    * the 100 TB framing. Requires 1 <= nRows <= count (callers guard
+    * the empty corpus). */
+  private[graft] def prefixThreshold(df: DataFrame, nRows: Long): Long = {
+    import df.sparkSession.implicits._
+    df.select(col("vec_id")).as[Long].rdd.sortBy(identity)
+      .zipWithIndex().filter(_._2 < nRows).map(_._1).max()
+  }
+
   def ivfPqReindexGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.Tables
@@ -1053,12 +1067,19 @@ object Similarity {
     val nBase = math.max(1L, nNow / 8)
     val staleCells = scaledCells(nBase)
     val freshCells = scaledCells(nNow)
+    // empty corpus: max(vec_id) below is NULL — emit the same policy
+    // arithmetic the oracle computes from count = 0, flags vacuously 1
+    if (nNow == 0L)
+      return Seq(
+        ("stale", nBase, 0L, staleCells, 0L,
+          if (freshCells >= 2 * staleCells) 1 else 0, 1, 1),
+        ("fresh", 0L, 0L, freshCells, 0L, 0, 1, 1))
+        .toDF("snapshot", "n_trained_at", "n_now", "cells", "occ_mean",
+          "rebuild", "append_complete", "cells_in_range")
     // the stale snapshot's corpus: the n_base smallest vec_ids (a
     // deterministic stand-in for the growth history; vec_id is unique,
-    // so the threshold cut is exactly n_base rows). TakeOrdered top-k,
-    // never a single-partition global window.
-    val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
-      .limit(nBase.toInt).agg(max("vec_id")).head().getLong(0)
+    // so the threshold cut is exactly n_base rows)
+    val thr = prefixThreshold(emb, nBase)
     val early = emb.filter(col("vec_id") <= thr)
     val late = emb.filter(col("vec_id") > thr)
     val (cents, cb, staleIdx) = ivfPqIndex(early, staleCells)
@@ -1079,6 +1100,104 @@ object Similarity {
         0, 1, 1))
       .toDF("snapshot", "n_trained_at", "n_now", "cells", "occ_mean",
         "rebuild", "append_complete", "cells_in_range")
+  }
+
+  /** INDEX-LIFECYCLE capstone — the ANN twin of
+    * `corpus_refresh_assembly`: the morning-after plan a deployed
+    * IVFADC index runs, composed as ONE gated query instead of four
+    * individually-gated pieces (ingest [[ivfPqAppend]] → trigger
+    * [[ivfPqReindexGate]]'s ≥2×-cells rule → rebuild under
+    * [[scaledCells]] → recall re-gate on the DEPLOYED snapshot).
+    * Composition is where contract bugs hide — each r10 capstone
+    * caught one — so the stages here chain the REAL operators, not
+    * restatements:
+    *
+    *   1. morning 0: the index is provisioned for the 1/8-prefix
+    *      corpus (`scaledCells(n_base)` cells, the reindex-gate split);
+    *   2. the remaining 7/8 arrive through the real [[ivfPqAppend]]
+    *      path under the FROZEN morning-0 models — `append_complete`
+    *      (row conservation) and `cells_in_range` (partition-layout
+    *      safety) audit the union exactly as a deployment would;
+    *   3. the rebuild trigger evaluates the count policy —
+    *      SQL-recomputable arithmetic (`rebuild` = fresh ≥ 2× stale);
+    *   4. the DEPLOYED snapshot per that policy — the fresh
+    *      `scaledCells(n_now)` rebuild when the trigger trips, the
+    *      stale-models appended index when it doesn't (within the 2×
+    *      occupancy bound by construction) — serves a probe query
+    *      under the shipped scaling policies, and its recall vs the
+    *      exact brute-force top-k must clear `recallFloor`.
+    *
+    * One output row; counts and policy arithmetic are SQL-exact, the
+    * measured flags (`append_complete cells_in_range full_k
+    * recall_ok`) pin the composition. PlanSpec pins the probe plan
+    * stays cartesian-free. */
+  def ivfPqLifecycleGate(s: SparkSession, dir: String, k: Int = 5,
+                         recallFloor: Double = 0.6): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    def row(nBase: Long, nInc: Long, nNow: Long, staleCells: Int,
+            freshCells: Int, rebuild: Int, appendComplete: Int,
+            cellsInRange: Int, fullK: Int, recallOk: Int) =
+      Seq((nBase, nInc, nNow, staleCells, freshCells, rebuild,
+        appendComplete, cellsInRange, fullK, recallOk))
+        .toDF("n_base", "n_inc", "n_now", "stale_cells", "fresh_cells",
+          "rebuild", "append_complete", "cells_in_range", "full_k",
+          "recall_ok")
+    val emb = Tables.embeddings(s, dir)
+    val nNow = emb.count()
+    val nBase = math.max(1L, nNow / 8)
+    val staleCells = scaledCells(nBase)
+    val freshCells = scaledCells(nNow)
+    val rebuild = if (freshCells >= 2 * staleCells) 1 else 0
+    if (nNow == 0L)
+      return row(nBase, 0L, 0L, staleCells, freshCells, rebuild,
+        1, 1, 1, 1)
+    // stage 1-2: morning-0 build + the real append path (the
+    // reindex-gate prefix split; per-JVM index caches make the shared
+    // artifacts build once per session)
+    val thr = prefixThreshold(emb, nBase)
+    val early = emb.filter(col("vec_id") <= thr)
+    val late = emb.filter(col("vec_id") > thr)
+    val (cents0, cb0, idx0) = ivfPqIndex(early, staleCells)
+    if (cents0.isEmpty || cb0.isEmpty)
+      return row(nBase, nNow - nBase, nNow, staleCells, freshCells,
+        rebuild, 1, 1, 1, 1)
+    val appended = ivfPqAppend(cents0, cb0, late)
+    val staleIdx = Checkpoints.scratch(
+      idx0.unionAll(appended.select("nn_id", "cell", "codes")))
+    val audit = staleIdx.agg(count(lit(1)).as("n_total"),
+      coalesce(sum((col("cell") >= 0 &&
+        col("cell") < staleCells).cast("long")), lit(0L)).as("n_in_range"))
+      .head()
+    val appendComplete = if (audit.getLong(0) == nNow) 1 else 0
+    val cellsInRange = if (audit.getLong(1) == nNow) 1 else 0
+    // stage 3-4: the snapshot the policy deploys — rebuild when the
+    // trigger trips, else keep serving the appended stale index
+    val (cents, cb, index) =
+      if (rebuild == 1) ivfPqIndex(emb, freshCells)
+      else (cents0, cb0, staleIdx)
+    if (cents.isEmpty || cb.isEmpty)
+      return row(nBase, nNow - nBase, nNow, staleCells, freshCells,
+        rebuild, appendComplete, cellsInRange, 1, 1)
+    // recall re-gate under the shipped policies (the knnIvfPqAuto
+    // configuration of the deployed snapshot's cell count)
+    val queries = emb.filter(col("vec_id") < 10)
+    val deployedCells = if (rebuild == 1) freshCells else staleCells
+    val rr = scaledRerank(nNow)
+    val np = scaledNprobe(nNow, deployedCells, rr)
+    val ann = Checkpoints.scratch(
+      knnIvfPqWith(emb, index, cents, cb, queries, k, np, rr,
+        residual = false).select("query_id", "nn_id"))
+    val bf = knnBruteForce(emb, queries, k).select("query_id", "nn_id")
+    val nq = queries.count()
+    val kEff = math.min(k.toLong, math.max(nNow - 1, 0L))
+    val fullK = if (ann.count() == nq * kEff) 1 else 0
+    val nHits = ann.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    val recallOk =
+      if (nq * kEff == 0L) 1
+      else if (nHits.toDouble / (nq * kEff) >= recallFloor) 1 else 0
+    row(nBase, nNow - nBase, nNow, staleCells, freshCells, rebuild,
+      appendComplete, cellsInRange, fullK, recallOk)
   }
 
   /** ANN top-k via the COMPOSED IVF×PQ index — the production shape at
@@ -1497,34 +1616,71 @@ object Similarity {
     * the full descent's 0.998/0.991/0.934, for roughly half the
     * activated-meeting volume. DedupSpec pins the 0.7 floor at the
     * gated SF. */
+  /** Resume-store namespace for ONE descent build: the corpus
+    * fingerprint plus every parameter that shapes a round's content
+    * (kb — the over-build width the rounds actually hold — iters,
+    * init bucketing, seed, ρ). The op name IS the store directory, so
+    * two differently-parameterized builds (the gated full-corpus
+    * build, [[knnGraphAppend]]'s base build over a different corpus,
+    * a stress build at another kb) can never resume from — and then
+    * registry-cache — each other's rounds after a driver restart
+    * (CheckpointSpec pins that a foreign build's round is ignored). */
+  private def nndescentOp(fp: (Long, String), kb: Int, iters: Int,
+                          initRounds: Int, bucketSize: Int, seed: Long,
+                          rho: Double): String =
+    s"nndescent-${fp._1}-${fp._2}-$kb-$iters-$initRounds-$bucketSize-" +
+      s"$seed-$rho"
+
+  /** The resume-store op name [[knnGraphNnDescent]] would use for this
+    * (corpus, params) — exposed so the kill-resume spec plants rounds
+    * under the exact namespace the operator reads. */
+  private[graft] def nndescentOpFor(emb: DataFrame, k: Int = 10,
+      iters: Int = 5, initRounds: Int = 4, bucketSize: Int = 8,
+      buildK: Int = 0, seed: Long = 41L, rho: Double = 1.0): String = {
+    val kb = if (buildK > 0) buildK else 2 * k
+    nndescentOp(corpusFp(emb, Seq("vec_id", "embedding")), kb, iters,
+      initRounds, bucketSize, seed, rho)
+  }
+
   def knnGraphNnDescent(emb: DataFrame, k: Int, iters: Int,
                         initRounds: Int, bucketSize: Int, buildK: Int,
                         seed: Long, rho: Double): DataFrame = {
-    // a populated resume store means a restarted driver mid-descent:
-    // the store, not the registry, is the source of truth (and the
-    // kill-resume spec plants exactly that state) — never serve a
-    // cache hit across a resume boundary
-    if (Checkpoints.latestRound(emb.sparkSession, "nndescent").isDefined)
-      return knnGraphNnDescentBuild(emb, k, iters, initRounds,
-        bucketSize, buildK, seed, rho)
+    val fp = corpusFp(emb, Seq("vec_id", "embedding"))
+    val kb = if (buildK > 0) buildK else 2 * k
+    val op = nndescentOp(fp, kb, iters, initRounds, bucketSize, seed, rho)
+    // a populated resume store FOR THIS build means a restarted driver
+    // mid-descent: the store, not the registry, is the source of truth
+    // (and the kill-resume spec plants exactly that state) — never
+    // serve a cache hit across a resume boundary. Rounds under any
+    // OTHER namespace belong to a different (corpus, params) build and
+    // are invisible here.
     // the converged graph is a PURE FUNCTION of (corpus, params) — the
     // registry argument verbatim: four gated queries consume the same
     // graph, so per-query rebuilds were pure job-count waste (bench:
-    // ~7 s per rebuild at sf0.1, 8 rebuilds across the two passes)
-    nnGraphCache.computeIfAbsent(
-      (corpusFp(emb, Seq("vec_id", "embedding")), k, iters, initRounds,
-        bucketSize, buildK, seed, rho),
-      _ => knnGraphNnDescentBuild(emb, k, iters, initRounds,
-        bucketSize, buildK, seed, rho))
+    // ~7 s per rebuild at sf0.1, 8 rebuilds across the two passes).
+    // The registry holds the FULL kb-WIDE artifact and truncation
+    // happens outside it: a k=10 probe caller and a buildK=kb consumer
+    // ([[knnGraphAppend]]'s base, [[knnGraphForget]]) run the exact
+    // same descent, so keying on (kb, not k/buildK) shares ONE build
+    // between them instead of re-descending per requested width.
+    val wide =
+      if (Checkpoints.latestRound(emb.sparkSession, op).isDefined)
+        knnGraphNnDescentBuild(emb, kb, iters, initRounds,
+          bucketSize, kb, seed, rho, op)
+      else nnGraphCache.computeIfAbsent(
+        (fp, kb, iters, initRounds, bucketSize, seed, rho),
+        _ => knnGraphNnDescentBuild(emb, kb, iters, initRounds,
+          bucketSize, kb, seed, rho, op))
+    if (kb == k) wide else wide.filter(col("rn") <= k)
   }
 
   private val nnGraphCache = new java.util.concurrent.ConcurrentHashMap[
-    ((Long, String), Int, Int, Int, Int, Int, Long, Double), DataFrame]()
+    ((Long, String), Int, Int, Int, Int, Long, Double), DataFrame]()
 
   private def knnGraphNnDescentBuild(emb: DataFrame, k: Int, iters: Int,
                                      initRounds: Int, bucketSize: Int,
                                      buildK: Int, seed: Long,
-                                     rho: Double): DataFrame = {
+                                     rho: Double, op: String): DataFrame = {
     val s = emb.sparkSession
     val u = Checkpoints.scratch(
       emb.select(col("vec_id"),
@@ -1536,7 +1692,6 @@ object Similarity {
     if (n < 2) return empty
     val kb = if (buildK > 0) buildK else 2 * k
     val nBuckets = math.max(1L, n / bucketSize)
-    val op = "nndescent"
     val resume = Checkpoints.latestRound(s, op)
     // a resumed round is store-backed: materialize off the files before
     // clearRounds deletes them under a still-lazy result. A snapshot
@@ -1750,8 +1905,12 @@ object Similarity {
     val nNow = emb.count()
     val nInc = nNow / 8
     val nBase = nNow - nInc
-    val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
-      .limit(nBase.toInt).agg(max("vec_id")).head().getLong(0)
+    // empty corpus: no threshold exists — the appended graph of an
+    // empty union is empty, every flag vacuously holds
+    if (nNow == 0L)
+      return Seq((0L, 0L, 0L, 1, 1))
+        .toDF("n_base", "n_inc", "n_edges", "full_k", "recall_ok")
+    val thr = prefixThreshold(emb, nBase)
     val g = Checkpoints.scratch(
       knnGraphAppend(emb.filter(col("vec_id") <= thr),
         emb.filter(col("vec_id") > thr), k)
@@ -1846,5 +2005,251 @@ object Similarity {
       if (maxIn <= math.max(n - 1, 0L)) 1 else 0))
       .toDF("n_nodes", "n_edges", "edge_mass_ok", "node_mass_ok",
         "bound_ok")
+  }
+
+  // ---- right-to-be-forgotten for the vector tier ----
+
+  /** Tombstone a deleted-id set out of a stored (nn_id, cell, codes)
+    * IVFADC index: one anti-join on the id — at scale a
+    * partition-preserving rewrite of only the cell files that held
+    * deleted rows (the cell column is untouched, so surviving rows
+    * keep their partition and no probe path changes). The other half
+    * of index lifecycle next to [[ivfPqAppend]]: appends encode under
+    * frozen models, deletions subtract rows under the same models —
+    * neither retrains, so [[ivfPqReindexGate]]'s cadence still governs
+    * when cells re-provision. */
+  def ivfPqForget(index: DataFrame, deletedIds: DataFrame): DataFrame =
+    index.join(deletedIds.select(col("vec_id").as("nn_id")),
+      Seq("nn_id"), "left_anti")
+
+  /** Forget a deleted-id set from the NN-Descent k-NN graph and REPAIR
+    * the survivors' lists with bounded descent — the
+    * [[knnGraphAppend]] machinery in reverse, extending the
+    * `cascade_delete_audit` right-to-be-forgotten contract to the
+    * graph tier:
+    *
+    *  - TOMBSTONE: every edge with a deleted endpoint is anti-joined
+    *    away (deleted nodes' own lists, and deleted entries inside
+    *    survivors' lists);
+    *  - RE-ACTIVATE: survivors that lost an entry flip their remaining
+    *    entries untried — the next rounds re-join exactly those
+    *    neighborhoods (affected-node-bounded volume, the tried-flag
+    *    discipline), while intact nodes stay tried and contribute no
+    *    candidate pairs of their own;
+    *  - RE-SEED: affected nodes also get bucket-seeded candidate pairs
+    *    against the survivor corpus (the append path's init in
+    *    reverse) — so even a node orphaned entirely (every neighbor
+    *    deleted, empty incidence list) rebuilds a list;
+    *  - `repairRounds` descent rounds propagate; the final window
+    *    truncates to k.
+    *
+    * Work: tombstoning is two keyed anti-joins over N·kb edge rows;
+    * repair volume is bounded by the affected set (deleted-id
+    * neighborhoods), never a rebuild — the forget cost a deployment
+    * pays per erasure request. [[vectorForgetGate]] pins zero deleted
+    * ids anywhere, full-k lists, and survivor recall. */
+  def knnGraphForget(emb: DataFrame, deletedIds: DataFrame, k: Int = 10,
+                     repairRounds: Int = 2, initRounds: Int = 4,
+                     bucketSize: Int = 8, seed: Long = 41L): DataFrame = {
+    val kb = 2 * k
+    // the stored artifact: full over-built width, registry-served
+    val g = knnGraphNnDescent(emb, kb, 5, initRounds, bucketSize, kb,
+      seed)
+    val del = deletedIds.select(col("vec_id")).distinct()
+    val survivors = emb.join(del, Seq("vec_id"), "left_anti")
+    val u = Checkpoints.scratch(
+      survivors.select(col("vec_id"),
+        unitVec(toDoubleVec(col("embedding"))).as("v")))
+    val n = u.count()
+    val empty = u.select(col("vec_id").as("query_id"),
+      col("vec_id").as("nn_id"), lit(0.0d).as("sim"), lit(0).as("rn"))
+      .filter(lit(false))
+    if (n < 2) return empty
+    val delQ = del.select(col("vec_id").as("query_id"))
+    val delN = del.select(col("vec_id").as("nn_id"))
+    // survivors that lost >= 1 entry (their list referenced a deleted
+    // id) — the repair's activation set
+    val affected = g.join(delN, Seq("nn_id"), "left_semi")
+      .join(delQ, Seq("query_id"), "left_anti")
+      .select(col("query_id").as("vec_id")).distinct()
+    // tombstoned graph: affected survivors re-enter UNTRIED so the
+    // descent re-joins their neighborhoods; intact lists stay tried
+    val kept = g.join(delQ, Seq("query_id"), "left_anti")
+      .join(delN, Seq("nn_id"), "left_anti")
+      .join(affected.select(col("vec_id").as("query_id"))
+        .withColumn("aff", lit(true)), Seq("query_id"), "left")
+      .select(col("query_id"), col("nn_id"), col("sim"),
+        coalesce(!col("aff"), lit(true)).as("tried"))
+    // bucket-seeded pairs touching >= 1 affected node (orphan
+    // insurance + fresh candidates), over the SURVIVOR corpus only
+    val nBuckets = math.max(1L, n / bucketSize)
+    val rounds = (0 until initRounds).map { r =>
+      u.select(col("vec_id"), lit(r).as("r"),
+        pmod(xxhash64(col("vec_id"), lit(seed + 1300 + r)), lit(nBuckets))
+          .as("bkt"))
+    }.reduce(_ unionAll _)
+    val affSide = rounds.join(affected, Seq("vec_id"), "left_semi")
+    val initPairs = affSide.as("x").join(rounds.as("y"), Seq("r", "bkt"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("b"))
+      .distinct()
+    val g0 = Checkpoints.materialize(
+      nnTopK(kb, nnScore(u, initPairs), kept))
+    val repaired = nnDescendRounds(u, g0, 0, repairRounds, kb, 1.0,
+      seed + 1700, None)
+    repaired.filter(col("rn") <= k)
+      .select("query_id", "nn_id", "sim", "rn")
+  }
+
+  /** Hash-checked right-to-be-forgotten gate for the vector tier —
+    * the `cascade_delete_audit` contract extended to the ANN index
+    * and the k-NN graph. The doomed set is the cascade convention
+    * (`vec_id % 97 = 0`); both artifacts forget it through the real
+    * paths ([[ivfPqForget]] / [[knnGraphForget]]) and the gate pins:
+    * zero deleted ids in any surviving cell row (`index_clean`) or
+    * neighbor list, either endpoint (`graph_clean`); exact survivor
+    * conservation (`index_count_ok`); every survivor still holding
+    * min(k, n_surv−1) edges after repair (`graph_full_k`); and
+    * survivor recall vs brute-force-over-survivors still clearing
+    * `recallFloor` (`recall_ok`) on a deterministic node sample —
+    * forgetting must not degrade the survivors' index. Counts are
+    * SQL-exact; flags pin the measured contract. */
+  def vectorForgetGate(s: SparkSession, dir: String, k: Int = 10,
+                       recallFloor: Double = 0.6,
+                       sampleN: Int = 200): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val nEmb = emb.count()
+    val del = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
+    val nDel = del.count()
+    val nSurv = nEmb - nDel
+    if (nEmb == 0L)
+      return Seq((0L, 0L, 1, 1, 1, 1, 1))
+        .toDF("n_emb", "n_del", "index_clean", "index_count_ok",
+          "graph_clean", "graph_full_k", "recall_ok")
+    // INDEX side: the deployed-shape build, then the forget anti-join
+    val (cents, cb, index) = ivfPqIndex(emb, scaledCells(nEmb))
+    val fIdx = Checkpoints.scratch(ivfPqForget(index, del))
+    val idxAudit = fIdx.agg(count(lit(1)).as("n"),
+      coalesce(sum((col("nn_id") % 97 === 0).cast("long")), lit(0L))
+        .as("n_del_left")).head()
+    val indexClean = if (idxAudit.getLong(1) == 0L) 1 else 0
+    val indexCountOk =
+      if (cents.isEmpty || cb.isEmpty) 1 // degenerate: empty index
+      else if (idxAudit.getLong(0) == nSurv) 1 else 0
+    // GRAPH side: tombstone + bounded repair
+    val g = Checkpoints.scratch(
+      knnGraphForget(emb, del, k).select("query_id", "nn_id"))
+    val gAudit = g.agg(count(lit(1)).as("n"),
+      coalesce(sum(((col("query_id") % 97 === 0) ||
+        (col("nn_id") % 97 === 0)).cast("long")), lit(0L))
+        .as("n_del_left")).head()
+    val graphClean = if (gAudit.getLong(1) == 0L) 1 else 0
+    val kEff = math.min(k.toLong, math.max(nSurv - 1, 0L))
+    val graphFullK = if (gAudit.getLong(0) == nSurv * kEff) 1 else 0
+    // survivor recall: the repaired graph vs exact top-k over the
+    // survivor corpus, on the nndescentGate node sample
+    val survivors = emb.join(del, Seq("vec_id"), "left_anti")
+    val sample = survivors.orderBy(xxhash64(col("vec_id"), lit(99)),
+      col("vec_id")).limit(sampleN)
+    val bf = knnBruteForce(survivors, sample, k)
+      .select("query_id", "nn_id")
+    val nSample = math.min(sampleN.toLong, nSurv)
+    val nHits = g.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    val recallOk =
+      if (nSample * kEff == 0L) 1
+      else if (nHits.toDouble / (nSample * kEff) >= recallFloor) 1 else 0
+    Seq((nEmb, nDel, indexClean, indexCountOk, graphClean, graphFullK,
+      recallOk))
+      .toDF("n_emb", "n_del", "index_clean", "index_count_ok",
+        "graph_clean", "graph_full_k", "recall_ok")
+  }
+
+  // ---- filtered ANN: predicate-constrained k-NN probes ----
+
+  /** Predicate-constrained IVFADC probe — the retrieval shape RAG
+    * deployments hit constantly ("nearest neighbors WHERE lang = 'de'
+    * / date in range"). The filter lands IN the index scan, not after
+    * the re-rank: the allowed-id set semi-joins the stored code rows
+    * BEFORE the ADC join, so a probe touches only the filtered rows
+    * of its nprobe cells and the shortlist is spent entirely on
+    * candidates that can be returned (post-filtering an unfiltered
+    * top-k would starve selective predicates — a 1% filter leaves
+    * ~k/100 usable results). At scale the allowed set is itself a
+    * predicate pushed to the metadata table; the semi-join is a
+    * broadcast for bounded filters, a keyed shuffle for corpus-scale
+    * ones — never a scan of unfiltered codes downstream.
+    *
+    * Probe parameters derive from the FILTERED count: per-cell
+    * candidate mass shrinks by the filter's selectivity, so
+    * [[scaledNprobe]]'s candidate-mass rule (applied to n_filtered)
+    * widens nprobe to keep the expected mass covering the shortlist —
+    * the recall lever [[knnIvfPqFilteredGate]] measures. Result rows
+    * are a subset of the allowed set by construction (the re-rank
+    * fetches only shortlisted — already filtered — ids). */
+  def knnIvfPqFiltered(emb: DataFrame, allowed: DataFrame,
+                       queries: DataFrame, k: Int,
+                       residual: Boolean = false): DataFrame = {
+    val nAll = emb.count()
+    val cells = scaledCells(nAll)
+    val (cents, cb, index) = ivfPqIndex(emb, cells, residual = residual)
+    if (cents.isEmpty || cb.isEmpty) {
+      val s = emb.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Long, Int)].toDF("query_id", "nn_id", "rn")
+    }
+    val fIndex = index.join(allowed.select(col("vec_id").as("nn_id")),
+      Seq("nn_id"), "left_semi")
+    val nF = fIndex.count()
+    val rr = scaledRerank(nF)
+    val np = scaledNprobe(nF, cells, rr)
+    knnIvfPqWith(emb, fIndex, cents, cb, queries, k, np, rr, residual)
+  }
+
+  /** Hash-checked gate for [[knnIvfPqFiltered]] (filter: docs with
+    * `lang = 'de'`): every result id inside the filter (`subset_ok`),
+    * every query delivered min(k, n_allowed−1) rows (`full_k` — the
+    * conservative bound covers queries inside and outside the allowed
+    * set), and recall vs BRUTE FORCE OVER THE FILTERED SUBSET ≥
+    * `recallFloor` — the correct baseline: filtered ANN competes
+    * against an exact scan of the allowed rows, not of the corpus.
+    * Counts (corpus, filter, query sizes) are SQL-exact. */
+  def knnIvfPqFilteredGate(s: SparkSession, dir: String, k: Int = 5,
+                           lang: String = "de",
+                           recallFloor: Double = 0.6): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val allowed = Tables.documents(s, dir)
+      .filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+      .join(emb.select("vec_id"), Seq("vec_id"), "left_semi")
+    val queries = emb.filter(col("vec_id") < 10)
+    val nEmb = emb.count()
+    val nAllowed = allowed.count()
+    val nq = queries.count()
+    val ann = Checkpoints.scratch(
+      knnIvfPqFiltered(emb, allowed, queries, k)
+        .select("query_id", "nn_id"))
+    val inFilter = ann.join(allowed.select(col("vec_id").as("nn_id")),
+      Seq("nn_id"), "left_semi").count()
+    val nAnn = ann.count()
+    val subsetOk = if (nAnn == inFilter) 1 else 0
+    // a query inside the filter can match n_allowed−1 others, one
+    // outside can match n_allowed — the conservative bound holds both
+    val kEff = math.min(k.toLong, math.max(nAllowed - 1, 0L))
+    val fullK = if (nAnn >= nq * kEff && nAnn <= nq * k) 1 else 0
+    val fEmb = emb.join(allowed, Seq("vec_id"), "left_semi")
+    val bf = knnBruteForce(fEmb, queries, k).select("query_id", "nn_id")
+    val nBf = bf.count()
+    val nHits = ann.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    val recallOk =
+      if (nBf == 0L) 1
+      else if (nHits.toDouble / nBf >= recallFloor) 1 else 0
+    Seq((nEmb, nAllowed, nq, subsetOk, fullK, recallOk))
+      .toDF("n_emb", "n_allowed", "n_queries", "subset_ok", "full_k",
+        "recall_ok")
   }
 }

@@ -132,7 +132,12 @@ object TextAnalysis {
         (col("sum_len") < lit(3L) * col("n_words") ||
           col("sum_len") > lit(10L) * col("n_words"))
           .cast("long").as("r_mwl"),
-        (lit(10L) * (col("n_hash") + col("n_ell")) > col("n_words"))
+        // Rae et al. A1.1 applies the 0.1 threshold to EACH symbol
+        // separately ("either the hash symbol or the ellipsis") — a
+        // summed ratio would reject docs neither published rule does
+        // (e.g. hash 0.06 + ellipsis 0.06)
+        (lit(10L) * col("n_hash") > col("n_words") ||
+          lit(10L) * col("n_ell") > col("n_words"))
           .cast("long").as("r_sym"),
         (lit(10L) * col("n_bullet") > lit(9L) * col("n_lines"))
           .cast("long").as("r_bul"),
@@ -201,8 +206,12 @@ object TextAnalysis {
         expr("(padded_tokens - real_tokens) * 1000000" +
           " DIV greatest(padded_tokens, 1)"))
       .select(
+        // %09d, not %05d: the string sort must agree with the numeric
+        // order for any reachable bucket, and hi >= 100000 is reachable
+        // (gopherRules itself admits docs up to 100000 words) — at 5
+        // digits '100000' would sort before '99984'
         when(col("hi") === -1L, "__total__")
-          .otherwise(format_string("%05d", col("hi"))).as("bucket"),
+          .otherwise(format_string("%09d", col("hi"))).as("bucket"),
         col("n_docs"), col("real_tokens"), col("padded_tokens"),
         col("waste_millionths"))
       .orderBy("bucket")

@@ -295,8 +295,7 @@ object ScaleStress {
       // the daily-ingest cost a 100 TB deployment pays per arrival
       timed("ivfpq_append") {
         val n2 = emb.count() / 2
-        val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
-          .limit(n2.toInt).agg(max("vec_id")).head().getLong(0)
+        val thr = Similarity.prefixThreshold(emb, n2)
         val (cents, cb, _) = Similarity.ivfPqIndex(
           emb.filter(col("vec_id") <= thr),
           Similarity.scaledCells(n2))
@@ -336,8 +335,7 @@ object ScaleStress {
       {
         if (only.isEmpty || only.contains("nndescent_append")) {
           val nb = emb.count() - emb.count() / 8
-          val thr = emb.select(col("vec_id")).orderBy(asc("vec_id"))
-            .limit(nb.toInt).agg(max("vec_id")).head().getLong(0)
+          val thr = Similarity.prefixThreshold(emb, nb)
           val base = emb.filter(col("vec_id") <= thr)
           Similarity.knnGraphNnDescent(base, 20, 5, 4, 8, 20, 41L)
             .queryExecution.toRdd.count()

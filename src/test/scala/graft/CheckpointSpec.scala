@@ -203,7 +203,10 @@ class CheckpointSpec extends AnyFunSuite {
       val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       val planted = Seq((7L, 8L, -9.0d, 1), (7L, 9L, -9.0d, 11))
         .toDF("query_id", "nn_id", "sim", "rn")
-      Checkpoints.saveRound(planted, "nndescent", 5)
+      // the store is namespaced per (corpus, params) build — plant
+      // under the exact op name the default-parameter build reads
+      val op = graft.operators.Similarity.nndescentOpFor(emb)
+      Checkpoints.saveRound(planted, op, 5)
       val out = graft.operators.Similarity.knnGraphNnDescent(emb, 10)
         .as[(Long, Long, Double, Int)].collect()
       // the rn=1 sentinel survives the k-truncation; the rn=11 row (in
@@ -211,8 +214,35 @@ class CheckpointSpec extends AnyFunSuite {
       assert(out.toSeq === Seq((7L, 8L, -9.0d, 1)),
         s"planted graph not replayed from the store: ${out.take(3).toSeq}")
       assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(dir, "nndescent")),
+        java.nio.file.Paths.get(dir, op)),
         "store not cleared after completion")
+    } finally spark.conf.unset(Checkpoints.ResumeKey)
+  }
+
+  test("kill-resume: a foreign build's nn-descent round is NOT resumed") {
+    // r13 ADVICE: the store used ONE fixed op name, so a restart that
+    // ran a differently-parameterized graph query first silently
+    // resumed from the other build's rounds. With per-build
+    // namespacing, a round planted under ANOTHER build's op (here a
+    // k=7 build — different over-build width kb) must be invisible to
+    // the default k=10 build: no sentinel row may survive.
+    val dir = java.nio.file.Files.createTempDirectory("graft-resumeNNDf").toString
+    spark.conf.set(Checkpoints.ResumeKey, dir)
+    try {
+      val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val planted = Seq((7L, 8L, -9.0d, 1))
+        .toDF("query_id", "nn_id", "sim", "rn")
+      val foreignOp = graft.operators.Similarity.nndescentOpFor(emb, k = 7)
+      Checkpoints.saveRound(planted, foreignOp, 5)
+      val out = graft.operators.Similarity.knnGraphNnDescent(emb, 10)
+        .filter($"sim" < -1.0).count()
+      assert(out === 0L,
+        "a round from a differently-parameterized build was resumed")
+      // the foreign build's rounds are untouched (its own restart may
+      // still need them)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, foreignOp)),
+        "another build's store was cleared")
     } finally spark.conf.unset(Checkpoints.ResumeKey)
   }
 

@@ -29,17 +29,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       (7L, "- the cat sat here\n- of dog ran there"),         // bullet lines
       (8L, "the cat is here...\nof dog is there..."),         // ellipsis lines
       (9L, "the of 1111 2222 3333 4444 5555 6666 7777 8888"), // alpha words
-      (10L, "cat dog bird fish cow horse goat sheep")         // stopwords
+      (10L, "cat dog bird fish cow horse goat sheep"),        // stopwords
+      // BOTH symbol ratios at-or-under 0.1 separately (2 hashes, 1
+      // ellipsis, 20 words) — the published per-symbol rule passes
+      // this doc; the pre-r14 summed rule (10·(2+1) > 20) wrongly
+      // rejected it (r13 ADVICE)
+      (11L, "the cat and dog have seen ... many things # today # " +
+        "plus cats dogs birds fish cows horses goats sheep lions tigers")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.gopherRulesOf(docs, minWords = 5, maxWords = 20)
       .as[(String, Long)].collect().toMap
     assert(got === Map(
-      "pass_all" -> 1L,
+      "pass_all" -> 2L,
       "reject_word_count" -> 2L,
       "reject_mean_word_len" -> 2L,
-      // 2: the '#' plant, plus the ellipsis plant — its two '...' are
-      // symbols too (Gopher counts ellipses anywhere, not just line
-      // ends), 2 symbols vs 8 words > 0.1
+      // 2: the '#' plant (3 hashes vs 6 words), plus the ellipsis
+      // plant — its two '...' trip the ellipsis-symbol rule alone
+      // (2 vs 8 words > 0.1; Gopher counts ellipses anywhere, not
+      // just line ends). Doc 11 is NOT here: each of its symbol
+      // ratios sits at/below 0.1, rejected only by the old sum
       "reject_symbol_ratio" -> 2L,
       "reject_bullet_lines" -> 1L,
       "reject_ellipsis_lines" -> 1L,
