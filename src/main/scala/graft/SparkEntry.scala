@@ -421,6 +421,36 @@ object SparkEntry {
     // append completeness + cell-range safety measured on the real path
     "ivfpq_reindex_gate" -> ((s, dir) =>
       Similarity.ivfPqReindexGate(s, dir)),
+    // the INDEX-LIFECYCLE capstone (corpus_refresh_assembly's ANN
+    // twin): morning-0 build -> real ivfPqAppend ingest -> rebuild
+    // trigger evaluates -> the policy-deployed snapshot re-gates
+    // recall — composed as ONE plan; counts + policy arithmetic
+    // SQL-exact, composition flags pinned
+    "ivfpq_lifecycle" -> ((s, dir) =>
+      Similarity.ivfPqLifecycleGate(s, dir)),
+    // right-to-be-forgotten for the vector tier (the cascade_delete
+    // contract extended to the ANN index + k-NN graph): tombstone
+    // anti-joins + bounded graph repair; zero deleted ids anywhere,
+    // survivor conservation, full-k lists, survivor recall pinned
+    "vector_forget_gate" -> ((s, dir) =>
+      Similarity.vectorForgetGate(s, dir)),
+    // predicate-constrained ANN (the RAG retrieval shape): the filter
+    // semi-joins the stored code rows BEFORE the ADC join, probe
+    // width re-derived from the filtered count (rows-only; the gate
+    // next is the hash-green companion)
+    "knn_ivfpq_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val allowed = Tables.documents(s, dir)
+        .filter(col("lang") === "de")
+        .select(col("doc_id").as("vec_id"))
+        .join(emb.select("vec_id"), Seq("vec_id"), "left_semi")
+      Similarity.knnIvfPqFiltered(emb, allowed,
+        emb.filter(col("vec_id") < 10), 5)
+    }),
+    // result ⊆ filter, full-k delivery, recall vs brute force OVER
+    // THE FILTERED SUBSET ≥ 0.6 — counts SQL-exact, flags pinned
+    "knn_ivfpq_filtered_gate" -> ((s, dir) =>
+      Similarity.knnIvfPqFilteredGate(s, dir)),
     // approximate all-corpus k-NN GRAPH via NN-Descent — the third ANN
     // shape (bounded-query probes, index ingest, now graph-for-every-
     // node); iterative seeded descent → rows-only, nndescent_gate is
@@ -3036,6 +3066,50 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'fresh', n_now, n_now, fresh_cells,
         |  n_now // fresh_cells, 0, 1, 1 FROM c""".stripMargin,
+    // lifecycle capstone: the same count-policy arithmetic as the
+    // reindex gate (IEEE sqrt exact), one composed row; the measured
+    // composition flags (append conservation, cell-range safety,
+    // full-k delivery, deployed-snapshot recall) pinned 1
+    "ivfpq_lifecycle" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_now
+        |           FROM embeddings),
+        |p AS (SELECT n_now, GREATEST(1, n_now // 8) AS n_base FROM n),
+        |c AS (SELECT n_now, n_base,
+        |  CAST(GREATEST(16, LEAST(4096,
+        |    LEAST(CAST(ceil(4*sqrt(n_base)) AS BIGINT), n_base // 32)))
+        |    AS INTEGER) AS stale_cells,
+        |  CAST(GREATEST(16, LEAST(4096,
+        |    LEAST(CAST(ceil(4*sqrt(n_now)) AS BIGINT), n_now // 32)))
+        |    AS INTEGER) AS fresh_cells
+        |  FROM p)
+        |SELECT n_base, n_now - n_base AS n_inc, n_now,
+        |  stale_cells, fresh_cells,
+        |  CASE WHEN fresh_cells >= 2*stale_cells THEN 1 ELSE 0 END
+        |    AS rebuild,
+        |  1 AS append_complete, 1 AS cells_in_range,
+        |  1 AS full_k, 1 AS recall_ok FROM c""".stripMargin,
+    // right-to-be-forgotten gate: doomed set is the cascade
+    // convention (vec_id % 97 = 0) — counts exact, cleanliness/
+    // conservation/repair/recall flags pinned 1
+    "vector_forget_gate" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_emb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_del,
+        |  1 AS index_clean, 1 AS index_count_ok, 1 AS graph_clean,
+        |  1 AS graph_full_k, 1 AS recall_ok""".stripMargin,
+    // filtered-probe gate: corpus/filter/query sizes exact (the
+    // filter is documents.lang = 'de' carrying an embedding), flags
+    // pinned 1
+    "knn_ivfpq_filtered_gate" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_emb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents d
+        |   JOIN embeddings e ON d.doc_id = e.vec_id
+        |   WHERE d.lang = 'de') AS n_allowed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 10) AS n_queries,
+        |  1 AS subset_ok, 1 AS full_k, 1 AS recall_ok""".stripMargin,
     // exact recompute of the ratio-margin miner: all-pairs en×de
     // cosine, top-4 neighborhood sums in integer micros, floor-division
     // margin, best per source doc above the 1.0 floor

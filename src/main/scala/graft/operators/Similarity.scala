@@ -1677,6 +1677,12 @@ object Similarity {
   private val nnGraphCache = new java.util.concurrent.ConcurrentHashMap[
     ((Long, String), Int, Int, Int, Int, Long, Double), DataFrame]()
 
+  /** Test hook: drop every cached graph so a spec can force a REAL
+    * recompute (the kb-keyed registry otherwise serves any
+    * same-(corpus, kb, params) call — which is the point in
+    * production, and exactly what a determinism test must bypass). */
+  private[graft] def clearNnGraphCacheForTest(): Unit = nnGraphCache.clear()
+
   private def knnGraphNnDescentBuild(emb: DataFrame, k: Int, iters: Int,
                                      initRounds: Int, bucketSize: Int,
                                      buildK: Int, seed: Long,

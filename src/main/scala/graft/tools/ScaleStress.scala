@@ -343,7 +343,44 @@ object ScaleStress {
             Similarity.knnGraphAppend(base,
               emb.filter(col("vec_id") > thr)) }
         } else ("nndescent_append", 0.0, -1L)
-      }
+      },
+      // r14: the ρ=0.5 cold build, OPT-IN ONLY (explicit filter arg):
+      // pairs with knn_graph_nndescent's row in the same window to put
+      // a wall-clock number on the knob at the spill-bound 100× point
+      // (its recall cost is already measured — 0.934 → 0.910 at sf0.1)
+      {
+        if (only.contains("nndescent_rho")) {
+          timed("nndescent_rho") {
+            Similarity.knnGraphNnDescent(emb, 10, 5, 4, 8, 0, 41L, 0.5) }
+        } else ("nndescent_rho", 0.0, -1L)
+      },
+      // r14: padding-waste accounting — one scan-fused length
+      // projection + a ≤maxLen/w-row bucket aggregate; the slope IS
+      // the corpus scan's (the gopher_rules class)
+      timed("padding_waste") { TextAnalysis.paddingWaste(spark, outDir) },
+      // r14: the graph-tier forget path (tombstone anti-joins +
+      // affected-bounded repair rounds) — the erasure cost a deployed
+      // graph pays; the base graph is knn_graph_nndescent's row (the
+      // kb-keyed registry serves it back inside the timer)
+      timed("vector_forget") {
+        Similarity.knnGraphForget(emb,
+          emb.filter(col("vec_id") % 97 === 0).select("vec_id")) },
+      // r14: the filtered IVFADC probe — allowed-id semi-join prunes
+      // the code rows before the ADC join; policies re-derived from
+      // the filtered count (the index itself is knn_ivfpq's cached
+      // artifact, so the row isolates filter + probe cost)
+      timed("knn_ivfpq_filtered") {
+        val allowed = docs.filter(col("lang") === "de")
+          .select(col("doc_id").as("vec_id"))
+          .join(emb.select("vec_id"), Seq("vec_id"), "left_semi")
+        Similarity.knnIvfPqFiltered(emb, allowed,
+          emb.filter(col("vec_id") < 10), 5) },
+      // r14: the composed lifecycle gate (morning-0 build + append +
+      // trigger + deployed-snapshot recall re-gate) — the stale-index
+      // train is the dominant un-shared cost; the fresh rebuild is
+      // knn_ivfpq's cached index
+      timed("ivfpq_lifecycle") {
+        Similarity.ivfPqLifecycleGate(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

@@ -289,11 +289,12 @@ class DedupSpec extends AnyFunSuite {
     assert(g.getAs[Int]("recall_ok") === 1)
     // pure function of (corpus, params): seeded buckets + fixed iters +
     // 6-dp sims + (desc sim, asc nn_id) tie-breaks — two runs identical.
-    // The second run passes buildK explicitly (same value the default
-    // resolves to, DIFFERENT registry key) so it is a real recompute,
-    // not a cache hit
+    // The registry is kb-keyed (buildK = 20 resolves to the SAME entry
+    // as the k = 10 default now), so the second run clears the cache
+    // to be a real recompute, not a cache hit
     val r1 = Similarity.knnGraphNnDescent(emb, 10)
       .as[(Long, Long, Double, Int)].collect().toSet
+    Similarity.clearNnGraphCacheForTest()
     val r2 = Similarity.knnGraphNnDescent(emb, 10, buildK = 20)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(r1 === r2)
@@ -675,5 +676,82 @@ class DedupSpec extends AnyFunSuite {
         .select(col("doc_id"), col("scrubbed").as("text")),
       windowLen = 40)
     assert(rescan.count() === 0)
+  }
+
+  test("ivfpq lifecycle: composed ingest/trigger/rebuild/recall, one plan") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val g = Similarity.ivfPqLifecycleGate(spark, dir).head()
+    // counts and policy arithmetic are the reindex gate's, re-derived
+    assert(g.getAs[Long]("n_base") === math.max(1L, n / 8))
+    assert(g.getAs[Long]("n_inc") === n - math.max(1L, n / 8))
+    assert(g.getAs[Long]("n_now") === n)
+    assert(g.getAs[Int]("stale_cells") ===
+      Similarity.scaledCells(math.max(1L, n / 8)))
+    assert(g.getAs[Int]("fresh_cells") === Similarity.scaledCells(n))
+    val expectRebuild = if (Similarity.scaledCells(n) >=
+      2 * Similarity.scaledCells(math.max(1L, n / 8))) 1 else 0
+    assert(g.getAs[Int]("rebuild") === expectRebuild)
+    // the composition flags: the real append path conserved every row
+    // into trained cells, and the policy-deployed snapshot (fresh
+    // rebuild when tripped, appended stale index when not) still
+    // delivers full-k results above the recall floor
+    assert(g.getAs[Int]("append_complete") === 1)
+    assert(g.getAs[Int]("cells_in_range") === 1)
+    assert(g.getAs[Int]("full_k") === 1)
+    assert(g.getAs[Int]("recall_ok") === 1)
+  }
+
+  test("vector forget: no deleted id survives anywhere, survivors intact") {
+    val emb = Tables.embeddings(spark, dir)
+    val del = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
+    val g = Similarity.vectorForgetGate(spark, dir).head()
+    assert(g.getAs[Long]("n_emb") === emb.count())
+    assert(g.getAs[Long]("n_del") === del.count())
+    assert(g.getAs[Int]("index_clean") === 1)
+    assert(g.getAs[Int]("index_count_ok") === 1)
+    assert(g.getAs[Int]("graph_clean") === 1)
+    assert(g.getAs[Int]("graph_full_k") === 1)
+    assert(g.getAs[Int]("recall_ok") === 1)
+    // direct re-check of the repaired graph: zero deleted endpoints,
+    // and an AFFECTED node (one that listed a deleted neighbor in the
+    // pre-forget graph) still holds a full k-list after repair
+    val pre = Similarity.knnGraphNnDescent(emb, 10)
+    val affected = pre
+      .join(del.select(col("vec_id").as("nn_id")), Seq("nn_id"), "left_semi")
+      .join(del.select(col("vec_id").as("query_id")), Seq("query_id"),
+        "left_anti")
+      .select("query_id").distinct()
+    assert(affected.count() > 0, "fixture lost its affected nodes")
+    val post = Similarity.knnGraphForget(emb, del, 10)
+    val affLists = post.join(affected, Seq("query_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("c"))
+    assert(affLists.filter(col("c") =!= 10).count() === 0L,
+      "an affected node's list was not repaired to full k")
+    // forgetting is idempotent on the index: a second anti-join of the
+    // same doomed set removes nothing
+    val (_, _, index) = Similarity.ivfPqIndex(emb,
+      Similarity.scaledCells(emb.count()))
+    val once = Similarity.ivfPqForget(index, del)
+    assert(Similarity.ivfPqForget(once, del).count() === once.count())
+  }
+
+  test("filtered ANN probe: subset of the filter, full k, gated recall") {
+    val emb = Tables.embeddings(spark, dir)
+    val g = Similarity.knnIvfPqFilteredGate(spark, dir).head()
+    assert(g.getAs[Long]("n_emb") === emb.count())
+    assert(g.getAs[Long]("n_allowed") > 0L)
+    assert(g.getAs[Long]("n_queries") === 10L)
+    assert(g.getAs[Int]("subset_ok") === 1)
+    assert(g.getAs[Int]("full_k") === 1)
+    assert(g.getAs[Int]("recall_ok") === 1)
+    // a DISJOINT filter (ids that exist but exclude every query's true
+    // neighborhood) still returns only allowed ids — the subset
+    // contract is structural, not a recall accident
+    val allowed = emb.filter(col("vec_id") >= 300).select("vec_id")
+    val out = Similarity.knnIvfPqFiltered(emb, allowed,
+      emb.filter(col("vec_id") < 10), 5)
+    assert(out.filter(col("nn_id") < 300).count() === 0L)
+    assert(out.count() > 0L)
   }
 }

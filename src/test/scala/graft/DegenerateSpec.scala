@@ -322,6 +322,34 @@ class DegenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("lifecycle/forget/filtered/reindex gates survive an empty vector corpus") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("graft-degenANN").toString
+    emptyDocs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/documents.parquet")
+    emptyEmb.write.mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/embeddings.parquet")
+    // every gate must emit its well-formed contract row(s) — the r13
+    // ADVICE crash class was max(vec_id) of an empty table NPE-ing in
+    // the prefix split
+    assert(Similarity.ivfPqReindexGate(spark, tmp).count() === 2)
+    assert(Similarity.nndescentAppendGate(spark, tmp).count() === 1)
+    assert(Similarity.ivfPqLifecycleGate(spark, tmp).count() === 1)
+    val f = Similarity.vectorForgetGate(spark, tmp).head()
+    assert(f.getAs[Long]("n_emb") === 0L)
+    assert(f.getAs[Int]("recall_ok") === 1)
+    assert(Similarity.knnIvfPqFilteredGate(spark, tmp).count() === 1)
+    // the forget primitives themselves on empty inputs
+    assert(Similarity.ivfPqForget(
+      Similarity.ivfPqIndex(emptyEmb)._3, emptyEmb.select("vec_id"))
+      .count() === 0)
+    assert(Similarity.knnGraphForget(emptyEmb,
+      emptyEmb.select("vec_id")).count() === 0)
+    // forgetting EVERYTHING: one survivor is no graph — empty, no throw
+    assert(Similarity.knnGraphForget(oneEmb,
+      oneEmb.select("vec_id")).count() === 0)
+  }
+
   test("ANN bitext miner: under-k neighborhoods score by actual counts") {
     import org.apache.spark.sql.SaveMode
     // one side SMALLER than k = 4: every en→de probe retrieves at most

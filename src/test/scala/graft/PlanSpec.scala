@@ -566,4 +566,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("ivfpq lifecycle ingest: frozen-model append encodes with ZERO exchanges") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val (cents, cb, _) = Similarity.ivfPqIndex(emb.filter(col("vec_id") < 100),
+      Similarity.scaledCells(100))
+    // the lifecycle's ingest stage: cell assignment + PQ encode are
+    // pure per-row math against driver-held literals — an arrival
+    // costs one scan of the increment, no shuffle anywhere (the
+    // partition-append contract; a shuffle here would mean the daily
+    // ingest re-keys the corpus)
+    val p = plan(Similarity.ivfPqAppend(cents, cb,
+      emb.filter(col("vec_id") >= 100)))
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).isEmpty,
+      "frozen-model append grew a shuffle:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("filtered ANN probe: filter semi-join sits BELOW the cell-keyed ADC join") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val emb = Tables.embeddings(spark, dir)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val df = Similarity.knnIvfPqFiltered(emb, allowed,
+      emb.filter(col("vec_id") < 10), 5)
+    val p = plan(df)
+    // same contract as the unfiltered probe: candidates via a cell
+    // equi join, never an all-codes product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Left keys \\[1\\]: \\[cell#\\d+".r.findFirstIn(p).isDefined ||
+           "Right keys \\[1\\]: \\[cell#\\d+".r.findFirstIn(p).isDefined,
+      s"ADC join does not key on the cell id:\n$p")
+    // the filter's whole point: the allowed-id semi-join must prune
+    // the CODE ROWS (inside the ADC join's index subtree), not the
+    // finished results after the re-rank
+    val lp = df.queryExecution.optimizedPlan
+    val cellJoins = lp.collect {
+      case j: LJoin if j.condition.exists(
+        _.references.exists(_.name == "cell")) => j
+    }
+    assert(cellJoins.nonEmpty, "no cell-keyed ADC join found")
+    assert(cellJoins.exists(j => (j.left.collect {
+        case s: LJoin if s.joinType == LeftSemi => s
+      } ++ j.right.collect {
+        case s: LJoin if s.joinType == LeftSemi => s
+      }).nonEmpty),
+      "the allowed-id semi-join does not feed the ADC join's inputs")
+  }
 }
