@@ -156,6 +156,9 @@ object SparkEntry {
     // threshold a cross-multiplied integer comparison so the per-rule
     // rejection counts hash-match the ANSI recompute exactly
     "gopher_rules" -> (TextAnalysis.gopherRules _),
+    // the A1.2 repetition battery (13 published reject rules as one
+    // scan; doubled-doc plant keeps the reject counts live)
+    "gopher_repetition" -> (TextAnalysis.gopherRepetition _),
     // length-bucketed padding-waste accounting (batching prep): exact
     // integer token masses per ceil(len/16)*16 bucket + a __total__
     // row, waste in floor-division millionths
@@ -421,6 +424,22 @@ object SparkEntry {
     // append completeness + cell-range safety measured on the real path
     "ivfpq_reindex_gate" -> ((s, dir) =>
       Similarity.ivfPqReindexGate(s, dir)),
+    // the stored-index round trip: persist partitionBy(cell), re-read
+    // the files, probe FROM DISK — content checksum + probe equality
+    // vs the in-memory artifact pinned (SourcesSpec pins the pruning
+    // mechanics; this gates the result a deployment depends on)
+    "ivfpq_store_gate" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfstore_").toString
+      reapAtExit(tmp)
+      Similarity.ivfPqStoreGate(s, dir, tmp)
+    }),
+    // the GRAPH lifecycle capstone: base build -> real append descent
+    // -> forget from the artifact the append just produced (tombstone
+    // + bounded repair, never a rebuild) -> shape + recall re-gate,
+    // all on ONE living graph
+    "graph_lifecycle" -> ((s, dir) =>
+      Similarity.graphLifecycleGate(s, dir)),
     // the INDEX-LIFECYCLE capstone (corpus_refresh_assembly's ANN
     // twin): morning-0 build -> real ivfPqAppend ingest -> rebuild
     // trigger evaluates -> the policy-deployed snapshot re-gates
@@ -1651,6 +1670,120 @@ object SparkEntry {
          |       // GREATEST(padded_tokens, 1) AS BIGINT)
          |    AS waste_millionths
          |FROM u ORDER BY bucket""".stripMargin,
+    // Gopher A1.2 repetition battery: identical segment/gram
+    // definitions, identical cross-multiplied integer thresholds; the
+    // oracle recomputes gram counts relationally (unnest + GROUP BY)
+    // where Spark runs sorted-array aggregates — different shapes,
+    // value-identical. Generated from the SAME (n, pct) constant
+    // tables as the Spark side so the engines cannot drift.
+    "gopher_repetition" -> {
+      val topJoins = TextAnalysis.RepTopNgram.map { case (n, _) =>
+        s"LEFT JOIN tp t$n ON s.doc_id = t$n.doc_id AND t$n.n = $n"
+      }.mkString("\n")
+      val dupJoins = TextAnalysis.RepDupNgram.map { case (n, _) =>
+        s"LEFT JOIN dp d$n ON s.doc_id = d$n.doc_id AND d$n.n = $n"
+      }.mkString("\n")
+      val topSel = TextAnalysis.RepTopNgram.map { case (n, _) =>
+        s"COALESCE(t$n.cover, 0) AS top$n" }.mkString(", ")
+      val dupSel = TextAnalysis.RepDupNgram.map { case (n, _) =>
+        s"COALESCE(d$n.cover, 0) AS dup$n" }.mkString(", ")
+      val topFlags = TextAnalysis.RepTopNgram.map { case (n, pct) =>
+        f"CASE WHEN 100*top$n > $pct*total THEN 1 ELSE 0 END AS r_top_$n%02d"
+      }.mkString(",\n")
+      val dupFlags = TextAnalysis.RepDupNgram.map { case (n, pct) =>
+        f"CASE WHEN 100*dup$n > $pct*total THEN 1 ELSE 0 END AS r_dup_$n%02d"
+      }.mkString(",\n")
+      val allFlags = Seq("r_line_frac", "r_line_chars", "r_para_frac",
+        "r_para_chars") ++
+        TextAnalysis.RepTopNgram.map { case (n, _) => f"r_top_$n%02d" } ++
+        TextAnalysis.RepDupNgram.map { case (n, _) => f"r_dup_$n%02d" }
+      val sums = allFlags.map(f =>
+        s"COALESCE(CAST(SUM($f) AS BIGINT), 0) AS $f").mkString(",\n")
+      val unions = (Seq(
+        "reject_dup_line_frac" -> "r_line_frac",
+        "reject_dup_line_chars" -> "r_line_chars",
+        "reject_dup_para_frac" -> "r_para_frac",
+        "reject_dup_para_chars" -> "r_para_chars") ++
+        TextAnalysis.RepTopNgram.map { case (n, _) =>
+          f"reject_top_ngram_$n%02d" -> f"r_top_$n%02d" } ++
+        TextAnalysis.RepDupNgram.map { case (n, _) =>
+          f"reject_dup_ngram_$n%02d" -> f"r_dup_$n%02d" })
+        .map { case (name, c) => s"UNION ALL SELECT '$name', $c FROM a" }
+        .mkString("\n")
+      val ns = (TextAnalysis.RepTopNgram ++ TextAnalysis.RepDupNgram)
+        .map(_._1).mkString(",")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         |    THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, text, $DuckTokList AS toks FROM corpus),
+         |base AS (SELECT doc_id, toks,
+         |  length(array_to_string(toks, ' '))::BIGINT AS total,
+         |  list_filter(string_split(text, chr(10)),
+         |    l -> trim(l) <> '') AS lines,
+         |  list_filter(string_split(text, chr(10)||chr(10)),
+         |    l -> trim(l) <> '') AS paras
+         |  FROM t),
+         |seg AS (SELECT doc_id, total,
+         |  len(lines)::BIGINT AS nl,
+         |  len(list_distinct(lines))::BIGINT AS nld,
+         |  COALESCE(list_sum(list_transform(lines, x -> length(x))),
+         |    0)::BIGINT AS lc,
+         |  COALESCE(list_sum(list_transform(list_distinct(lines),
+         |    x -> length(x))), 0)::BIGINT AS lcd,
+         |  len(paras)::BIGINT AS np,
+         |  len(list_distinct(paras))::BIGINT AS npd,
+         |  COALESCE(list_sum(list_transform(paras, x -> length(x))),
+         |    0)::BIGINT AS pc,
+         |  COALESCE(list_sum(list_transform(list_distinct(paras),
+         |    x -> length(x))), 0)::BIGINT AS pcd
+         |  FROM base),
+         |g AS (SELECT doc_id, n, gram, count(*)::BIGINT AS cnt,
+         |             length(gram)::BIGINT AS glen
+         |  FROM (
+         |    SELECT b.doc_id, ns.n,
+         |      unnest(list_transform(
+         |        generate_series(1, greatest(len(b.toks) - ns.n + 1, 0)),
+         |        i -> array_to_string(
+         |          list_slice(b.toks, i, i + ns.n - 1), ' '))) AS gram
+         |    FROM base b, (SELECT unnest([$ns]) AS n) ns) x
+         |  GROUP BY doc_id, n, gram),
+         |tp AS (SELECT doc_id, n, cnt * glen AS cover FROM (
+         |    SELECT doc_id, n, cnt, glen, gram,
+         |      row_number() OVER (PARTITION BY doc_id, n
+         |        ORDER BY cnt DESC, gram) AS rn
+         |    FROM g WHERE n <= 4) y WHERE rn = 1),
+         |dp AS (SELECT doc_id, n,
+         |    COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * glen
+         |      ELSE 0 END), 0)::BIGINT AS cover
+         |  FROM g WHERE n >= 5 GROUP BY doc_id, n),
+         |m AS (SELECT s.doc_id, s.total, s.nl, s.nld, s.lc, s.lcd,
+         |  s.np, s.npd, s.pc, s.pcd,
+         |  $topSel, $dupSel
+         |  FROM seg s
+         |$topJoins
+         |$dupJoins),
+         |fl AS (SELECT
+         |  CASE WHEN 100*(nl - nld) > 30*nl THEN 1 ELSE 0 END
+         |    AS r_line_frac,
+         |  CASE WHEN 100*(lc - lcd) > 20*lc THEN 1 ELSE 0 END
+         |    AS r_line_chars,
+         |  CASE WHEN 100*(np - npd) > 30*np THEN 1 ELSE 0 END
+         |    AS r_para_frac,
+         |  CASE WHEN 100*(pc - pcd) > 20*pc THEN 1 ELSE 0 END
+         |    AS r_para_chars,
+         |$topFlags,
+         |$dupFlags
+         |  FROM m),
+         |a AS (SELECT
+         |  COALESCE(CAST(SUM(CASE WHEN ${allFlags.mkString(" + ")} = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS pas,
+         |$sums
+         |  FROM fl)
+         |SELECT 'pass_all' AS rule, pas AS n_docs FROM a
+         |$unions
+         |ORDER BY rule""".stripMargin
+    },
     // Gopher composite rules: identical clean_words tokens, identical
     // cross-multiplied integer thresholds — exact per-rule counts
     "gopher_rules" ->
@@ -3088,6 +3221,26 @@ object SparkEntry {
         |    AS rebuild,
         |  1 AS append_complete, 1 AS cells_in_range,
         |  1 AS full_k, 1 AS recall_ok FROM c""".stripMargin,
+    // stored-index round trip: corpus/query counts exact, the
+    // write/read/probe equality flags pinned 1
+    "ivfpq_store_gate" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_emb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 10) AS n_queries,
+        |  1 AS store_complete, 1 AS store_match,
+        |  1 AS probe_match""".stripMargin,
+    // graph lifecycle capstone: the append split (7/8 base + 1/8
+    // increment) and the cascade doomed set are exact counts; the
+    // composed clean/shape/recall flags pinned 1
+    "graph_lifecycle" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_now
+        |           FROM embeddings)
+        |SELECT n_now - n_now // 8 AS n_base, n_now // 8 AS n_inc,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_del,
+        |  1 AS graph_clean, 1 AS full_k, 1 AS recall_ok
+        |FROM n""".stripMargin,
     // right-to-be-forgotten gate: doomed set is the cascade
     // convention (vec_id % 97 = 0) — counts exact, cleanliness/
     // conservation/repair/recall flags pinned 1

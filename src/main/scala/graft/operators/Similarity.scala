@@ -1854,7 +1854,20 @@ object Similarity {
     * its descent work. */
   def knnGraphAppend(base: DataFrame, inc: DataFrame, k: Int = 10,
                      appendIters: Int = 2, initRounds: Int = 4,
-                     bucketSize: Int = 8, seed: Long = 41L): DataFrame = {
+                     bucketSize: Int = 8, seed: Long = 41L): DataFrame =
+    knnGraphAppendWide(base, inc, k, appendIters, initRounds,
+      bucketSize, seed)
+      .filter(col("rn") <= k).select("query_id", "nn_id", "sim", "rn")
+
+  /** [[knnGraphAppend]] WITHOUT the final k-truncation — returns the
+    * kb-wide appended graph so a composition ([[graphLifecycleGate]])
+    * can keep operating on the over-built artifact (forget repair
+    * needs the full width: truncation throws away exactly the margin
+    * a later tombstone would promote). */
+  private[operators] def knnGraphAppendWide(base: DataFrame,
+      inc: DataFrame, k: Int = 10, appendIters: Int = 2,
+      initRounds: Int = 4, bucketSize: Int = 8,
+      seed: Long = 41L): DataFrame = {
     val kb = 2 * k
     // the stored artifact: passing k = buildK = kb makes the public
     // entry return the FULL over-built width (and serve from registry)
@@ -1893,7 +1906,7 @@ object Similarity {
         baseGraph.withColumn("tried", lit(true))))
     val g = nnDescendRounds(u, g0, 0, appendIters, kb, 1.0, seed + 900,
       None)
-    g.filter(col("rn") <= k).select("query_id", "nn_id", "sim", "rn")
+    g.select("query_id", "nn_id", "sim", "rn")
   }
 
   /** Gate for [[knnGraphAppend]] (the [[nndescentGate]] pattern over
@@ -2013,6 +2026,64 @@ object Similarity {
         "bound_ok")
   }
 
+  /** STORED-INDEX round-trip gate — §9's "the index is a table you
+    * persist `partitionBy(cell)`" claim driven END-TO-END as a gated
+    * query (SourcesSpec pins the pruning mechanics — PartitionFilters
+    * + numFiles = probed dirs; this pins the RESULT a deployment
+    * depends on): build the deployed-shape index, persist it
+    * cell-partitioned to `out`, re-read the FILES, and pin
+    * (a) `store_complete`: the store holds exactly one row per
+    * corpus vector; (b) `store_match`: stored rows reproduce the
+    * in-memory index bit-for-bit (order-independent xxhash64 content
+    * checksum over (nn_id, cell, codes) — a partition-column type or
+    * codes-array corruption in the write/read path flips it);
+    * (c) `probe_match`: a probe served FROM THE FILES under the
+    * shipped policies returns row-for-row the in-memory probe's
+    * result. Counts SQL-exact, flags pinned. */
+  def ivfPqStoreGate(s: SparkSession, dir: String, out: String,
+                     k: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 10)
+    val nq = queries.count()
+    def row(f: (Int, Int, Int)) = Seq((n, nq, f._1, f._2, f._3))
+      .toDF("n_emb", "n_queries", "store_complete", "store_match",
+        "probe_match")
+    if (n == 0L) return row((1, 1, 1))
+    val cells = scaledCells(n)
+    val (cents, cb, index) = ivfPqIndex(emb, cells)
+    if (cents.isEmpty || cb.isEmpty) return row((1, 1, 1))
+    index.write.mode("overwrite").partitionBy("cell").parquet(out)
+    val stored = s.read.parquet(out)
+      .select(col("nn_id"), col("cell").cast("int").as("cell"),
+        col("codes"))
+    def fp(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val (cntMem, hMem) = fp(index)
+    val (cntDisk, hDisk) = fp(stored)
+    val storeComplete = if (cntDisk == n) 1 else 0
+    val storeMatch = if (cntMem == cntDisk && hMem == hDisk) 1 else 0
+    val rr = scaledRerank(n)
+    val np = scaledNprobe(n, cells, rr)
+    def probe(idx: DataFrame) = Checkpoints.scratch(
+      knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
+        residual = false))
+    val pMem = probe(index)
+    val pDisk = probe(stored)
+    val nMem = pMem.count()
+    val nDisk = pDisk.count()
+    val inter = pMem.join(pDisk, Seq("query_id", "nn_id", "rn"),
+      "left_semi").count()
+    val probeMatch = if (nMem == nDisk && inter == nMem) 1 else 0
+    row((storeComplete, storeMatch, probeMatch))
+  }
+
   // ---- right-to-be-forgotten for the vector tier ----
 
   /** Tombstone a deleted-id set out of a stored (nn_id, cell, codes)
@@ -2056,11 +2127,21 @@ object Similarity {
     * ids anywhere, full-k lists, and survivor recall. */
   def knnGraphForget(emb: DataFrame, deletedIds: DataFrame, k: Int = 10,
                      repairRounds: Int = 2, initRounds: Int = 4,
-                     bucketSize: Int = 8, seed: Long = 41L): DataFrame = {
-    val kb = 2 * k
+                     bucketSize: Int = 8, seed: Long = 41L): DataFrame =
     // the stored artifact: full over-built width, registry-served
-    val g = knnGraphNnDescent(emb, kb, 5, initRounds, bucketSize, kb,
-      seed)
+    knnGraphForgetOf(
+      knnGraphNnDescent(emb, 2 * k, 5, initRounds, bucketSize, 2 * k,
+        seed),
+      emb, deletedIds, k, repairRounds, initRounds, bucketSize, seed)
+
+  /** [[knnGraphForget]] against an ALREADY-BUILT kb-wide graph — the
+    * composition entry ([[graphLifecycleGate]] forgets from the graph
+    * the append stage just produced, not from a fresh build). */
+  private[operators] def knnGraphForgetOf(g: DataFrame, emb: DataFrame,
+      deletedIds: DataFrame, k: Int = 10, repairRounds: Int = 2,
+      initRounds: Int = 4, bucketSize: Int = 8,
+      seed: Long = 41L): DataFrame = {
+    val kb = 2 * k
     val del = deletedIds.select(col("vec_id")).distinct()
     val survivors = emb.join(del, Seq("vec_id"), "left_anti")
     val u = Checkpoints.scratch(
@@ -2171,6 +2252,68 @@ object Similarity {
       recallOk))
       .toDF("n_emb", "n_del", "index_clean", "index_count_ok",
         "graph_clean", "graph_full_k", "recall_ok")
+  }
+
+  /** GRAPH-LIFECYCLE capstone — [[ivfPqLifecycleGate]]'s twin for the
+    * codebook-free tier, composing the graph's whole deployment story
+    * as ONE gated plan over one LIVING artifact: the base corpus's
+    * converged kb-wide graph (7/8 prefix, registry-served) takes the
+    * 1/8 arrival increment through the real [[knnGraphAppendWide]]
+    * descent, then an erasure request forgets the doomed set (the
+    * cascade `% 97` convention) from the graph THE APPEND JUST
+    * PRODUCED via [[knnGraphForgetOf]] — tombstone + affected-bounded
+    * repair on the living artifact, never a rebuild anywhere in the
+    * chain — and the surviving graph re-gates shape and recall. The
+    * individually-gated stages (`nndescent_append_gate`,
+    * `vector_forget_gate`) each start from a fresh build; this gate
+    * pins that the composition holds on one artifact passed through
+    * both mutations, which is what a deployment actually runs.
+    * Counts SQL-exact; `graph_clean` (no doomed endpoint), `full_k`
+    * (every survivor at min(k, n_surv−1) edges), `recall_ok` (vs
+    * brute force over the survivor corpus, deterministic sample)
+    * pinned. */
+  def graphLifecycleGate(s: SparkSession, dir: String, k: Int = 10,
+                         recallFloor: Double = 0.6,
+                         sampleN: Int = 200): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val nNow = emb.count()
+    val nInc = nNow / 8
+    val nBase = nNow - nInc
+    if (nNow == 0L)
+      return Seq((0L, 0L, 0L, 1, 1, 1))
+        .toDF("n_base", "n_inc", "n_del", "graph_clean", "full_k",
+          "recall_ok")
+    val thr = prefixThreshold(emb, nBase)
+    val appended = knnGraphAppendWide(emb.filter(col("vec_id") <= thr),
+      emb.filter(col("vec_id") > thr), k)
+    val del = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
+    val nDel = del.count()
+    val g = Checkpoints.scratch(
+      knnGraphForgetOf(appended, emb, del, k)
+        .select("query_id", "nn_id"))
+    val survivors = emb.join(del, Seq("vec_id"), "left_anti")
+    val nSurv = nNow - nDel
+    val audit = g.agg(count(lit(1)).as("n"),
+      coalesce(sum(((col("query_id") % 97 === 0) ||
+        (col("nn_id") % 97 === 0)).cast("long")), lit(0L))
+        .as("doomed_left")).head()
+    val kEff = math.min(k.toLong, math.max(nSurv - 1, 0L))
+    val clean = if (audit.getLong(1) == 0L) 1 else 0
+    val fullK = if (audit.getLong(0) == nSurv * kEff) 1 else 0
+    val sample = survivors.orderBy(xxhash64(col("vec_id"), lit(99)),
+      col("vec_id")).limit(sampleN)
+    val bf = knnBruteForce(survivors, sample, k)
+      .select("query_id", "nn_id")
+    val nSample = math.min(sampleN.toLong, nSurv)
+    val nHits = g.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    val recallOk =
+      if (nSample * kEff == 0L) 1
+      else if (nHits.toDouble / (nSample * kEff) >= recallFloor) 1 else 0
+    Seq((nBase, nInc, nDel, clean, fullK, recallOk))
+      .toDF("n_base", "n_inc", "n_del", "graph_clean", "full_k",
+        "recall_ok")
   }
 
   // ---- filtered ANN: predicate-constrained k-NN probes ----

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,6 +174,158 @@ object TextAnalysis {
   /** [[gopherRulesOf]] over the documents table. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(Tables.documents(s, dir))
+
+  /** occurrences × chars of the most frequent gram (count ties break
+    * to the lexicographically smallest gram), computed as the longest
+    * RUN over the pre-sorted gram array — one O(G log G) array sort,
+    * then one O(G) aggregate with struct state; never a per-gram
+    * re-count (the O(G²) HOF class [[graft.functions.TextFunctions
+    * .letCol]] exists to avoid). Empty array → 0. */
+  private def topGramCover(sortedGrams: Column): Column =
+    aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("bg")),
+      (st, g) => {
+        val r = when(g === st("prev"), st("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), r.as("run"),
+          when(r > st("best"), r).otherwise(st("best")).as("best"),
+          when(r > st("best"), g).otherwise(st("bg")).as("bg"))
+      },
+      st => st("best") * length(st("bg")).cast("long"))
+
+  /** Σ occurrences × chars over grams occurring ≥ 2 times — adjacent
+    * equality on the sorted array; the first repeat back-charges the
+    * run's first occurrence so a cnt-run contributes exactly
+    * cnt·len(gram). Same O(G) shape as [[topGramCover]]. */
+  private def dupGramCover(sortedGrams: Column): Column =
+    aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (st, g) => {
+        val rep = g === st("prev")
+        struct(g.as("prev"),
+          when(rep, st("run") + 1L).otherwise(lit(1L)).as("run"),
+          (st("acc") + when(rep,
+            length(g).cast("long") +
+              when(st("run") === 1L, length(g).cast("long"))
+                .otherwise(lit(0L))).otherwise(lit(0L))).as("acc"))
+      },
+      st => st("acc"))
+
+  /** The top-n-gram rules' (n, reject-percent) pairs — Rae et al.
+    * Table A1 — shared between the Spark side and the oracle SQL
+    * generator so the two engines cannot drift. */
+  val RepTopNgram: Seq[(Int, Int)] = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+
+  /** The duplicate-n-gram rules' (n, reject-percent) pairs. */
+  val RepDupNgram: Seq[(Int, Int)] =
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** Gopher-style REPETITION rules (Rae et al. 2021, Appendix A1.2 —
+    * the second half of the published MassiveText battery, completing
+    * [[gopherRulesOf]]'s A1.1 scans): reject documents dominated by
+    * repeated lines, paragraphs, or n-grams. ONE corpus scan; every
+    * threshold a cross-multiplied integer comparison (100·covered >
+    * pct·total) so the per-rule rejection counts hash-match the ANSI
+    * recompute exactly.
+    *
+    * Definitions, pinned identically in both engines:
+    *  - lines / paragraphs: raw text split on '\n' / '\n\n',
+    *    whitespace-only segments dropped (blank separators are layout;
+    *    counting them as duplicates would reject every multi-paragraph
+    *    document);
+    *  - duplicate fraction = (segments − distinct) / segments; the
+    *    CHAR variant replaces counts with summed lengths — every
+    *    occurrence beyond a segment's first counts as duplicated mass;
+    *  - top-n-gram char fraction (n = 2..4): occurrences × chars of
+    *    the most frequent word n-gram (ties → smallest gram) over the
+    *    space-joined token stream's length;
+    *  - duplicate-n-gram char fraction (n = 5..10): Σ over grams with
+    *    ≥ 2 occurrences of occurrences × chars, same denominator.
+    *    This is the SUM form, not Rae's positional character marking:
+    *    overlapping repeats charge every occurrence, the ratio can
+    *    exceed 1, and the rule rejects a superset of the published
+    *    one — deliberate: positional coverage needs per-offset state
+    *    no ANSI recompute can mirror, and a reject rule only needs
+    *    monotone-in-repetition. Documented deviation.
+    *
+    * Thresholds (Table A1): dup line/para 30%, dup line/para chars
+    * 20%, top 2/3/4-gram 20/18/16%, dup 5..10-gram 15..10%.
+    *
+    * Scale shape: all per-doc work is scan-fused column math — the
+    * gram counters run on sorted arrays (O(G log G) + O(G) aggregates,
+    * [[topGramCover]]/[[dupGramCover]]) — and the only shuffle is the
+    * final 14-sum reduce; the battery rides the same single corpus
+    * scan as [[gopherRulesOf]] at any corpus size. */
+  def gopherRepetitionOf(docs: DataFrame): DataFrame = {
+    def cleanSegs(sep: String) =
+      filter(split(col("text"), sep, -1), l => length(trim(l)) > 0)
+    def segChars(c: Column) =
+      aggregate(c, lit(0L), (a, x) => a + length(x))
+    val measured = docs
+      .select(col("text"), toks.as("toks"),
+        cleanSegs("\n").as("lines"), cleanSegs("\n\n").as("paras"))
+      .select(
+        length(array_join(col("toks"), " ")).cast("long").as("total"),
+        size(col("lines")).cast("long").as("nl"),
+        size(array_distinct(col("lines"))).cast("long").as("nld"),
+        segChars(col("lines")).as("lc"),
+        segChars(array_distinct(col("lines"))).as("lcd"),
+        size(col("paras")).cast("long").as("np"),
+        size(array_distinct(col("paras"))).cast("long").as("npd"),
+        segChars(col("paras")).as("pc"),
+        segChars(array_distinct(col("paras"))).as("pcd"),
+        struct(RepTopNgram.map { case (n, _) =>
+          topGramCover(array_sort(
+            graft.functions.TextFunctions.wordNgrams(col("toks"), n)))
+            .as(s"t$n") }: _*).as("top"),
+        struct(RepDupNgram.map { case (n, _) =>
+          dupGramCover(array_sort(
+            graft.functions.TextFunctions.wordNgrams(col("toks"), n)))
+            .as(s"d$n") }: _*).as("dup"))
+    val flags = measured.select(
+      Seq(
+        (lit(100L) * (col("nl") - col("nld")) > lit(30L) * col("nl"))
+          .cast("long").as("r_line_frac"),
+        (lit(100L) * (col("lc") - col("lcd")) > lit(20L) * col("lc"))
+          .cast("long").as("r_line_chars"),
+        (lit(100L) * (col("np") - col("npd")) > lit(30L) * col("np"))
+          .cast("long").as("r_para_frac"),
+        (lit(100L) * (col("pc") - col("pcd")) > lit(20L) * col("pc"))
+          .cast("long").as("r_para_chars")) ++
+      RepTopNgram.map { case (n, pct) =>
+        (lit(100L) * col("top")(s"t$n") > lit(pct.toLong) * col("total"))
+          .cast("long").as(f"r_top_$n%02d") } ++
+      RepDupNgram.map { case (n, pct) =>
+        (lit(100L) * col("dup")(s"d$n") > lit(pct.toLong) * col("total"))
+          .cast("long").as(f"r_dup_$n%02d") }: _*)
+    val ruleCols = flags.columns.toSeq
+    val agged = flags
+      .withColumn("pass",
+        (ruleCols.map(col).reduce(_ + _) === 0L).cast("long"))
+      .agg(coalesce(sum("pass"), lit(0L)).as("pas"),
+        ruleCols.map(c =>
+          coalesce(sum(col(c)), lit(0L)).as(c)): _*)
+    val stackArgs = (Seq("'pass_all'" -> "pas",
+      "'reject_dup_line_frac'" -> "r_line_frac",
+      "'reject_dup_line_chars'" -> "r_line_chars",
+      "'reject_dup_para_frac'" -> "r_para_frac",
+      "'reject_dup_para_chars'" -> "r_para_chars") ++
+      RepTopNgram.map { case (n, _) =>
+        f"'reject_top_ngram_$n%02d'" -> f"r_top_$n%02d" } ++
+      RepDupNgram.map { case (n, _) =>
+        f"'reject_dup_ngram_$n%02d'" -> f"r_dup_$n%02d" })
+      .map { case (name, c) => s"$name, $c" }.mkString(",\n")
+    val nRules = 5 + RepTopNgram.size + RepDupNgram.size
+    agged.selectExpr(s"stack($nRules,\n$stackArgs) as (rule, n_docs)")
+      .orderBy("rule")
+  }
+
+  /** [[gopherRepetitionOf]] over the documents table with the
+    * [[withPlantedRepetition]] doubling plant (every 11th doc) — the
+    * boilerplate failure mode the battery exists to catch, so the
+    * gated query's reject counts are live, not vacuous zeros. */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetitionOf(withPlantedRepetition(Tables.documents(s, dir)))
 
   /** Length-bucketed PADDING-WASTE accounting — the batching-prep view
     * a trainer reads before picking a bucketing width: documents are

@@ -354,6 +354,11 @@ object ScaleStress {
             Similarity.knnGraphNnDescent(emb, 10, 5, 4, 8, 0, 41L, 0.5) }
         } else ("nndescent_rho", 0.0, -1L)
       },
+      // r14: the A1.2 repetition battery — 13 rules as sorted-array
+      // aggregate state in ONE scan; slope should track the corpus
+      // scan with a per-row constant from the 9 gram sorts
+      timed("gopher_repetition") {
+        TextAnalysis.gopherRepetitionOf(docs) },
       // r14: padding-waste accounting — one scan-fused length
       // projection + a ≤maxLen/w-row bucket aggregate; the slope IS
       // the corpus scan's (the gopher_rules class)
@@ -380,7 +385,13 @@ object ScaleStress {
       // train is the dominant un-shared cost; the fresh rebuild is
       // knn_ivfpq's cached index
       timed("ivfpq_lifecycle") {
-        Similarity.ivfPqLifecycleGate(spark, outDir) }
+        Similarity.ivfPqLifecycleGate(spark, outDir) },
+      // r14: the graph twin — base build (7/8, own registry entry) +
+      // real append descent + forget-with-repair + recall re-gate on
+      // ONE living artifact; the composition must cost ~the sum of
+      // its measured stages, not multiply them
+      timed("graph_lifecycle") {
+        Similarity.graphLifecycleGate(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

@@ -736,6 +736,31 @@ class DedupSpec extends AnyFunSuite {
     assert(Similarity.ivfPqForget(once, del).count() === once.count())
   }
 
+  test("graph lifecycle: append then forget on ONE living artifact") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val g = Similarity.graphLifecycleGate(spark, dir).head()
+    assert(g.getAs[Long]("n_base") === n - n / 8)
+    assert(g.getAs[Long]("n_inc") === n / 8)
+    assert(g.getAs[Long]("n_del") ===
+      emb.filter(col("vec_id") % 97 === 0).count())
+    assert(g.getAs[Int]("graph_clean") === 1)
+    assert(g.getAs[Int]("full_k") === 1)
+    assert(g.getAs[Int]("recall_ok") === 1)
+  }
+
+  test("stored index round trip: files reproduce the artifact, probe equal") {
+    val gate = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivfstoreSpec").toString
+      Similarity.ivfPqStoreGate(spark, dir, tmp).head()
+    }
+    assert(gate.getAs[Long]("n_emb") === Tables.embeddings(spark, dir).count())
+    assert(gate.getAs[Int]("store_complete") === 1)
+    assert(gate.getAs[Int]("store_match") === 1)
+    assert(gate.getAs[Int]("probe_match") === 1)
+  }
+
   test("filtered ANN probe: subset of the filter, full k, gated recall") {
     val emb = Tables.embeddings(spark, dir)
     val g = Similarity.knnIvfPqFilteredGate(spark, dir).head()

@@ -45,6 +45,13 @@ class DegenerateSpec extends AnyFunSuite {
       // CDC: empty doc → zero chunks; one-token doc → exactly one chunk
       assert(TextAnalysis.cdcChunks(spark, dir).count() === docs.count())
       assert(Curation.curationPipeline(spark, dir).count() <= docs.count())
+      // the repetition battery always emits its 14 contract rows; an
+      // empty corpus rejects nothing and passes nothing
+      val rep = TextAnalysis.gopherRepetitionOf(docs)
+        .as[(String, Long)].collect().toMap
+      assert(rep.size === 14)
+      assert(rep("pass_all") === docs.count())
+      assert(rep.filterKeys(_ != "pass_all").values.sum === 0L)
     }
   }
 
@@ -335,6 +342,10 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Similarity.ivfPqReindexGate(spark, tmp).count() === 2)
     assert(Similarity.nndescentAppendGate(spark, tmp).count() === 1)
     assert(Similarity.ivfPqLifecycleGate(spark, tmp).count() === 1)
+    assert(Similarity.graphLifecycleGate(spark, tmp).count() === 1)
+    assert(Similarity.ivfPqStoreGate(spark, tmp,
+      java.nio.file.Files.createTempDirectory("graft-degenStore")
+        .toString).count() === 1)
     val f = Similarity.vectorForgetGate(spark, tmp).head()
     assert(f.getAs[Long]("n_emb") === 0L)
     assert(f.getAs[Int]("recall_ok") === 1)

@@ -551,6 +551,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("gopher repetition: scan-fused sorted-array counters, no join, no window") {
+    import graft.operators.TextAnalysis
+    val p = plan(TextAnalysis.gopherRepetition(spark, dir))
+    // the battery's whole point at 100 TB: all 13 rules ride ONE
+    // corpus scan — gram counting is sorted-array aggregate state per
+    // row, never an explode + shuffle per n; the only exchanges are
+    // the 14-sum reduce hop and the presentation orderBy
+    val ex = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).toSeq
+    assert(ex.size <= 2, p)
+    assert(!p.contains("Join"), "gopher repetition grew a join: " + p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("nn-descent round joins are keyed — no cartesian anywhere in the graph") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, dir)

@@ -65,6 +65,95 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corpus("pass_all") <= n)
   }
 
+  test("gopher repetition: counts equal an independent plain-Scala model") {
+    import graft.operators.TextAnalysis
+    // independent model: reference clean_words (\p{Punct} IS the ASCII
+    // punctuation set), space-only segment filter (Spark trim strips
+    // spaces, not tabs), sliding word n-grams, mode with (count desc,
+    // gram asc) tie-break, sum-form duplicate mass
+    def cleanWords(text: String): Seq[String] =
+      text.replace("\n", " ").replaceAll("\\p{Punct}", "")
+        .split(" +").filter(_.nonEmpty).toSeq
+    def model(text: String): Map[String, Boolean] = {
+      val toks = cleanWords(text)
+      val total = toks.mkString(" ").length.toLong
+      def segs(sep: String) =
+        text.split(sep, -1).toSeq.filter(_.exists(_ != ' '))
+      def fracTrip(s: Seq[String], pct: Int) =
+        100L * (s.size - s.distinct.size) > pct.toLong * s.size
+      def charTrip(s: Seq[String], pct: Int) = {
+        val all = s.map(_.length.toLong).sum
+        val dis = s.distinct.map(_.length.toLong).sum
+        100L * (all - dis) > pct.toLong * all
+      }
+      def grams(n: Int) =
+        toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      def topCover(n: Int): Long = {
+        val g = grams(n)
+        if (g.isEmpty) 0L
+        else {
+          val (gram, cnt) = g.groupBy(identity)
+            .map { case (k, v) => (k, v.size) }.toSeq
+            .sortBy { case (k, c) => (-c, k) }.head
+          cnt.toLong * gram.length
+        }
+      }
+      def dupCover(n: Int): Long =
+        grams(n).groupBy(identity)
+          .collect { case (k, v) if v.size >= 2 => v.size.toLong * k.length }
+          .sum
+      val lines = segs("\n"); val paras = segs("\n\n")
+      Map("reject_dup_line_frac" -> fracTrip(lines, 30),
+        "reject_dup_line_chars" -> charTrip(lines, 20),
+        "reject_dup_para_frac" -> fracTrip(paras, 30),
+        "reject_dup_para_chars" -> charTrip(paras, 20)) ++
+        TextAnalysis.RepTopNgram.map { case (n, pct) =>
+          f"reject_top_ngram_$n%02d" ->
+            (100L * topCover(n) > pct.toLong * total) } ++
+        TextAnalysis.RepDupNgram.map { case (n, pct) =>
+          f"reject_dup_ngram_$n%02d" ->
+            (100L * dupCover(n) > pct.toLong * total) }
+    }
+    def expected(texts: Seq[String]): Map[String, Long] = {
+      val ms = texts.map(model)
+      val ruleNames = ms.head.keys.toSeq
+      ruleNames.map(r => r -> ms.count(_(r)).toLong).toMap +
+        ("pass_all" -> ms.count(m => !m.values.exists(identity)).toLong)
+    }
+    // fixture: clean long doc, repeated line, repeated paragraph,
+    // repeated 5-gram span, dominant bigram
+    val fixture = Seq(
+      (1L, (1 to 40).map(i => f"alpha$i%02d").mkString(" ")),
+      (2L, "hello world\nfoo bar\nhello world\nhello world"),
+      (3L, "para one text here\n\npara two other\n\npara one text here"),
+      (4L, ((1 to 12).map(i => f"filler$i%02d") ++
+        Seq("one", "two", "three", "four", "five") ++
+        (13 to 24).map(i => f"filler$i%02d") ++
+        Seq("one", "two", "three", "four", "five")).mkString(" ")),
+      (5L, Seq.fill(12)("ding dong").flatMap(_.split(" ")).mkString(" ")))
+    val got = TextAnalysis
+      .gopherRepetitionOf(fixture.toDF("doc_id", "text"))
+      .as[(String, Long)].collect().toMap
+    assert(got === expected(fixture.map(_._2)))
+    // the planted line/para/ngram docs really reject (not vacuous)
+    assert(got("reject_dup_line_frac") >= 1L)
+    assert(got("reject_dup_para_frac") >= 1L)
+    assert(got("reject_dup_ngram_05") >= 1L)
+    assert(got("reject_top_ngram_02") >= 1L)
+    assert(got("pass_all") >= 1L)
+    // corpus tier: the gated query (doubling plant applied) equals the
+    // model over the real sf0.001 documents — 500 docs through both
+    val corpus = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val planted = corpus.map { case (id, t) =>
+      if (id % 11 == 0) t + " " + t else t }
+    val corpusGot = TextAnalysis
+      .gopherRepetition(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect().toMap
+    assert(corpusGot === expected(planted.toSeq))
+  }
+
   test("padding waste: bucket and total arithmetic are exact") {
     import graft.operators.TextAnalysis
     val got = TextAnalysis.paddingWaste(spark, "/root/testdata/sf0.001")
