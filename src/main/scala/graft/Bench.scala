@@ -77,7 +77,7 @@ object Bench {
     // bpe_encode_gate pathology r10 fixed this same way).
     Seq("knn_graph_nndescent", "nndescent_append_gate",
         "ivfpq_reindex_gate", "bitext_ann_gate",
-        "streamed_ivfpq_ingest")
+        "streamed_ivfpq_ingest", "embedding_drift")
       .filter(SparkEntry.queries.contains)
       .foreach(force(_, 0))
 

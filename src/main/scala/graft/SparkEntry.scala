@@ -424,6 +424,16 @@ object SparkEntry {
     // append completeness + cell-range safety measured on the real path
     "ivfpq_reindex_gate" -> ((s, dir) =>
       Similarity.ivfPqReindexGate(s, dir)),
+    // embedding-snapshot drift: per-cell occupancy of today's corpus
+    // vs the 7/8-prefix snapshot through the FROZEN snapshot-trained
+    // codebook — the vector-tier token_drift twin (rows-only: cell
+    // identity is the seeded trainer's; the gate next is hash-green)
+    "embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDriftCells(s, dir)),
+    // conservation + share-sum + cell-range + smoothed-KL>=0 flags,
+    // snapshot sizes SQL-exact
+    "embedding_drift_gate" -> ((s, dir) =>
+      Similarity.embeddingDriftGate(s, dir)),
     // the stored-index round trip: persist partitionBy(cell), re-read
     // the files, probe FROM DISK — content checksum + probe equality
     // vs the in-memory artifact pinned (SourcesSpec pins the pruning
@@ -3221,6 +3231,15 @@ object SparkEntry {
         |    AS rebuild,
         |  1 AS append_complete, 1 AS cells_in_range,
         |  1 AS full_k, 1 AS recall_ok FROM c""".stripMargin,
+    // embedding drift gate: snapshot split counts exact, occupancy
+    // conservation / share-sum / cell-range / Gibbs-KL flags pinned 1
+    "embedding_drift_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_now
+        |           FROM embeddings)
+        |SELECT n_now - n_now // 8 AS n_base, n_now,
+        |  1 AS base_conserved, 1 AS now_conserved, 1 AS shares_ok,
+        |  1 AS cells_ok, 1 AS kl_ok
+        |FROM n""".stripMargin,
     // stored-index round trip: corpus/query counts exact, the
     // write/read/probe equality flags pinned 1
     "ivfpq_store_gate" ->

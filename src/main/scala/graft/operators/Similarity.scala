@@ -2316,6 +2316,109 @@ object Similarity {
         "recall_ok")
   }
 
+  /** EMBEDDING-SNAPSHOT drift monitor — the vector-tier twin of the
+    * token-histogram drift views (`token_drift` / `token_drift_kl`),
+    * closing the ops story for embedding pipelines: an upstream
+    * encoder change, a crawl-mix shift, or a broken preprocessing step
+    * shows up as CELL-OCCUPANCY drift against a FROZEN codebook long
+    * before any recall gate degrades. Yesterday = the 7/8-prefix
+    * snapshot (the append convention), today = the full corpus; the
+    * yesterday-trained codebook is the lens — BOTH snapshots assign to
+    * its cells (scan-fused argmax, no shuffle beyond the ≤C-row
+    * occupancy aggregates) and per-cell occupancy shares compare in
+    * integer millionths (floor division by the snapshot totals, both
+    * driver literals). One row per occupied cell: (cell, n_base,
+    * n_now, share_base_millionths, share_now_millionths,
+    * delta_millionths). Cell identity comes from the seeded trainer —
+    * deterministic but not ANSI-expressible → rows-only;
+    * [[embeddingDriftGate]] is the hash-green companion. */
+  def embeddingDriftCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val nNow = emb.count()
+    val nBase = nNow - nNow / 8
+    def empty = Seq.empty[(Int, Long, Long, Long, Long, Long)]
+      .toDF("cell", "n_base", "n_now", "share_base_millionths",
+        "share_now_millionths", "delta_millionths")
+    if (nNow == 0L) return empty
+    val thr = prefixThreshold(emb, nBase)
+    val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val eBase = e.filter(col("vec_id") <= thr)
+    val cents = trainIvf(eBase, scaledCells(nBase), 3)
+    if (cents.isEmpty) return empty
+    def occ(df: DataFrame, as: String) =
+      assignCells(df, cents).groupBy("cell")
+        .agg(count(lit(1)).as(as))
+    occ(eBase, "n_base").join(occ(e, "n_now"), Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+      .withColumn("share_base_millionths",
+        expr(s"n_base * 1000000 DIV ${math.max(nBase, 1L)}"))
+      .withColumn("share_now_millionths",
+        expr(s"n_now * 1000000 DIV ${math.max(nNow, 1L)}"))
+      .withColumn("delta_millionths",
+        col("share_now_millionths") - col("share_base_millionths"))
+      .orderBy("cell")
+  }
+
+  /** Hash-checked gate for [[embeddingDriftCells]]: snapshot sizes are
+    * SQL-exact; conservation (every vector of each snapshot lands in
+    * exactly one occupancy row), share-sum sanity (Σ floor-divided
+    * shares within C millionths of 1e6), cell-range safety, and
+    * add-1-smoothed KL(now ‖ base) ≥ 0 over the occupancy rows (the
+    * `token_drift_kl` integer-millionths ln discipline) are pinned as
+    * flags. */
+  def embeddingDriftGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val nNow = emb.count()
+    val nBase = nNow - nNow / 8
+    if (nNow == 0L)
+      return Seq((0L, 0L, 1, 1, 1, 1, 1))
+        .toDF("n_base", "n_now", "base_conserved", "now_conserved",
+          "shares_ok", "cells_ok", "kl_ok")
+    val cellsDf = Checkpoints.scratch(embeddingDriftCells(s, dir))
+    val c = scaledCells(nBase)
+    val a = cellsDf.agg(
+      coalesce(sum("n_base"), lit(0L)),
+      coalesce(sum("n_now"), lit(0L)),
+      coalesce(sum("share_base_millionths"), lit(0L)),
+      coalesce(sum("share_now_millionths"), lit(0L)),
+      coalesce(sum((col("cell") >= 0 && col("cell") < c).cast("long")),
+        lit(0L)),
+      count(lit(1))).head()
+    val (sb, sn, shb, shn, inRange, nCells) =
+      (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3),
+        a.getLong(4), a.getLong(5))
+    val baseConserved = if (sb == nBase) 1 else 0
+    val nowConserved = if (sn == nNow) 1 else 0
+    val sharesOk =
+      if (shb <= 1000000L && shb >= 1000000L - nCells &&
+          shn <= 1000000L && shn >= 1000000L - nCells) 1 else 0
+    val cellsOk = if (inRange == nCells) 1 else 0
+    // add-1-smoothed KL(now ‖ base) over occupancy rows, per-term
+    // floored to millionths (tokenDriftKl's convention); clamped at 0
+    val kl = cellsDf.select(((col("n_now") + 1) *
+        floor((log((col("n_now") + 1).cast("double") /
+                lit((sn + nCells).toDouble)) -
+               log((col("n_base") + 1).cast("double") /
+                lit((sb + nCells).toDouble))) * lit(1000000.0))
+          .cast("long")).as("term"))
+      .agg(coalesce(sum("term"), lit(0L))).head().getLong(0)
+    // true KL of the smoothed distributions is ≥ 0 (Gibbs); per-term
+    // flooring loses < 1 millionth per row, so the integer sum may sit
+    // at most nCells millionths below zero — anything lower means the
+    // occupancy math itself broke
+    val klOk = if (kl >= -nCells) 1 else 0
+    Seq((nBase, nNow, baseConserved, nowConserved, sharesOk, cellsOk,
+      klOk))
+      .toDF("n_base", "n_now", "base_conserved", "now_conserved",
+        "shares_ok", "cells_ok", "kl_ok")
+  }
+
   // ---- filtered ANN: predicate-constrained k-NN probes ----
 
   /** Predicate-constrained IVFADC probe — the retrieval shape RAG

@@ -386,6 +386,11 @@ object ScaleStress {
       // knn_ivfpq's cached index
       timed("ivfpq_lifecycle") {
         Similarity.ivfPqLifecycleGate(spark, outDir) },
+      // r14: the drift monitor — a frozen-codebook train on the 7/8
+      // snapshot + two scan-fused assignment passes into ≤C-row
+      // aggregates; the slope is two corpus scans
+      timed("embedding_drift") {
+        Similarity.embeddingDriftCells(spark, outDir) },
       // r14: the graph twin — base build (7/8, own registry entry) +
       // real append descent + forget-with-repair + recall re-gate on
       // ONE living artifact; the composition must cost ~the sum of

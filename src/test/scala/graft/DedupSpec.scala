@@ -761,6 +761,35 @@ class DedupSpec extends AnyFunSuite {
     assert(gate.getAs[Int]("probe_match") === 1)
   }
 
+  test("embedding drift: conserved occupancies; a planted arrival shift shows") {
+    // corpus gate on the real table: all invariants green
+    val g = Similarity.embeddingDriftGate(spark, dir).head()
+    val n = Tables.embeddings(spark, dir).count()
+    assert(g.getAs[Long]("n_now") === n)
+    assert(g.getAs[Long]("n_base") === n - n / 8)
+    Seq("base_conserved", "now_conserved", "shares_ok", "cells_ok",
+      "kl_ok").foreach(f => assert(g.getAs[Int](f) === 1, f))
+    // planted shift: 350 spread base vectors, then 50 arrivals all on
+    // ONE far direction — the monitor must show a large occupancy
+    // delta in some cell (that is its whole job)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-edrift").toString
+    val rows = (0 until 350).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 13 + j * 7).toFloat), 0)
+    } ++ (350 until 400).map { i =>
+      (i.toLong, Array.fill(8)(-5f), 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/embeddings.parquet")
+    val gate2 = Similarity.embeddingDriftGate(spark, tmp).head()
+    Seq("base_conserved", "now_conserved", "shares_ok", "cells_ok",
+      "kl_ok").foreach(f => assert(gate2.getAs[Int](f) === 1, f))
+    val maxDelta = Similarity.embeddingDriftCells(spark, tmp)
+      .agg(max(abs(col("delta_millionths")))).head().getLong(0)
+    assert(maxDelta >= 50000L,
+      s"50/400 concentrated arrivals moved max |delta| only $maxDelta")
+  }
+
   test("filtered ANN probe: subset of the filter, full k, gated recall") {
     val emb = Tables.embeddings(spark, dir)
     val g = Similarity.knnIvfPqFilteredGate(spark, dir).head()

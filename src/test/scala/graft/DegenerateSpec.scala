@@ -343,6 +343,8 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Similarity.nndescentAppendGate(spark, tmp).count() === 1)
     assert(Similarity.ivfPqLifecycleGate(spark, tmp).count() === 1)
     assert(Similarity.graphLifecycleGate(spark, tmp).count() === 1)
+    assert(Similarity.embeddingDriftGate(spark, tmp).count() === 1)
+    assert(Similarity.embeddingDriftCells(spark, tmp).count() === 0)
     assert(Similarity.ivfPqStoreGate(spark, tmp,
       java.nio.file.Files.createTempDirectory("graft-degenStore")
         .toString).count() === 1)
@@ -359,6 +361,25 @@ class DegenerateSpec extends AnyFunSuite {
     // forgetting EVERYTHING: one survivor is no graph — empty, no throw
     assert(Similarity.knnGraphForget(oneEmb,
       oneEmb.select("vec_id")).count() === 0)
+    // 1-row corpus: every gate still emits its contract row(s) — the
+    // wrong-dim (3-lane) vector additionally exercises the empty-PQ
+    // degenerate path inside each index-building stage
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft-degenANN1")
+      .toString
+    oneDoc.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp1/documents.parquet")
+    oneEmb.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp1/embeddings.parquet")
+    assert(Similarity.ivfPqReindexGate(spark, tmp1).count() === 2)
+    assert(Similarity.nndescentAppendGate(spark, tmp1).count() === 1)
+    assert(Similarity.ivfPqLifecycleGate(spark, tmp1).count() === 1)
+    assert(Similarity.graphLifecycleGate(spark, tmp1).count() === 1)
+    assert(Similarity.vectorForgetGate(spark, tmp1).count() === 1)
+    assert(Similarity.knnIvfPqFilteredGate(spark, tmp1).count() === 1)
+    assert(Similarity.embeddingDriftGate(spark, tmp1).count() === 1)
+    assert(Similarity.ivfPqStoreGate(spark, tmp1,
+      java.nio.file.Files.createTempDirectory("graft-degenStore1")
+        .toString).count() === 1)
   }
 
   test("ANN bitext miner: under-k neighborhoods score by actual counts") {
