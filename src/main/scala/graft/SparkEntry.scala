@@ -444,6 +444,15 @@ object SparkEntry {
       reapAtExit(tmp)
       Similarity.ivfPqStoreGate(s, dir, tmp)
     }),
+    // cell compaction: 4 real partition-append episodes -> one-file-
+    // per-cell rewrite; file-count reduction, content checksum, and
+    // compacted-store probe equality pinned
+    "ivfpq_compact_gate" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfcompact_").toString
+      reapAtExit(tmp)
+      Similarity.ivfPqCompactGate(s, dir, tmp)
+    }),
     // the GRAPH lifecycle capstone: base build -> real append descent
     // -> forget from the artifact the append just produced (tombstone
     // + bounded repair, never a rebuild) -> shape + recall re-gate,
@@ -3249,6 +3258,19 @@ object SparkEntry {
         |   WHERE vec_id < 10) AS n_queries,
         |  1 AS store_complete, 1 AS store_match,
         |  1 AS probe_match""".stripMargin,
+    // compaction gate: counts + the cell-count policy SQL-exact,
+    // file-shape/content/probe flags pinned 1
+    "ivfpq_compact_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
+        |           FROM embeddings)
+        |SELECT n_emb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 10) AS n_queries,
+        |  CAST(GREATEST(16, LEAST(4096,
+        |    LEAST(CAST(ceil(4*sqrt(n_emb)) AS BIGINT), n_emb // 32)))
+        |    AS INTEGER) AS cells,
+        |  1 AS files_reduced, 1 AS content_match, 1 AS probe_match
+        |FROM n""".stripMargin,
     // graph lifecycle capstone: the append split (7/8 base + 1/8
     // increment) and the cascade doomed set are exact counts; the
     // composed clean/shape/recall flags pinned 1

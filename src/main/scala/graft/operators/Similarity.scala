@@ -2084,6 +2084,99 @@ object Similarity {
     row((storeComplete, storeMatch, probeMatch))
   }
 
+  /** CELL-COMPACTION gate — the small-files half of the
+    * partition-append story ([[ivfPqStoreGate]]'s sequel): every
+    * [[ivfPqAppend]] ingest partition-appends one-or-more NEW files
+    * into each touched cell dir, so after k ingests a probe pays k×
+    * the footer/open cost per probed cell — file COUNT, not data
+    * size, becomes the scan bottleneck (the classic streaming-sink
+    * pathology). Compaction is a metadata-shape rewrite: read the
+    * store, repartition BY THE CELL KEY so each cell's rows land in
+    * one task, rewrite `partitionBy(cell)` — content-identical, one
+    * file per occupied cell. (At 100 TB the repartition key is a
+    * cell-to-task BIN-PACKING targeting the DFS block size rather
+    * than one-task-per-cell; the rewrite shape — shuffle by cell,
+    * partitioned write, no recompute of codes — is the same.)
+    *
+    * The gate replays the whole episode: the deployed-shape index
+    * lands as FOUR append slices through the real partitioned-write
+    * path (≥4 files per occupied cell), compacts, and pins
+    * (a) `files_reduced`: the compacted store holds at most one file
+    * per occupied cell and strictly fewer files than the appended
+    * store; (b) `content_match`: compacted rows reproduce the
+    * in-memory index exactly (count + order-independent checksum);
+    * (c) `probe_match`: a probe served from the COMPACTED files
+    * equals the in-memory probe row-for-row. Corpus/query counts and
+    * the cell-count policy are SQL-exact. */
+  def ivfPqCompactGate(s: SparkSession, dir: String, out: String,
+                       k: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 10)
+    val nq = queries.count()
+    val cells = scaledCells(n)
+    def row(f: (Int, Int, Int)) = Seq((n, nq, cells, f._1, f._2, f._3))
+      .toDF("n_emb", "n_queries", "cells", "files_reduced",
+        "content_match", "probe_match")
+    if (n == 0L) return row((1, 1, 1))
+    val (cents, cb, index) = ivfPqIndex(emb, cells)
+    if (cents.isEmpty || cb.isEmpty) return row((1, 1, 1))
+    // four ingest episodes through the real partition-append path
+    val appended = s"$out/appended"
+    (0 until 4).foreach { i =>
+      index.filter(pmod(col("nn_id"), lit(4)) === i)
+        .write.mode(if (i == 0) "overwrite" else "append")
+        .partitionBy("cell").parquet(appended)
+    }
+    def dataFiles(p: String): Long = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      var c = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.startsWith("part-")) c += 1
+      }
+      c
+    }
+    def readStore(p: String) = s.read.parquet(p)
+      .select(col("nn_id"), col("cell").cast("int").as("cell"),
+        col("codes"))
+    // compact: all of a cell's rows into one task, one file per cell
+    val compacted = s"$out/compacted"
+    readStore(appended).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(compacted)
+    val filesBefore = dataFiles(appended)
+    val filesAfter = dataFiles(compacted)
+    val occupied = index.select("cell").distinct().count()
+    val filesReduced =
+      if (filesAfter <= occupied && filesAfter < filesBefore) 1 else 0
+    def fp(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val (cntMem, hMem) = fp(index)
+    val (cntC, hC) = fp(readStore(compacted))
+    val contentMatch = if (cntMem == cntC && hMem == hC) 1 else 0
+    val rr = scaledRerank(n)
+    val np = scaledNprobe(n, cells, rr)
+    def probe(idx: DataFrame) = Checkpoints.scratch(
+      knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
+        residual = false))
+    val pMem = probe(index)
+    val pC = probe(readStore(compacted))
+    val nMem = pMem.count()
+    val nC = pC.count()
+    val inter = pMem.join(pC, Seq("query_id", "nn_id", "rn"),
+      "left_semi").count()
+    val probeMatch = if (nMem == nC && inter == nMem) 1 else 0
+    row((filesReduced, contentMatch, probeMatch))
+  }
+
   // ---- right-to-be-forgotten for the vector tier ----
 
   /** Tombstone a deleted-id set out of a stored (nn_id, cell, codes)

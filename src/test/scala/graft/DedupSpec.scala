@@ -790,6 +790,33 @@ class DedupSpec extends AnyFunSuite {
       s"50/400 concentrated arrivals moved max |delta| only $maxDelta")
   }
 
+  test("cell compaction: file shape collapses, content and probe identical") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-compactSpec").toString
+    val gate = Similarity.ivfPqCompactGate(spark, dir, tmp).head()
+    assert(gate.getAs[Long]("n_emb") === Tables.embeddings(spark, dir).count())
+    assert(gate.getAs[Int]("cells") ===
+      Similarity.scaledCells(gate.getAs[Long]("n_emb")))
+    assert(gate.getAs[Int]("files_reduced") === 1)
+    assert(gate.getAs[Int]("content_match") === 1)
+    assert(gate.getAs[Int]("probe_match") === 1)
+    // the episode really created the small-files problem: the appended
+    // store holds >= 4 files per occupied cell dir (one per ingest),
+    // the compacted store exactly one
+    def files(p: String) = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.startsWith("cell=")).map { cd =>
+        cd.listFiles().count(_.getName.startsWith("part-"))
+      }.toSeq
+    }
+    val before = files(s"$tmp/appended")
+    val after = files(s"$tmp/compacted")
+    assert(before.nonEmpty && before.sum > before.length &&
+      before.max >= 4,
+      s"append episodes left no multi-file cells: $before")
+    assert(after.forall(_ === 1), s"compaction left multi-file cells: $after")
+  }
+
   test("filtered ANN probe: subset of the filter, full k, gated recall") {
     val emb = Tables.embeddings(spark, dir)
     val g = Similarity.knnIvfPqFilteredGate(spark, dir).head()

@@ -348,6 +348,9 @@ class DegenerateSpec extends AnyFunSuite {
     assert(Similarity.ivfPqStoreGate(spark, tmp,
       java.nio.file.Files.createTempDirectory("graft-degenStore")
         .toString).count() === 1)
+    assert(Similarity.ivfPqCompactGate(spark, tmp,
+      java.nio.file.Files.createTempDirectory("graft-degenCompact")
+        .toString).count() === 1)
     val f = Similarity.vectorForgetGate(spark, tmp).head()
     assert(f.getAs[Long]("n_emb") === 0L)
     assert(f.getAs[Int]("recall_ok") === 1)
