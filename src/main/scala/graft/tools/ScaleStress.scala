@@ -391,6 +391,12 @@ object ScaleStress {
       // aggregates; the slope is two corpus scans
       timed("embedding_drift") {
         Similarity.embeddingDriftCells(spark, outDir) },
+      // r14: cell compaction — 4 partition-append writes + the
+      // cell-keyed compact rewrite + disk probes; the slope is write
+      // throughput (codes are 8-byte rows, never recomputed)
+      timed("ivfpq_compact") {
+        Similarity.ivfPqCompactGate(spark, outDir,
+          s"$outDir/compact_gate") },
       // r14: the graph twin — base build (7/8, own registry entry) +
       // real append descent + forget-with-repair + recall re-gate on
       // ONE living artifact; the composition must cost ~the sum of
