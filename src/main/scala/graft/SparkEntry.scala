@@ -3234,7 +3234,7 @@ object SparkEntry {
         |    LEAST(CAST(ceil(4*sqrt(n_now)) AS BIGINT), n_now // 32)))
         |    AS INTEGER) AS fresh_cells
         |  FROM p)
-        |SELECT n_base, n_now - n_base AS n_inc, n_now,
+        |SELECT n_base, GREATEST(n_now - n_base, 0) AS n_inc, n_now,
         |  stale_cells, fresh_cells,
         |  CASE WHEN fresh_cells >= 2*stale_cells THEN 1 ELSE 0 END
         |    AS rebuild,

@@ -1051,10 +1051,13 @@ object Similarity {
     * per-partition offset indices (RDD zipWithIndex — partition counts
     * and offsets, no single-partition window), never
     * `limit(nRows.toInt)`, whose silent Int truncation is at odds with
-    * the 100 TB framing. Requires 1 <= nRows <= count (callers guard
-    * the empty corpus). */
+    * the 100 TB framing. `nRows <= 0` returns `Long.MinValue` — an
+    * empty prefix (`vec_id <= thr` selects nothing, `> thr`
+    * everything) — so 0- and 1-row corpora degrade instead of
+    * throwing on the empty RDD's `.max()`. */
   private[graft] def prefixThreshold(df: DataFrame, nRows: Long): Long = {
     import df.sparkSession.implicits._
+    if (nRows <= 0L) return Long.MinValue
     df.select(col("vec_id")).as[Long].rdd.sortBy(identity)
       .zipWithIndex().filter(_._2 < nRows).map(_._1).max()
   }
@@ -2151,8 +2154,12 @@ object Similarity {
     val filesBefore = dataFiles(appended)
     val filesAfter = dataFiles(compacted)
     val occupied = index.select("cell").distinct().count()
+    // the contract is the compacted SHAPE (≤ one file per occupied
+    // cell, never more files than before) — a corpus whose 4 append
+    // slices each hit disjoint cells starts at one-file-per-cell
+    // already, so a strict `<` would flag the healthy fixpoint
     val filesReduced =
-      if (filesAfter <= occupied && filesAfter < filesBefore) 1 else 0
+      if (filesAfter <= occupied && filesAfter <= filesBefore) 1 else 0
     def fp(df: DataFrame): (Long, String) = {
       val r = df.agg(count(lit(1)),
         sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
@@ -2493,13 +2500,17 @@ object Similarity {
           shn <= 1000000L && shn >= 1000000L - nCells) 1 else 0
     val cellsOk = if (inRange == nCells) 1 else 0
     // add-1-smoothed KL(now ‖ base) over occupancy rows, per-term
-    // floored to millionths (tokenDriftKl's convention); clamped at 0
-    val kl = cellsDf.select(((col("n_now") + 1) *
-        floor((log((col("n_now") + 1).cast("double") /
+    // floored to millionths (tokenDriftKl's convention). The floor
+    // sits AFTER the (n_now+1) weight multiply — flooring the Δlog
+    // first would scale the per-row loss by the weight and sink the
+    // sum up to (sn + nCells) millionths below the true KL
+    val kl = cellsDf.select(
+        floor((col("n_now") + 1).cast("double") *
+          (log((col("n_now") + 1).cast("double") /
                 lit((sn + nCells).toDouble)) -
-               log((col("n_base") + 1).cast("double") /
+           log((col("n_base") + 1).cast("double") /
                 lit((sb + nCells).toDouble))) * lit(1000000.0))
-          .cast("long")).as("term"))
+          .cast("long").as("term"))
       .agg(coalesce(sum("term"), lit(0L))).head().getLong(0)
     // true KL of the smoothed distributions is ≥ 0 (Gibbs); per-term
     // flooring loses < 1 millionth per row, so the integer sum may sit
