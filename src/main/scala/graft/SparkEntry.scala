@@ -434,6 +434,13 @@ object SparkEntry {
     // snapshot sizes SQL-exact
     "embedding_drift_gate" -> ((s, dir) =>
       Similarity.embeddingDriftGate(s, dir)),
+    // the drift monitor's CONSUMER: the composed rebuild trigger
+    // (count-growth OR occupancy-drift-KL) on two structurally-forced
+    // scenarios — steady (KL identically 0, never rebuilds) and
+    // encoder_shift (counts unchanged so the count arm provably can't
+    // fire; the drift arm must) — counts + cell policy SQL-exact
+    "ivfpq_reindex_drift_gate" -> ((s, dir) =>
+      Similarity.ivfPqReindexDriftGate(s, dir)),
     // the stored-index round trip: persist partitionBy(cell), re-read
     // the files, probe FROM DISK — content checksum + probe equality
     // vs the in-memory artifact pinned (SourcesSpec pins the pruning
@@ -452,6 +459,18 @@ object SparkEntry {
         .createTempDirectory("graft_ivfcompact_").toString
       reapAtExit(tmp)
       Similarity.ivfPqCompactGate(s, dir, tmp)
+    }),
+    // the SERVING MANIFEST: snapshot versioning over the stored index
+    // (version-log commits, file-list snapshots) driven through every
+    // mutation path on ONE store — build -> append (files shared by
+    // reference) -> compact (full swap) -> forget (bounded rewrite) ->
+    // pinned-v1 reader isolation -> live-store probe equality ->
+    // vacuum-to-live; counts + live_version SQL-exact, flags pinned
+    "index_manifest_gate" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfmanifest_").toString
+      reapAtExit(tmp)
+      Similarity.indexManifestGate(s, dir, tmp)
     }),
     // the GRAPH lifecycle capstone: base build -> real append descent
     // -> forget from the artifact the append just produced (tombstone
@@ -3258,6 +3277,37 @@ object SparkEntry {
         |   WHERE vec_id < 10) AS n_queries,
         |  1 AS store_complete, 1 AS store_match,
         |  1 AS probe_match""".stripMargin,
+    // drift-consuming rebuild trigger: corpus count + cell policy
+    // SQL-exact; steady => all trigger arms 0 (KL identically zero),
+    // encoder_shift => count arm 0 exact, drift arm pinned 1
+    "ivfpq_reindex_drift_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
+        |           FROM embeddings),
+        |c AS (SELECT n_emb,
+        |  CAST(GREATEST(16, LEAST(4096,
+        |    LEAST(CAST(ceil(4*sqrt(n_emb)) AS BIGINT), n_emb // 32)))
+        |    AS INTEGER) AS cells FROM n)
+        |SELECT 'steady' AS scenario, n_emb AS n_base, n_emb AS n_now,
+        |  cells, 0 AS count_rebuild, 0 AS drift_rebuild, 0 AS rebuild
+        |FROM c
+        |UNION ALL
+        |SELECT 'encoder_shift', n_emb, n_emb, cells, 0, 1, 1 FROM c""".stripMargin,
+    // serving manifest: corpus/prefix-split/erasure-set counts and
+    // live_version SQL-exact; the seven snapshot-contract flags
+    // (op sequence, shared-file append, conservation, compact swap,
+    // forget + bounded rewrite, probe/isolation/vacuum) pinned 1
+    "index_manifest_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
+        |           FROM embeddings)
+        |SELECT n_emb, n_emb - n_emb // 8 AS n_base,
+        |  n_emb // 8 AS n_inc,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_doomed,
+        |  CAST(4 AS BIGINT) AS live_version,
+        |  1 AS ops_ok, 1 AS append_shared, 1 AS append_conserved,
+        |  1 AS compact_ok, 1 AS forget_ok, 1 AS forget_bounded,
+        |  1 AS probe_ok
+        |FROM n""".stripMargin,
     // compaction gate: counts + the cell-count policy SQL-exact,
     // file-shape/content/probe flags pinned 1
     "ivfpq_compact_gate" ->

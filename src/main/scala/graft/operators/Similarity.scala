@@ -2443,14 +2443,30 @@ object Similarity {
         "share_now_millionths", "delta_millionths")
     if (nNow == 0L) return empty
     val thr = prefixThreshold(emb, nBase)
-    val e = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val eBase = e.filter(col("vec_id") <= thr)
+    embeddingDriftCellsOf(emb.filter(col("vec_id") <= thr), emb)
+      .getOrElse(empty)
+  }
+
+  /** [[embeddingDriftCells]] generalized to ARBITRARY base/now
+    * snapshots — the form the rebuild-trigger consumer
+    * ([[ivfPqReindexDecision]]) needs, where "now" may be a
+    * re-encoded corpus rather than a superset. Trains the frozen
+    * lens on `base` at the corpus-count cell policy; None when the
+    * base is too degenerate to train. */
+  private[operators] def embeddingDriftCellsOf(
+      base: DataFrame, now: DataFrame): Option[DataFrame] = {
+    val nBase = base.count()
+    val nNow = now.count()
+    def e(df: DataFrame) =
+      df.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val eBase = e(base)
     val cents = trainIvf(eBase, scaledCells(nBase), 3)
-    if (cents.isEmpty) return empty
+    if (cents.isEmpty) return None
     def occ(df: DataFrame, as: String) =
       assignCells(df, cents).groupBy("cell")
         .agg(count(lit(1)).as(as))
-    occ(eBase, "n_base").join(occ(e, "n_now"), Seq("cell"), "full")
+    Some(occ(eBase, "n_base").join(occ(e(now), "n_now"), Seq("cell"),
+        "full")
       .select(col("cell"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_now"), lit(0L)).as("n_now"))
@@ -2460,8 +2476,24 @@ object Similarity {
         expr(s"n_now * 1000000 DIV ${math.max(nNow, 1L)}"))
       .withColumn("delta_millionths",
         col("share_now_millionths") - col("share_base_millionths"))
-      .orderBy("cell")
+      .orderBy("cell"))
   }
+
+  /** Add-1-smoothed KL(now ‖ base) over a drift-cells frame, in
+    * integer millionths — the [[embeddingDriftGate]] convention,
+    * floored AFTER the (n_now+1) weight multiply so the integer sum
+    * sits at most nCells millionths below the true (Gibbs ≥ 0) KL. */
+  private def driftKlMillionths(cellsDf: DataFrame,
+                                sb: Long, sn: Long,
+                                nCells: Long): Long =
+    cellsDf.select(
+        floor((col("n_now") + 1).cast("double") *
+          (log((col("n_now") + 1).cast("double") /
+                lit((sn + nCells).toDouble)) -
+           log((col("n_base") + 1).cast("double") /
+                lit((sb + nCells).toDouble))) * lit(1000000.0))
+          .cast("long").as("term"))
+      .agg(coalesce(sum("term"), lit(0L))).head().getLong(0)
 
   /** Hash-checked gate for [[embeddingDriftCells]]: snapshot sizes are
     * SQL-exact; conservation (every vector of each snapshot lands in
@@ -2504,14 +2536,7 @@ object Similarity {
     // sits AFTER the (n_now+1) weight multiply — flooring the Δlog
     // first would scale the per-row loss by the weight and sink the
     // sum up to (sn + nCells) millionths below the true KL
-    val kl = cellsDf.select(
-        floor((col("n_now") + 1).cast("double") *
-          (log((col("n_now") + 1).cast("double") /
-                lit((sn + nCells).toDouble)) -
-           log((col("n_base") + 1).cast("double") /
-                lit((sb + nCells).toDouble))) * lit(1000000.0))
-          .cast("long").as("term"))
-      .agg(coalesce(sum("term"), lit(0L))).head().getLong(0)
+    val kl = driftKlMillionths(cellsDf, sb, sn, nCells)
     // true KL of the smoothed distributions is ≥ 0 (Gibbs); per-term
     // flooring loses < 1 millionth per row, so the integer sum may sit
     // at most nCells millionths below zero — anything lower means the
@@ -2521,6 +2546,103 @@ object Similarity {
       klOk))
       .toDF("n_base", "n_now", "base_conserved", "now_conserved",
         "shares_ok", "cells_ok", "kl_ok")
+  }
+
+  /** Default drift-rebuild threshold: 0.1 nats in integer millionths
+    * of NORMALIZED (per-vector) KL. Calibration on this testdata
+    * (DedupSpec's rebuild-decision case): identical snapshots measure
+    * exactly 0 (every floored term cancels), healthy 7/8→full growth
+    * measures ~3.3k millionths, the encoder-shift scenario
+    * (abs-collapse, [[ivfPqReindexDriftGate]]) ~1.31M — the threshold
+    * sits ~30× above the healthy side and ~13× below the drifted
+    * side. */
+  val DriftKlThresholdMillionths: Long = 100000L
+
+  /** The composed REBUILD DECISION — the consumer the r14 drift
+    * monitor lacked: a deployment retrains its IVFADC models when the
+    * corpus OUTGROWS the trained cell count (the ≥2×-cells count rule
+    * [[ivfPqReindexGate]] pins) **or** when cell occupancy under the
+    * frozen codebook has DRIFTED past a KL threshold (encoder change,
+    * crawl-mix shift — corpus size unchanged, so the count rule alone
+    * never fires; exactly the drifted-but-not-grown blind spot).
+    * Returns (count_rebuild, drift_rebuild, rebuild, kl_millionths).
+    * Work: the count arm is pure arithmetic; the drift arm is one
+    * base-side train + two scan-fused assignment passes into ≤C-row
+    * aggregates — the same cost [[embeddingDriftCells]] already pays,
+    * now feeding a decision instead of only a dashboard. */
+  def ivfPqReindexDecision(base: DataFrame, now: DataFrame,
+      klThresholdMillionths: Long = DriftKlThresholdMillionths)
+      : (Int, Int, Int, Long) = {
+    val nBase = base.count()
+    val nNow = now.count()
+    val countRebuild =
+      if (scaledCells(nNow) >= 2 * scaledCells(nBase)) 1 else 0
+    val kl = embeddingDriftCellsOf(base, now) match {
+      case None => 0L
+      case Some(cellsDf0) =>
+        val cellsDf = Checkpoints.scratch(cellsDf0)
+        val a = cellsDf.agg(
+          coalesce(sum("n_base"), lit(0L)),
+          coalesce(sum("n_now"), lit(0L)),
+          count(lit(1))).head()
+        val (sn, c) = (a.getLong(1), a.getLong(2))
+        // the helper's sum is COUNT-WEIGHTED ((n_now+1) per term, the
+        // tokenDriftKl convention — a monitor value that scales with
+        // the corpus); a threshold decision needs the NORMALIZED KL in
+        // nats-millionths, so divide the smoothed mass (sn + C) back
+        // out — steady stays exactly 0, and the threshold means the
+        // same thing at every corpus size
+        driftKlMillionths(cellsDf, a.getLong(0), sn, c) /
+          math.max(sn + c, 1L)
+    }
+    val driftRebuild = if (kl >= klThresholdMillionths) 1 else 0
+    (countRebuild, driftRebuild,
+      math.max(countRebuild, driftRebuild), kl)
+  }
+
+  /** Hash-checked gate for [[ivfPqReindexDecision]] — the two
+    * scenarios whose outcomes are structurally forced, one row each:
+    *
+    *  - `steady`: base = now = the corpus. The count arm sees equal
+    *    cells; the drift arm's every floored KL term is IDENTICALLY 0
+    *    (same occupancy, same totals) — so `rebuild = 0` is exact, not
+    *    probabilistic: the trigger provably never false-positives on
+    *    an unchanged corpus.
+    *  - `encoder_shift`: now = the same corpus re-encoded through a
+    *    deterministic stand-in for an encoder change (per-coordinate
+    *    abs — every vector collapses into the positive orthant, so
+    *    occupancy under the frozen codebook concentrates onto the few
+    *    positive-pointing cells and the smoothed KL lands orders of
+    *    magnitude past the threshold). Counts are UNCHANGED, so the
+    *    r14 count-only trigger provably never fires here —
+    *    `count_rebuild = 0` SQL-exact — while `drift_rebuild = 1`
+    *    pins that the composed trigger now catches it.
+    *
+    * Growth-fired rebuilds are already pinned by `ivfpq_reindex_gate`;
+    * this gate pins the OTHER reason to retrain. Corpus count and the
+    * cell policy are SQL-exact; drift flags pinned. */
+  def ivfPqReindexDriftGate(s: SparkSession, dir: String,
+      klThresholdMillionths: Long = DriftKlThresholdMillionths)
+      : DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    val cells = scaledCells(n)
+    def rows(steady: (Int, Int, Int), shift: (Int, Int, Int)) = Seq(
+      ("steady", n, n, cells, steady._1, steady._2, steady._3),
+      ("encoder_shift", n, n, cells, shift._1, shift._2, shift._3))
+      .toDF("scenario", "n_base", "n_now", "cells", "count_rebuild",
+        "drift_rebuild", "rebuild")
+    // degenerate corpora can't train the lens — vacuous pinned flags
+    if (n == 0L) return rows((0, 0, 0), (0, 1, 1))
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding"))
+    val (c1, d1, r1, _) = ivfPqReindexDecision(emb, emb,
+      klThresholdMillionths)
+    val (c2, d2, r2, _) = ivfPqReindexDecision(emb, shifted,
+      klThresholdMillionths)
+    rows((c1, d1, r1), (c2, d2, r2))
   }
 
   // ---- filtered ANN: predicate-constrained k-NN probes ----
@@ -2607,5 +2729,172 @@ object Similarity {
     Seq((nEmb, nAllowed, nq, subsetOk, fullK, recallOk))
       .toDF("n_emb", "n_allowed", "n_queries", "subset_ok", "full_k",
         "recall_ok")
+  }
+
+  // ---- the serving manifest: snapshot versioning for the store ----
+
+  /** SERVING-MANIFEST gate — the atomic "which snapshot is live"
+    * contract ([[graft.sources.IndexStore]]) driven through every
+    * mutation path on ONE store, composed as one gated query. The r14
+    * store had four mutation paths and no consistency contract between
+    * them; this gate pins the contract a deployment actually relies
+    * on:
+    *
+    *   1. BUILD on the 7/8-prefix corpus publishes v1; its content
+    *      fingerprint is captured at publish time.
+    *   2. APPEND of the remaining 1/8 publishes v2 — `append_shared`
+    *      pins that v2 inherits EVERY v1 file by reference (zero data
+    *      rewrite), `append_conserved` that v2 holds exactly the full
+    *      corpus.
+    *   3. COMPACT publishes v3 — `compact_ok` pins content identity
+    *      (order-independent checksum), ≤ one file per occupied cell,
+    *      and a fully swapped file list (no v2 file referenced).
+    *   4. FORGET of the `vec_id % 97 == 0` erasure set publishes v4 —
+    *      `forget_ok` pins zero doomed ids + exact survivor
+    *      conservation; `forget_bounded` pins the REWRITE FOOTPRINT:
+    *      files of cells holding no doomed row survive into v4 by
+    *      identity (path-equal), only doomed cells' files are
+    *      replaced.
+    *   5. ISOLATION: a reader pinned at v1 AFTER all four commits
+    *      reproduces v1's publish-time fingerprint exactly — the
+    *      snapshot-isolation property the bare directory store could
+    *      not state.
+    *   6. PROBE: a query served from the LIVE store (manifest files +
+    *      parquet-round-tripped models) equals row-for-row the probe
+    *      of the equivalent in-memory index (build ∪ append, anti-join
+    *      forgotten).
+    *   7. VACUUM(retain=1) then re-list: the surviving data files are
+    *      EXACTLY v4's manifest (garbage from superseded snapshots
+    *      physically gone), and the live fingerprint is unchanged.
+    *
+    * Counts (corpus, prefix split, erasure set) and `live_version = 4`
+    * are SQL-exact; the seven flags are pinned 1. */
+  def indexManifestGate(s: SparkSession, dir: String, root: String,
+                        k: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.sources.{IndexStore, Tables}
+    val emb = Tables.embeddings(s, dir)
+    val nNow = emb.count()
+    val nBase = nNow - nNow / 8
+    val nInc = nNow / 8
+    val doomed = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
+    val nDoomed = doomed.count()
+    def row(liveV: Long, f: Seq[Int]) =
+      Seq((nNow, nBase, nInc, nDoomed, liveV, f(0), f(1), f(2), f(3),
+        f(4), f(5), f(6)))
+        .toDF("n_emb", "n_base", "n_inc", "n_doomed", "live_version",
+          "ops_ok", "append_shared", "append_conserved", "compact_ok",
+          "forget_ok", "forget_bounded", "probe_ok")
+    val thr = prefixThreshold(emb, nBase)
+    val base = emb.filter(col("vec_id") <= thr)
+    val inc = emb.filter(col("vec_id") > thr)
+    val v1 = IndexStore.build(s, root, base)
+    // degenerate-model corpora (too small to train): the mutations
+    // below would conserve nothing real — vacuous flags, the
+    // ivfPqStoreGate convention
+    if (v1.cents.isEmpty && nNow > 0) return row(4L, Seq.fill(7)(1))
+    def fp(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val fp1 = fp(IndexStore.codes(s, root, v1))
+    val v2 = IndexStore.append(s, root, inc)
+    val fp2 = fp(IndexStore.codes(s, root, v2))
+    val appendShared =
+      if (v1.files.toSet.subsetOf(v2.files.toSet)) 1 else 0
+    val appendConserved =
+      if (fp2._1 == nNow && v2.nRows == nNow) 1 else 0
+    val v3 = IndexStore.compact(s, root)
+    val c3 = IndexStore.codes(s, root, v3)
+    val fp3 = fp(c3)
+    val occupied = c3.select("cell").distinct().count()
+    val compactOk =
+      if (fp3 == fp2 && v3.files.size <= occupied &&
+          v3.files.toSet.intersect(v2.files.toSet).isEmpty) 1 else 0
+    // the doomed CELL footprint under v3 — what forget may rewrite
+    val doomedCells = c3
+      .join(doomed.select(col("vec_id").as("nn_id")), Seq("nn_id"),
+        "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val expectKept = v3.files.zip(v3.fileCells)
+      .collect { case (p, c) if !doomedCells(c) => p }.toSet
+    val v4 = IndexStore.forget(s, root, doomed)
+    val c4 = IndexStore.codes(s, root, v4)
+    val doomedLeft = c4.join(doomed.select(col("vec_id").as("nn_id")),
+      Seq("nn_id"), "left_semi").count()
+    val fp4 = fp(c4)
+    val forgetOk =
+      if (doomedLeft == 0L && fp4._1 == nNow - nDoomed &&
+          v4.nRows == nNow - nDoomed) 1 else 0
+    val forgetBounded =
+      if (v4.files.toSet.intersect(v3.files.toSet) == expectKept) 1 else 0
+    // snapshot isolation: the pinned v1 reader, after four commits
+    val isoOk =
+      if (fp(IndexStore.codes(s, root,
+        IndexStore.openVersion(s, root, 1L))) == fp1) 1 else 0
+    // probe from the LIVE store (manifest files + round-tripped
+    // models) vs the equivalent in-memory index
+    val live = IndexStore.open(s, root)
+    val queries = emb.filter(col("vec_id") < 10)
+    val nLive = nNow - nDoomed
+    val rr = scaledRerank(nLive)
+    val np = scaledNprobe(nLive, live.cells, rr)
+    val memIdx = {
+      val (cents0, cb0, idx0) = ivfPqIndex(base, scaledCells(nBase))
+      idx0.unionAll(ivfPqAppend(cents0, cb0, inc))
+        .join(doomed.select(col("vec_id").as("nn_id")), Seq("nn_id"),
+          "left_anti")
+    }
+    def probe(idx: DataFrame, cents: Array[Array[Double]],
+              cb: Array[Array[Array[Double]]]) = Checkpoints.scratch(
+      knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
+        residual = false))
+    val probeEq =
+      if (live.cents.isEmpty) 1
+      else {
+        val pStore = probe(IndexStore.codes(s, root, live), live.cents,
+          live.cb)
+        val pMem = probe(memIdx, v1.cents, v1.cb)
+        val nS = pStore.count()
+        val nM = pMem.count()
+        val inter = pStore.join(pMem, Seq("query_id", "nn_id", "rn"),
+          "left_semi").count()
+        if (nS == nM && inter == nS) 1 else 0
+      }
+    // vacuum to the live snapshot: disk == v4's manifest, live intact
+    IndexStore.vacuum(s, root, retainLast = 1)
+    val diskFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/data")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) Set.empty[String]
+      else {
+        val it = f.listFiles(p, true)
+        val out = Set.newBuilder[String]
+        val rootQ = f.makeQualified(
+          new org.apache.hadoop.fs.Path(root)).toString
+        while (it.hasNext) {
+          val pf = it.next().getPath
+          if (pf.getName.startsWith("part-"))
+            out += pf.toString.stripPrefix(rootQ).stripPrefix("/")
+        }
+        out.result()
+      }
+    }
+    val vacuumOk =
+      if (diskFiles == v4.files.toSet &&
+          fp(IndexStore.codes(s, root, IndexStore.open(s, root))) == fp4)
+        1 else 0
+    val liveVersion = IndexStore.versions(s, root).last
+    val opsOk =
+      if ((1L to 4L).map(v =>
+            IndexStore.openVersion(s, root, v).op) ==
+          Seq("build", "append", "compact", "forget")) 1 else 0
+    // probe_ok folds probe equality + isolation + vacuum: the three
+    // reader-facing guarantees of one serving contract
+    val probeOk = if (probeEq == 1 && isoOk == 1 && vacuumOk == 1) 1 else 0
+    row(liveVersion, Seq(opsOk, appendShared, appendConserved,
+      compactOk, forgetOk, forgetBounded, probeOk))
   }
 }

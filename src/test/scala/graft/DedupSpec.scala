@@ -790,6 +790,31 @@ class DedupSpec extends AnyFunSuite {
       s"50/400 concentrated arrivals moved max |delta| only $maxDelta")
   }
 
+  test("rebuild decision: KL margins sit an order from the threshold") {
+    val emb = Tables.embeddings(spark, dir)
+    // steady: KL is IDENTICALLY zero (every floored term cancels)
+    val (c0, d0, r0, kl0) = Similarity.ivfPqReindexDecision(emb, emb)
+    assert((c0, d0, r0) === ((0, 0, 0)))
+    assert(kl0 === 0L)
+    // same-distribution growth (the 7/8-prefix base): drift stays far
+    // BELOW threshold — growth alone must not trip the drift arm
+    val n = emb.count()
+    val base = emb.orderBy("vec_id").limit((n - n / 8).toInt)
+    val (_, dg, _, klG) = Similarity.ivfPqReindexDecision(base, emb)
+    assert(dg === 0, s"healthy growth measured KL=$klG millionths")
+    assert(klG < Similarity.DriftKlThresholdMillionths / 5,
+      s"healthy growth measured KL=$klG millionths")
+    // encoder shift (abs-collapse): counts unchanged -> count arm off;
+    // drift lands far ABOVE threshold
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding"))
+    val (cs, ds, rs, klS) = Similarity.ivfPqReindexDecision(emb, shifted)
+    assert((cs, ds, rs) === ((0, 1, 1)))
+    assert(klS > 2 * Similarity.DriftKlThresholdMillionths,
+      s"encoder shift measured KL=$klS millionths")
+    info(s"calibration: steady=$kl0, growth=$klG, shift=$klS millionths")
+  }
+
   test("cell compaction: file shape collapses, content and probe identical") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-compactSpec").toString
