@@ -676,6 +676,19 @@ object SparkEntry {
     // ivfPqAppend of the same replay, counts SQL-recomputable
     "streamed_ivfpq_ingest" ->
       (graft.streaming.Streaming.streamedIvfPqIngest _),
+    // STREAMED ERASURE: right-to-be-forgotten requests as a stream,
+    // each micro-batch = one bounded IndexStore.forget + one atomic
+    // manifest commit; settled log length SQL-exact, re-drain on the
+    // same checkpoint commits nothing (resume_safe), doomed ids gone,
+    // survivors conserved, live probe still full-k
+    "streamed_forget_gate" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sforget_root_").toString
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_sforget_work_").toString
+      reapAtExit(root); reapAtExit(work)
+      graft.streaming.Streaming.streamedForget(s, dir, root, work)
+    }),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // k-anonymity-style small-cell suppression for published breakdowns
@@ -4159,6 +4172,19 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_emb,
         |  CAST(count(*) AS BIGINT) AS n_stream,
         |  1 AS count_ok, 1 AS rows_ok FROM embeddings""".stripMargin,
+    // streamed erasure: corpus + erasure-set counts and the settled
+    // version-log length (1 build + one forget commit per request
+    // slice) SQL-exact; erasure/conservation/resume/probe flags pinned
+    "streamed_forget_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb,
+        |  CAST(sum(CASE WHEN vec_id % 97 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_doomed
+        |  FROM embeddings)
+        |SELECT n_emb, coalesce(n_doomed, 0) AS n_doomed,
+        |  1 + LEAST(3, coalesce(n_doomed, 0)) AS versions_committed,
+        |  1 AS doomed_gone, 1 AS conserved, 1 AS resume_safe,
+        |  1 AS probe_full_k
+        |FROM n""".stripMargin,
     // refresh capstone recompute, stage by stage: syntheticDelta merge
     // (corpus_refresh's fragment) → fresh-vs-existing bigram Jaccard ≥
     // tau (incremental_neardup's fragment) → per-shard stats over the

@@ -2731,6 +2731,21 @@ object Similarity {
         "recall_ok")
   }
 
+  /** Serve a probe from an EXTERNALLY-HELD index snapshot (the
+    * manifest reader's entry point: [[graft.sources.IndexStore]]
+    * hands over its file-backed code rows + round-tripped models) —
+    * the public form of the internal ADC probe, under caller-chosen
+    * policies. `emb` is the raw-vector table the exact re-rank reads;
+    * at 100 TB that read is a keyed join against the shortlist, never
+    * a corpus scan. */
+  def knnIvfPqServe(emb: DataFrame, index: DataFrame,
+                    cents: Array[Array[Double]],
+                    cb: Array[Array[Array[Double]]],
+                    queries: DataFrame, k: Int, nprobe: Int,
+                    rerank: Int): DataFrame =
+    knnIvfPqWith(emb, index, cents, cb, queries, k, nprobe, rerank,
+      residual = false)
+
   // ---- the serving manifest: snapshot versioning for the store ----
 
   /** SERVING-MANIFEST gate — the atomic "which snapshot is live"

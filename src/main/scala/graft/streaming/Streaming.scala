@@ -267,6 +267,107 @@ object Streaming {
       .toDF("n_emb", "n_stream", "count_ok", "rows_ok")
   }
 
+  /** STREAMED ERASURE — the one lifecycle mutation the streaming
+    * family didn't cover: right-to-be-forgotten requests arrive as a
+    * STREAM and tombstone their ids out of the LIVE stored index. Each
+    * micro-batch drives [[graft.sources.IndexStore.forget]] through
+    * `foreachBatch` — the store's bounded rewrite (only the cells
+    * holding doomed rows) plus one atomic manifest commit per batch,
+    * so readers always probe a consistent snapshot: every id is either
+    * fully present or fully gone, never mid-delete.
+    *
+    * Replay correctness is IDEMPOTENCE, not dedup state: a batch
+    * replayed after a kill re-forgets already-absent ids, which
+    * touches no cell and commits a content-identical snapshot (the
+    * IndexStoreSpec-pinned contract) — so the sink needs NO state
+    * store and no batch-id bookkeeping. StreamingSpec drives the
+    * actual kill: stop mid-stream, resume from the checkpoint, settle,
+    * and the live snapshot equals the batch forget of the same ids.
+    *
+    * Evidence shape (this gate): build publishes v1 batch-side; the
+    * erasure set (`vec_id % 97 == 0`) lands as min(3, n_doomed)
+    * single-slice request files streamed one per micro-batch
+    * (`maxFilesPerTrigger = 1`), so the settled log holds exactly
+    * 1 + min(3, n_doomed) versions — SQL-exact. Then the same stream
+    * restarts on the SAME checkpoint: AvailableNow finds nothing
+    * unprocessed and commits NOTHING (`resume_safe`) — the settled-
+    * state half of the kill-resume contract, in the gate itself.
+    * Flags: `doomed_gone` (zero erased ids in the live snapshot),
+    * `conserved` (survivor count exact), `resume_safe`, and
+    * `probe_full_k` (the live store still serves complete result
+    * lists under the shipped policies). */
+  def streamedForget(s: SparkSession, dir: String, root: String,
+                     work: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    import graft.sources.{IndexStore, Tables}
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    val doomedIds = emb.filter(col("vec_id") % 97 === 0)
+      .select("vec_id").orderBy("vec_id").as[Long].collect()
+    val nDoomed = doomedIds.length.toLong
+    val slices = math.min(3L, nDoomed)
+    def row(f: (Int, Int, Int, Int)) =
+      Seq((n, nDoomed, 1L + slices, f._1, f._2, f._3, f._4))
+        .toDF("n_emb", "n_doomed", "versions_committed", "doomed_gone",
+          "conserved", "resume_safe", "probe_full_k")
+    if (n == 0L) return row((1, 1, 1, 1))
+    val v1 = IndexStore.build(s, root, emb)
+    if (v1.cents.isEmpty || nDoomed == 0L) return row((1, 1, 1, 1))
+    // the erasure requests, as min(3, n) slice files — one micro-batch
+    // each under maxFilesPerTrigger = 1
+    val reqDir = s"$work/requests"
+    (0 until slices.toInt).foreach { i =>
+      doomedIds.zipWithIndex
+        .collect { case (id, idx) if idx % slices == i => id }
+        .toSeq.toDF("vec_id")
+        .coalesce(1).write.mode("append").parquet(reqDir)
+    }
+    def drain(): Unit = {
+      val q = s.readStream
+        .schema("vec_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(reqDir)
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) { IndexStore.forget(s, root, b); () }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val settledVersions = IndexStore.versions(s, root)
+    // restart on the same checkpoint: nothing unprocessed, nothing
+    // committed — the settled-state half of kill-resume
+    drain()
+    val resumeSafe =
+      if (IndexStore.versions(s, root) == settledVersions) 1 else 0
+    val live = IndexStore.open(s, root)
+    val codes = IndexStore.codes(s, root, live)
+    val a = codes.agg(count(lit(1)),
+      coalesce(sum((col("nn_id") % 97 === 0).cast("long")), lit(0L)))
+      .head()
+    val doomedGone = if (a.getLong(1) == 0L) 1 else 0
+    val nLive = n - nDoomed
+    val conserved =
+      if (a.getLong(0) == nLive && live.nRows == nLive) 1 else 0
+    val queries = emb.filter(col("vec_id") < 10)
+    val nq = queries.count()
+    val rr = Similarity.scaledRerank(nLive)
+    val np = Similarity.scaledNprobe(nLive, live.cells, rr)
+    val ann = Similarity.knnIvfPqServe(emb, codes, live.cents, live.cb,
+      queries, k, np, rr)
+    // a surviving query can match nLive-1 others, an erased one nLive
+    val kEff = math.min(k.toLong, math.max(nLive - 1, 0L))
+    val nAnn = ann.count()
+    val fullK = if (nAnn >= nq * kEff && nAnn <= nq * k) 1 else 0
+    row((doomedGone, conserved,
+      if (versionsOk(settledVersions, slices)) resumeSafe else 0, fullK))
+  }
+
+  private def versionsOk(vs: Seq[Long], slices: Long): Boolean =
+    vs == (1L to (1L + slices))
+
   /** Streaming dedup against the HISTORICAL corpus — the ingest-time
     * complement of [[dedupStream]]'s in-stream suppression: newly crawled
     * documents stream in and are dropped when their content hash already

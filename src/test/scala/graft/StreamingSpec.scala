@@ -286,6 +286,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(settled.nonEmpty)
   }
 
+  test("streamed erasure survives a kill: resume settles to the batch forget") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    import graft.sources.{IndexStore, Tables}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sforget-ckpt").toString
+    val (root, reqDir, ckpt) = (s"$tmp/store", s"$tmp/req", s"$tmp/ckpt")
+    IndexStore.build(spark, root, emb)
+    // one request file PER doomed id → one forget commit per batch,
+    // so the kill lands between manifest commits
+    val doomed = emb.filter(col("vec_id") % 97 === 0)
+      .select("vec_id").as[Long].collect().sorted
+    assert(doomed.length >= 3)
+    doomed.foreach { id =>
+      Seq(id).toDF("vec_id").coalesce(1).write.mode("append")
+        .parquet(reqDir)
+    }
+    // side counter of PROCESSED batches per run: the numInputRows
+    // metric double-counts here (foreachBatch re-scans its source —
+    // isEmpty plus forget's own reads), so it can't prove resumption
+    val processed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def sink() = spark.readStream.schema("vec_id LONG")
+      .option("maxFilesPerTrigger", 1).parquet(reqDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          IndexStore.forget(spark, root, b)
+          processed.incrementAndGet()
+          ()
+        }
+      }
+    val q1 = sink().start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (processed.get() < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    q1.awaitTermination()
+    val run1 = processed.get()
+    assert(run1 >= 2, s"only $run1 batches before the kill")
+    // resume from the checkpoint and drain what's left
+    processed.set(0)
+    val q2 = sink().trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // at most one in-flight batch replays (its offset was written but
+    // not committed at the kill); a cold restart would redo all of them
+    assert(processed.get() <= doomed.length - run1 + 1,
+      s"restart reprocessed ${processed.get()} of ${doomed.length}")
+    // the settled live snapshot equals the BATCH forget of the same
+    // ids: zero doomed rows, exact survivor count, content equal to
+    // the anti-joined in-memory index under the same frozen models
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val live = IndexStore.open(spark, root)
+    val codes = IndexStore.codes(spark, root, live)
+    assert(codes.filter(col("nn_id") % 97 === 0).count() === 0L)
+    val (_, _, memIdx) =
+      Similarity.ivfPqIndex(emb, Similarity.scaledCells(n))
+    val batchForget = Similarity.ivfPqForget(memIdx,
+      doomed.toSeq.toDF("vec_id"))
+    assert(fp(codes) === fp(batchForget))
+    assert(live.nRows === n - doomed.length)
+  }
+
   test("streamed sessions: settled = exactly the watermark-closed batch sessions") {
     import graft.operators.EventAnalytics
     import graft.sources.Tables
