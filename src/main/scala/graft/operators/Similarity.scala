@@ -2660,13 +2660,26 @@ object Similarity {
     * broadcast for bounded filters, a keyed shuffle for corpus-scale
     * ones — never a scan of unfiltered codes downstream.
     *
-    * Probe parameters derive from the FILTERED count: per-cell
-    * candidate mass shrinks by the filter's selectivity, so
-    * [[scaledNprobe]]'s candidate-mass rule (applied to n_filtered)
-    * widens nprobe to keep the expected mass covering the shortlist —
-    * the recall lever [[knnIvfPqFilteredGate]] measures. Result rows
-    * are a subset of the allowed set by construction (the re-rank
-    * fetches only shortlisted — already filtered — ids). */
+    * Probe parameters derive from the FILTER'S CELL PROFILE, not just
+    * its global count: the filtered index aggregates to per-cell
+    * filtered counts (≤ cells rows, driver-bounded — the same scan
+    * that sizes the probe), and nprobe widens from the ROBUST per-cell
+    * mass ρ·median (ρ = occupied fraction, median over occupied
+    * cells) instead of the mean nF/cells. Under a skewed filter
+    * (all-German vectors concentrated in few cells) the mean
+    * over-states what a proximity-ordered probe will actually find —
+    * most probed cells hold NOTHING of the filter — while ρ·median
+    * prices exactly that: few occupied cells → small ρ → wide probe.
+    * Widening is nearly free here BECAUSE the semi-join already ran:
+    * probing a cell with zero filtered rows contributes zero ADC rows
+    * — the candidate volume stays bounded by the filtered set
+    * regardless of nprobe. The filtered index is scratch-materialized
+    * ONCE (the profile aggregate and the ADC join both read the
+    * materialized rows — the filter derivation never re-runs).
+    *
+    * Result rows are a subset of the allowed set by construction (the
+    * re-rank fetches only shortlisted — already filtered — ids);
+    * [[knnIvfPqFilteredGate]] measures the recall lever. */
   def knnIvfPqFiltered(emb: DataFrame, allowed: DataFrame,
                        queries: DataFrame, k: Int,
                        residual: Boolean = false): DataFrame = {
@@ -2678,12 +2691,32 @@ object Similarity {
       import s.implicits._
       return Seq.empty[(Long, Long, Int)].toDF("query_id", "nn_id", "rn")
     }
-    val fIndex = index.join(allowed.select(col("vec_id").as("nn_id")),
-      Seq("nn_id"), "left_semi")
-    val nF = fIndex.count()
+    val fIndex = Checkpoints.scratch(
+      index.join(allowed.select(col("vec_id").as("nn_id")),
+        Seq("nn_id"), "left_semi"))
+    // the filter's cell profile: one ≤cells-row aggregate
+    val profile = fIndex.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1)).sorted
+    val nF = profile.sum
     val rr = scaledRerank(nF)
-    val np = scaledNprobe(nF, cells, rr)
+    val np = filteredNprobe(profile, cells, rr)
     knnIvfPqWith(emb, fIndex, cents, cb, queries, k, np, rr, residual)
+  }
+
+  /** Skew-robust probe width from a filter's per-cell count profile
+    * (ascending counts of OCCUPIED cells): expected usable mass per
+    * probed cell is ρ·median — occupancy fraction times the robust
+    * per-occupied-cell mass — so nprobe = ⌈12·rerank / (ρ·median)⌉
+    * clamped to [8, cells]. Collapses to [[scaledNprobe]]'s
+    * mean-mass rule for a uniform filter; widens under concentration
+    * (few occupied cells, or a long thin tail). */
+  private[operators] def filteredNprobe(profile: Array[Long],
+                                        cells: Int, rerank: Int): Int = {
+    if (profile.isEmpty) return math.min(8, cells)
+    val median = profile(profile.length / 2).toDouble
+    val rho = profile.length.toDouble / cells
+    math.min(cells, math.max(8,
+      math.ceil(12.0 * rerank / math.max(rho * median, 1e-9)).toInt))
   }
 
   /** Hash-checked gate for [[knnIvfPqFiltered]] (filter: docs with
@@ -2700,10 +2733,13 @@ object Similarity {
     import s.implicits._
     import graft.sources.Tables
     val emb = Tables.embeddings(s, dir)
-    val allowed = Tables.documents(s, dir)
+    // the filter id-set derives ONCE (scratch-materialized): the probe,
+    // the subset audit and the filtered brute-force baseline all read
+    // the same materialized set — no repeated documents-table scans
+    val allowed = Checkpoints.scratch(Tables.documents(s, dir)
       .filter(col("lang") === lang)
       .select(col("doc_id").as("vec_id"))
-      .join(emb.select("vec_id"), Seq("vec_id"), "left_semi")
+      .join(emb.select("vec_id"), Seq("vec_id"), "left_semi"))
     val queries = emb.filter(col("vec_id") < 10)
     val nEmb = emb.count()
     val nAllowed = allowed.count()
