@@ -689,6 +689,19 @@ object SparkEntry {
       reapAtExit(root); reapAtExit(work)
       graft.streaming.Streaming.streamedForget(s, dir, root, work)
     }),
+    // STREAMED INGEST through the manifest: each micro-batch is one
+    // transactional IndexStore.append (txn-stamped — a replayed batch
+    // at/below the committed watermark is skipped, never duplicated);
+    // settled log length SQL-exact, live content == batch append,
+    // conservation, re-drain no-op, full-k probe
+    "streamed_append_store" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sappend_root_").toString
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_sappend_work_").toString
+      reapAtExit(root); reapAtExit(work)
+      graft.streaming.Streaming.streamedAppendStore(s, dir, root, work)
+    }),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // k-anonymity-style small-cell suppression for published breakdowns
@@ -4183,6 +4196,19 @@ object SparkEntry {
         |SELECT n_emb, coalesce(n_doomed, 0) AS n_doomed,
         |  1 + LEAST(3, coalesce(n_doomed, 0)) AS versions_committed,
         |  1 AS doomed_gone, 1 AS conserved, 1 AS resume_safe,
+        |  1 AS probe_full_k
+        |FROM n""".stripMargin,
+    // streamed transactional ingest: corpus/prefix-split counts and
+    // the settled version-log length (1 build + one append commit per
+    // arrival slice) SQL-exact; content/conservation/resume/probe
+    // flags pinned
+    "streamed_append_store" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
+        |           FROM embeddings)
+        |SELECT n_emb, n_emb - n_emb // 8 AS n_base,
+        |  n_emb // 8 AS n_inc,
+        |  1 + LEAST(3, n_emb // 8) AS versions_committed,
+        |  1 AS content_match, 1 AS conserved, 1 AS resume_safe,
         |  1 AS probe_full_k
         |FROM n""".stripMargin,
     // refresh capstone recompute, stage by stage: syntheticDelta merge

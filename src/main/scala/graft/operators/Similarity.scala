@@ -2858,7 +2858,9 @@ object Similarity {
     val appendConserved =
       if (fp2._1 == nNow && v2.nRows == nNow) 1 else 0
     val v3 = IndexStore.compact(s, root)
-    val c3 = IndexStore.codes(s, root, v3)
+    // scratch each audited snapshot ONCE: three audits on a lazy read
+    // would re-open every snapshot file per action
+    val c3 = Checkpoints.scratch(IndexStore.codes(s, root, v3))
     val fp3 = fp(c3)
     val occupied = c3.select("cell").distinct().count()
     val compactOk =
@@ -2872,7 +2874,7 @@ object Similarity {
     val expectKept = v3.files.zip(v3.fileCells)
       .collect { case (p, c) if !doomedCells(c) => p }.toSet
     val v4 = IndexStore.forget(s, root, doomed)
-    val c4 = IndexStore.codes(s, root, v4)
+    val c4 = Checkpoints.scratch(IndexStore.codes(s, root, v4))
     val doomedLeft = c4.join(doomed.select(col("vec_id").as("nn_id")),
       Seq("nn_id"), "left_semi").count()
     val fp4 = fp(c4)
@@ -2905,8 +2907,8 @@ object Similarity {
     val probeEq =
       if (live.cents.isEmpty) 1
       else {
-        val pStore = probe(IndexStore.codes(s, root, live), live.cents,
-          live.cb)
+        // live == v4 here: probe the already-materialized snapshot
+        val pStore = probe(c4, live.cents, live.cb)
         val pMem = probe(memIdx, v1.cents, v1.cb)
         val nS = pStore.count()
         val nM = pMem.count()

@@ -170,13 +170,16 @@ object IndexStore {
     * concurrent writer won the version (caller re-opens and retries). */
   private def commit(s: SparkSession, root: String, v: Long, op: String,
                      modelGen: Long, modelDir: String, nRows: Long,
-                     cells: Int, files: Seq[(String, Int)]): Boolean = {
+                     cells: Int, files: Seq[(String, Int)],
+                     txn: Option[(String, Long)] = None): Boolean = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/log"))
     val body = new StringBuilder()
     body ++= s"version=$v\nop=$op\nmodel_gen=$modelGen\n"
     body ++= s"model_dir=$modelDir\n"
     body ++= s"n_rows=$nRows\ncells=$cells\n"
+    txn.foreach { case (app, tv) =>
+      body ++= s"txn_app=$app\ntxn_version=$tv\n" }
     files.foreach { case (p, c) => body ++= s"file=$c\t$p\n" }
     val tmp = new Path(
       s"$root/log/.tmp-${vName(v)}-${java.util.UUID.randomUUID()}")
@@ -190,8 +193,15 @@ object IndexStore {
     won
   }
 
-  private def parseManifest(s: SparkSession, root: String,
-                            p: Path): Snapshot = {
+  /** Lightweight manifest record — everything in the log file, models
+    * NOT loaded (txn scans and vacuum read many manifests and need no
+    * models). */
+  private case class Meta(version: Long, op: String, modelGen: Long,
+                          modelDir: String, nRows: Long, cells: Int,
+                          files: Seq[(String, Int)],
+                          txn: Option[(String, Long)])
+
+  private def parseMeta(s: SparkSession, root: String, p: Path): Meta = {
     val f = fs(s, root)
     val in = f.open(p)
     val text = try {
@@ -214,11 +224,33 @@ object IndexStore {
       }
     }
     val fl = files.result()
-    val gen = kv("model_gen").toLong
-    val (cents, cb) = readModels(s, root, kv("model_dir"))
-    Snapshot(kv("version").toLong, kv("op"), gen, kv("model_dir"),
-      kv("n_rows").toLong, kv("cells").toInt, fl.map(_._1),
-      fl.map(_._2), cents, cb)
+    Meta(kv("version").toLong, kv("op"), kv("model_gen").toLong,
+      kv("model_dir"), kv("n_rows").toLong, kv("cells").toInt, fl,
+      for { a <- kv.get("txn_app"); tv <- kv.get("txn_version") }
+        yield (a, tv.toLong))
+  }
+
+  private def metaOf(s: SparkSession, root: String, v: Long): Meta =
+    parseMeta(s, root, new Path(s"$root/log/${vName(v)}.commit"))
+
+  private def snapOf(s: SparkSession, root: String, m: Meta): Snapshot = {
+    val (cents, cb) = readModels(s, root, m.modelDir)
+    Snapshot(m.version, m.op, m.modelGen, m.modelDir, m.nRows, m.cells,
+      m.files.map(_._1), m.files.map(_._2), cents, cb)
+  }
+
+  /** Highest committed writer-transaction version for `appId`, or None
+    * — the idempotent-sink lookup (Delta's txnAppId/txnVersion
+    * pattern): a streaming writer stamps each commit with its
+    * micro-batch id and skips batches at or below this watermark on
+    * replay. A text scan of the log only; no models load. */
+  def lastTxnVersion(s: SparkSession, root: String,
+                     appId: String): Option[Long] = {
+    val txs = versions(s, root)
+      .map(v => metaOf(s, root, v))
+      .flatMap(_.txn)
+      .collect { case (a, tv) if a == appId => tv }
+    if (txs.isEmpty) None else Some(txs.max)
   }
 
   /** All committed versions, ascending (never rewritten → a reader's
@@ -241,7 +273,7 @@ object IndexStore {
   /** A pinned historical snapshot (time travel) — consistent as long
     * as [[vacuum]]'s retention covers it. */
   def openVersion(s: SparkSession, root: String, v: Long): Snapshot =
-    parseManifest(s, root, new Path(s"$root/log/${vName(v)}.commit"))
+    snapOf(s, root, metaOf(s, root, v))
 
   /** The snapshot's code rows — exactly its manifest's files, read as
     * leaf files (each file's parent is its own base path, so no
@@ -284,7 +316,15 @@ object IndexStore {
   /** Partition-append an increment under the live snapshot's FROZEN
     * models: writes ONLY the increment's files; the parent's file list
     * is inherited by reference — zero data rewrite. */
-  def append(s: SparkSession, root: String, newEmb: DataFrame): Snapshot = {
+  def append(s: SparkSession, root: String, newEmb: DataFrame,
+             txn: Option[(String, Long)] = None): Snapshot = {
+    // idempotent-sink guard: a replayed micro-batch (same appId, batch
+    // version <= the committed watermark) must NOT re-append — append
+    // duplicates rows where forget's replay was naturally idempotent
+    txn.foreach { case (app, tv) =>
+      if (lastTxnVersion(s, root, app).exists(tv <= _))
+        return open(s, root)
+    }
     val snap = open(s, root)
     val v = snap.version + 1
     val rows = Similarity.ivfPqAppend(snap.cents, snap.cb, newEmb)
@@ -292,7 +332,7 @@ object IndexStore {
     val newFiles = writeEpisode(s, root, v, rows)
     require(commit(s, root, v, "append", snap.modelGen, snap.modelDir,
       snap.nRows + nNew, snap.cells,
-      snap.files.zip(snap.fileCells) ++ newFiles),
+      snap.files.zip(snap.fileCells) ++ newFiles, txn),
       s"concurrent commit of ${vName(v)} at $root")
     openVersion(s, root, v)
   }
@@ -324,10 +364,13 @@ object IndexStore {
     val v = snap.version + 1
     val all = codes(s, root, snap)
     val del = deletedIds.select(col("vec_id").as("nn_id")).distinct()
-    // the doomed CELL set: driver-bounded (≤ cells rows)
-    val doomedCells = all.join(del, Seq("nn_id"), "left_semi")
-      .select("cell").distinct().collect().map(_.getInt(0)).toSet
-    val nDel = all.join(del, Seq("nn_id"), "left_semi").count()
+    // doomed count + doomed CELL set in ONE pass over the store (the
+    // cell set is ≤ cells ints — driver-bounded): a second action
+    // here would re-open every snapshot file
+    val hit = all.join(del, Seq("nn_id"), "left_semi")
+      .agg(count(lit(1)), collect_set(col("cell"))).head()
+    val nDel = hit.getLong(0)
+    val doomedCells = hit.getSeq[Int](1).toSet
     val keptFiles = snap.files.zip(snap.fileCells)
       .filterNot { case (_, c) => doomedCells(c) }
     val rewritten =
@@ -363,28 +406,44 @@ object IndexStore {
     * retained version serves. Log files are never deleted (they are
     * the history; bytes are trivial). Pinned readers older than the
     * retention window break — the documented contract, same as any
-    * table format. Returns (files removed, model gens removed). */
+    * table format. Returns (data entries removed — one per whole
+    * episode dir or stray file, model gens removed). */
   def vacuum(s: SparkSession, root: String,
              retainLast: Int = 2): (Long, Long) = {
     val f = fs(s, root)
     val vs = versions(s, root)
     val retained = vs.takeRight(math.max(retainLast, 1))
-      .map(v => openVersion(s, root, v))
-    val liveFiles = retained.flatMap(_.files).toSet
+      .map(v => metaOf(s, root, v))
+    val liveFiles = retained.flatMap(_.files.map(_._1)).toSet
     val liveModelDirs = retained.map(_.modelDir).toSet
     var removedF = 0L
     val dataRoot = new Path(s"$root/data")
     if (f.exists(dataRoot)) {
-      val it = f.listFiles(dataRoot, true)
-      val doomed = Seq.newBuilder[Path]
-      while (it.hasNext) {
-        val p = it.next().getPath
-        val rel = p.toString.stripPrefix(
-          f.makeQualified(new Path(root)).toString).stripPrefix("/")
-        if (p.getName.startsWith("part-") && !liveFiles(rel)) doomed += p
-      }
-      doomed.result().foreach { p =>
-        if (f.delete(p, false)) removedF += 1
+      val rootQ = f.makeQualified(new Path(root)).toString
+      // fully-unreferenced episode dirs are decided from the MANIFESTS
+      // alone and removed with one recursive delete each — never
+      // listed (a flat list-then-delete sweep measured ~10 s at the
+      // 10× stress purely on small-file stat/unlink round trips);
+      // only episodes some retained snapshot still references get a
+      // per-file pass
+      val liveEpisodes = liveFiles.map(_.split('/').take(2).mkString("/"))
+      f.listStatus(dataRoot).foreach { ep =>
+        val epRel = s"data/${ep.getPath.getName}"
+        if (!liveEpisodes(epRel)) {
+          if (f.delete(ep.getPath, true)) removedF += 1
+        } else {
+          val it = f.listFiles(ep.getPath, true)
+          val doomed = Seq.newBuilder[Path]
+          while (it.hasNext) {
+            val p = it.next().getPath
+            val rel = p.toString.stripPrefix(rootQ).stripPrefix("/")
+            if (p.getName.startsWith("part-") && !liveFiles(rel))
+              doomed += p
+          }
+          doomed.result().foreach { p =>
+            if (f.delete(p, false)) removedF += 1
+          }
+        }
       }
     }
     var removedG = 0L

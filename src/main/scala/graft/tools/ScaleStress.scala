@@ -402,7 +402,35 @@ object ScaleStress {
       // ONE living artifact; the composition must cost ~the sum of
       // its measured stages, not multiply them
       timed("graph_lifecycle") {
-        Similarity.graphLifecycleGate(spark, outDir) }
+        Similarity.graphLifecycleGate(spark, outDir) },
+      // r15: the SERVING MANIFEST lifecycle — build v1 → append the
+      // 1/8 increment → compact → forget → vacuum through the
+      // version-log store, plus the gate's isolation/probe/vacuum
+      // audits. The data plane is ivfpq_append + ivfpq_compact's
+      // measured write classes; this row prices the manifest's
+      // metadata overhead (file listings, commit renames, per-episode
+      // fingerprints) on top — it must stay write-throughput-bound,
+      // never file-count-bound
+      {
+        if (only.isEmpty || only.contains("index_manifest")) {
+          val root = new java.io.File(s"$outDir/manifest_stress")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          if (root.exists()) rm(root)
+          timed("index_manifest") {
+            Similarity.indexManifestGate(spark, outDir, root.toString) }
+        } else ("index_manifest", 0.0, -1L)
+      },
+      // r15: the composed rebuild decision (count arm + drift arm) on
+      // the steady and encoder-shifted scenarios — one lens train on
+      // the full corpus (cached across the two decisions) + four
+      // scan-fused assignment passes into ≤C-row aggregates; the
+      // N·C ~ N^1.5 exact-assignment class embedding_drift already
+      // measures, with the shifted pass on top
+      timed("reindex_drift") {
+        Similarity.ivfPqReindexDriftGate(spark, outDir) }
     )
     val qs = results.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")

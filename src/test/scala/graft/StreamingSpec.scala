@@ -357,6 +357,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.nRows === n - doomed.length)
   }
 
+  test("streamed append survives a kill without duplicating: txn watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    import graft.sources.{IndexStore, Tables}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nBase = n - n / 8
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sappend-ckpt").toString
+    val (root, reqDir, ckpt) = (s"$tmp/store", s"$tmp/req", s"$tmp/ckpt")
+    val thr = Similarity.prefixThreshold(emb, nBase)
+    val base = emb.filter(col("vec_id") <= thr)
+    val inc = emb.filter(col("vec_id") > thr)
+    IndexStore.build(spark, root, base)
+    // ~6 single-slice arrival files → one append commit per batch
+    val nInc = inc.count()
+    val cuts = (1L until 6L).map(i =>
+      Similarity.prefixThreshold(inc, i * nInc / 6))
+    (Seq(thr) ++ cuts :+ Long.MaxValue).sliding(2).foreach { b =>
+      inc.filter(col("vec_id") > b.head && col("vec_id") <= b(1))
+        .coalesce(1).write.mode("append").parquet(reqDir)
+    }
+    val processed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def sink() = spark.readStream
+      .schema(spark.read.parquet(s"$dir/embeddings.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(reqDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          IndexStore.append(spark, root, b,
+            txn = Some(("graft_stream_append", id)))
+          processed.incrementAndGet()
+          ()
+        }
+      }
+    val q1 = sink().start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (processed.get() < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    q1.awaitTermination()
+    assert(processed.get() >= 2)
+    val q2 = sink().trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // settled: exactly the corpus, NO duplicate from any replayed batch
+    val live = IndexStore.open(spark, root)
+    val codes = IndexStore.codes(spark, root, live)
+    assert(codes.count() === n)
+    assert(live.nRows === n)
+    assert(codes.select("nn_id").distinct().count() === n)
+    // the committed-but-unacknowledged window, forced directly: replay
+    // an ALREADY-COMMITTED txn version — the append must be a no-op
+    // (an unstamped sink double-ingests exactly here)
+    val lastTxn = IndexStore
+      .lastTxnVersion(spark, root, "graft_stream_append").get
+    val before = live.version
+    val replayed = IndexStore.append(spark, root, inc.limit(5),
+      txn = Some(("graft_stream_append", lastTxn)))
+    assert(replayed.version === before)
+    assert(IndexStore.codes(spark, root,
+      IndexStore.open(spark, root)).count() === n)
+    // and a FRESH txn version does append
+    val v2 = IndexStore.append(spark, root,
+      emb.filter(col("vec_id") === thr).select("vec_id", "embedding")
+        .withColumn("vec_id", col("vec_id") + 10000000L),
+      txn = Some(("graft_stream_append", lastTxn + 1)))
+    assert(v2.version === before + 1)
+    assert(v2.nRows === n + 1)
+  }
+
   test("streamed sessions: settled = exactly the watermark-closed batch sessions") {
     import graft.operators.EventAnalytics
     import graft.sources.Tables
