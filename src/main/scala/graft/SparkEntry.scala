@@ -3332,7 +3332,7 @@ object SparkEntry {
         |  CAST(4 AS BIGINT) AS live_version,
         |  1 AS ops_ok, 1 AS append_shared, 1 AS append_conserved,
         |  1 AS compact_ok, 1 AS forget_ok, 1 AS forget_bounded,
-        |  1 AS probe_ok
+        |  1 AS probe_ok, 1 AS pruned_probe_ok
         |FROM n""".stripMargin,
     // compaction gate: counts + the cell-count policy SQL-exact,
     // file-shape/content/probe flags pinned 1

@@ -2767,6 +2767,23 @@ object Similarity {
         "recall_ok")
   }
 
+  /** The DISTINCT cell set a probe of `queries` at width `nprobe`
+    * will touch, computed by the SAME expression the probe plan uses
+    * (identical struct sort + slice — no driver re-derivation whose
+    * tie-breaking could diverge): the manifest reader's pruning input
+    * ([[graft.sources.IndexStore.codesForCells]] opens exactly these
+    * cells' files). Driver-bounded: ≤ nq·nprobe ids. */
+  def probeCellSet(cents: Array[Array[Double]], queries: DataFrame,
+                   nprobe: Int): Set[Int] = {
+    val probeStructs = centDotStructs(
+      toDoubleVec(col("embedding")), cents)
+    queries
+      .select(explode(slice(reverse(array_sort(probeStructs)), 1,
+        nprobe)).as("probe"))
+      .select(col("probe.cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+  }
+
   /** Serve a probe from an EXTERNALLY-HELD index snapshot (the
     * manifest reader's entry point: [[graft.sources.IndexStore]]
     * hands over its file-backed code rows + round-tripped models) —
@@ -2832,10 +2849,10 @@ object Similarity {
     val nDoomed = doomed.count()
     def row(liveV: Long, f: Seq[Int]) =
       Seq((nNow, nBase, nInc, nDoomed, liveV, f(0), f(1), f(2), f(3),
-        f(4), f(5), f(6)))
+        f(4), f(5), f(6), f(7)))
         .toDF("n_emb", "n_base", "n_inc", "n_doomed", "live_version",
           "ops_ok", "append_shared", "append_conserved", "compact_ok",
-          "forget_ok", "forget_bounded", "probe_ok")
+          "forget_ok", "forget_bounded", "probe_ok", "pruned_probe_ok")
     val thr = prefixThreshold(emb, nBase)
     val base = emb.filter(col("vec_id") <= thr)
     val inc = emb.filter(col("vec_id") > thr)
@@ -2843,7 +2860,7 @@ object Similarity {
     // degenerate-model corpora (too small to train): the mutations
     // below would conserve nothing real — vacuous flags, the
     // ivfPqStoreGate convention
-    if (v1.cents.isEmpty && nNow > 0) return row(4L, Seq.fill(7)(1))
+    if (v1.cents.isEmpty && nNow > 0) return row(4L, Seq.fill(8)(1))
     def fp(df: DataFrame): (Long, String) = {
       val r = df.agg(count(lit(1)),
         sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
@@ -2904,8 +2921,8 @@ object Similarity {
               cb: Array[Array[Array[Double]]]) = Checkpoints.scratch(
       knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
         residual = false))
-    val probeEq =
-      if (live.cents.isEmpty) 1
+    val (probeEq, prunedOk) =
+      if (live.cents.isEmpty) (1, 1)
       else {
         // live == v4 here: probe the already-materialized snapshot
         val pStore = probe(c4, live.cents, live.cb)
@@ -2914,7 +2931,26 @@ object Similarity {
         val nM = pMem.count()
         val inter = pStore.join(pMem, Seq("query_id", "nn_id", "rn"),
           "left_semi").count()
-        if (nS == nM && inter == nS) 1 else 0
+        // the manifest's data-skipping contract end-to-end: a probe
+        // served from ONLY its probed cells' files (per-file cell from
+        // the manifest — no directory listing, no full-snapshot read)
+        // row-equals the full-snapshot probe, and opened strictly
+        // fewer files whenever the probe touches fewer cells than the
+        // snapshot occupies
+        val wanted = probeCellSet(live.cents, queries, np)
+        val picked = live.fileCells.count(wanted)
+        val pPruned = probe(
+          IndexStore.codesForCells(s, root, live, wanted),
+          live.cents, live.cb)
+        val nP = pPruned.count()
+        val interP = pPruned.join(pStore, Seq("query_id", "nn_id", "rn"),
+          "left_semi").count()
+        val occupiedCells = live.fileCells.distinct.size
+        val fewer =
+          if (wanted.size < occupiedCells) picked < live.files.size
+          else picked <= live.files.size
+        ((if (nS == nM && inter == nS) 1 else 0),
+          (if (nP == nS && interP == nP && fewer) 1 else 0))
       }
     // vacuum to the live snapshot: disk == v4's manifest, live intact
     IndexStore.vacuum(s, root, retainLast = 1)
@@ -2948,6 +2984,6 @@ object Similarity {
     // reader-facing guarantees of one serving contract
     val probeOk = if (probeEq == 1 && isoOk == 1 && vacuumOk == 1) 1 else 0
     row(liveVersion, Seq(opsOk, appendShared, appendConserved,
-      compactOk, forgetOk, forgetBounded, probeOk))
+      compactOk, forgetOk, forgetBounded, probeOk, prunedOk))
   }
 }
