@@ -2673,9 +2673,12 @@ object Similarity {
     * Widening is nearly free here BECAUSE the semi-join already ran:
     * probing a cell with zero filtered rows contributes zero ADC rows
     * — the candidate volume stays bounded by the filtered set
-    * regardless of nprobe. The filtered index is scratch-materialized
-    * ONCE (the profile aggregate and the ADC join both read the
-    * materialized rows — the filter derivation never re-runs).
+    * regardless of nprobe. The allowed-ID SET scratch-materializes
+    * ONCE (its derivation — at scale a predicate over the metadata
+    * table — never re-runs), while the semi-join itself stays IN the
+    * probe plan: PlanSpec pins it structurally below the cell-keyed
+    * ADC join, and both the profile aggregate and the probe evaluate
+    * it over the registry-cached index and the materialized id set.
     *
     * Result rows are a subset of the allowed set by construction (the
     * re-rank fetches only shortlisted — already filtered — ids);
@@ -2691,9 +2694,9 @@ object Similarity {
       import s.implicits._
       return Seq.empty[(Long, Long, Int)].toDF("query_id", "nn_id", "rn")
     }
-    val fIndex = Checkpoints.scratch(
-      index.join(allowed.select(col("vec_id").as("nn_id")),
-        Seq("nn_id"), "left_semi"))
+    val allowedIds = Checkpoints.scratch(
+      allowed.select(col("vec_id").as("nn_id")))
+    val fIndex = index.join(allowedIds, Seq("nn_id"), "left_semi")
     // the filter's cell profile: one ≤cells-row aggregate
     val profile = fIndex.groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(1)).sorted
