@@ -472,6 +472,16 @@ object SparkEntry {
       reapAtExit(tmp)
       Similarity.indexManifestGate(s, dir, tmp)
     }),
+    // drift-fired rebuild THROUGH the store: the decision's drift arm
+    // fires on the re-encoded corpus (count arm provably silent), the
+    // action is an atomic new-model-generation commit; old pinned
+    // readers keep their generation, the new one re-gates recall
+    "manifest_rebuild_gate" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfrebuild_").toString
+      reapAtExit(tmp)
+      Similarity.manifestRebuildGate(s, dir, tmp)
+    }),
     // the GRAPH lifecycle capstone: base build -> real append descent
     // -> forget from the artifact the append just produced (tombstone
     // + bounded repair, never a rebuild) -> shape + recall re-gate,
@@ -3346,6 +3356,16 @@ object SparkEntry {
         |    LEAST(CAST(ceil(4*sqrt(n_emb)) AS BIGINT), n_emb // 32)))
         |    AS INTEGER) AS cells,
         |  1 AS files_reduced, 1 AS content_match, 1 AS probe_match
+        |FROM n""".stripMargin,
+    // drift-fired rebuild through the store: counts SQL-exact, the
+    // count arm provably 0 (same size), drift/generation/isolation/
+    // recall flags pinned
+    "manifest_rebuild_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
+        |           FROM embeddings)
+        |SELECT n_emb AS n_base, n_emb AS n_now, 0 AS count_rebuild,
+        |  1 AS drift_rebuild, 1 AS gen_advanced, 1 AS old_reader_ok,
+        |  1 AS recall_ok
         |FROM n""".stripMargin,
     // graph lifecycle capstone: the append split (7/8 base + 1/8
     // increment) and the cascade doomed set are exact counts; the

@@ -2645,6 +2645,79 @@ object Similarity {
     rows((c1, d1, r1), (c2, d2, r2))
   }
 
+  /** DRIFT-FIRED REBUILD through the store — the end-to-end consumer
+    * composition: [[ivfPqReindexDecision]] evaluates a re-encoded
+    * "tomorrow" corpus (the abs-collapse encoder-shift stand-in,
+    * same ids, same count — the count arm provably silent), its drift
+    * arm fires, and the action is [[graft.sources.IndexStore.rebuild]]
+    * — a NEW MODEL GENERATION published as one atomic commit while the
+    * old generation keeps serving pinned readers. Pins the pieces the
+    * other gates don't compose: `gen_advanced` (v2 = version 2, model
+    * gen 2, op "rebuild"), `old_reader_ok` (a reader pinned at v1
+    * AFTER the rebuild reproduces its publish-time content AND its
+    * gen-1 models byte-for-byte — parquet double round trip is exact),
+    * and `recall_ok`/`full_k` (the new generation serves the
+    * re-encoded corpus: probe from the v2 files + v2 models vs exact
+    * brute force on the shifted vectors ≥ `recallFloor`). Counts and
+    * the trigger's count-arm are SQL-exact; flags pinned. */
+  def manifestRebuildGate(s: SparkSession, dir: String, root: String,
+                          k: Int = 5,
+                          recallFloor: Double = 0.6): DataFrame = {
+    import s.implicits._
+    import graft.sources.{IndexStore, Tables}
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    def row(f: (Int, Int, Int, Int, Int)) =
+      Seq((n, n, f._1, f._2, f._3, f._4, f._5))
+        .toDF("n_base", "n_now", "count_rebuild", "drift_rebuild",
+          "gen_advanced", "old_reader_ok", "recall_ok")
+    if (n == 0L) return row((0, 1, 1, 1, 1))
+    val shifted = Checkpoints.scratch(emb.select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding")))
+    val v1 = IndexStore.build(s, root, emb)
+    if (v1.cents.isEmpty) return row((0, 1, 1, 1, 1))
+    def fp(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val fp1 = fp(IndexStore.codes(s, root, v1))
+    // the morning decision: tomorrow's corpus through yesterday's lens
+    val (countR, driftR, rebuild, _) = ivfPqReindexDecision(emb, shifted)
+    val v2 =
+      if (rebuild == 1) IndexStore.rebuild(s, root, shifted)
+      else IndexStore.open(s, root)
+    val genAdvanced =
+      if (rebuild == 1 && v2.version == 2L && v2.modelGen == 2L &&
+          v2.op == "rebuild") 1 else 0
+    // the pinned old reader, AFTER the generation swap
+    val r1 = IndexStore.openVersion(s, root, 1L)
+    val oldReaderOk =
+      if (fp(IndexStore.codes(s, root, r1)) == fp1 &&
+          r1.cents.map(_.toSeq).toSeq == v1.cents.map(_.toSeq).toSeq &&
+          r1.cb.map(_.map(_.toSeq).toSeq).toSeq ==
+            v1.cb.map(_.map(_.toSeq).toSeq).toSeq) 1 else 0
+    // the new generation serves the re-encoded corpus
+    val queries = shifted.filter(col("vec_id") < 10)
+    val nq = queries.count()
+    val rr = scaledRerank(n)
+    val np = scaledNprobe(n, v2.cells, rr)
+    val ann = Checkpoints.scratch(
+      knnIvfPqWith(shifted, IndexStore.codes(s, root, v2), v2.cents,
+        v2.cb, queries, k, np, rr, residual = false)
+        .select("query_id", "nn_id"))
+    val bf = knnBruteForce(shifted, queries, k).select("query_id", "nn_id")
+    val kEff = math.min(k.toLong, math.max(n - 1, 0L))
+    val fullK = ann.count() == nq * kEff
+    val nHits = ann.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    val recallOk =
+      if (nq * kEff == 0L) 1
+      else if (fullK && nHits.toDouble / (nq * kEff) >= recallFloor) 1
+      else 0
+    row((countR, driftR, genAdvanced, oldReaderOk, recallOk))
+  }
+
   // ---- filtered ANN: predicate-constrained k-NN probes ----
 
   /** Predicate-constrained IVFADC probe — the retrieval shape RAG
