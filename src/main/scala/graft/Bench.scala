@@ -75,9 +75,14 @@ object Bench {
     // cost and lands on the noisy list EVERY round (r13 verdict: five
     // permanent noisy rows, pure p1 inflation, the exact
     // bpe_encode_gate pathology r10 fixed this same way).
+    // index_manifest_gate joined r15: its pass 1 otherwise carries the
+    // cold 7/8-prefix PQ-train (p1/p2 ≈ 2× in slow windows — the same
+    // deterministic-cold-start class as the rest of this list); the
+    // warmed models also serve streamed_append_store
     Seq("knn_graph_nndescent", "nndescent_append_gate",
         "ivfpq_reindex_gate", "bitext_ann_gate",
-        "streamed_ivfpq_ingest", "embedding_drift")
+        "streamed_ivfpq_ingest", "embedding_drift",
+        "index_manifest_gate")
       .filter(SparkEntry.queries.contains)
       .foreach(force(_, 0))
 

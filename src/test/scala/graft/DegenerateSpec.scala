@@ -385,6 +385,58 @@ class DegenerateSpec extends AnyFunSuite {
         .toString).count() === 1)
   }
 
+  test("r15 store/drift/streaming gates survive empty and 1-row corpora") {
+    import org.apache.spark.sql.SaveMode
+    def freshDir(name: String) =
+      java.nio.file.Files.createTempDirectory(name).toString
+    for ((docs, emb) <- Seq((emptyDocs, emptyEmb), (oneDoc, oneEmb))) {
+      val n = emb.count()
+      val tmp = freshDir("graft-degenR15")
+      docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+      emb.write.mode(SaveMode.Overwrite).parquet(s"$tmp/embeddings.parquet")
+      // the manifest gate runs the FULL mutation chain even on an empty
+      // corpus (build → append → compact → forget are all well-defined
+      // on zero rows) — the oracle pins live_version 4 there, so the
+      // empty path must actually commit four versions, not shortcut
+      val m = Similarity.indexManifestGate(spark, tmp,
+        freshDir("graft-degenManifest")).head()
+      assert(m.getAs[Long]("n_emb") === n)
+      assert(m.getAs[Long]("live_version") === 4L)
+      Seq("ops_ok", "append_shared", "append_conserved", "compact_ok",
+        "forget_ok", "forget_bounded", "probe_ok", "pruned_probe_ok")
+        .foreach(f => assert(m.getAs[Int](f) === 1, s"$f at n=$n"))
+      assert(Similarity.ivfPqReindexDriftGate(spark, tmp).count() === 2)
+      val r = Similarity.manifestRebuildGate(spark, tmp,
+        freshDir("graft-degenRebuild")).head()
+      assert(r.getAs[Int]("count_rebuild") === 0)
+      assert(r.getAs[Int]("recall_ok") === 1)
+      val sf = graft.streaming.Streaming.streamedForget(spark, tmp,
+        freshDir("graft-degenSfRoot"), freshDir("graft-degenSfWork"))
+        .head()
+      // zero erasure requests → only the build commit (or none at all
+      // when the corpus itself is empty): versions = 1 + min(3, 0)
+      assert(sf.getAs[Long]("versions_committed") === 1L)
+      assert(sf.getAs[Int]("resume_safe") === 1)
+      val sa = graft.streaming.Streaming.streamedAppendStore(spark, tmp,
+        freshDir("graft-degenSaRoot"), freshDir("graft-degenSaWork"))
+        .head()
+      assert(sa.getAs[Long]("versions_committed") === 1L)
+      assert(sa.getAs[Int]("content_match") === 1)
+    }
+    // IndexStore primitives directly on a zero-row store
+    val root = freshDir("graft-degenEmptyStore")
+    val v1 = graft.sources.IndexStore.build(spark, root, emptyEmb)
+    assert(v1.files.isEmpty && v1.nRows === 0L)
+    val v2 = graft.sources.IndexStore.append(spark, root, emptyEmb)
+    assert(v2.version === 2L && v2.nRows === 0L)
+    val v3 = graft.sources.IndexStore.forget(spark, root,
+      emptyEmb.select("vec_id"))
+    assert(v3.version === 3L && v3.files.isEmpty)
+    assert(graft.sources.IndexStore.codes(spark, root, v3).count() === 0L)
+    graft.sources.IndexStore.vacuum(spark, root, 1)
+    assert(graft.sources.IndexStore.open(spark, root).version === 3L)
+  }
+
   test("ANN bitext miner: under-k neighborhoods score by actual counts") {
     import org.apache.spark.sql.SaveMode
     // one side SMALLER than k = 4: every en→de probe retrieves at most
