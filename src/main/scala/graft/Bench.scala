@@ -197,6 +197,17 @@ object Bench {
     // driver's degraded BENCH_r13 vs the committed 98bdac5 run). The
     // degraded copy still persists for auditability — it just never
     // replaces the anchor.
+    //
+    // The canary alone has a hole (r15): a run whose slow window falls
+    // BETWEEN canary samples reads boundary ratios under 1.5× while 25
+    // queries still flag noisy — and that borderline run replaced the
+    // committed zero-noisy anchor on the technicality. The noisy list
+    // is itself a window detector (each entry is a >2x cross-pass
+    // disagreement that survived a targeted retry), so a run with more
+    // than NoisyAnchorBound of them is treated as degraded for the
+    // OVERWRITE decision regardless of what the canary caught.
+    val NoisyAnchorBound = 5
+    val anchorDegraded = windowDegraded || noisy.size > NoisyAnchorBound
     try if (only.isEmpty) {
       val perQuery = names.map { n =>
         // fields joined as ONE list: a query with zero valid passes
@@ -219,12 +230,13 @@ object Bench {
            |}
            |""".stripMargin
       val target =
-        if (windowDegraded) "/root/repo/bench_full.degraded.json"
+        if (anchorDegraded) "/root/repo/bench_full.degraded.json"
         else "/root/repo/bench_full.json"
-      if (windowDegraded)
+      if (anchorDegraded)
         System.err.println(
-          "[bench] window degraded — writing bench_full.degraded.json, " +
-            "keeping the committed healthy anchor untouched")
+          s"[bench] degraded (canary=$windowDegraded, noisy=${noisy.size})" +
+            " — writing bench_full.degraded.json, keeping the committed" +
+            " healthy anchor untouched")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(target),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
