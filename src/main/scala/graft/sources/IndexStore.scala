@@ -4,12 +4,12 @@ import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
 import java.nio.charset.StandardCharsets
 
 /** Versioned SERVING MANIFEST for the stored IVFADC index — the
   * table-format contract the bare `partitionBy(cell)` store lacks.
-  * The store now has four mutation paths (build / partition-append /
+  * The store has four mutation paths (build / partition-append /
   * compaction / forget) and, without a manifest, "which directory is
   * live" is convention: a reader that lists the data dir while a
   * compaction finishes sees half of two snapshots. This object makes
@@ -26,9 +26,26 @@ import java.nio.charset.StandardCharsets
   * {{{
   *   data/v%09d-<uuid>/cell_pt=<c>/part-*.parquet   // attempt-unique
   *   models/g%09d-<uuid>/{cents,codebook}.parquet   // model generations
-  *   log/v%09d.commit                               // one manifest each
+  *   log/v%09d.commit                               // one DELTA each
+  *   log/v%09d.checkpoint                           // full state, every K
   * }}}
   *
+  *  - Commits are DELTAS (the Delta-log action pattern): each manifest
+  *    records only `add=` / `remove=` file entries (plus `truncate=1`
+  *    for the list-swapping ops build/compact/rebuild), so APPEND's
+  *    commit is O(increment) and FORGET's is O(doomed-cell footprint)
+  *    — never O(total files). The r15 format serialized the FULL file
+  *    list into every commit, which at millions of files made every
+  *    append an O(files) metadata rewrite.
+  *  - Every [[CheckpointInterval]]-th commit also publishes a
+  *    CHECKPOINT: the fully-reconstructed state (file list, model
+  *    pointer, per-app transaction watermarks) at that version — the
+  *    public `_last_checkpoint` / log-compaction pattern. A reader's
+  *    `open` parses ONE checkpoint plus at most K−1 delta tails
+  *    instead of the whole chain, so open/commit/txn-lookup cost is
+  *    flat in the number of historical commits (IndexStoreSpec pins
+  *    open-equals-replay across a boundary; the `index_log_stress`
+  *    row measures the flat slope).
   *  - Data files carry (nn_id, cell, codes) IN the data (`cell_pt` is a
   *    duplicate partition column for directory hygiene): a manifest
   *    reader opens leaf FILES, so pruning is file-level — the manifest
@@ -36,20 +53,28 @@ import java.nio.charset.StandardCharsets
   *    probed cells' files (data skipping without directory discovery).
   *  - A commit writes its episode dir and model generation FIRST, then
   *    publishes by renaming a fully-written temp manifest to
-  *    `log/v%09d.commit`. Rename-no-overwrite is atomic on HDFS and
-  *    refuses an existing destination, so two racing writers of the
-  *    same version produce one winner and one clean retryable loser
-  *    (the loser's episode dir is unreferenced garbage for [[vacuum]]).
-  *    On S3-class stores the same commit maps to a conditional PUT.
+  *    `log/v%09d.commit` via `FileContext.rename(…, Rename.NONE)` —
+  *    the no-overwrite contract is explicit in the API (plain
+  *    `FileSystem.rename` on a local filesystem maps to rename(2),
+  *    which silently clobbers an existing destination), so two racing
+  *    writers of the same version produce one winner and one loser
+  *    whose mutator RE-OPENS the new parent, recomputes its delta and
+  *    retries ([[MaxCommitRetries]] attempts — the spec races two real
+  *    appends and both land). On S3-class stores the same commit maps
+  *    to a conditional PUT.
   *  - Version logs are never rewritten: a reader's `open` is a
   *    consistent point-in-time view, and [[openVersion]] pins any
   *    retained historical snapshot (time travel).
+  *  - Per-app WRITER-TRANSACTION WATERMARKS (Delta's txnAppId pattern)
+  *    ride the checkpoints: [[lastTxnVersion]] reads the latest
+  *    checkpoint's aggregated map plus the delta tail — O(K) files —
+  *    where the r15 form re-parsed every manifest on every stamped
+  *    append (O(V²) over a stream's life).
   *
   * Mutation cost model at 100 TB: APPEND writes only the increment's
-  * files (the parent's file list is inherited by reference — no data
-  * rewrite, no small-files rewrite); COMPACT writes one file per
-  * occupied cell and swaps the whole list; FORGET rewrites only the
-  * files of cells that actually held doomed rows (bounded by the
+  * files and commits only their `add` entries; COMPACT writes one file
+  * per occupied cell and swaps the whole list; FORGET rewrites only
+  * the files of cells that actually held doomed rows (bounded by the
   * deleted set's cell footprint); REBUILD starts a new model
   * generation. All four leave every older snapshot intact until
   * [[vacuum]] reclaims files outside the retention window.
@@ -61,6 +86,18 @@ object IndexStore {
     StructField("nn_id", LongType),
     StructField("cell", IntegerType),
     StructField("codes", ArrayType(IntegerType))))
+
+  /** Checkpoint cadence: every K-th commit publishes the full
+    * reconstructed state. 10 bounds a cold `open` at 1 checkpoint + 9
+    * delta parses regardless of history length; Delta's default is the
+    * same order of magnitude. */
+  val CheckpointInterval: Long = 10L
+
+  /** Bounded optimistic-concurrency retries for the mutators: a losing
+    * writer re-opens the NEW parent, recomputes its delta (the episode
+    * it wrote for the lost attempt becomes unreferenced garbage for
+    * [[vacuum]]) and tries the next version number. */
+  val MaxCommitRetries: Int = 5
 
   /** One committed snapshot: `files` are store-root-relative paths,
     * `fileCells` the per-file cell id parsed from the path (the data-
@@ -161,47 +198,130 @@ object IndexStore {
     out.result().sortBy(_._1)
   }
 
-  // ---- the version log ----
+  // ---- the version log: delta manifests + periodic checkpoints ----
 
-  /** Serialize + atomically publish version `v`. The manifest is a
-    * line-oriented text file (k=v headers + one `file=<cell>\t<path>`
-    * line per data file) written FULLY to a temp name, then renamed —
-    * rename-no-overwrite is the commit point. Returns false when a
-    * concurrent writer won the version (caller re-opens and retries). */
-  private def commit(s: SparkSession, root: String, v: Long, op: String,
-                     modelGen: Long, modelDir: String, nRows: Long,
-                     cells: Int, files: Seq[(String, Int)],
-                     txn: Option[(String, Long)] = None): Boolean = {
+  /** One parsed DELTA manifest. `truncate` resets the inherited file
+    * list (build/compact/rebuild — the list-swapping ops); `removes`
+    * drop inherited paths (forget's doomed-cell footprint); `adds`
+    * append this commit's new files. */
+  private case class Meta(version: Long, op: String, modelGen: Long,
+                          modelDir: String, nRows: Long, cells: Int,
+                          truncate: Boolean,
+                          removes: Seq[String],
+                          adds: Seq[(String, Int)],
+                          txn: Option[(String, Long)])
+
+  /** The RECONSTRUCTED store state at one version: what a checkpoint
+    * serializes, and what replaying deltas over the previous state
+    * produces. `txnw` carries every writer-app's highest committed
+    * transaction version (the idempotent-sink watermark) forward, so
+    * the lookup never re-reads history. */
+  private case class State(version: Long, op: String, modelGen: Long,
+                           modelDir: String, nRows: Long, cells: Int,
+                           files: Vector[(String, Int)],
+                           txnw: Map[String, Long])
+
+  private val EmptyState =
+    State(0L, "", 0L, "", 0L, 0, Vector.empty, Map.empty)
+
+  private def applyDelta(st: State, m: Meta): State = {
+    val kept =
+      if (m.truncate) Vector.empty[(String, Int)]
+      else if (m.removes.isEmpty) st.files
+      else {
+        val gone = m.removes.toSet
+        st.files.filterNot { case (p, _) => gone(p) }
+      }
+    State(m.version, m.op, m.modelGen, m.modelDir, m.nRows, m.cells,
+      kept ++ m.adds,
+      m.txn.fold(st.txnw) { case (app, tv) =>
+        st.txnw + (app -> math.max(tv, st.txnw.getOrElse(app, Long.MinValue)))
+      })
+  }
+
+  /** Serialize + atomically publish the delta for version `v`; on a
+    * win, also publish the checkpoint when the cadence lands on `v`.
+    * The manifest is a line-oriented text file written FULLY to a temp
+    * name, then renamed with an explicit no-overwrite contract —
+    * returns false when a concurrent writer won the version (the
+    * mutator re-opens and retries). `newState` is the caller's
+    * already-reconstructed state AT `v` (parent state + this delta) —
+    * the checkpoint serializes it without re-reading anything. */
+  private def commitDelta(s: SparkSession, root: String, m: Meta,
+                          newState: State): Boolean = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/log"))
     val body = new StringBuilder()
-    body ++= s"version=$v\nop=$op\nmodel_gen=$modelGen\n"
-    body ++= s"model_dir=$modelDir\n"
-    body ++= s"n_rows=$nRows\ncells=$cells\n"
-    txn.foreach { case (app, tv) =>
+    body ++= s"version=${m.version}\nop=${m.op}\nmodel_gen=${m.modelGen}\n"
+    body ++= s"model_dir=${m.modelDir}\n"
+    body ++= s"n_rows=${m.nRows}\ncells=${m.cells}\n"
+    m.txn.foreach { case (app, tv) =>
       body ++= s"txn_app=$app\ntxn_version=$tv\n" }
-    files.foreach { case (p, c) => body ++= s"file=$c\t$p\n" }
-    val tmp = new Path(
-      s"$root/log/.tmp-${vName(v)}-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val dest = new Path(s"$root/log/${vName(v)}.commit")
-    if (f.exists(dest)) { f.delete(tmp, false); return false }
-    val won = f.rename(tmp, dest)
-    if (!won) f.delete(tmp, false)
+    if (m.truncate) body ++= "truncate=1\n"
+    m.removes.foreach(p => body ++= s"remove=$p\n")
+    m.adds.foreach { case (p, c) => body ++= s"add=$c\t$p\n" }
+    val dest = new Path(s"$root/log/${vName(m.version)}.commit")
+    val won = atomicPublish(s, root, body.toString, dest)
+    if (won && m.version % CheckpointInterval == 0L)
+      writeCheckpoint(s, root, newState)
     won
   }
 
-  /** Lightweight manifest record — everything in the log file, models
-    * NOT loaded (txn scans and vacuum read many manifests and need no
-    * models). */
-  private case class Meta(version: Long, op: String, modelGen: Long,
-                          modelDir: String, nRows: Long, cells: Int,
-                          files: Seq[(String, Int)],
-                          txn: Option[(String, Long)])
+  /** Write a fully-formed file then rename it into place with an
+    * explicit rename-no-overwrite (`FileContext` + `Rename.NONE` — the
+    * `FileSystem.rename` API on local filesystems maps to rename(2),
+    * which silently clobbers an existing destination and would let two
+    * racing writers both "win"). Returns false when the destination
+    * already exists — the one-winner commit point. */
+  private def atomicPublish(s: SparkSession, root: String, body: String,
+                            dest: Path): Boolean = {
+    val f = fs(s, root)
+    val qDest = f.makeQualified(dest)
+    val tmp = f.makeQualified(new Path(dest.getParent,
+      s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}"))
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(qDest)) { f.delete(tmp, false); return false }
+    try {
+      val fc = FileContext.getFileContext(qDest.toUri,
+        s.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, qDest, Options.Rename.NONE)
+      true
+    } catch {
+      case _: FileAlreadyExistsException =>
+        f.delete(tmp, false); false
+      case _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+        f.delete(tmp, false); false
+      case _: java.io.IOException =>
+        // a lost local-fs race surfaces as a generic rename failure;
+        // either way this attempt did not publish
+        f.delete(tmp, false); false
+    }
+  }
 
-  private def parseMeta(s: SparkSession, root: String, p: Path): Meta = {
+  /** Best-effort checkpoint publish: the winner of version `v` is the
+    * only writer that attempts `v%09d.checkpoint`, and a crash before
+    * it lands only costs later readers a longer delta tail (never
+    * correctness) — so failures are swallowed. */
+  private def writeCheckpoint(s: SparkSession, root: String,
+                              st: State): Unit = {
+    val body = new StringBuilder()
+    body ++= s"version=${st.version}\nop=${st.op}\n"
+    body ++= s"model_gen=${st.modelGen}\nmodel_dir=${st.modelDir}\n"
+    body ++= s"n_rows=${st.nRows}\ncells=${st.cells}\n"
+    st.txnw.toSeq.sortBy(_._1).foreach { case (app, tv) =>
+      body ++= s"txnw=$app\t$tv\n" }
+    st.files.foreach { case (p, c) => body ++= s"file=$c\t$p\n" }
+    try {
+      atomicPublish(s, root, body.toString,
+        new Path(s"$root/log/${vName(st.version)}.checkpoint"))
+      ()
+    } catch { case _: java.io.IOException => () }
+  }
+
+  private def readLogFile(s: SparkSession, root: String,
+                          p: Path): Map[String, Seq[String]] = {
     val f = fs(s, root)
     val in = f.open(p)
     val text = try {
@@ -211,211 +331,366 @@ object IndexStore {
       while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
       new String(buf.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    val kv = scala.collection.mutable.Map[String, String]()
-    val files = Seq.newBuilder[(String, Int)]
+    val kv = scala.collection.mutable.Map[String, List[String]]()
     text.linesIterator.foreach { line =>
       val i = line.indexOf('=')
       if (i > 0) {
         val (k, v) = (line.substring(0, i), line.substring(i + 1))
-        if (k == "file") {
-          val t = v.indexOf('\t')
-          files += ((v.substring(t + 1), v.substring(0, t).toInt))
-        } else kv(k) = v
+        kv(k) = v :: kv.getOrElse(k, Nil)
       }
     }
-    val fl = files.result()
-    Meta(kv("version").toLong, kv("op"), kv("model_gen").toLong,
-      kv("model_dir"), kv("n_rows").toLong, kv("cells").toInt, fl,
-      for { a <- kv.get("txn_app"); tv <- kv.get("txn_version") }
+    kv.view.mapValues(_.reverse.toSeq).toMap
+  }
+
+  private def splitCellPath(v: String): (String, Int) = {
+    val t = v.indexOf('\t')
+    (v.substring(t + 1), v.substring(0, t).toInt)
+  }
+
+  private def parseMeta(s: SparkSession, root: String, p: Path): Meta = {
+    val kv = readLogFile(s, root, p)
+    def one(k: String) = kv(k).head
+    Meta(one("version").toLong, one("op"), one("model_gen").toLong,
+      one("model_dir"), one("n_rows").toLong, one("cells").toInt,
+      kv.contains("truncate"),
+      kv.getOrElse("remove", Seq.empty),
+      kv.getOrElse("add", Seq.empty).map(splitCellPath),
+      for { a <- kv.get("txn_app").map(_.head)
+            tv <- kv.get("txn_version").map(_.head) }
         yield (a, tv.toLong))
   }
 
   private def metaOf(s: SparkSession, root: String, v: Long): Meta =
     parseMeta(s, root, new Path(s"$root/log/${vName(v)}.commit"))
 
-  private def snapOf(s: SparkSession, root: String, m: Meta): Snapshot = {
-    val (cents, cb) = readModels(s, root, m.modelDir)
-    Snapshot(m.version, m.op, m.modelGen, m.modelDir, m.nRows, m.cells,
-      m.files.map(_._1), m.files.map(_._2), cents, cb)
+  private def readCheckpoint(s: SparkSession, root: String,
+                             v: Long): State = {
+    val kv = readLogFile(s, root,
+      new Path(s"$root/log/${vName(v)}.checkpoint"))
+    def one(k: String) = kv(k).head
+    State(one("version").toLong, one("op"), one("model_gen").toLong,
+      one("model_dir"), one("n_rows").toLong, one("cells").toInt,
+      kv.getOrElse("file", Seq.empty).map(splitCellPath).toVector,
+      kv.getOrElse("txnw", Seq.empty).map { t =>
+        val i = t.indexOf('\t')
+        t.substring(0, i) -> t.substring(i + 1).toLong
+      }.toMap)
+  }
+
+  /** One listing of the log dir → (committed versions asc, checkpoint
+    * versions asc). Listing is O(#log files) NAMES; only the
+    * checkpoint + tail get PARSED. */
+  private def listLog(s: SparkSession, root: String): (Seq[Long], Seq[Long]) = {
+    val f = fs(s, root)
+    val p = new Path(s"$root/log")
+    if (!f.exists(p)) return (Seq.empty, Seq.empty)
+    val names = f.listStatus(p).toSeq.map(_.getPath.getName)
+    def vs(suffix: String) = names
+      .filter(n => n.startsWith("v") && n.endsWith(suffix))
+      .map(n => n.stripPrefix("v").stripSuffix(suffix).toLong)
+      .sorted
+    (vs(".commit"), vs(".checkpoint"))
+  }
+
+  /** Reconstruct the state at version `v`: the newest checkpoint at or
+    * below `v` plus the delta tail — O([[CheckpointInterval]]) parses
+    * for the live version however long the history is. Versions below
+    * the first checkpoint replay from the chain head (time travel into
+    * the pre-checkpoint past stays exact). */
+  private def stateAt(s: SparkSession, root: String, v: Long,
+                      ckpts: Seq[Long]): State = {
+    val base = ckpts.filter(_ <= v).lastOption
+      .map(cv => readCheckpoint(s, root, cv))
+      .getOrElse(EmptyState)
+    ((base.version + 1) to v).foldLeft(base) { (st, i) =>
+      applyDelta(st, metaOf(s, root, i))
+    }
+  }
+
+  private def liveState(s: SparkSession, root: String): State = {
+    val (vs, ckpts) = listLog(s, root)
+    val v = vs.lastOption.getOrElse(
+      throw new IllegalStateException(s"empty index store at $root"))
+    stateAt(s, root, v, ckpts)
+  }
+
+  private def snapOf(s: SparkSession, root: String, st: State): Snapshot = {
+    val (cents, cb) = readModels(s, root, st.modelDir)
+    Snapshot(st.version, st.op, st.modelGen, st.modelDir, st.nRows,
+      st.cells, st.files.map(_._1), st.files.map(_._2), cents, cb)
   }
 
   /** Highest committed writer-transaction version for `appId`, or None
     * — the idempotent-sink lookup (Delta's txnAppId/txnVersion
     * pattern): a streaming writer stamps each commit with its
     * micro-batch id and skips batches at or below this watermark on
-    * replay. A text scan of the log only; no models load. */
+    * replay. Watermarks are CARRIED FORWARD into every checkpoint, so
+    * the lookup parses one checkpoint + the delta tail — O(K) files —
+    * instead of the whole log (the r15 form scanned every manifest,
+    * O(V²) over a stream's life). */
   def lastTxnVersion(s: SparkSession, root: String,
                      appId: String): Option[Long] = {
-    val txs = versions(s, root)
-      .map(v => metaOf(s, root, v))
-      .flatMap(_.txn)
-      .collect { case (a, tv) if a == appId => tv }
-    if (txs.isEmpty) None else Some(txs.max)
+    val (vs, ckpts) = listLog(s, root)
+    vs.lastOption.flatMap(v => stateAt(s, root, v, ckpts).txnw.get(appId))
   }
 
   /** All committed versions, ascending (never rewritten → a reader's
     * listing is always a consistent prefix of history). */
-  def versions(s: SparkSession, root: String): Seq[Long] = {
-    val f = fs(s, root)
-    val p = new Path(s"$root/log")
-    if (!f.exists(p)) return Seq.empty
-    f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".commit"))
-      .map(n => n.stripPrefix("v").stripSuffix(".commit").toLong)
-      .sorted
-  }
+  def versions(s: SparkSession, root: String): Seq[Long] =
+    listLog(s, root)._1
+
+  /** Committed checkpoint versions, ascending — exposed so tests and
+    * audits can pin the cadence; readers discover checkpoints through
+    * the same single log listing `open` uses. */
+  def checkpoints(s: SparkSession, root: String): Seq[Long] =
+    listLog(s, root)._2
 
   /** The LIVE snapshot: highest committed version. */
   def open(s: SparkSession, root: String): Snapshot =
-    openVersion(s, root, versions(s, root).lastOption.getOrElse(
-      throw new IllegalStateException(s"empty index store at $root")))
+    snapOf(s, root, liveState(s, root))
 
   /** A pinned historical snapshot (time travel) — consistent as long
     * as [[vacuum]]'s retention covers it. */
-  def openVersion(s: SparkSession, root: String, v: Long): Snapshot =
-    snapOf(s, root, metaOf(s, root, v))
+  def openVersion(s: SparkSession, root: String, v: Long): Snapshot = {
+    val (_, ckpts) = listLog(s, root)
+    snapOf(s, root, stateAt(s, root, v, ckpts))
+  }
 
-  /** The snapshot's code rows — exactly its manifest's files, read as
-    * leaf files (each file's parent is its own base path, so no
-    * directory discovery races with concurrent writers). */
-  def codes(s: SparkSession, root: String, snap: Snapshot): DataFrame =
-    if (snap.files.isEmpty)
+  /** Read a store-relative file list as code rows (leaf files — each
+    * file's parent is its own base path, so no directory discovery
+    * races with concurrent writers). */
+  private def readFiles(s: SparkSession, root: String,
+                        files: Seq[String]): DataFrame =
+    if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         CodesSchema)
     else s.read.schema(CodesSchema)
-      .parquet(snap.files.map(p => s"$root/$p"): _*)
+      .parquet(files.map(p => s"$root/$p"): _*)
+
+  /** The snapshot's code rows — exactly its manifest's files. */
+  def codes(s: SparkSession, root: String, snap: Snapshot): DataFrame =
+    readFiles(s, root, snap.files)
 
   /** File-level pruning: only the files whose cell is in `wanted` —
     * the manifest-reader form of partition pruning (a probe passes its
     * nprobe cells and opens that many files, not the corpus). */
   def codesForCells(s: SparkSession, root: String, snap: Snapshot,
-                    wanted: Set[Int]): DataFrame = {
-    val picked = snap.files.zip(snap.fileCells)
-      .collect { case (p, c) if wanted(c) => s"$root/$p" }
-    if (picked.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        CodesSchema)
-    else s.read.schema(CodesSchema).parquet(picked: _*)
-  }
+                    wanted: Set[Int]): DataFrame =
+    readFiles(s, root, snap.files.zip(snap.fileCells)
+      .collect { case (p, c) if wanted(c) => p })
 
   // ---- the four mutations + rebuild ----
 
+  /** Run one optimistic-concurrency mutation: reconstruct the live
+    * state, compute + write this attempt's delta, try the commit; on a
+    * lost race re-open the NEW parent and recompute (the lost
+    * attempt's episode dir is unreferenced garbage for [[vacuum]]).
+    * `attempt` returns None to declare the mutation a no-op against
+    * the current parent (e.g. a replayed transaction at/below the
+    * watermark) — the live snapshot is returned unchanged. */
+  private def mutate(s: SparkSession, root: String, what: String)
+                    (attempt: State => Option[(Meta, State)]): Snapshot = {
+    var tries = 0
+    while (tries < MaxCommitRetries) {
+      tries += 1
+      val parent = liveState(s, root)
+      attempt(parent) match {
+        case None => return snapOf(s, root, parent)
+        case Some((m, st)) =>
+          if (commitDelta(s, root, m, st)) return snapOf(s, root, st)
+      }
+    }
+    throw new IllegalStateException(
+      s"$what at $root lost $MaxCommitRetries commit races; giving up")
+  }
+
   /** Initialize the store: train models at the corpus-count cell
-    * policy, encode, publish v1. */
+    * policy, encode, publish v1. Unlike the mutators, a lost v1 race
+    * is NOT retried — two independent `build`s of one root is a
+    * deployment bug, not contention, and the loser must hear it. */
   def build(s: SparkSession, root: String, emb: DataFrame): Snapshot = {
     val n = emb.count()
     val cells = Similarity.scaledCells(n)
     val (cents, cb, index) = Similarity.ivfPqIndex(emb, cells)
     val mDir = writeModels(s, root, 1L, cents, cb)
     val files = writeEpisode(s, root, 1L, index)
-    require(commit(s, root, 1L, "build", 1L, mDir, n, cells, files),
+    val m = Meta(1L, "build", 1L, mDir, n, cells,
+      truncate = true, Seq.empty, files, None)
+    require(commitDelta(s, root, m, applyDelta(EmptyState, m)),
       s"store at $root already initialized")
     openVersion(s, root, 1L)
   }
 
   /** Partition-append an increment under the live snapshot's FROZEN
-    * models: writes ONLY the increment's files; the parent's file list
-    * is inherited by reference — zero data rewrite. */
+    * models: writes ONLY the increment's files and commits ONLY their
+    * `add` entries — the parent's list is inherited by the delta
+    * semantics, never re-serialized. A lost commit race re-encodes
+    * against the new parent (whose model generation may have moved)
+    * and retries. */
   def append(s: SparkSession, root: String, newEmb: DataFrame,
              txn: Option[(String, Long)] = None): Snapshot = {
-    // idempotent-sink guard: a replayed micro-batch (same appId, batch
-    // version <= the committed watermark) must NOT re-append — append
-    // duplicates rows where forget's replay was naturally idempotent
-    txn.foreach { case (app, tv) =>
-      if (lastTxnVersion(s, root, app).exists(tv <= _))
-        return open(s, root)
-    }
-    val snap = open(s, root)
-    val v = snap.version + 1
-    val rows = Similarity.ivfPqAppend(snap.cents, snap.cb, newEmb)
     val nNew = newEmb.count()
-    val newFiles = writeEpisode(s, root, v, rows)
-    require(commit(s, root, v, "append", snap.modelGen, snap.modelDir,
-      snap.nRows + nNew, snap.cells,
-      snap.files.zip(snap.fileCells) ++ newFiles, txn),
-      s"concurrent commit of ${vName(v)} at $root")
-    openVersion(s, root, v)
+    mutate(s, root, "append") { parent =>
+      // idempotent-sink guard: a replayed micro-batch (same appId,
+      // batch version <= the committed watermark) must NOT re-append —
+      // append duplicates rows where forget's replay was naturally
+      // idempotent. Checked against the SAME parent state the commit
+      // races on, so a lost race re-checks before re-encoding.
+      if (txn.exists { case (app, tv) =>
+            parent.txnw.get(app).exists(tv <= _) }) None
+      else {
+        val v = parent.version + 1
+        val (cents, cb) = readModels(s, root, parent.modelDir)
+        val rows = Similarity.ivfPqAppend(cents, cb, newEmb)
+        val newFiles = writeEpisode(s, root, v, rows)
+        val m = Meta(v, "append", parent.modelGen, parent.modelDir,
+          parent.nRows + nNew, parent.cells,
+          truncate = false, Seq.empty, newFiles, txn)
+        Some((m, applyDelta(parent, m)))
+      }
+    }
   }
 
   /** Compact the live snapshot: shuffle by cell, rewrite one file per
-    * occupied cell, swap the WHOLE file list — content-identical,
-    * codes never recomputed. Readers of older versions keep their
-    * files (immutable) until vacuum. */
-  def compact(s: SparkSession, root: String): Snapshot = {
+    * occupied cell, swap the WHOLE file list (`truncate` + adds) —
+    * content-identical, codes never recomputed. Readers of older
+    * versions keep their files (immutable) until vacuum. */
+  def compact(s: SparkSession, root: String): Snapshot =
+    mutate(s, root, "compact") { parent =>
+      val v = parent.version + 1
+      val newFiles = writeEpisode(s, root, v,
+        readFiles(s, root, parent.files.map(_._1)))
+      val m = Meta(v, "compact", parent.modelGen, parent.modelDir,
+        parent.nRows, parent.cells,
+        truncate = true, Seq.empty, newFiles, None)
+      Some((m, applyDelta(parent, m)))
+    }
+
+  /** Compaction POLICY on top of the [[compact]] verb: read the live
+    * manifest's per-file cells (already in memory — no file IO beyond
+    * the log), compact only when the mean file count per occupied
+    * cell has reached `filesPerCell`. Below the threshold the store
+    * is untouched — same version, no commit, provable no-op. Returns
+    * (live-after, fired). The small-files pathology this prices: each
+    * append adds ≥1 file per touched cell, so a probe's per-cell open
+    * cost grows with ingest count until a compact swaps the list;
+    * `filesPerCell` is the tolerated read amplification. */
+  def maybeCompact(s: SparkSession, root: String,
+                   filesPerCell: Double = 4.0): (Snapshot, Boolean) = {
     val snap = open(s, root)
-    val v = snap.version + 1
-    val newFiles = writeEpisode(s, root, v, codes(s, root, snap))
-    require(commit(s, root, v, "compact", snap.modelGen, snap.modelDir,
-      snap.nRows, snap.cells, newFiles),
-      s"concurrent commit of ${vName(v)} at $root")
-    openVersion(s, root, v)
+    val occupied = snap.fileCells.distinct.size
+    if (occupied == 0 || snap.files.size.toDouble / occupied < filesPerCell)
+      (snap, false)
+    else (compact(s, root), true)
   }
 
   /** Right-to-be-forgotten against the STORE: rewrite ONLY the files
     * of cells that actually hold doomed rows (the deleted set's cell
     * footprint — bounded by the erasure request, never a full
-    * rewrite); every other file is inherited by reference. Idempotent:
-    * forgetting already-absent ids touches no cell and commits a
-    * content-identical snapshot — the property the streamed erasure
-    * path's replay correctness rests on. */
+    * rewrite); every other file is inherited by the delta semantics.
+    * Idempotent: forgetting already-absent ids touches no cell and
+    * commits a content-identical snapshot — the property the streamed
+    * erasure path's replay correctness rests on. */
   def forget(s: SparkSession, root: String,
              deletedIds: DataFrame): Snapshot = {
-    val snap = open(s, root)
-    val v = snap.version + 1
-    val all = codes(s, root, snap)
     val del = deletedIds.select(col("vec_id").as("nn_id")).distinct()
-    // doomed count + doomed CELL set in ONE pass over the store (the
-    // cell set is ≤ cells ints — driver-bounded): a second action
-    // here would re-open every snapshot file
-    val hit = all.join(del, Seq("nn_id"), "left_semi")
-      .agg(count(lit(1)), collect_set(col("cell"))).head()
-    val nDel = hit.getLong(0)
-    val doomedCells = hit.getSeq[Int](1).toSet
-    val keptFiles = snap.files.zip(snap.fileCells)
-      .filterNot { case (_, c) => doomedCells(c) }
-    val rewritten =
-      if (doomedCells.isEmpty) Seq.empty[(String, Int)]
-      else writeEpisode(s, root, v,
-        codesForCells(s, root, snap, doomedCells)
-          .join(del, Seq("nn_id"), "left_anti"))
-    require(commit(s, root, v, "forget", snap.modelGen, snap.modelDir,
-      snap.nRows - nDel, snap.cells, keptFiles ++ rewritten),
-      s"concurrent commit of ${vName(v)} at $root")
-    openVersion(s, root, v)
+    mutate(s, root, "forget") { parent =>
+      val v = parent.version + 1
+      val all = readFiles(s, root, parent.files.map(_._1))
+      // doomed count + doomed CELL set in ONE pass over the store (the
+      // cell set is ≤ cells ints — driver-bounded): a second action
+      // here would re-open every snapshot file
+      val hit = all.join(del, Seq("nn_id"), "left_semi")
+        .agg(count(lit(1)), collect_set(col("cell"))).head()
+      val nDel = hit.getLong(0)
+      val doomedCells = hit.getSeq[Int](1).toSet
+      val removes = parent.files
+        .collect { case (p, c) if doomedCells(c) => p }
+      val rewritten =
+        if (doomedCells.isEmpty) Seq.empty[(String, Int)]
+        else writeEpisode(s, root, v,
+          readFiles(s, root, removes).join(del, Seq("nn_id"), "left_anti"))
+      val m = Meta(v, "forget", parent.modelGen, parent.modelDir,
+        parent.nRows - nDel, parent.cells,
+        truncate = false, removes, rewritten, None)
+      Some((m, applyDelta(parent, m)))
+    }
   }
 
   /** Full re-provision under a NEW model generation (the reindex
     * trigger's action): retrain at the current corpus count, re-encode,
-    * publish — older snapshots keep serving their own generation. */
+    * publish — older snapshots keep serving their own generation. The
+    * trained artifact is computed ONCE; only the generation stamp,
+    * model dir and episode re-derive on a lost race. */
   def rebuild(s: SparkSession, root: String, emb: DataFrame): Snapshot = {
-    val snap = open(s, root)
-    val v = snap.version + 1
-    val gen = snap.modelGen + 1
     val n = emb.count()
     val cells = Similarity.scaledCells(n)
     val (cents, cb, index) = Similarity.ivfPqIndex(emb, cells)
-    val mDir = writeModels(s, root, gen, cents, cb)
-    val files = writeEpisode(s, root, v, index)
-    require(commit(s, root, v, "rebuild", gen, mDir, n, cells, files),
-      s"concurrent commit of ${vName(v)} at $root")
-    openVersion(s, root, v)
+    mutate(s, root, "rebuild") { parent =>
+      val v = parent.version + 1
+      val gen = parent.modelGen + 1
+      val mDir = writeModels(s, root, gen, cents, cb)
+      val files = writeEpisode(s, root, v, index)
+      val m = Meta(v, "rebuild", gen, mDir, n, cells,
+        truncate = true, Seq.empty, files, None)
+      Some((m, applyDelta(parent, m)))
+    }
   }
 
   /** Physical cleanup: delete data files referenced by NO retained
     * version (the last `retainLast` commits) and model generations no
     * retained version serves. Log files are never deleted (they are
-    * the history; bytes are trivial). Pinned readers older than the
-    * retention window break — the documented contract, same as any
-    * table format. Returns (data entries removed — one per whole
-    * episode dir or stray file, model gens removed). */
+    * the history; bytes are trivial). Two PROTECTION arms shield
+    * concurrent writers (the Delta VACUUM discipline):
+    *
+    *  - VERSION arm: an episode/model dir whose encoded target version
+    *    (generation) exceeds the highest committed one belongs to an
+    *    IN-FLIGHT commit — its writer has written data but not yet
+    *    renamed its manifest — and is never touched. (A dir at or
+    *    below the committed horizon that no retained manifest
+    *    references is a LOST attempt: its writer's retry wrote a fresh
+    *    attempt-unique dir, so the orphan is safe to reap.)
+    *  - AGE arm: dirs younger than `minAgeMs` survive regardless —
+    *    time-based retention for writers whose target version cannot
+    *    be decided (e.g. a build racing on v1). Defaults to 0 (the
+    *    gates vacuum stores they just wrote); production deployments
+    *    set hours, same as Delta's retention check.
+    *
+    * Pinned readers older than the retention window break — the
+    * documented contract, same as any table format. Returns (data
+    * entries removed — one per whole episode dir or stray file, model
+    * gens removed). */
   def vacuum(s: SparkSession, root: String,
-             retainLast: Int = 2): (Long, Long) = {
+             retainLast: Int = 2, minAgeMs: Long = 0L): (Long, Long) = {
     val f = fs(s, root)
-    val vs = versions(s, root)
-    val retained = vs.takeRight(math.max(retainLast, 1))
-      .map(v => metaOf(s, root, v))
-    val liveFiles = retained.flatMap(_.files.map(_._1)).toSet
-    val liveModelDirs = retained.map(_.modelDir).toSet
+    val (vs, ckpts) = listLog(s, root)
+    if (vs.isEmpty) return (0L, 0L)
+    val maxV = vs.last
+    // ONE replay pass for the whole retained window: reconstruct the
+    // oldest retained version from its best checkpoint, then roll the
+    // deltas forward collecting each retained state — never
+    // O(versions × files)
+    val retainedVs = vs.takeRight(math.max(retainLast, 1))
+    var st = stateAt(s, root, retainedVs.head, ckpts)
+    val retained = Seq.newBuilder[State]
+    retained += st
+    ((retainedVs.head + 1) to maxV).foreach { i =>
+      st = applyDelta(st, metaOf(s, root, i))
+      if (retainedVs.contains(i)) retained += st
+    }
+    val retainedStates = retained.result()
+    val liveFiles = retainedStates.flatMap(_.files.map(_._1)).toSet
+    val liveModelDirs = retainedStates.map(_.modelDir).toSet
+    val maxGen = st.modelGen // generations only grow
+    val now = System.currentTimeMillis()
+    def protectedDir(status: org.apache.hadoop.fs.FileStatus,
+                     prefix: Char, committedMax: Long): Boolean = {
+      val name = status.getPath.getName
+      val encoded = name.takeWhile(_ != '-').stripPrefix(prefix.toString)
+      val target = encoded.toLongOption.getOrElse(Long.MaxValue)
+      target > committedMax ||
+        (minAgeMs > 0L && now - status.getModificationTime < minAgeMs)
+    }
     var removedF = 0L
     val dataRoot = new Path(s"$root/data")
     if (f.exists(dataRoot)) {
@@ -430,7 +705,9 @@ object IndexStore {
       f.listStatus(dataRoot).foreach { ep =>
         val epRel = s"data/${ep.getPath.getName}"
         if (!liveEpisodes(epRel)) {
-          if (f.delete(ep.getPath, true)) removedF += 1
+          if (!protectedDir(ep, 'v', maxV)) {
+            if (f.delete(ep.getPath, true)) removedF += 1
+          }
         } else {
           val it = f.listFiles(ep.getPath, true)
           val doomed = Seq.newBuilder[Path]
@@ -449,9 +726,10 @@ object IndexStore {
     var removedG = 0L
     val modelsRoot = new Path(s"$root/models")
     if (f.exists(modelsRoot)) {
-      f.listStatus(modelsRoot).foreach { st =>
-        if (!liveModelDirs(s"models/${st.getPath.getName}")) {
-          if (f.delete(st.getPath, true)) removedG += 1
+      f.listStatus(modelsRoot).foreach { gdir =>
+        if (!liveModelDirs(s"models/${gdir.getPath.getName}") &&
+            !protectedDir(gdir, 'g', maxGen)) {
+          if (f.delete(gdir.getPath, true)) removedG += 1
         }
       }
     }

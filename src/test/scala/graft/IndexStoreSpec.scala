@@ -100,6 +100,117 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(v3.nRows === v2.nRows)
   }
 
+  test("checkpointed log: open equals replay across the boundary; " +
+       "txn watermark carried forward") {
+    val root = freshRoot()
+    val base = emb.filter(col("vec_id") < 400)
+    IndexStore.build(spark, root, base)
+    // 11 tiny txn-stamped appends → versions 2..12, a checkpoint at 10
+    val fps = scala.collection.mutable.Map[Long, (Long, String)]()
+    fps(1L) = fp(IndexStore.codes(spark, root,
+      IndexStore.openVersion(spark, root, 1L)))
+    (0 until 11).foreach { i =>
+      val snap = IndexStore.append(spark, root,
+        emb.filter(col("vec_id") % 11 === i),
+        txn = Some(("ckpt_spec", i.toLong)))
+      fps(snap.version) = fp(IndexStore.codes(spark, root, snap))
+    }
+    assert(IndexStore.versions(spark, root) === (1L to 12L))
+    assert(IndexStore.checkpoints(spark, root) === Seq(10L))
+    // every version — before, at, and after the checkpoint — reopens
+    // to its publish-time content (stateAt reads checkpoint + tail for
+    // v >= 10, the full chain for the pre-checkpoint past)
+    Seq(1L, 5L, 9L, 10L, 11L, 12L).foreach { v =>
+      assert(fp(IndexStore.codes(spark, root,
+        IndexStore.openVersion(spark, root, v))) === fps(v), s"v$v")
+    }
+    // the watermark survives the checkpoint boundary...
+    assert(IndexStore.lastTxnVersion(spark, root, "ckpt_spec") ===
+      Some(10L))
+    // ...and still suppresses a replayed batch (no new version)
+    val replay = IndexStore.append(spark, root,
+      emb.filter(col("vec_id") % 11 === 3),
+      txn = Some(("ckpt_spec", 3L)))
+    assert(replay.version === 12L)
+    assert(IndexStore.versions(spark, root).last === 12L)
+  }
+
+  test("two racing appends both land serialized (losing writer retries)") {
+    val root = freshRoot()
+    val base = emb.filter(col("vec_id") < 400)
+    IndexStore.build(spark, root, base)
+    val incA = emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0)
+    val incB = emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(IndexStore.append(spark, root, incA))
+    val fb = Future(IndexStore.append(spark, root, incB))
+    Await.result(fa, 5.minutes)
+    Await.result(fb, 5.minutes)
+    // both committed: one won v2, the loser re-opened and took v3 —
+    // content equals the sequential schedule (encode is deterministic
+    // under the frozen v1 models, so order doesn't matter)
+    assert(IndexStore.versions(spark, root) === Seq(1L, 2L, 3L))
+    val live = IndexStore.open(spark, root)
+    assert(live.nRows === emb.count())
+    assert(fp(IndexStore.codes(spark, root, live))._1 === emb.count())
+    val doomed = IndexStore.codes(spark, root, live)
+      .groupBy("nn_id").count().filter(col("count") > 1).count()
+    assert(doomed === 0L, "no row double-appended")
+  }
+
+  test("vacuum protects in-flight (future-version) and young dirs") {
+    val root = freshRoot()
+    IndexStore.build(spark, root, emb.filter(col("vec_id") < 400))
+    IndexStore.append(spark, root, emb.filter(col("vec_id") >= 400))
+    IndexStore.compact(spark, root) // v3 swaps the whole list
+    // a concurrent writer mid-commit: episode written, manifest not yet
+    // renamed — its encoded target version (4) exceeds the committed
+    // horizon (3), so vacuum must never touch it
+    val inflight = new java.io.File(s"$root/data/v000000004-feedf00d")
+    assert(inflight.mkdirs())
+    val inflightFile = new java.io.File(inflight, "part-inflight.parquet")
+    assert(inflightFile.createNewFile())
+    // a LOST attempt at an already-committed version: unreferenced and
+    // at/below the horizon — reapable by the version arm, but shielded
+    // by a nonzero age window
+    val lost = new java.io.File(s"$root/data/v000000002-0ddba11")
+    assert(lost.mkdirs())
+    assert(new java.io.File(lost, "part-lost.parquet").createNewFile())
+    IndexStore.vacuum(spark, root, retainLast = 1,
+      minAgeMs = 24L * 3600 * 1000)
+    assert(inflight.exists(), "in-flight episode survived (age arm)")
+    assert(lost.exists(), "young lost attempt survived (age arm)")
+    IndexStore.vacuum(spark, root, retainLast = 1)
+    assert(inflight.exists(), "in-flight episode survived (version arm)")
+    assert(!lost.exists(), "aged-out lost attempt reaped")
+    // the live snapshot is intact through both sweeps
+    assert(fp(IndexStore.codes(spark, root,
+      IndexStore.open(spark, root)))._1 === emb.count())
+  }
+
+  test("maybeCompact: below threshold is a version-preserving no-op; " +
+       "above threshold compacts") {
+    val root = freshRoot()
+    IndexStore.build(spark, root, emb.filter(col("vec_id") < 400))
+    IndexStore.append(spark, root, emb.filter(col("vec_id") >= 400))
+    val before = IndexStore.open(spark, root)
+    val fBefore = fp(IndexStore.codes(spark, root, before))
+    val (noop, fired1) = IndexStore.maybeCompact(spark, root,
+      filesPerCell = 1e9)
+    assert(!fired1 && noop.version === before.version)
+    assert(IndexStore.versions(spark, root).last === before.version)
+    // threshold 1.0: any store with >= 1 file per occupied cell fires
+    val (compacted, fired2) = IndexStore.maybeCompact(spark, root,
+      filesPerCell = 1.0)
+    assert(fired2 && compacted.version === before.version + 1)
+    assert(compacted.op === "compact")
+    assert(fp(IndexStore.codes(spark, root, compacted)) === fBefore)
+    val occupied = compacted.fileCells.distinct.size
+    assert(compacted.files.size <= occupied)
+  }
+
   test("vacuum honors the retention window, then tightens to live") {
     val root = freshRoot()
     val base = emb.filter(col("vec_id") < 400)
