@@ -460,6 +460,17 @@ object SparkEntry {
       reapAtExit(tmp)
       Similarity.ivfPqCompactGate(s, dir, tmp)
     }),
+    // the compaction TRIGGER policy over the live manifest: build + 2
+    // partition-appends, then both maybeCompact arms — unreachable
+    // threshold provably no-ops (no commit), threshold 1.0 provably
+    // fires (files >= occupied cells always) and the fired compact
+    // preserves content/shape/probe
+    "auto_compact_gate" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_autocompact_").toString
+      reapAtExit(tmp)
+      Similarity.autoCompactGate(s, dir, tmp)
+    }),
     // the SERVING MANIFEST: snapshot versioning over the stored index
     // (version-log commits, file-list snapshots) driven through every
     // mutation path on ONE store — build -> append (files shared by
@@ -3356,6 +3367,18 @@ object SparkEntry {
         |    LEAST(CAST(ceil(4*sqrt(n_emb)) AS BIGINT), n_emb // 32)))
         |    AS INTEGER) AS cells,
         |  1 AS files_reduced, 1 AS content_match, 1 AS probe_match
+        |FROM n""".stripMargin,
+    // auto-compaction trigger: counts + the episode's version-log
+    // length (build + 2 appends + exactly one fired compact) SQL-exact;
+    // the no-op arm, fire arm and shape/content/probe flags pinned 1
+    "auto_compact_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
+        |           FROM embeddings)
+        |SELECT n_emb, n_emb - n_emb // 8 AS n_base,
+        |  n_emb // 8 AS n_inc,
+        |  CAST(4 AS BIGINT) AS versions_committed,
+        |  1 AS noop_ok, 1 AS fired, 1 AS shape_ok, 1 AS content_ok,
+        |  1 AS probe_ok
         |FROM n""".stripMargin,
     // drift-fired rebuild through the store: counts SQL-exact, the
     // count arm provably 0 (same size), drift/generation/isolation/

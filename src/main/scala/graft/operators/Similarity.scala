@@ -3062,4 +3062,88 @@ object Similarity {
     row(liveVersion, Seq(opsOk, appendShared, appendConserved,
       compactOk, forgetOk, forgetBounded, probeOk, prunedOk))
   }
+
+  /** AUTO-COMPACTION gate — the trigger POLICY on top of the compact
+    * verb ([[graft.sources.IndexStore.maybeCompact]]): the small-files
+    * pathology `ivfPqCompactGate` demonstrates needed a "when", not
+    * just a "how", and the manifest already records per-file cells, so
+    * the decision is pure in-memory arithmetic over the live snapshot
+    * (files per occupied cell ≥ threshold), no file IO beyond the log.
+    *
+    * Episode: build the 7/8-prefix corpus (v1), partition-append the
+    * 1/8 increment as two slices (v2, v3 — each append adds files to
+    * its touched cells). Then both policy arms, deterministically:
+    *
+    *  - `noop_ok`: maybeCompact at an unreachable threshold must NOT
+    *    fire — no commit, live version still 3 (a fired no-op would
+    *    burn a version and a full rewrite per policy evaluation);
+    *  - `fired`: maybeCompact at threshold 1.0 MUST fire — every
+    *    non-empty store has ≥ 1 file per occupied cell (equality is
+    *    the perfectly-compacted fixpoint), so the arm is provable at
+    *    any SF without depending on which cells the slices hit;
+    *  - `shape_ok`: the compacted snapshot holds ≤ one file per
+    *    occupied cell; `content_ok`: order-independent checksum
+    *    unchanged; `probe_ok`: a probe served from the compacted
+    *    store equals the pre-compact probe row-for-row.
+    *
+    * Counts and `versions_committed = 4` (build + 2 appends + the one
+    * fired compact) are SQL-exact; the five flags pinned 1. */
+  def autoCompactGate(s: SparkSession, dir: String, root: String,
+                      k: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.sources.{IndexStore, Tables}
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    val nBase = n - n / 8
+    val nInc = n / 8
+    def row(f: (Int, Int, Int, Int, Int)) =
+      Seq((n, nBase, nInc, 4L, f._1, f._2, f._3, f._4, f._5))
+        .toDF("n_emb", "n_base", "n_inc", "versions_committed",
+          "noop_ok", "fired", "shape_ok", "content_ok", "probe_ok")
+    if (n == 0L) return row((1, 1, 1, 1, 1))
+    val thr = prefixThreshold(emb, nBase)
+    val base = emb.filter(col("vec_id") <= thr)
+    val inc = emb.filter(col("vec_id") > thr)
+    val v1 = IndexStore.build(s, root, base)
+    if (v1.cents.isEmpty) return row((1, 1, 1, 1, 1))
+    // two ingest slices (order statistics of the increment, the
+    // streamedAppendStore convention — never an isin list)
+    val mid = prefixThreshold(inc, nInc / 2)
+    IndexStore.append(s, root, inc.filter(col("vec_id") <= mid))
+    val v3 = IndexStore.append(s, root, inc.filter(col("vec_id") > mid))
+    def fp(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val c3 = Checkpoints.scratch(IndexStore.codes(s, root, v3))
+    val fp3 = fp(c3)
+    val (noop, fired1) = IndexStore.maybeCompact(s, root,
+      filesPerCell = 1e9)
+    val noopOk =
+      if (!fired1 && noop.version == v3.version &&
+          IndexStore.versions(s, root).last == v3.version) 1 else 0
+    val (v4, fired2) = IndexStore.maybeCompact(s, root, filesPerCell = 1.0)
+    val fired = if (fired2 && v4.version == v3.version + 1 &&
+      v4.op == "compact") 1 else 0
+    val c4 = Checkpoints.scratch(IndexStore.codes(s, root, v4))
+    val occupied = v4.fileCells.distinct.size
+    val shapeOk = if (v4.files.size <= occupied) 1 else 0
+    val contentOk = if (fp(c4) == fp3) 1 else 0
+    val queries = emb.filter(col("vec_id") < 10)
+    val rr = scaledRerank(n)
+    val np = scaledNprobe(n, v4.cells, rr)
+    def probe(idx: DataFrame) = Checkpoints.scratch(
+      knnIvfPqWith(emb, idx, v4.cents, v4.cb, queries, k, np, rr,
+        residual = false))
+    val pPre = probe(c3)
+    val pPost = probe(c4)
+    val nPre = pPre.count()
+    val nPost = pPost.count()
+    val inter = pPre.join(pPost, Seq("query_id", "nn_id", "rn"),
+      "left_semi").count()
+    val probeOk = if (nPre == nPost && inter == nPre) 1 else 0
+    row((noopOk, fired, shapeOk, contentOk, probeOk))
+  }
 }
