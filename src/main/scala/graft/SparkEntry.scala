@@ -451,14 +451,17 @@ object SparkEntry {
       reapAtExit(tmp)
       Similarity.ivfPqStoreGate(s, dir, tmp)
     }),
-    // cell compaction: 4 real partition-append episodes -> one-file-
+    // cell compaction: real partition-append episodes -> one-file-
     // per-cell rewrite; file-count reduction, content checksum, and
-    // compacted-store probe equality pinned
+    // compacted-store probe equality pinned. Bench-sized episode
+    // (2 slices, ~sqrt(N)/2 cells) — the flags are cell-count-
+    // independent; the full 4-slice scaledCells episode is priced in
+    // ScaleStress
     "ivfpq_compact_gate" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivfcompact_").toString
       reapAtExit(tmp)
-      Similarity.ivfPqCompactGate(s, dir, tmp)
+      Similarity.ivfPqCompactGate(s, dir, tmp, benchSized = true)
     }),
     // the compaction TRIGGER policy over the live manifest: build + 2
     // partition-appends, then both maybeCompact arms — unreachable
@@ -3355,16 +3358,19 @@ object SparkEntry {
         |  1 AS compact_ok, 1 AS forget_ok, 1 AS forget_bounded,
         |  1 AS probe_ok, 1 AS pruned_probe_ok
         |FROM n""".stripMargin,
-    // compaction gate: counts + the cell-count policy SQL-exact,
-    // file-shape/content/probe flags pinned 1
+    // compaction gate: counts + the bench-sized cell arithmetic
+    // (ceil(sqrt(N)/2) floored at 1, capped at the policy count)
+    // SQL-exact, file-shape/content/probe flags pinned 1
     "ivfpq_compact_gate" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
         |           FROM embeddings)
         |SELECT n_emb,
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id < 10) AS n_queries,
-        |  CAST(GREATEST(16, LEAST(4096,
-        |    LEAST(CAST(ceil(4*sqrt(n_emb)) AS BIGINT), n_emb // 32)))
+        |  CAST(GREATEST(1, LEAST(
+        |    GREATEST(16, LEAST(4096,
+        |      LEAST(CAST(ceil(4*sqrt(n_emb)) AS BIGINT), n_emb // 32))),
+        |    CAST(ceil(sqrt(GREATEST(n_emb, 1))/2) AS BIGINT)))
         |    AS INTEGER) AS cells,
         |  1 AS files_reduced, 1 AS content_match, 1 AS probe_match
         |FROM n""".stripMargin,

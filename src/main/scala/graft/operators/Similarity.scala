@@ -1575,7 +1575,13 @@ object Similarity {
     * output a pure function of (corpus, params). At 100 TB the knobs
     * are Dong's ρ-sampling (score only a seeded-hash fraction of each
     * incidence list per round) and k — the per-round join shape is
-    * unchanged. Returns (query_id, nn_id, sim, rn), the probe tiers'
+    * unchanged, and ρ is AUTO-RESOLVED by default: 1.0 (the full
+    * descent, every gated SF) until the per-round candidate ceiling
+    * N·(2·kb)² crosses the measured spill threshold
+    * ([[NnDescentSpillRows]]), then 0.5 — so the 200k-vector cold
+    * build that spilled for 677–1173 s at ρ=1 ships at the measured
+    * 459 s / recall-0.910 point without the caller knowing the knob
+    * exists. Returns (query_id, nn_id, sim, rn), the probe tiers'
     * schema with the whole corpus as the query set.
     *
     * `buildK` (default 2k) is the OVER-BUILD width: the descent runs on
@@ -1599,8 +1605,35 @@ object Similarity {
     // kill-resume spec plants exactly that state) — never serve a
     // cache hit across a resume boundary
     knnGraphNnDescent(emb, k, iters, initRounds, bucketSize, buildK,
-      seed, rho = 1.0)
+      seed, rho = RhoAuto)
   }
+
+  /** ρ sentinel: resolve against the MEASURED spill ceiling instead of
+    * a caller choice (any positive value is honored verbatim). */
+  private[graft] val RhoAuto = 0.0
+
+  /** Per-round ρ=1 candidate ceiling N·(2·kb)² above which the cold
+    * build auto-switches to ρ=0.5. Priced from the §9.3 stress
+    * ladder (k=10, kb=20): 10× = 20k vectors puts 3.2e7 candidate
+    * rows/round through the incidence self-join and runs clean
+    * (41.7 s); 100× = 200k vectors puts 3.2e8 through it and is
+    * spill-bound (677–1173 s across windows), while ρ=0.5 cuts the
+    * ACTIVATED volume to ~ρ²·N·(2kb)² ≈ 8e7 and measured 458.9 s at
+    * recall 0.910 vs 0.934 (sf0.1 full-graph recall@10, floor 0.7).
+    * 1e8 sits between the clean and spill-bound measurements on the
+    * side of the clean one; the switch is a step to ρ=0.5 — the one
+    * sampled point whose recall is measured — not a continuous ramp
+    * into unmeasured territory. */
+  private val NnDescentSpillRows = 1.0e8
+
+  /** The ρ the DEFAULT cold build uses for an N-vector corpus at
+    * over-build width kb — 1.0 (full Dong descent) until the
+    * per-round candidate ceiling crosses [[NnDescentSpillRows]], then
+    * 0.5. Deterministic in (N, kb), so the resume-store namespace and
+    * the graph registry key stay pure functions of (corpus, params). */
+  private[graft] def nndescentAutoRho(n: Long, kb: Int): Double =
+    if (n.toDouble * (2.0 * kb) * (2.0 * kb) > NnDescentSpillRows) 0.5
+    else 1.0
 
   /** [[knnGraphNnDescent]] with Dong's ρ-SAMPLING — the 100 TB cost
     * knob: each descent round keeps only a seeded-hash fraction ρ of
@@ -1618,7 +1651,9 @@ object Similarity {
     * the hard case): ρ=0.5 holds recall@10 at 0.997/0.991/0.910 vs
     * the full descent's 0.998/0.991/0.934, for roughly half the
     * activated-meeting volume. DedupSpec pins the 0.7 floor at the
-    * gated SF. */
+    * gated SF. Since r16 a rho ≤ 0 argument means [[RhoAuto]] — the
+    * spill-threshold switch [[nndescentAutoRho]] resolves it — and
+    * is the default; an explicit positive ρ is honored verbatim. */
   /** Resume-store namespace for ONE descent build: the corpus
     * fingerprint plus every parameter that shapes a round's content
     * (kb — the over-build width the rounds actually hold — iters,
@@ -1639,10 +1674,12 @@ object Similarity {
     * under the exact namespace the operator reads. */
   private[graft] def nndescentOpFor(emb: DataFrame, k: Int = 10,
       iters: Int = 5, initRounds: Int = 4, bucketSize: Int = 8,
-      buildK: Int = 0, seed: Long = 41L, rho: Double = 1.0): String = {
+      buildK: Int = 0, seed: Long = 41L,
+      rho: Double = RhoAuto): String = {
     val kb = if (buildK > 0) buildK else 2 * k
-    nndescentOp(corpusFp(emb, Seq("vec_id", "embedding")), kb, iters,
-      initRounds, bucketSize, seed, rho)
+    val fp = corpusFp(emb, Seq("vec_id", "embedding"))
+    val rhoEff = if (rho > 0.0) rho else nndescentAutoRho(fp._1, kb)
+    nndescentOp(fp, kb, iters, initRounds, bucketSize, seed, rhoEff)
   }
 
   def knnGraphNnDescent(emb: DataFrame, k: Int, iters: Int,
@@ -1650,7 +1687,12 @@ object Similarity {
                         seed: Long, rho: Double): DataFrame = {
     val fp = corpusFp(emb, Seq("vec_id", "embedding"))
     val kb = if (buildK > 0) buildK else 2 * k
-    val op = nndescentOp(fp, kb, iters, initRounds, bucketSize, seed, rho)
+    // rho ≤ 0 = [[RhoAuto]]: pick the spill-safe default for THIS
+    // corpus size. Resolution is deterministic in (N, kb), so the
+    // resolved value — not the sentinel — keys the namespace/registry.
+    val rhoEff = if (rho > 0.0) rho else nndescentAutoRho(fp._1, kb)
+    val op = nndescentOp(fp, kb, iters, initRounds, bucketSize, seed,
+      rhoEff)
     // a populated resume store FOR THIS build means a restarted driver
     // mid-descent: the store, not the registry, is the source of truth
     // (and the kill-resume spec plants exactly that state) — never
@@ -1669,11 +1711,11 @@ object Similarity {
     val wide =
       if (Checkpoints.latestRound(emb.sparkSession, op).isDefined)
         knnGraphNnDescentBuild(emb, kb, iters, initRounds,
-          bucketSize, kb, seed, rho, op)
+          bucketSize, kb, seed, rhoEff, op)
       else nnGraphCache.computeIfAbsent(
-        (fp, kb, iters, initRounds, bucketSize, seed, rho),
+        (fp, kb, iters, initRounds, bucketSize, seed, rhoEff),
         _ => knnGraphNnDescentBuild(emb, kb, iters, initRounds,
-          bucketSize, kb, seed, rho, op))
+          bucketSize, kb, seed, rhoEff, op))
     if (kb == k) wide else wide.filter(col("rn") <= k)
   }
 
@@ -2102,34 +2144,52 @@ object Similarity {
     * partitioned write, no recompute of codes — is the same.)
     *
     * The gate replays the whole episode: the deployed-shape index
-    * lands as FOUR append slices through the real partitioned-write
-    * path (≥4 files per occupied cell), compacts, and pins
+    * lands as append slices through the real partitioned-write
+    * path (≥slices files per touched cell), compacts, and pins
     * (a) `files_reduced`: the compacted store holds at most one file
     * per occupied cell and strictly fewer files than the appended
     * store; (b) `content_match`: compacted rows reproduce the
     * in-memory index exactly (count + order-independent checksum);
     * (c) `probe_match`: a probe served from the COMPACTED files
     * equals the in-memory probe row-for-row. Corpus/query counts and
-    * the cell-count policy are SQL-exact. */
+    * the cell-count policy are SQL-exact.
+    *
+    * `benchSized = true` (the GATED invocation) shrinks the episode
+    * to what the shape proof needs — 2 slices over ~√N/2 cells
+    * instead of 4 over ~4√N — because the flags it pins are
+    * cell-count-independent while the episode's wall-clock is pure
+    * file-metadata (the r15 bench paid 9.3 s creating ~700 files to
+    * prove a ≤-one-file-per-cell contract 44 files prove equally).
+    * The FULL 4-slice scaledCells episode — the small-files
+    * pathology priced end-to-end — stays in ScaleStress, where the
+    * 100× row measures its 4.8×/decade file-metadata slope. */
   def ivfPqCompactGate(s: SparkSession, dir: String, out: String,
-                       k: Int = 5): DataFrame = {
+                       k: Int = 5,
+                       benchSized: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.sources.Tables
     val emb = Tables.embeddings(s, dir)
     val n = emb.count()
     val queries = emb.filter(col("vec_id") < 10)
     val nq = queries.count()
-    val cells = scaledCells(n)
+    val slices = if (benchSized) 2 else 4
+    // bench arm: ceil(√N/2), floored at 1, never above the policy
+    // cell count (the oracle recomputes this arithmetic exactly)
+    val cells =
+      if (benchSized)
+        math.max(1, math.min(scaledCells(n),
+          math.ceil(math.sqrt(math.max(n, 1).toDouble) / 2.0).toInt))
+      else scaledCells(n)
     def row(f: (Int, Int, Int)) = Seq((n, nq, cells, f._1, f._2, f._3))
       .toDF("n_emb", "n_queries", "cells", "files_reduced",
         "content_match", "probe_match")
     if (n == 0L) return row((1, 1, 1))
     val (cents, cb, index) = ivfPqIndex(emb, cells)
     if (cents.isEmpty || cb.isEmpty) return row((1, 1, 1))
-    // four ingest episodes through the real partition-append path
+    // ingest episodes through the real partition-append path
     val appended = s"$out/appended"
-    (0 until 4).foreach { i =>
-      index.filter(pmod(col("nn_id"), lit(4)) === i)
+    (0 until slices).foreach { i =>
+      index.filter(pmod(col("nn_id"), lit(slices)) === i)
         .write.mode(if (i == 0) "overwrite" else "append")
         .partitionBy("cell").parquet(appended)
     }

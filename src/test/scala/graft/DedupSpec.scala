@@ -319,6 +319,28 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.7)
   }
 
+  test("nn-descent auto-rho: spill-threshold switch, gated SFs stay at 1.0") {
+    import graft.operators.Similarity
+    // the switch arithmetic: N·(2kb)² vs the 1e8 ceiling. kb=20 (the
+    // k=10 default's over-build width) → per-node pairs (2·20)²=1600:
+    // 20k vectors = 3.2e7 (the clean 10× measurement) stays full,
+    // 200k = 3.2e8 (the spill-bound 100× measurement) switches, and
+    // the boundary sits at 62,500 exactly
+    assert(Similarity.nndescentAutoRho(20000L, 20) === 1.0)
+    assert(Similarity.nndescentAutoRho(62500L, 20) === 1.0)
+    assert(Similarity.nndescentAutoRho(62501L, 20) === 0.5)
+    assert(Similarity.nndescentAutoRho(200000L, 20) === 0.5)
+    // wider build widths switch proportionally earlier
+    assert(Similarity.nndescentAutoRho(20000L, 40) === 0.5)
+    // every gated corpus resolves to the FULL descent — the default
+    // path's resume namespace (and so its round snapshots, registry
+    // key, and output) is identical to an explicit rho=1.0 build,
+    // which is why the auto-switch changed no gate hash
+    val emb = Tables.embeddings(spark, dir)
+    assert(Similarity.nndescentOpFor(emb) ===
+      Similarity.nndescentOpFor(emb, rho = 1.0))
+  }
+
   test("graph append: arrivals descend into the base graph, full-k, gated recall") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, dir)
@@ -840,6 +862,20 @@ class DedupSpec extends AnyFunSuite {
       before.max >= 4,
       s"append episodes left no multi-file cells: $before")
     assert(after.forall(_ === 1), s"compaction left multi-file cells: $after")
+    // the bench-sized arm (the GATED invocation): same flags, episode
+    // shrunk to 2 slices over ceil(sqrt(N)/2) cells capped at the
+    // policy count — the arithmetic the oracle recomputes
+    val tmpB = java.nio.file.Files
+      .createTempDirectory("graft-compactSpecB").toString
+    val b = Similarity.ivfPqCompactGate(spark, dir, tmpB,
+      benchSized = true).head()
+    val nB = b.getAs[Long]("n_emb")
+    val expCells = math.max(1, math.min(Similarity.scaledCells(nB),
+      math.ceil(math.sqrt(math.max(nB, 1L).toDouble) / 2.0).toInt))
+    assert(b.getAs[Int]("cells") === expCells)
+    assert(b.getAs[Int]("files_reduced") === 1)
+    assert(b.getAs[Int]("content_match") === 1)
+    assert(b.getAs[Int]("probe_match") === 1)
   }
 
   test("filtered ANN probe: subset of the filter, full k, gated recall") {
