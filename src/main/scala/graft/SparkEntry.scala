@@ -726,6 +726,19 @@ object SparkEntry {
       reapAtExit(root); reapAtExit(work)
       graft.streaming.Streaming.streamedAppendStore(s, dir, root, work)
     }),
+    // MIXED-MUTATION LIFECYCLE: appends AND forgets interleaved
+    // through ONE checkpointed stream onto ONE store — txn-stamped
+    // append commits, idempotent forget commits, settled log length
+    // SQL-exact, live content == the batch sequence, re-drain no-op,
+    // full-k probe (the kill-resume half lives in StreamingSpec)
+    "streamed_lifecycle_gate" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_slife_root_").toString
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_slife_work_").toString
+      reapAtExit(root); reapAtExit(work)
+      graft.streaming.Streaming.streamedLifecycle(s, dir, root, work)
+    }),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
     // k-anonymity-style small-cell suppression for published breakdowns
@@ -4260,6 +4273,36 @@ object SparkEntry {
         |  1 AS content_match, 1 AS conserved, 1 AS resume_safe,
         |  1 AS probe_full_k
         |FROM n""".stripMargin,
+    // mixed lifecycle stream: split/erasure-set counts and the
+    // settled version-log length (1 build + one commit per non-empty
+    // mutation slice: append(inc half 1), forget(base % 122), append
+    // (inc half 2), forget(base % 61 less the first set)) SQL-exact;
+    // content/conservation/resume/probe flags pinned
+    "streamed_lifecycle_gate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
+        |           FROM embeddings),
+        |r AS (SELECT vec_id,
+        |        row_number() OVER (ORDER BY vec_id) AS rn
+        |      FROM embeddings),
+        |b AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN vec_id % 122 = 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_f1,
+        |    CAST(coalesce(sum(CASE WHEN vec_id % 61 = 0
+        |      AND vec_id % 122 <> 0 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_f2
+        |  FROM r, n WHERE rn <= n_emb - n_emb // 8)
+        |SELECT n_emb, n_emb - n_emb // 8 AS n_base,
+        |  n_emb // 8 AS n_inc,
+        |  coalesce(n_f1, 0) + coalesce(n_f2, 0) AS n_doomed,
+        |  1 + (CASE WHEN (n_emb // 8) // 2 > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN coalesce(n_f1, 0) > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_emb // 8 - (n_emb // 8) // 2 > 0
+        |        THEN 1 ELSE 0 END)
+        |    + (CASE WHEN coalesce(n_f2, 0) > 0 THEN 1 ELSE 0 END)
+        |    AS versions_committed,
+        |  1 AS content_match, 1 AS conserved, 1 AS resume_safe,
+        |  1 AS probe_full_k
+        |FROM n, b""".stripMargin,
     // refresh capstone recompute, stage by stage: syntheticDelta merge
     // (corpus_refresh's fragment) → fresh-vs-existing bigram Jaccard ≥
     // tau (incremental_neardup's fragment) → per-shard stats over the

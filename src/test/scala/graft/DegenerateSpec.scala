@@ -422,6 +422,15 @@ class DegenerateSpec extends AnyFunSuite {
         .head()
       assert(sa.getAs[Long]("versions_committed") === 1L)
       assert(sa.getAs[Int]("content_match") === 1)
+      // mixed lifecycle: zero increment + (at most) a degenerate
+      // erasure set still yields the contract row with green flags —
+      // and versions_committed stays the SQL formula's value
+      val sl = graft.streaming.Streaming.streamedLifecycle(spark, tmp,
+        freshDir("graft-degenSlRoot"), freshDir("graft-degenSlWork"))
+        .head()
+      assert(sl.getAs[Long]("n_inc") === 0L)
+      assert(sl.getAs[Int]("content_match") === 1)
+      assert(sl.getAs[Int]("resume_safe") === 1)
     }
     // IndexStore primitives directly on a zero-row store
     val root = freshDir("graft-degenEmptyStore")

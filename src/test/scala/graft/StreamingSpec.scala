@@ -429,6 +429,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(v2.nRows === n + 1)
   }
 
+  test("mixed lifecycle stream survives a kill mid-interleave") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    import graft.sources.{IndexStore, Tables}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nBase = n - n / 4
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-slife-ckpt").toString
+    val (root, reqDir, ckpt) = (s"$tmp/store", s"$tmp/req", s"$tmp/ckpt")
+    val thr = Similarity.prefixThreshold(emb, nBase)
+    val base = emb.filter(col("vec_id") <= thr)
+    val inc = emb.filter(col("vec_id") > thr)
+    IndexStore.build(spark, root, base)
+    // the tape, STRICTLY ORDERED by request-file mtime (each write is
+    // its own job, ms apart): append A1 → per-id base erasures →
+    // append A2 → erase IDS THAT ARRIVED IN A1 — the ordering hazard
+    // a mixed stream must get right (a forget racing ahead of its
+    // arrival would no-op and leave the row alive forever)
+    val nInc = inc.count()
+    val cut = Similarity.prefixThreshold(inc, nInc / 2)
+    val a1Ids = inc.filter(col("vec_id") <= cut)
+      .select("vec_id").as[Long].collect().sorted
+    val f1Ids = base.filter(col("vec_id") % 97 === 0)
+      .select("vec_id").as[Long].collect().sorted
+    val f2Ids = a1Ids.zipWithIndex.collect {
+      case (id, i) if i % 3 == 0 => id }
+    assert(a1Ids.length >= 3 && f1Ids.length >= 2 && f2Ids.length >= 1)
+    val embT = emb.schema("embedding").dataType
+    def sendAppend(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select(col("vec_id"), col("embedding"),
+          lit("append").as("kind"))
+        .coalesce(1).write.mode("append").parquet(reqDir)
+    def sendForget(ids: Seq[Long]): Unit =
+      ids.toDF("vec_id")
+        .select(col("vec_id"), lit(null).cast(embT).as("embedding"),
+          lit("forget").as("kind"))
+        .coalesce(1).write.mode("append").parquet(reqDir)
+    sendAppend(inc.filter(col("vec_id") <= cut))
+    f1Ids.foreach(id => sendForget(Seq(id)))    // one file per id
+    sendAppend(inc.filter(col("vec_id") > cut))
+    sendForget(f2Ids.toSeq)
+    val nFiles = 2 + f1Ids.length + 1
+    val processed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def sink() = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, kind STRING")
+      .option("maxFilesPerTrigger", 1).parquet(reqDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          b.select("kind").distinct()
+            .collect().map(_.getString(0)).sorted.foreach {
+              case "append" => IndexStore.append(spark, root,
+                b.filter(col("kind") === "append")
+                  .select("vec_id", "embedding"),
+                txn = Some(("graft_stream_lifecycle", id)))
+              case _ => IndexStore.forget(spark, root,
+                b.filter(col("kind") === "forget").select("vec_id"))
+            }
+          processed.incrementAndGet()
+          ()
+        }
+      }
+    val q1 = sink().start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (processed.get() < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    q1.awaitTermination()
+    val run1 = processed.get()
+    assert(run1 >= 2, s"only $run1 batches before the kill")
+    // resume from the checkpoint: at most the one committed-but-
+    // unacknowledged batch replays (append replays are txn-skipped,
+    // forget replays idempotent — either way content converges)
+    processed.set(0)
+    val q2 = sink().trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(processed.get() <= nFiles - run1 + 1,
+      s"restart reprocessed ${processed.get()} of $nFiles")
+    // settled content == the BATCH sequence: index(base) ∪
+    // append(inc) under the same frozen models, minus both erasure
+    // sets — including the A1-sourced ids erased AFTER they arrived
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val live = IndexStore.open(spark, root)
+    val codes = IndexStore.codes(spark, root, live)
+    val doomed = (f1Ids ++ f2Ids).toSeq.toDF("vec_id")
+    val (cents0, cb0, idx0) =
+      Similarity.ivfPqIndex(base, Similarity.scaledCells(nBase))
+    val batchForm = Similarity.ivfPqForget(
+      idx0.select("nn_id", "cell", "codes")
+        .unionAll(Similarity.ivfPqAppend(cents0, cb0, inc)), doomed)
+    assert(fp(codes) === fp(batchForm))
+    val nLive = n - f1Ids.length - f2Ids.length
+    assert(live.nRows === nLive)
+    assert(codes.count() === nLive)
+    // the hazard case explicitly: every erased STREAMED ARRIVAL is
+    // gone, every surviving A1 arrival is present exactly once
+    assert(codes.join(f2Ids.toSeq.toDF("nn_id"), Seq("nn_id"),
+      "left_semi").count() === 0L)
+    val a1Live = a1Ids.toSeq.toDF("nn_id")
+      .join(codes, Seq("nn_id"), "left_semi").count()
+    assert(a1Live === a1Ids.length - f2Ids.length)
+  }
+
   test("streamed sessions: settled = exactly the watermark-closed batch sessions") {
     import graft.operators.EventAnalytics
     import graft.sources.Tables
