@@ -1575,13 +1575,12 @@ object Similarity {
     * output a pure function of (corpus, params). At 100 TB the knobs
     * are Dong's ρ-sampling (score only a seeded-hash fraction of each
     * incidence list per round) and k — the per-round join shape is
-    * unchanged, and ρ is AUTO-RESOLVED by default: 1.0 (the full
-    * descent, every gated SF) until the per-round candidate ceiling
-    * N·(2·kb)² crosses the measured spill threshold
-    * ([[NnDescentSpillRows]]), then 0.5 — so the 200k-vector cold
-    * build that spilled for 677–1173 s at ρ=1 ships at the measured
-    * 459 s / recall-0.910 point without the caller knowing the knob
-    * exists. Returns (query_id, nn_id, sim, rn), the probe tiers'
+    * unchanged, and ρ defaults through [[nndescentAutoRho]] — which
+    * resolves to 1.0 at every corpus size after the r16 paired COLD
+    * experiment showed ρ=0.5 is strictly dominated at the 100× point
+    * (no cold wall-clock win, lower recall; the r14 2.6× saving was
+    * a warm-second-build artifact — evidence in the resolver's
+    * scaladoc). Returns (query_id, nn_id, sim, rn), the probe tiers'
     * schema with the whole corpus as the query set.
     *
     * `buildK` (default 2k) is the OVER-BUILD width: the descent runs on
@@ -1608,32 +1607,36 @@ object Similarity {
       seed, rho = RhoAuto)
   }
 
-  /** ρ sentinel: resolve against the MEASURED spill ceiling instead of
-    * a caller choice (any positive value is honored verbatim). */
+  /** ρ sentinel: resolve to the measured-best default instead of a
+    * caller choice (any positive value is honored verbatim). */
   private[graft] val RhoAuto = 0.0
 
-  /** Per-round ρ=1 candidate ceiling N·(2·kb)² above which the cold
-    * build auto-switches to ρ=0.5. Priced from the §9.3 stress
-    * ladder (k=10, kb=20): 10× = 20k vectors puts 3.2e7 candidate
-    * rows/round through the incidence self-join and runs clean
-    * (41.7 s); 100× = 200k vectors puts 3.2e8 through it and is
-    * spill-bound (677–1173 s across windows), while ρ=0.5 cuts the
-    * ACTIVATED volume to ~ρ²·N·(2kb)² ≈ 8e7 and measured 458.9 s at
-    * recall 0.910 vs 0.934 (sf0.1 full-graph recall@10, floor 0.7).
-    * 1e8 sits between the clean and spill-bound measurements on the
-    * side of the clean one; the switch is a step to ρ=0.5 — the one
-    * sampled point whose recall is measured — not a continuous ramp
-    * into unmeasured territory. */
-  private val NnDescentSpillRows = 1.0e8
-
-  /** The ρ the DEFAULT cold build uses for an N-vector corpus at
-    * over-build width kb — 1.0 (full Dong descent) until the
-    * per-round candidate ceiling crosses [[NnDescentSpillRows]], then
-    * 0.5. Deterministic in (N, kb), so the resume-store namespace and
-    * the graph registry key stay pure functions of (corpus, params). */
-  private[graft] def nndescentAutoRho(n: Long, kb: Int): Double =
-    if (n.toDouble * (2.0 * kb) * (2.0 * kb) > NnDescentSpillRows) 0.5
-    else 1.0
+  /** The ρ the DEFAULT cold build uses — 1.0 (the full Dong descent)
+    * at EVERY corpus size, a decision made on a paired experiment,
+    * not a guess. r14 measured ρ=0.5 at 458.9 s vs ρ=1's 1173.3 s on
+    * the 200k-vector cold build and the r15 verdict asked for a
+    * spill-threshold auto-switch to 0.5; r16 built exactly that
+    * switch (step to 0.5 past N·(2kb)² > 1e8), then re-measured both
+    * arms COLD — each in a fresh JVM, same corpus, same host window
+    * (window calibrated 2.29× slow by the 10× point: 95.4 s vs r13's
+    * 41.7): ρ=0.5 read 1783.8 s, ρ=1 read 1487.1 s. The r14 "2.6×
+    * saving" does not reproduce cold — it was a warm-second-build
+    * artifact (the r14 pair ran back-to-back in ONE JVM: ρ=1 first
+    * and cold, ρ=0.5 second with JIT, page cache, and the scratch
+    * unit-vector read warm). Mechanism: ρ-sampling with the TRIED
+    * flag DEFERS meetings rather than dropping them, so over a fixed
+    * iters=5 the total activated-meeting volume is barely reduced —
+    * later rounds stay large where the full descent's shrink as the
+    * graph converges — and the per-entry draw is pure overhead. At
+    * the 100× point ρ=0.5 is therefore strictly dominated: no cold
+    * wall-clock win AND recall 0.910 vs 0.934. The switch was
+    * reverted on that evidence; the knob stays caller-selectable and
+    * this resolver is where the next measured threshold would live.
+    * (ρ=1 cold normalizes to ~650 s in r13 window units, matching
+    * r13's 677 — the cold build's true cost is the 16×/decade spill
+    * slope, and the measured mitigation is the append path at
+    * 2.0×/decade, not sampling.) */
+  private[graft] def nndescentAutoRho(n: Long, kb: Int): Double = 1.0
 
   /** [[knnGraphNnDescent]] with Dong's ρ-SAMPLING — the 100 TB cost
     * knob: each descent round keeps only a seeded-hash fraction ρ of
@@ -1651,9 +1654,10 @@ object Similarity {
     * the hard case): ρ=0.5 holds recall@10 at 0.997/0.991/0.910 vs
     * the full descent's 0.998/0.991/0.934, for roughly half the
     * activated-meeting volume. DedupSpec pins the 0.7 floor at the
-    * gated SF. Since r16 a rho ≤ 0 argument means [[RhoAuto]] — the
-    * spill-threshold switch [[nndescentAutoRho]] resolves it — and
-    * is the default; an explicit positive ρ is honored verbatim. */
+    * gated SF. A rho ≤ 0 argument means [[RhoAuto]] —
+    * [[nndescentAutoRho]] resolves it to the measured-best default
+    * (1.0 everywhere since the r16 paired cold experiment); an
+    * explicit positive ρ is honored verbatim. */
   /** Resume-store namespace for ONE descent build: the corpus
     * fingerprint plus every parameter that shapes a round's content
     * (kb — the over-build width the rounds actually hold — iters,

@@ -304,12 +304,7 @@ object ScaleStress {
       // r13: the k-NN GRAPH tier — per-round candidate volume is
       // Σ|B(v)|² ≤ N·(2·buildK)² incidence pairs, hash-partitioned by
       // node, so the slope should track N (constant-size
-      // neighborhoods) where the brute-force graph tracks N². Since
-      // r16 the DEFAULT path auto-resolves ρ: at 100× (200k vectors,
-      // 3.2e8 candidate rows/round > the 1e8 spill threshold) this
-      // row runs the shipped ρ=0.5 switch — the spill-bound ρ=1
-      // regime (677–1173 s) is no longer reachable without an
-      // explicit rho argument
+      // neighborhoods) where the brute-force graph tracks N²
       timed("knn_graph_nndescent") {
         Similarity.knnGraphNnDescent(emb, 10) },
       // r13: graph-tier semantic dedup = the descent above + an
@@ -349,16 +344,20 @@ object ScaleStress {
               emb.filter(col("vec_id") > thr)) }
         } else ("nndescent_append", 0.0, -1L)
       },
-      // r14 (repriced r16): the EXPLICIT ρ=1 full descent, OPT-IN
-      // ONLY (explicit filter arg) — since the auto-switch made ρ=0.5
-      // the default past the spill threshold, this row inverts its
-      // original role: it prices what the switch SAVES by forcing the
-      // full-descent regime the default no longer enters
+      // r14 (re-adjudicated r16): the ρ=0.5 cold build, OPT-IN ONLY
+      // (explicit filter arg). r16 ran the PAIRED COLD experiment —
+      // this arm and the ρ=1 default each in a fresh JVM, same
+      // corpus, same window — and the r14 "2.6× saving" did not
+      // reproduce (ρ=0.5 read 1783.8 s vs ρ=1's 1487.1 s at 100×;
+      // the r14 pair had run warm-second in one JVM). The tried-flag
+      // DEFERS meetings, so fixed-iters total activated volume
+      // barely drops — the row stays only as the falsification
+      // record's rerun handle
       {
-        if (only.contains("nndescent_rho1")) {
-          timed("nndescent_rho1") {
-            Similarity.knnGraphNnDescent(emb, 10, 5, 4, 8, 0, 41L, 1.0) }
-        } else ("nndescent_rho1", 0.0, -1L)
+        if (only.contains("nndescent_rho")) {
+          timed("nndescent_rho") {
+            Similarity.knnGraphNnDescent(emb, 10, 5, 4, 8, 0, 41L, 0.5) }
+        } else ("nndescent_rho", 0.0, -1L)
       },
       // r14: the A1.2 repetition battery — 13 rules as sorted-array
       // aggregate state in ONE scan; slope should track the corpus

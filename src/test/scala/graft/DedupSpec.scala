@@ -319,23 +319,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.7)
   }
 
-  test("nn-descent auto-rho: spill-threshold switch, gated SFs stay at 1.0") {
+  test("nn-descent default rho: resolver pins the measured-best full descent") {
     import graft.operators.Similarity
-    // the switch arithmetic: N·(2kb)² vs the 1e8 ceiling. kb=20 (the
-    // k=10 default's over-build width) → per-node pairs (2·20)²=1600:
-    // 20k vectors = 3.2e7 (the clean 10× measurement) stays full,
-    // 200k = 3.2e8 (the spill-bound 100× measurement) switches, and
-    // the boundary sits at 62,500 exactly
+    // the r16 paired COLD experiment rejected the spill-threshold
+    // switch to 0.5 (strictly dominated at 100×: no cold wall-clock
+    // win, recall 0.910 vs 0.934 — see nndescentAutoRho's scaladoc),
+    // so the resolver returns the full descent at EVERY size the
+    // switch would have covered
     assert(Similarity.nndescentAutoRho(20000L, 20) === 1.0)
-    assert(Similarity.nndescentAutoRho(62500L, 20) === 1.0)
-    assert(Similarity.nndescentAutoRho(62501L, 20) === 0.5)
-    assert(Similarity.nndescentAutoRho(200000L, 20) === 0.5)
-    // wider build widths switch proportionally earlier
-    assert(Similarity.nndescentAutoRho(20000L, 40) === 0.5)
-    // every gated corpus resolves to the FULL descent — the default
-    // path's resume namespace (and so its round snapshots, registry
-    // key, and output) is identical to an explicit rho=1.0 build,
-    // which is why the auto-switch changed no gate hash
+    assert(Similarity.nndescentAutoRho(200000L, 20) === 1.0)
+    assert(Similarity.nndescentAutoRho(20000L, 40) === 1.0)
+    // and the default path's resume namespace (round snapshots,
+    // registry key, output) is identical to an explicit rho=1.0 build
     val emb = Tables.embeddings(spark, dir)
     assert(Similarity.nndescentOpFor(emb) ===
       Similarity.nndescentOpFor(emb, rho = 1.0))
