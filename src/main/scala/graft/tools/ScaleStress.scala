@@ -428,6 +428,27 @@ object ScaleStress {
             Similarity.indexManifestGate(spark, outDir, root.toString) }
         } else ("index_manifest", 0.0, -1L)
       },
+      // r16: the mixed-mutation lifecycle stream on the scaled corpus
+      // — 4 micro-batch commits (2 txn-stamped appends, 2 idempotent
+      // forgets) onto one store through one checkpoint, plus the
+      // gate's own batch-form audit. Data plane = IndexStore
+      // append/forget (both increment/footprint-bounded); the stream
+      // machinery itself is per-batch constant, so the slope should
+      // track the append/forget write classes, not N
+      {
+        if (only.isEmpty || only.contains("streamed_lifecycle")) {
+          val root = new java.io.File(s"$outDir/slife_root")
+          val work = new java.io.File(s"$outDir/slife_work")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          Seq(root, work).foreach(d => if (d.exists()) rm(d))
+          timed("streamed_lifecycle") {
+            graft.streaming.Streaming.streamedLifecycle(
+              spark, outDir, root.toString, work.toString) }
+        } else ("streamed_lifecycle", 0.0, -1L)
+      },
       // r15: the composed rebuild decision (count arm + drift arm) on
       // the steady and encoder-shifted scenarios — one lens train on
       // the full corpus (cached across the two decisions) + four
