@@ -458,9 +458,63 @@ object ScaleStress {
       timed("reindex_drift") {
         Similarity.ivfPqReindexDriftGate(spark, outDir) }
     )
-    val qs = results.map { case (n, t, c) =>
+    // r16: MANY-COMMIT log depth — the checkpointed manifest's
+    // claim is that open/commit cost is flat in HISTORY LENGTH
+    // (1 checkpoint + <=9 delta tails), so drive 60 tiny txn-stamped
+    // appends onto one store and time the first and last deciles
+    // plus a cold open at depth 61. Pre-checkpoint logs paid
+    // O(versions) per open and O(versions^2) per stamped stream;
+    // flat early==late deciles are the evidence the r15 verdict's
+    // ask #2 names. Data per commit is ~8 rows — the LOG is the
+    // variable, not the write class (ivfpq_append's rows price that).
+    // Runs AFTER the main battery so its 60 renames don't perturb the
+    // comparable rows above.
+    val mlogRows: Seq[(String, Double, Long)] =
+      if (only.isEmpty || only.contains("manifest_log")) {
+        import graft.sources.IndexStore
+        val root = new java.io.File(s"$outDir/mlog_stress")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (root.exists()) rm(root)
+        val thrB = Similarity.prefixThreshold(emb, 200L)
+        IndexStore.build(spark, root.toString,
+          emb.filter(col("vec_id") <= thrB))
+        val slice = emb.filter(col("vec_id") > thrB)
+          .limit(8).select("vec_id", "embedding")
+          .persist()
+        slice.count()
+        def commits(from: Int, until: Int): Double = {
+          val t0 = System.nanoTime()
+          (from until until).foreach { i =>
+            IndexStore.append(spark, root.toString,
+              slice.withColumn("vec_id",
+                col("vec_id") + lit(i * 1000000L)),
+              txn = Some(("mlog_stress", i.toLong)))
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val early = commits(0, 10)
+        commits(10, 50)
+        val late = commits(50, 60)
+        val t0 = System.nanoTime()
+        val live = IndexStore.open(spark, root.toString)
+        val openSec = (System.nanoTime() - t0) / 1e9
+        slice.unpersist()
+        System.err.println(
+          f"[stress] manifest_log early10=$early%.2f s " +
+            f"late10=$late%.2f s open@${live.version}=$openSec%.3f s")
+        Seq(("manifest_log_early10", early, 10L),
+          ("manifest_log_late10", late, 10L),
+          ("manifest_log_open", openSec, live.version))
+      } else Seq(("manifest_log_early10", 0.0, -1L),
+        ("manifest_log_late10", 0.0, -1L),
+        ("manifest_log_open", 0.0, -1L))
+    val allResults = results ++ mlogRows
+    val qs = allResults.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = allResults.map(_._2).sum
     println(s"""{"metric":"scale_stress","mult":$mult,"total_sec":$total,"queries":$qs}""")
     spark.stop()
   }
