@@ -116,6 +116,18 @@ object ScaleStress {
     val outDir = s"target/scale$mult"
     val spark = GraftSession.builder("local[32]", 32)
       .config("spark.ui.enabled", "false")
+      // size the shuffle for the TARGET corpus, not the core count:
+      // with 32 max post-shuffle partitions, a 100× descent round
+      // (~3.2e8 candidate rows) hands each task a multi-GB sort/window
+      // working set and the whole round runs at disk speed — the
+      // measured "spill regime". Raising AQE's starting partition
+      // count with the multiplier (AQE still coalesces small shuffles
+      // back down, so cheap stages don't fragment) is the local twin
+      // of what a 1000-executor cluster does by existing: thousands of
+      // shuffle partitions, each memory-resident. This is the brief's
+      // own sizing rule applied to the harness.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(32, 32 * mult / 10).toString)
       // superseded-round shuffle files are reclaimed only when the
       // ContextCleaner's periodic GC fires (default 30 min) — at 100×
       // the iterative tiers stack ~5 rounds of multi-GB shuffles and
