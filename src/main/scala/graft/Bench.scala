@@ -55,15 +55,15 @@ object Bench {
     // trained, its pass 2 always hit the cache)
     force("pricing_summary", 0)
     force("token_stats", 0)
-    force("bpe_merges", 0)
+    force("bpe_merge_gate", 0)
     // + the ANN model registry (IVF centroids, PQ codebooks, encoded
     // codes, ivfpq index): training is per-JVM-cached like the BPE
     // merges, so without a warmup pass 1's first ANN query permanently
     // carries the training cost and flags noisy (the bpe_encode_gate
     // pathology); the recall gate touches every cache in one query
     force("knn_recall_gates", 0)
-    // + the unigram-LM trainer cache (same precedent as bpe_merges)
-    force("unigram_pieces", 0)
+    // + the unigram-LM trainer cache (same precedent as the BPE cache)
+    force("unigram_gate", 0)
     // + the graph/ANN registries the recall gate does NOT touch: each
     // of these trains its own per-(corpus, params) artifact — the
     // full-corpus NN-Descent graph (also serving nndescent_gate,
@@ -81,7 +81,7 @@ object Bench {
     // warmed models also serve streamed_append_store
     Seq("knn_graph_nndescent", "nndescent_append_gate",
         "ivfpq_reindex_gate", "bitext_ann_gate",
-        "streamed_ivfpq_ingest", "embedding_drift",
+        "streamed_ivfpq_ingest", "embedding_drift_gate",
         "index_manifest_gate")
       .filter(SparkEntry.queries.contains)
       .foreach(force(_, 0))

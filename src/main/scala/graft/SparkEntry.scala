@@ -176,8 +176,10 @@ object SparkEntry {
     // per-lang robust (median/MAD) token-length outliers, all-integer
     "length_outliers" -> (TextAnalysis.lengthOutliers _),
     // Gopher-style deflate-ratio repetitiveness signal (native
-    // expression; rows-only) + its planted-repeat invariant gate
-    "compression_ratio" -> (TextAnalysis.compressionRatio _),
+    // expression), checked through its planted-repeat invariant gate
+    // (r17: the rows-only per-doc view consolidated into the gate —
+    // deflate is not oracle-expressible, and the gate runs the same
+    // expression over the same corpus with hash-checked flags)
     "compression_ratio_gate" -> (TextAnalysis.compressionRatioGate _),
     "lang_id_nb_gate" -> ((s, dir) => TextAnalysis.langIdNbGate(s, dir)),
     // trained quality filter: all-int64 batch perceptron over hashed
@@ -187,7 +189,10 @@ object SparkEntry {
     "quality_classifier_gate" ->
       (QualityClassifier.qualityPerceptronGate _),
     "fingerprint_md5" -> (TextAnalysis.fingerprintMd5 _),
-    "fingerprint_rolling" -> (TextAnalysis.fingerprintRolling _),
+    // rolling fingerprint checked through its gate (r17 consolidation:
+    // xxhash64 is not oracle-expressible; the gate folds the SAME
+    // rollingFpExpr over every doc + reversed plants and hash-checks
+    // determinism/injectivity/order-sensitivity)
     "fingerprint_gate" -> (TextAnalysis.fingerprintGate _),
     "contamination_check" -> ((s, dir) =>
       TextAnalysis.contaminationCheck(s, dir, n = 8)),
@@ -222,42 +227,36 @@ object SparkEntry {
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
     "lm_typicality" -> (TextAnalysis.lmTypicality _),
-    // BPE merge-table induction: iterative → rows-only; the gate next is
-    // the hash-checked companion
-    "bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeTrainMerges(s, dir, nMerges = 20)),
+    // BPE merge-table induction, checked through its gate (r17
+    // consolidation: the gate trains the SAME 20-merge table — step-0
+    // argmax SQL-exact, table-level invariants hash-checked; encode
+    // gates downstream fail loudly on a broken table)
     "bpe_merge_gate" -> ((s, dir) =>
       TextAnalysis.bpeMergeGate(s, dir, nMerges = 20)),
-    // SentencePiece-style unigram-LM tokenizer: EM-trained piece
-    // inventory (rows-only — SQL can't re-run EM; unigram_gate is the
-    // hash-green companion)
-    "unigram_pieces" -> ((s, dir) =>
-      TextAnalysis.unigramTrainPieces(s, dir)),
+    // SentencePiece-style unigram-LM tokenizer, checked through its
+    // gate (r17 consolidation: SQL can't re-run EM; the gate trains
+    // the SAME piece inventory and hash-checks the char inventory +
+    // coverage/monotone/vocab invariants)
     "unigram_gate" -> ((s, dir) => TextAnalysis.unigramGate(s, dir)),
-    // the unigram ENCODE surface (bpe_encode_stats' twin): per-doc
-    // Viterbi piece counts (rows-only) + the roundtrip/bounds gate
-    "unigram_encode_stats" -> ((s, dir) =>
-      TextAnalysis.unigramEncodeStats(s, dir)),
+    // the unigram ENCODE surface, checked through the roundtrip/
+    // bounds gate (r17 consolidation: the gate runs the SAME per-doc
+    // Viterbi encode; piece counts ride its hashed flag columns)
     "unigram_encode_gate" -> ((s, dir) =>
       TextAnalysis.unigramEncodeGate(s, dir)),
-    // per-language fertility of the two trained tokenizers (rows-only;
-    // re-aggregates the frames the two encode gates hash-check) + its
-    // DIRECT hash-green gate (r13): exact per-lang word/char counts
-    // with the view's consistency flags pinned at 1
-    "tokenizer_fertility" -> ((s, dir) =>
-      TextAnalysis.tokenizerFertility(s, dir)),
+    // per-language fertility of the two trained tokenizers, checked
+    // through its DIRECT gate (r17 consolidation: the gate computes
+    // the SAME view — exact per-lang word/char counts hash-green,
+    // consistency flags pinned)
     "tokenizer_fertility_gate" -> ((s, dir) =>
       TextAnalysis.tokenizerFertilityGate(s, dir)),
-    "bpe_encode_stats" -> ((s, dir) =>
-      TextAnalysis.bpeEncodeStats(s, dir, nMerges = 20)),
+    // trained-BPE encode surface, checked through the roundtrip/
+    // bounds gate (r17 consolidation — same encode, hashed flags)
     "bpe_encode_gate" -> ((s, dir) =>
       TextAnalysis.bpeEncodeGate(s, dir, nMerges = 20)),
-    "ffd_pack_stats" -> ((s, dir) =>
-      TextAnalysis.ffdPackStats(s, dir, capacity = 256)),
-    // tokens-on-disk capstone: trained-BPE counts FFD-packed into
-    // context windows (rows-only) + its conservation/capacity gate
-    "bpe_pack_assembly" -> ((s, dir) =>
-      TextAnalysis.bpePackAssembly(s, dir)),
+    // FFD packing + the tokens-on-disk capstone, each checked through
+    // its conservation/capacity gate (r17 consolidation: the gates run
+    // the SAME packing over the same token counts; per-shard doc/token
+    // totals hash-green, occupancy/lower-bound/half-empty flags pinned)
     "bpe_pack_gate" -> ((s, dir) => TextAnalysis.bpePackGate(s, dir)),
     "ffd_pack_gate" -> ((s, dir) =>
       TextAnalysis.ffdPackGate(s, dir, capacity = 256)),
@@ -424,14 +423,12 @@ object SparkEntry {
     // append completeness + cell-range safety measured on the real path
     "ivfpq_reindex_gate" -> ((s, dir) =>
       Similarity.ivfPqReindexGate(s, dir)),
-    // embedding-snapshot drift: per-cell occupancy of today's corpus
-    // vs the 7/8-prefix snapshot through the FROZEN snapshot-trained
-    // codebook — the vector-tier token_drift twin (rows-only: cell
-    // identity is the seeded trainer's; the gate next is hash-green)
-    "embedding_drift" -> ((s, dir) =>
-      Similarity.embeddingDriftCells(s, dir)),
-    // conservation + share-sum + cell-range + smoothed-KL>=0 flags,
-    // snapshot sizes SQL-exact
+    // embedding-snapshot drift (the vector-tier token_drift twin),
+    // checked through its gate (r17 consolidation: cell identity is
+    // the seeded trainer's, not oracle-expressible; the gate computes
+    // the SAME occupancy frame and hash-checks conservation +
+    // share-sum + cell-range + smoothed-KL>=0 with snapshot sizes
+    // SQL-exact)
     "embedding_drift_gate" -> ((s, dir) =>
       Similarity.embeddingDriftGate(s, dir)),
     // the drift monitor's CONSUMER: the composed rebuild trigger
@@ -472,7 +469,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_autocompact_").toString
       reapAtExit(tmp)
-      Similarity.autoCompactGate(s, dir, tmp)
+      Similarity.autoCompactGate(s, dir, tmp, benchSized = true)
     }),
     // the SERVING MANIFEST: snapshot versioning over the stored index
     // (version-log commits, file-list snapshots) driven through every
@@ -670,7 +667,10 @@ object SparkEntry {
     "order_rank_stats" -> (Grouping.orderRankStats _),
     "robust_price_stats" -> (Grouping.robustPriceStats _),
     "user_event_type_sets" -> (Grouping.userEventTypeSets _),
-    "approx_lineitem_stats" -> (Grouping.approxLineitemStats _),
+    // sketch tier (HLL++/GK percentiles), checked through the bounds
+    // gate (r17 consolidation: algorithm-specific estimates can't
+    // hash-match another engine; the gate runs the SAME sketches and
+    // pins them inside their error budgets next to exact SQL values)
     "approx_stats_bounds" -> (Grouping.approxStatsBounds _),
     "wordcount_nostop" -> (TextAnalysis.wordCountNoStopwords _),
     // --- structured streaming (settled result is batch-checkable) ---
@@ -737,7 +737,8 @@ object SparkEntry {
       val work = java.nio.file.Files
         .createTempDirectory("graft_slife_work_").toString
       reapAtExit(root); reapAtExit(work)
-      graft.streaming.Streaming.streamedLifecycle(s, dir, root, work)
+      graft.streaming.Streaming.streamedLifecycle(s, dir, root, work,
+        benchSized = true)
     }),
     // --- end-to-end curation composition (quality→scrub→dedup→sample) ---
     "curation_pipeline" -> ((s, dir) => Curation.curationPipeline(s, dir)),
@@ -4256,7 +4257,11 @@ object SparkEntry {
         |    AS BIGINT) AS n_doomed
         |  FROM embeddings)
         |SELECT n_emb, coalesce(n_doomed, 0) AS n_doomed,
-        |  1 + LEAST(3, coalesce(n_doomed, 0)) AS versions_committed,
+        |  CASE WHEN n_emb = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE 1 + LEAST(3, coalesce(n_doomed, 0)) END
+        |    AS versions_committed,
+        |  CASE WHEN n_emb > 0 AND coalesce(n_doomed, 0) > 0
+        |       THEN 1 ELSE 0 END AS exercised,
         |  1 AS doomed_gone, 1 AS conserved, 1 AS resume_safe,
         |  1 AS probe_full_k
         |FROM n""".stripMargin,
@@ -4269,15 +4274,19 @@ object SparkEntry {
         |           FROM embeddings)
         |SELECT n_emb, n_emb - n_emb // 8 AS n_base,
         |  n_emb // 8 AS n_inc,
-        |  1 + LEAST(3, n_emb // 8) AS versions_committed,
+        |  CASE WHEN n_emb = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE 1 + LEAST(3, n_emb // 8) END AS versions_committed,
+        |  CASE WHEN n_emb // 8 > 0 THEN 1 ELSE 0 END AS exercised,
         |  1 AS content_match, 1 AS conserved, 1 AS resume_safe,
         |  1 AS probe_full_k
         |FROM n""".stripMargin,
     // mixed lifecycle stream: split/erasure-set counts and the
-    // settled version-log length (1 build + one commit per non-empty
-    // mutation slice: append(inc half 1), forget(base % 122), append
-    // (inc half 2), forget(base % 61 less the first set)) SQL-exact;
-    // content/conservation/resume/probe flags pinned
+    // settled version-log length — MEASURED Spark-side, predicted
+    // here: the gated (bench-sized) tape is 1 build + one txn-stamped
+    // append (whole increment, if non-empty) + one idempotent forget
+    // (base % 61, if non-empty); content/conservation/resume/probe
+    // flags pinned, `exercised` recomputed from corpus counts so a
+    // degenerate escape can't pose as a driven run
     "streamed_lifecycle_gate" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_emb
         |           FROM embeddings),
@@ -4294,12 +4303,14 @@ object SparkEntry {
         |SELECT n_emb, n_emb - n_emb // 8 AS n_base,
         |  n_emb // 8 AS n_inc,
         |  coalesce(n_f1, 0) + coalesce(n_f2, 0) AS n_doomed,
-        |  1 + (CASE WHEN (n_emb // 8) // 2 > 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN coalesce(n_f1, 0) > 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN n_emb // 8 - (n_emb // 8) // 2 > 0
+        |  CASE WHEN n_emb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE 1 + (CASE WHEN n_emb // 8 > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN coalesce(n_f1, 0) + coalesce(n_f2, 0) > 0
         |        THEN 1 ELSE 0 END)
-        |    + (CASE WHEN coalesce(n_f2, 0) > 0 THEN 1 ELSE 0 END)
-        |    AS versions_committed,
+        |    END AS versions_committed,
+        |  CASE WHEN n_emb > 0 AND (n_emb // 8 > 0
+        |      OR coalesce(n_f1, 0) + coalesce(n_f2, 0) > 0)
+        |    THEN 1 ELSE 0 END AS exercised,
         |  1 AS content_match, 1 AS conserved, 1 AS resume_safe,
         |  1 AS probe_full_k
         |FROM n, b""".stripMargin,

@@ -3093,7 +3093,7 @@ object Similarity {
           (if (nP == nS && interP == nP && fewer) 1 else 0))
       }
     // vacuum to the live snapshot: disk == v4's manifest, live intact
-    IndexStore.vacuum(s, root, retainLast = 1)
+    IndexStore.vacuum(s, root, retainLast = 1, minAgeMs = 0L)
     val diskFiles = {
       val p = new org.apache.hadoop.fs.Path(s"$root/data")
       val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -3151,9 +3151,19 @@ object Similarity {
     *    store equals the pre-compact probe row-for-row.
     *
     * Counts and `versions_committed = 4` (build + 2 appends + the one
-    * fired compact) are SQL-exact; the five flags pinned 1. */
+    * fired compact) are SQL-exact; the five flags pinned 1.
+    *
+    * `benchSized = true` (the GATED invocation) builds the store at
+    * ~√N_base/2 cells instead of the ~4√N policy — the
+    * [[ivfPqCompactGate]] precedent: every hashed column is
+    * cell-count-independent (both policy arms, the compacted shape,
+    * content checksum, probe equality), while the episode wall-clock
+    * is per-cell file metadata (build + 2 appends + the compact each
+    * write ~occupied-cells files) and cells-linear encode/probe math.
+    * The FULL corpus-count-policy episode stays in
+    * `tools/ScaleStress.scala`'s `auto_compact` row. */
   def autoCompactGate(s: SparkSession, dir: String, root: String,
-                      k: Int = 5): DataFrame = {
+                      k: Int = 5, benchSized: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.sources.{IndexStore, Tables}
     val emb = Tables.embeddings(s, dir)
@@ -3168,7 +3178,12 @@ object Similarity {
     val thr = prefixThreshold(emb, nBase)
     val base = emb.filter(col("vec_id") <= thr)
     val inc = emb.filter(col("vec_id") > thr)
-    val v1 = IndexStore.build(s, root, base)
+    val cells =
+      if (benchSized)
+        math.max(1, math.min(scaledCells(nBase),
+          math.ceil(math.sqrt(math.max(nBase, 1L).toDouble) / 2.0).toInt))
+      else scaledCells(nBase)
+    val v1 = IndexStore.build(s, root, base, Some(cells))
     if (v1.cents.isEmpty) return row((1, 1, 1, 1, 1))
     // two ingest slices (order statistics of the increment, the
     // streamedAppendStore convention — never an isin list)

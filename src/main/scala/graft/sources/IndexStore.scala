@@ -99,6 +99,15 @@ object IndexStore {
     * [[vacuum]]) and tries the next version number. */
   val MaxCommitRetries: Int = 5
 
+  /** Default [[vacuum]] age shield: dirs younger than this survive even
+    * when unreferenced and at/below the committed version horizon. The
+    * version arm cannot protect a writer whose target version is
+    * already committed (e.g. a `build` racing on v1), so the age arm
+    * must be on BY DEFAULT — Delta's retention-duration check is the
+    * same safety-by-default stance. Gates and tests that vacuum a
+    * store they just wrote opt into `minAgeMs = 0L` explicitly. */
+  val DefaultVacuumMinAgeMs: Long = 24L * 3600 * 1000
+
   /** One committed snapshot: `files` are store-root-relative paths,
     * `fileCells` the per-file cell id parsed from the path (the data-
     * skipping key), `modelGen` the logical generation counter and
@@ -137,19 +146,30 @@ object IndexStore {
     rel
   }
 
+  /** Per-JVM model cache, keyed by the ABSOLUTE model dir. Safe by
+    * construction: model dirs are attempt-unique (uuid-suffixed) and
+    * write-once — a path's content can never change, so a hit is
+    * always current. This turns the two parquet reads every mutator
+    * attempt, snapshot open and stream micro-batch pays into a map
+    * lookup; entries are driver-bounded metadata (≤cells×dim +
+    * 16×256×subdim doubles per generation) and a store sees O(model
+    * generations) of them. */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
   private def readModels(s: SparkSession, root: String, rel: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val dir = s"$root/$rel"
-    val cents = s.read.parquet(s"$dir/cents.parquet")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val cb = s.read.parquet(s"$dir/codebook.parquet")
-      .orderBy("sub", "code").collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
-      .toArray
-    (cents, cb)
-  }
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    modelCache.computeIfAbsent(s"$root/$rel", dir => {
+      val cents = s.read.parquet(s"$dir/cents.parquet")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+      val cb = s.read.parquet(s"$dir/codebook.parquet")
+        .orderBy("sub", "code").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+        .toArray
+      (cents, cb)
+    })
 
   // ---- data-episode write + listing ----
 
@@ -507,10 +527,16 @@ object IndexStore {
   /** Initialize the store: train models at the corpus-count cell
     * policy, encode, publish v1. Unlike the mutators, a lost v1 race
     * is NOT retried — two independent `build`s of one root is a
-    * deployment bug, not contention, and the loser must hear it. */
-  def build(s: SparkSession, root: String, emb: DataFrame): Snapshot = {
+    * deployment bug, not contention, and the loser must hear it.
+    * `cellsOverride` lets bench-sized gates build at a smaller cell
+    * count (the `ivfPqCompactGate` precedent: the flags those gates
+    * pin are cell-count-independent while episode wall-clock is
+    * mostly per-cell file metadata); production callers take the
+    * corpus-count policy. */
+  def build(s: SparkSession, root: String, emb: DataFrame,
+            cellsOverride: Option[Int] = None): Snapshot = {
     val n = emb.count()
-    val cells = Similarity.scaledCells(n)
+    val cells = cellsOverride.getOrElse(Similarity.scaledCells(n))
     val (cents, cb, index) = Similarity.ivfPqIndex(emb, cells)
     val mDir = writeModels(s, root, 1L, cents, cb)
     val files = writeEpisode(s, root, 1L, index)
@@ -652,16 +678,19 @@ object IndexStore {
     *    attempt-unique dir, so the orphan is safe to reap.)
     *  - AGE arm: dirs younger than `minAgeMs` survive regardless —
     *    time-based retention for writers whose target version cannot
-    *    be decided (e.g. a build racing on v1). Defaults to 0 (the
-    *    gates vacuum stores they just wrote); production deployments
-    *    set hours, same as Delta's retention check.
+    *    be decided (e.g. a build racing on v1, whose target version 1
+    *    is already at the committed horizon the moment any commit
+    *    lands). Defaults to [[DefaultVacuumMinAgeMs]] (24 h, Delta's
+    *    safety-by-default stance); gates and tests that vacuum a
+    *    store they just wrote pass `0L` explicitly.
     *
     * Pinned readers older than the retention window break — the
     * documented contract, same as any table format. Returns (data
     * entries removed — one per whole episode dir or stray file, model
     * gens removed). */
   def vacuum(s: SparkSession, root: String,
-             retainLast: Int = 2, minAgeMs: Long = 0L): (Long, Long) = {
+             retainLast: Int = 2,
+             minAgeMs: Long = DefaultVacuumMinAgeMs): (Long, Long) = {
     val f = fs(s, root)
     val (vs, ckpts) = listLog(s, root)
     if (vs.isEmpty) return (0L, 0L)

@@ -287,15 +287,29 @@ object Streaming {
     * Evidence shape (this gate): build publishes v1 batch-side; the
     * erasure set (`vec_id % 97 == 0`) lands as min(3, n_doomed)
     * single-slice request files streamed one per micro-batch
-    * (`maxFilesPerTrigger = 1`), so the settled log holds exactly
-    * 1 + min(3, n_doomed) versions — SQL-exact. Then the same stream
-    * restarts on the SAME checkpoint: AvailableNow finds nothing
-    * unprocessed and commits NOTHING (`resume_safe`) — the settled-
-    * state half of the kill-resume contract, in the gate itself.
-    * Flags: `doomed_gone` (zero erased ids in the live snapshot),
+    * (`maxFilesPerTrigger = 1`). `versions_committed` is MEASURED
+    * from the settled log (`IndexStore.versions`), so the hashed
+    * column pins the store's actual history against the oracle's
+    * 1 + min(3, n_doomed) prediction — a stream that commits the
+    * wrong number of versions goes red on its own column, and
+    * `resume_safe` carries the re-drain no-op property ALONE. Then
+    * the same stream restarts on the SAME checkpoint: AvailableNow
+    * finds nothing unprocessed and commits NOTHING (`resume_safe`) —
+    * the settled-state half of the kill-resume contract, in the gate
+    * itself. `exercised` declares whether the stream actually drove
+    * mutations (0 on the degenerate escapes); the oracle recomputes
+    * it from corpus counts, so a silent trainer degeneration on a
+    * healthy-sized corpus cannot masquerade as a passing run. Flags:
+    * `doomed_gone` (zero erased ids in the live snapshot),
     * `conserved` (survivor count exact), `resume_safe`, and
     * `probe_full_k` (the live store still serves complete result
-    * lists under the shipped policies). */
+    * lists under the shipped policies).
+    *
+    * The erasure set stays a DATAFRAME end to end — request slices
+    * are written from it (deterministic `row_number` split) and
+    * [[graft.sources.IndexStore.forget]] consumes each micro-batch
+    * frame as-is, so nothing id-shaped ever collects to the driver:
+    * the gate is the same shape a production erasure flow copies. */
   def streamedForget(s: SparkSession, dir: String, root: String,
                      work: String, k: Int = 5): DataFrame = {
     import s.implicits._
@@ -303,24 +317,28 @@ object Streaming {
     import graft.sources.{IndexStore, Tables}
     val emb = Tables.embeddings(s, dir)
     val n = emb.count()
-    val doomedIds = emb.filter(col("vec_id") % 97 === 0)
-      .select("vec_id").orderBy("vec_id").as[Long].collect()
-    val nDoomed = doomedIds.length.toLong
+    val doomed = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
+    val nDoomed = doomed.count()
     val slices = math.min(3L, nDoomed)
-    def row(f: (Int, Int, Int, Int)) =
-      Seq((n, nDoomed, 1L + slices, f._1, f._2, f._3, f._4))
-        .toDF("n_emb", "n_doomed", "versions_committed", "doomed_gone",
-          "conserved", "resume_safe", "probe_full_k")
-    if (n == 0L) return row((1, 1, 1, 1))
+    def row(versions: Long, exercised: Int, f: (Int, Int, Int, Int)) =
+      Seq((n, nDoomed, versions, exercised, f._1, f._2, f._3, f._4))
+        .toDF("n_emb", "n_doomed", "versions_committed", "exercised",
+          "doomed_gone", "conserved", "resume_safe", "probe_full_k")
+    if (n == 0L) return row(0L, 0, (1, 1, 1, 1))
     val v1 = IndexStore.build(s, root, emb)
-    if (v1.cents.isEmpty || nDoomed == 0L) return row((1, 1, 1, 1))
+    if (v1.cents.isEmpty || nDoomed == 0L)
+      return row(IndexStore.versions(s, root).length.toLong, 0,
+        (1, 1, 1, 1))
     // the erasure requests, as min(3, n) slice files — one micro-batch
-    // each under maxFilesPerTrigger = 1
+    // each under maxFilesPerTrigger = 1, split from the DataFrame by
+    // sorted position (the set is tiny — n/97 — so the single-task
+    // window is fine; the point is the PATTERN: no driver-side ids)
     val reqDir = s"$work/requests"
+    val sliced = doomed.withColumn("__slice",
+      pmod(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("vec_id")) - 1, lit(slices.toInt)))
     (0 until slices.toInt).foreach { i =>
-      doomedIds.zipWithIndex
-        .collect { case (id, idx) if idx % slices == i => id }
-        .toSeq.toDF("vec_id")
+      sliced.filter(col("__slice") === i).select("vec_id")
         .coalesce(1).write.mode("append").parquet(reqDir)
     }
     def drain(): Unit = {
@@ -361,12 +379,9 @@ object Streaming {
     val kEff = math.min(k.toLong, math.max(nLive - 1, 0L))
     val nAnn = ann.count()
     val fullK = if (nAnn >= nq * kEff && nAnn <= nq * k) 1 else 0
-    row((doomedGone, conserved,
-      if (versionsOk(settledVersions, slices)) resumeSafe else 0, fullK))
+    row(settledVersions.length.toLong, 1,
+      (doomedGone, conserved, resumeSafe, fullK))
   }
-
-  private def versionsOk(vs: Seq[Long], slices: Long): Boolean =
-    vs == (1L to (1L + slices))
 
   /** STREAMED INGEST THROUGH THE MANIFEST — the other half of the
     * store's streaming story next to [[streamedForget]]: freshly
@@ -385,13 +400,17 @@ object Streaming {
     *
     * Evidence shape: v1 = the 7/8-prefix build; the remaining 1/8
     * arrives as min(3, n_inc) range-slice files, one append commit per
-    * micro-batch; the settled log holds exactly 1 + min(3, n_inc)
-    * versions (SQL-exact). Flags: `content_match` (the live store
-    * content-equals the batch append of the same increment under the
-    * same frozen models — byte-equal by the `ivfpq_append_gate`
-    * determinism contract), `conserved` (live row count = corpus),
-    * `resume_safe` (a re-drain on the same checkpoint commits
-    * nothing), `probe_full_k`. */
+    * micro-batch. `versions_committed` is MEASURED from the settled
+    * log against the oracle's 1 + min(3, n_inc) prediction (a
+    * mis-committing stream goes red on its own column), `exercised`
+    * declares whether the stream drove mutations (oracle-recomputed
+    * from corpus counts — a silent trainer degeneration can't pass),
+    * and `resume_safe` carries the re-drain no-op property alone.
+    * Flags: `content_match` (the live store content-equals the batch
+    * append of the same increment under the same frozen models —
+    * byte-equal by the `ivfpq_append_gate` determinism contract),
+    * `conserved` (live row count = corpus), `resume_safe`,
+    * `probe_full_k`. */
   def streamedAppendStore(s: SparkSession, dir: String, root: String,
                           work: String, k: Int = 5): DataFrame = {
     import s.implicits._
@@ -402,16 +421,19 @@ object Streaming {
     val nBase = n - n / 8
     val nInc = n / 8
     val slices = math.min(3L, nInc)
-    def row(f: (Int, Int, Int, Int)) =
-      Seq((n, nBase, nInc, 1L + slices, f._1, f._2, f._3, f._4))
+    def row(versions: Long, exercised: Int, f: (Int, Int, Int, Int)) =
+      Seq((n, nBase, nInc, versions, exercised, f._1, f._2, f._3, f._4))
         .toDF("n_emb", "n_base", "n_inc", "versions_committed",
-          "content_match", "conserved", "resume_safe", "probe_full_k")
-    if (n == 0L) return row((1, 1, 1, 1))
+          "exercised", "content_match", "conserved", "resume_safe",
+          "probe_full_k")
+    if (n == 0L) return row(0L, 0, (1, 1, 1, 1))
     val thr = Similarity.prefixThreshold(emb, nBase)
     val base = emb.filter(col("vec_id") <= thr)
     val inc = emb.filter(col("vec_id") > thr)
     val v1 = IndexStore.build(s, root, base)
-    if (v1.cents.isEmpty || nInc == 0L) return row((1, 1, 1, 1))
+    if (v1.cents.isEmpty || nInc == 0L)
+      return row(IndexStore.versions(s, root).length.toLong, 0,
+        (1, 1, 1, 1))
     // the arrivals, as range slices (order statistics of the increment
     // — scale-clean, never an isin list), one file per slice
     val reqDir = s"$work/arrivals"
@@ -442,8 +464,7 @@ object Streaming {
     val settledVersions = IndexStore.versions(s, root)
     drain()
     val resumeSafe =
-      if (IndexStore.versions(s, root) == settledVersions &&
-          versionsOk(settledVersions, slices)) 1 else 0
+      if (IndexStore.versions(s, root) == settledVersions) 1 else 0
     val live = IndexStore.open(s, root)
     val codes = IndexStore.codes(s, root, live)
     def fp(df: DataFrame): (Long, String) = {
@@ -467,7 +488,8 @@ object Streaming {
       queries, k, np, rr)
     val kEff = math.min(k.toLong, math.max(n - 1, 0L))
     val fullK = if (ann.count() == nq * kEff) 1 else 0
-    row((contentMatch, conserved, resumeSafe, fullK))
+    row(settledVersions.length.toLong, 1,
+      (contentMatch, conserved, resumeSafe, fullK))
   }
 
   /** MIXED-MUTATION LIFECYCLE STREAM — the composition a real
@@ -496,46 +518,99 @@ object Streaming {
     * the mutation tape is append(first half of the increment),
     * forget(base ids ≡ 0 mod 122), append(second half), forget(base
     * ids ≡ 0 mod 61 less the first erasure set) — so the settled log
-    * holds 1 + (non-empty slices) versions, SQL-exact. Flags: `content_match` (live store
+    * holds 1 + (non-empty slices) versions. `versions_committed` is
+    * MEASURED from the settled log against the oracle's prediction (a
+    * mis-committing stream goes red on its own column, and
+    * `resume_safe` carries the re-drain no-op property alone);
+    * `exercised` declares whether the stream actually drove mutations
+    * (0 on the degenerate escapes) and the oracle recomputes it from
+    * corpus counts, so a silent trainer degeneration on a
+    * healthy-sized corpus cannot masquerade as a passing lifecycle
+    * run. Flags: `content_match` (live store
     * content-equals the BATCH form — index(base) ∪ append(increment)
     * under the same frozen models, anti-joined by the erasure set),
     * `conserved` (live rows = corpus − erased), `resume_safe` (a
     * re-drain on the same checkpoint commits nothing), `probe_full_k`
-    * (the settled store serves complete result lists). */
+    * (the settled store serves complete result lists).
+    *
+    * The erasure sets stay DATAFRAMES end to end (request files are
+    * written from them; `IndexStore.forget` consumes each micro-batch
+    * frame) — nothing id-shaped collects to the driver, so the gate
+    * is the exact shape a production ingest+erasure flow copies.
+    *
+    * `benchSized = true` (the GATED invocation) shrinks the episode
+    * to what the flags need — the `ivfPqCompactGate` precedent, on
+    * both axes. Cells: ~√N/2 instead of the ~4√N policy (every flag
+    * is cell-count-independent; episode wall-clock is per-cell file
+    * metadata and cells-linear encode/probe math; the batch form is
+    * built at the SAME cells). Tape: ONE txn-stamped append (the
+    * whole increment) + ONE idempotent forget (the whole erasure
+    * set) — still both replay disciplines through one checkpoint,
+    * one dispatch, one batch-id sequence, so every flag pins the
+    * same contract; the settled log is 1 + (inc non-empty) + (doomed
+    * non-empty) versions, which is what the oracle predicts for the
+    * gated arm. The FULL corpus-count-policy 4-slice interleave
+    * stays in `tools/ScaleStress.scala` (priced at 10×) and
+    * StreamingSpec (the kill-mid-interleave ordering hazard). */
   def streamedLifecycle(s: SparkSession, dir: String, root: String,
-                        work: String, k: Int = 5): DataFrame = {
+                        work: String, k: Int = 5,
+                        benchSized: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.operators.Similarity
     import graft.sources.{IndexStore, Tables}
+    // stage timing to stderr when GRAFT_GATE_TIMING is set — profiling
+    // aid for bench-sizing, zero-cost otherwise
+    val dbg = sys.env.contains("GRAFT_GATE_TIMING")
+    var tPrev = System.nanoTime()
+    def mark(label: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[lifecycle] $label%-16s ${(now - tPrev) / 1e9}%6.2f s")
+      tPrev = now
+    }
     val emb = Tables.embeddings(s, dir)
     val n = emb.count()
     val nBase = n - n / 8
     val nInc = n / 8
-    def row(nDoomed: Long, muts: Long, f: (Int, Int, Int, Int)) =
-      Seq((n, nBase, nInc, nDoomed, 1L + muts, f._1, f._2, f._3, f._4))
+    def row(nDoomed: Long, versions: Long, exercised: Int,
+            f: (Int, Int, Int, Int)) =
+      Seq((n, nBase, nInc, nDoomed, versions, exercised,
+          f._1, f._2, f._3, f._4))
         .toDF("n_emb", "n_base", "n_inc", "n_doomed",
-          "versions_committed", "content_match", "conserved",
-          "resume_safe", "probe_full_k")
-    if (n == 0L) return row(0L, 0L, (1, 1, 1, 1))
+          "versions_committed", "exercised", "content_match",
+          "conserved", "resume_safe", "probe_full_k")
+    if (n == 0L) return row(0L, 0L, 0, (1, 1, 1, 1))
     val thr = Similarity.prefixThreshold(emb, nBase)
     val base = emb.filter(col("vec_id") <= thr)
     val inc = emb.filter(col("vec_id") > thr)
     // erasure sets from the BASE (present from v1, so the settled
     // state is arrival-order-independent): ≡0 mod 122 first, the rest
-    // of ≡0 mod 61 second — both SQL-recomputable
-    val f1Ids = base.filter(col("vec_id") % 122 === 0)
-      .select("vec_id").orderBy("vec_id").as[Long].collect()
-    val f2Ids = base.filter(
+    // of ≡0 mod 61 second — both SQL-recomputable, both kept as
+    // DataFrames (counts are scalar aggregates, never id collects)
+    val f1 = base.filter(col("vec_id") % 122 === 0).select("vec_id")
+    val f2 = base.filter(
         col("vec_id") % 61 === 0 && col("vec_id") % 122 =!= 0)
-      .select("vec_id").orderBy("vec_id").as[Long].collect()
-    val nDoomed = (f1Ids.length + f2Ids.length).toLong
+      .select("vec_id")
+    val cnts = base.agg(
+      coalesce(sum((col("vec_id") % 122 === 0).cast("long")), lit(0L)),
+      coalesce(sum((col("vec_id") % 61 === 0 &&
+        col("vec_id") % 122 =!= 0).cast("long")), lit(0L))).head()
+    val nF1 = cnts.getLong(0)
+    val nF2 = cnts.getLong(1)
+    val nDoomed = nF1 + nF2
     val nA1 = nInc / 2
-    val nA2 = nInc - nA1
-    val muts = Seq(nA1, nDoomed - f2Ids.length /* = |F1| */,
-      nA2, f2Ids.length.toLong).count(_ > 0L).toLong
-    val v1 = IndexStore.build(s, root, base)
+    // bench arm: ceil(√N_base/2) cells, floored at 1, never above the
+    // corpus-count policy (the ivfPqCompactGate arithmetic)
+    val cells =
+      if (benchSized)
+        math.max(1, math.min(Similarity.scaledCells(nBase),
+          math.ceil(math.sqrt(math.max(nBase, 1L).toDouble) / 2.0).toInt))
+      else Similarity.scaledCells(nBase)
+    mark("prelude")
+    val v1 = IndexStore.build(s, root, base, Some(cells))
     if (v1.cents.isEmpty || (nInc == 0L && nDoomed == 0L))
-      return row(nDoomed, muts, (1, 1, 1, 1))
+      return row(nDoomed, IndexStore.versions(s, root).length.toLong,
+        0, (1, 1, 1, 1))
     // the mutation tape: one request file per micro-batch, unified
     // (vec_id, embedding, kind) schema — embedding null on erasures
     val embT = emb.schema("embedding").dataType
@@ -545,18 +620,30 @@ object Streaming {
         df.select(col("vec_id"), col("embedding"),
             lit("append").as("kind"))
           .coalesce(1).write.mode("append").parquet(reqDir)
-    def sendForget(ids: Array[Long]): Unit =
-      if (ids.nonEmpty)
-        ids.toSeq.toDF("vec_id")
-          .select(col("vec_id"), lit(null).cast(embT).as("embedding"),
+    def sendForget(ids: DataFrame, nonEmpty: Boolean): Unit =
+      if (nonEmpty)
+        ids.select(col("vec_id"), lit(null).cast(embT).as("embedding"),
             lit("forget").as("kind"))
           .coalesce(1).write.mode("append").parquet(reqDir)
-    val cut =
-      if (nA1 > 0L) Similarity.prefixThreshold(inc, nA1) else thr
-    sendAppend(inc.filter(col("vec_id") <= cut))
-    sendForget(f1Ids)
-    sendAppend(inc.filter(col("vec_id") > cut))
-    sendForget(f2Ids)
+    mark("build")
+    if (benchSized) {
+      // minimal interleave that still exercises BOTH replay
+      // disciplines through one checkpoint: one txn-stamped append
+      // (the whole increment), one idempotent forget (the whole
+      // erasure set). Every flag is tape-length-independent; the
+      // 4-slice interleave stays in ScaleStress and StreamingSpec.
+      sendAppend(inc)
+      sendForget(base.filter(col("vec_id") % 61 === 0)
+        .select("vec_id"), nDoomed > 0L)
+    } else {
+      val cut =
+        if (nA1 > 0L) Similarity.prefixThreshold(inc, nA1) else thr
+      sendAppend(inc.filter(col("vec_id") <= cut))
+      sendForget(f1, nF1 > 0L)
+      sendAppend(inc.filter(col("vec_id") > cut))
+      sendForget(f2, nF2 > 0L)
+    }
+    mark("tape")
     def drain(): Unit = {
       val q = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>, kind STRING")
@@ -564,6 +651,7 @@ object Streaming {
         .writeStream
         .option("checkpointLocation", s"$work/ckpt")
         .foreachBatch { (b: DataFrame, id: Long) =>
+          val tb = System.nanoTime()
           if (!b.isEmpty) {
             // one kind per request file by construction; dispatch
             // handles a mixed batch anyway — arrivals before erasures
@@ -579,19 +667,22 @@ object Streaming {
             }
             ()
           }
+          if (dbg) System.err.println(
+            f"[lifecycle]   batch $id ${(System.nanoTime() - tb) / 1e9}%6.2f s")
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
     drain()
+    mark("drain1")
     val settledVersions = IndexStore.versions(s, root)
     // restart on the same checkpoint: nothing unprocessed, nothing
     // committed — the settled-state half of kill-resume (the killed
     // half lives in StreamingSpec)
     drain()
+    mark("drain2")
     val resumeSafe =
-      if (IndexStore.versions(s, root) == settledVersions &&
-          versionsOk(settledVersions, muts)) 1 else 0
+      if (IndexStore.versions(s, root) == settledVersions) 1 else 0
     val live = IndexStore.open(s, root)
     val codes = IndexStore.codes(s, root, live)
     def fp(df: DataFrame): (Long, String) = {
@@ -600,15 +691,15 @@ object Streaming {
           .cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
-    val doomedDf = (f1Ids ++ f2Ids).toSeq.toDF("vec_id")
-    val (cents0, cb0, idx0) =
-      Similarity.ivfPqIndex(base, Similarity.scaledCells(nBase))
+    val doomedDf = f1.unionAll(f2)
+    val (cents0, cb0, idx0) = Similarity.ivfPqIndex(base, cells)
     val batchForm = Similarity.ivfPqForget(
       idx0.select("nn_id", "cell", "codes")
         .unionAll(Similarity.ivfPqAppend(cents0, cb0, inc)),
       doomedDf)
     val fpLive = fp(codes)
     val contentMatch = if (fpLive == fp(batchForm)) 1 else 0
+    mark("batch_audit")
     val nLive = n - nDoomed
     val conserved =
       if (fpLive._1 == nLive && live.nRows == nLive) 1 else 0
@@ -622,7 +713,9 @@ object Streaming {
     val kEff = math.min(k.toLong, math.max(nLive - 1, 0L))
     val nAnn = ann.count()
     val fullK = if (nAnn >= nq * kEff && nAnn <= nq * k) 1 else 0
-    row(nDoomed, muts, (contentMatch, conserved, resumeSafe, fullK))
+    mark("probe")
+    row(nDoomed, settledVersions.length.toLong, 1,
+      (contentMatch, conserved, resumeSafe, fullK))
   }
 
   /** Streaming dedup against the HISTORICAL corpus — the ingest-time

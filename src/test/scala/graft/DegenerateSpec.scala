@@ -410,25 +410,32 @@ class DegenerateSpec extends AnyFunSuite {
         freshDir("graft-degenRebuild")).head()
       assert(r.getAs[Int]("count_rebuild") === 0)
       assert(r.getAs[Int]("recall_ok") === 1)
+      // versions_committed is MEASURED from the store's log: the
+      // empty corpus never builds (0 versions), the 1-row corpus
+      // commits only the build (zero erasure/increment slices) — and
+      // either way the degenerate escape declares exercised = 0, so
+      // an unexpectedly-degenerate run can't pose as a driven one
+      val expectVersions = if (n == 0L) 0L else 1L
       val sf = graft.streaming.Streaming.streamedForget(spark, tmp,
         freshDir("graft-degenSfRoot"), freshDir("graft-degenSfWork"))
         .head()
-      // zero erasure requests → only the build commit (or none at all
-      // when the corpus itself is empty): versions = 1 + min(3, 0)
-      assert(sf.getAs[Long]("versions_committed") === 1L)
+      assert(sf.getAs[Long]("versions_committed") === expectVersions)
+      assert(sf.getAs[Int]("exercised") === 0)
       assert(sf.getAs[Int]("resume_safe") === 1)
       val sa = graft.streaming.Streaming.streamedAppendStore(spark, tmp,
         freshDir("graft-degenSaRoot"), freshDir("graft-degenSaWork"))
         .head()
-      assert(sa.getAs[Long]("versions_committed") === 1L)
+      assert(sa.getAs[Long]("versions_committed") === expectVersions)
+      assert(sa.getAs[Int]("exercised") === 0)
       assert(sa.getAs[Int]("content_match") === 1)
       // mixed lifecycle: zero increment + (at most) a degenerate
-      // erasure set still yields the contract row with green flags —
-      // and versions_committed stays the SQL formula's value
+      // erasure set still yields the contract row with green flags
       val sl = graft.streaming.Streaming.streamedLifecycle(spark, tmp,
         freshDir("graft-degenSlRoot"), freshDir("graft-degenSlWork"))
         .head()
       assert(sl.getAs[Long]("n_inc") === 0L)
+      assert(sl.getAs[Long]("versions_committed") === expectVersions)
+      assert(sl.getAs[Int]("exercised") === 0)
       assert(sl.getAs[Int]("content_match") === 1)
       assert(sl.getAs[Int]("resume_safe") === 1)
     }
@@ -442,7 +449,7 @@ class DegenerateSpec extends AnyFunSuite {
       emptyEmb.select("vec_id"))
     assert(v3.version === 3L && v3.files.isEmpty)
     assert(graft.sources.IndexStore.codes(spark, root, v3).count() === 0L)
-    graft.sources.IndexStore.vacuum(spark, root, 1)
+    graft.sources.IndexStore.vacuum(spark, root, 1, minAgeMs = 0L)
     assert(graft.sources.IndexStore.open(spark, root).version === 3L)
   }
 

@@ -182,10 +182,32 @@ class IndexStoreSpec extends AnyFunSuite {
       minAgeMs = 24L * 3600 * 1000)
     assert(inflight.exists(), "in-flight episode survived (age arm)")
     assert(lost.exists(), "young lost attempt survived (age arm)")
-    IndexStore.vacuum(spark, root, retainLast = 1)
+    IndexStore.vacuum(spark, root, retainLast = 1, minAgeMs = 0L)
     assert(inflight.exists(), "in-flight episode survived (version arm)")
     assert(!lost.exists(), "aged-out lost attempt reaped")
     // the live snapshot is intact through both sweeps
+    assert(fp(IndexStore.codes(spark, root,
+      IndexStore.open(spark, root)))._1 === emb.count())
+  }
+
+  test("default-args vacuum shields a build racing on v1") {
+    val root = freshRoot()
+    // writer A's build already committed v1; writer B's racing build
+    // has written its episode (target version 1 — AT the committed
+    // horizon, so the version arm cannot tell it from a lost attempt)
+    // but not yet renamed its manifest
+    IndexStore.build(spark, root, emb)
+    val racing = new java.io.File(s"$root/data/v000000001-5eed1e55")
+    assert(racing.mkdirs())
+    assert(new java.io.File(racing, "part-racing.parquet").createNewFile())
+    // DEFAULT arguments: the age arm (DefaultVacuumMinAgeMs) must
+    // protect B's fresh dir even though it is unreferenced
+    IndexStore.vacuum(spark, root)
+    assert(racing.exists(),
+      "racing build's episode survived a default-args vacuum")
+    // explicit 0L is the gates' opt-in that reaps it
+    IndexStore.vacuum(spark, root, minAgeMs = 0L)
+    assert(!racing.exists(), "explicit minAgeMs=0 reaps the orphan")
     assert(fp(IndexStore.codes(spark, root,
       IndexStore.open(spark, root)))._1 === emb.count())
   }
@@ -220,12 +242,13 @@ class IndexStoreSpec extends AnyFunSuite {
     val f3 = fp(IndexStore.codes(spark, root, v3))
     // retain 2: v2 and v3 — v2's files include v1's (append shares),
     // so the v2 pinned reader must survive this vacuum
-    IndexStore.vacuum(spark, root, retainLast = 2)
+    IndexStore.vacuum(spark, root, retainLast = 2, minAgeMs = 0L)
     val f2 = fp(IndexStore.codes(spark, root,
       IndexStore.openVersion(spark, root, 2L)))
     assert(f2._1 === emb.count())
     // retain 1: only v3's swapped file set remains
-    val (removed, _) = IndexStore.vacuum(spark, root, retainLast = 1)
+    val (removed, _) = IndexStore.vacuum(spark, root, retainLast = 1,
+      minAgeMs = 0L)
     assert(removed > 0L)
     assert(fp(IndexStore.codes(spark, root,
       IndexStore.open(spark, root))) === f3)

@@ -460,15 +460,36 @@ class StreamingSpec extends AnyFunSuite {
       case (id, i) if i % 3 == 0 => id }
     assert(a1Ids.length >= 3 && f1Ids.length >= 2 && f2Ids.length >= 1)
     val embT = emb.schema("embedding").dataType
-    def sendAppend(df: org.apache.spark.sql.DataFrame): Unit =
+    // FileStreamSource orders new files by modification time; on a
+    // coarse-mtime filesystem two sends in the same tick could tie and
+    // reorder batches, flaking the ordering-hazard assertions below —
+    // so each send FORCES a strictly increasing mtime on its new files
+    val stamped = scala.collection.mutable.Set[String]()
+    val tapeClock = new java.util.concurrent.atomic.AtomicLong(
+      System.currentTimeMillis())
+    def stampTape(): Unit = {
+      val parts = Option(new java.io.File(reqDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      parts.filterNot(f => stamped(f.getName)).foreach { f =>
+        assert(f.setLastModified(tapeClock.addAndGet(2000L)))
+        stamped += f.getName
+      }
+    }
+    def sendAppend(df: org.apache.spark.sql.DataFrame): Unit = {
       df.select(col("vec_id"), col("embedding"),
           lit("append").as("kind"))
         .coalesce(1).write.mode("append").parquet(reqDir)
-    def sendForget(ids: Seq[Long]): Unit =
+      stampTape()
+    }
+    def sendForget(ids: Seq[Long]): Unit = {
       ids.toDF("vec_id")
         .select(col("vec_id"), lit(null).cast(embT).as("embedding"),
           lit("forget").as("kind"))
         .coalesce(1).write.mode("append").parquet(reqDir)
+      stampTape()
+    }
     sendAppend(inc.filter(col("vec_id") <= cut))
     f1Ids.foreach(id => sendForget(Seq(id)))    // one file per id
     sendAppend(inc.filter(col("vec_id") > cut))
