@@ -615,8 +615,10 @@ object Streaming {
     // (vec_id, embedding, kind) schema — embedding null on erasures
     val embT = emb.schema("embedding").dataType
     val reqDir = s"$work/requests"
-    def sendAppend(df: DataFrame): Unit =
-      if (!df.isEmpty)
+    // emptiness is decided from counts already in hand — an isEmpty
+    // probe per send is one extra Spark job each on a tiny frame
+    def sendAppend(df: DataFrame, nonEmpty: Boolean): Unit =
+      if (nonEmpty)
         df.select(col("vec_id"), col("embedding"),
             lit("append").as("kind"))
           .coalesce(1).write.mode("append").parquet(reqDir)
@@ -632,15 +634,17 @@ object Streaming {
       // (the whole increment), one idempotent forget (the whole
       // erasure set). Every flag is tape-length-independent; the
       // 4-slice interleave stays in ScaleStress and StreamingSpec.
-      sendAppend(inc)
+      sendAppend(inc, nInc > 0L)
       sendForget(base.filter(col("vec_id") % 61 === 0)
         .select("vec_id"), nDoomed > 0L)
     } else {
       val cut =
         if (nA1 > 0L) Similarity.prefixThreshold(inc, nA1) else thr
-      sendAppend(inc.filter(col("vec_id") <= cut))
+      // prefixThreshold(inc, nA1) is the nA1-th order statistic of
+      // distinct ids, so the <= / > splits hold exactly nA1 / nInc-nA1
+      sendAppend(inc.filter(col("vec_id") <= cut), nA1 > 0L)
       sendForget(f1, nF1 > 0L)
-      sendAppend(inc.filter(col("vec_id") > cut))
+      sendAppend(inc.filter(col("vec_id") > cut), nInc - nA1 > 0L)
       sendForget(f2, nF2 > 0L)
     }
     mark("tape")
