@@ -77,8 +77,11 @@ object Bench {
     // bpe_encode_gate pathology r10 fixed this same way).
     // index_manifest_gate joined r15: its pass 1 otherwise carries the
     // cold 7/8-prefix PQ-train (p1/p2 ≈ 2× in slow windows — the same
-    // deterministic-cold-start class as the rest of this list); the
-    // warmed models also serve streamed_append_store
+    // deterministic-cold-start class as the rest of this list); since
+    // r18 the gate is bench-sized (√N_base/2 cells) and its one
+    // training serves the whole bench-sized manifest family —
+    // streamed_append_store, auto_compact_gate, streamed_lifecycle_gate
+    // share the same (base, cells) registry entry
     Seq("knn_graph_nndescent", "nndescent_append_gate",
         "ivfpq_reindex_gate", "bitext_ann_gate",
         "streamed_ivfpq_ingest", "embedding_drift_gate",
@@ -142,19 +145,41 @@ object Bench {
     // usually moved on; the retry pass is tiny (only flagged queries).
     def ratio(ts: Seq[Double]): Double =
       if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
+    // The NOISY criterion asks the question a reader of the REPORTED
+    // number needs answered: is the min (what we publish) CORROBORATED
+    // by an independent sample within 2x? That is second_best/best —
+    // NOT max/min, which r18 measured to be a one-way ratchet: on a
+    // host with scattered sub-minute spikes a single inflated pass
+    // flagged the query forever (more samples can only RAISE max/min),
+    // so a canary-healthy run still read 15-50 noisy rows and the
+    // anchor was unlandable even on a quiet host (r17: 8 attempts, all
+    // refused; the d*-block pattern — one slow window over pass 1's
+    // alphabetical run — stayed flagged after the retry agreed with
+    // pass 2 exactly). Host noise only ever ADDS time, so the min is
+    // the estimator and corroboration is its error bar; the 2.0
+    // threshold and NoisyAnchorBound are unchanged.
+    def corrob(ts: Seq[Double]): Double =
+      if (ts.size < 2 || ts.min <= 0) 1.0
+      else { val s = ts.sorted; s(1) / s(0) }
     val flagged = names.filter(n => ratio(merged(n)) > 2.0)
-    val retried = flagged.map(n => n -> force(n, 3)).toMap
+    val retried3 = flagged.map(n => n -> force(n, 3)).toMap
+    def upto3(n: String) = merged(n) ++ retried3.get(n).filter(valid)
+    // Second targeted retry ONLY for still-uncorroborated queries: a
+    // spike on the retry itself must not condemn the row when a fourth
+    // clean sample would corroborate the min (still tiny — bounded by
+    // the flagged set).
+    val flagged4 = names.filter(n => corrob(upto3(n)) > 2.0)
+    val retried4 = flagged4.map(n => n -> force(n, 4)).toMap
+    def samples(n: String) = upto3(n) ++ retried4.get(n).filter(valid)
 
     val results = names.map { n =>
-      val ts = merged(n) ++ retried.get(n).filter(valid)
+      val ts = samples(n)
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    // Residual noise flag: still >2x spread after the retry. A query
-    // here means "distrust this number", not "this query regressed".
-    val noisy = names.filter { n =>
-      val ts = merged(n) ++ retried.get(n).filter(valid)
-      ratio(ts) > 2.0
-    }
+    // Residual noise flag: the published min still has NO second sample
+    // within 2x after both retries. A query here means "distrust this
+    // number", not "this query regressed".
+    val noisy = names.filter(n => corrob(samples(n)) > 2.0)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -214,7 +239,8 @@ object Bench {
         // must not leave a trailing comma (invalid JSON) after "sec"
         val fields = s""""sec":${results.toMap.apply(n)}""" +:
           (Seq(1 -> pass1(n), 2 -> pass2(n)) ++
-            retried.get(n).map(3 -> _)).filter(p => valid(p._2))
+            retried3.get(n).map(3 -> _) ++ retried4.get(n).map(4 -> _))
+            .filter(p => valid(p._2))
             .map { case (p, t) => s""""p$p":$t""" }
         s"""  "$n":{${fields.mkString(",")}}"""
       }.mkString(",\n")

@@ -481,7 +481,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivfmanifest_").toString
       reapAtExit(tmp)
-      Similarity.indexManifestGate(s, dir, tmp)
+      Similarity.indexManifestGate(s, dir, tmp, benchSized = true)
     }),
     // drift-fired rebuild THROUGH the store: the decision's drift arm
     // fires on the re-encoded corpus (count arm provably silent), the
@@ -724,7 +724,8 @@ object SparkEntry {
       val work = java.nio.file.Files
         .createTempDirectory("graft_sappend_work_").toString
       reapAtExit(root); reapAtExit(work)
-      graft.streaming.Streaming.streamedAppendStore(s, dir, root, work)
+      graft.streaming.Streaming.streamedAppendStore(s, dir, root, work,
+        benchSized = true)
     }),
     // MIXED-MUTATION LIFECYCLE: appends AND forgets interleaved
     // through ONE checkpointed stream onto ONE store — txn-stamped
@@ -4700,5 +4701,35 @@ object SparkEntry {
         |SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
         |FROM seq WHERE dst IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+
+  /** §7.4.6's rows-only pairing rule as CHECKED DATA: every query with
+    * no SQL-expressible oracle (absent from [[oracleSql]] — the driver
+    * records a weaker rows-only check for it) must name the hash-green
+    * gate that backstops its semantics, and that gate must itself be
+    * an [[oracleSql]] key. [[Verify]] refuses to run if any query is
+    * in neither map and EntrySurfaceSpec pins the same closure, so the
+    * rows-only surface (14 rows at r17) can only grow past an explicit
+    * gate pairing — never silently.
+    *
+    * Pairings (query → its verification gate): each gate recomputes
+    * the paired query's contract as hashed columns — recall floors for
+    * the ANN tiers, agreement/containment checks for the dedup pair
+    * lists, margin/coverage gates for the miners. */
+  val gatePairs: Map[String, String] = Map(
+    "bitext_mining_ann" -> "bitext_ann_gate",
+    "dedup_minhash_pairs" -> "dedup_minhash_agreement",
+    "dedup_simhash_pairs" -> "dedup_simhash_agreement",
+    "knn_graph_hubness" -> "hubness_gate",
+    "knn_graph_nndescent" -> "nndescent_gate",
+    "knn_ivf" -> "knn_recall_gates",
+    "knn_ivfpq" -> "knn_recall_gates",
+    "knn_lsh" -> "knn_recall_gates",
+    "knn_lsh_mp" -> "knn_recall_gates",
+    "knn_pq" -> "knn_recall_gates",
+    "knn_ivfpq_filtered" -> "knn_ivfpq_filtered_gate",
+    "multimodal_neardup_pairs" -> "multimodal_neardup_gate",
+    "semantic_dedup" -> "semantic_dedup_gate",
+    "semantic_dedup_graph" -> "semantic_dedup_graph_gate",
   )
 }

@@ -96,8 +96,18 @@ object IndexStore {
   /** Bounded optimistic-concurrency retries for the mutators: a losing
     * writer re-opens the NEW parent, recomputes its delta (the episode
     * it wrote for the lost attempt becomes unreferenced garbage for
-    * [[vacuum]]) and tries the next version number. */
-  val MaxCommitRetries: Int = 5
+    * [[vacuum]]) and tries the next version number. Sized for 8-way
+    * writer contention with ≥2× headroom: the worst loser of an N-way
+    * race needs N attempts (one winner per round), so 16 covers N = 8
+    * twice over — ScaleStress's `writer_contention` row races 8 real
+    * committers and records the attempts-to-land distribution against
+    * this bound. */
+  val MaxCommitRetries: Int = 16
+
+  /** Attempts the CURRENT thread's last mutate() took to land —
+    * contention observability for `tools/ScaleStress` (a stress row
+    * prices the retry bound with it); not part of the store API. */
+  private[graft] val lastMutationTries = new ThreadLocal[Int]
 
   /** Default [[vacuum]] age shield: dirs younger than this survive even
     * when unreferenced and at/below the committed version horizon. The
@@ -152,10 +162,34 @@ object IndexStore {
     * always current. This turns the two parquet reads every mutator
     * attempt, snapshot open and stream micro-batch pays into a map
     * lookup; entries are driver-bounded metadata (≤cells×dim +
-    * 16×256×subdim doubles per generation) and a store sees O(model
-    * generations) of them. */
-  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+    * 16×256×subdim doubles per generation).
+    *
+    * BOUNDED: an access-ordered LRU capped at [[ModelCacheMax]]
+    * generations — an unbounded map grew without limit in any
+    * long-running driver that periodically reindexes (each rebuild is
+    * a new generation) or opens many stores. [[vacuum]] also
+    * invalidates the entries of every model dir it reaps, so a warm
+    * JVM agrees with a cold one about which generations are readable.
+    *
+    * SHARED-IMMUTABLE CONTRACT: the cached (cents, cb) array instances
+    * are handed out to every caller and stored in each [[Snapshot]]
+    * verbatim — they must NEVER be mutated in place (they are the
+    * frozen write-once models; every consumer treats them as
+    * read-only). A defensive copy per open would cost cells×dim
+    * doubles on every snapshot open and micro-batch for a hazard no
+    * caller has. */
+  private val ModelCacheMax = 64
+  private val modelCache: java.util.Map[
+      String, (Array[Array[Double]], Array[Array[Array[Double]]])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          String, (Array[Array[Double]], Array[Array[Array[Double]]])](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[
+              String, (Array[Array[Double]], Array[Array[Array[Double]]])])
+            : Boolean = size() > ModelCacheMax
+      })
 
   private def readModels(s: SparkSession, root: String, rel: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) =
@@ -515,9 +549,14 @@ object IndexStore {
       tries += 1
       val parent = liveState(s, root)
       attempt(parent) match {
-        case None => return snapOf(s, root, parent)
+        case None =>
+          lastMutationTries.set(tries)
+          return snapOf(s, root, parent)
         case Some((m, st)) =>
-          if (commitDelta(s, root, m, st)) return snapOf(s, root, st)
+          if (commitDelta(s, root, m, st)) {
+            lastMutationTries.set(tries)
+            return snapOf(s, root, st)
+          }
       }
     }
     throw new IllegalStateException(
@@ -552,10 +591,20 @@ object IndexStore {
     * `add` entries — the parent's list is inherited by the delta
     * semantics, never re-serialized. A lost commit race re-encodes
     * against the new parent (whose model generation may have moved)
-    * and retries. */
+    * and retries.
+    *
+    * `noopOnEmpty = true` (the streaming sinks' form) makes an EMPTY
+    * increment commit-free: the live snapshot is returned untouched
+    * instead of burning a version on a zero-row episode. Decided from
+    * the count this method already takes — the sinks previously paid
+    * a separate `isEmpty` Spark job per micro-batch for the same
+    * decision. Default false: the manifest gate's oracle pins that
+    * explicit batch mutations commit even on empty corpora. */
   def append(s: SparkSession, root: String, newEmb: DataFrame,
-             txn: Option[(String, Long)] = None): Snapshot = {
+             txn: Option[(String, Long)] = None,
+             noopOnEmpty: Boolean = false): Snapshot = {
     val nNew = newEmb.count()
+    if (noopOnEmpty && nNew == 0L) return open(s, root)
     mutate(s, root, "append") { parent =>
       // idempotent-sink guard: a replayed micro-batch (same appId,
       // batch version <= the committed watermark) must NOT re-append —
@@ -616,9 +665,19 @@ object IndexStore {
     * rewrite); every other file is inherited by the delta semantics.
     * Idempotent: forgetting already-absent ids touches no cell and
     * commits a content-identical snapshot — the property the streamed
-    * erasure path's replay correctness rests on. */
+    * erasure path's replay correctness rests on.
+    *
+    * `noopOnEmpty = true` (the streaming sinks' form) makes a forget
+    * that touches NO cell (empty request, or every id already absent)
+    * commit-free instead of burning a version on an empty delta —
+    * decided from the doomed-cell footprint this method computes
+    * anyway, so the sinks drop their per-micro-batch `isEmpty` probe
+    * job. Default false: explicit batch forgets keep the committed
+    * content-identical-version contract the manifest gate's oracle
+    * pins. */
   def forget(s: SparkSession, root: String,
-             deletedIds: DataFrame): Snapshot = {
+             deletedIds: DataFrame,
+             noopOnEmpty: Boolean = false): Snapshot = {
     val del = deletedIds.select(col("vec_id").as("nn_id")).distinct()
     mutate(s, root, "forget") { parent =>
       val v = parent.version + 1
@@ -630,16 +689,19 @@ object IndexStore {
         .agg(count(lit(1)), collect_set(col("cell"))).head()
       val nDel = hit.getLong(0)
       val doomedCells = hit.getSeq[Int](1).toSet
-      val removes = parent.files
-        .collect { case (p, c) if doomedCells(c) => p }
-      val rewritten =
-        if (doomedCells.isEmpty) Seq.empty[(String, Int)]
-        else writeEpisode(s, root, v,
-          readFiles(s, root, removes).join(del, Seq("nn_id"), "left_anti"))
-      val m = Meta(v, "forget", parent.modelGen, parent.modelDir,
-        parent.nRows - nDel, parent.cells,
-        truncate = false, removes, rewritten, None)
-      Some((m, applyDelta(parent, m)))
+      if (noopOnEmpty && doomedCells.isEmpty) None
+      else {
+        val removes = parent.files
+          .collect { case (p, c) if doomedCells(c) => p }
+        val rewritten =
+          if (doomedCells.isEmpty) Seq.empty[(String, Int)]
+          else writeEpisode(s, root, v,
+            readFiles(s, root, removes).join(del, Seq("nn_id"), "left_anti"))
+        val m = Meta(v, "forget", parent.modelGen, parent.modelDir,
+          parent.nRows - nDel, parent.cells,
+          truncate = false, removes, rewritten, None)
+        Some((m, applyDelta(parent, m)))
+      }
     }
   }
 
@@ -756,9 +818,16 @@ object IndexStore {
     val modelsRoot = new Path(s"$root/models")
     if (f.exists(modelsRoot)) {
       f.listStatus(modelsRoot).foreach { gdir =>
-        if (!liveModelDirs(s"models/${gdir.getPath.getName}") &&
-            !protectedDir(gdir, 'g', maxGen)) {
-          if (f.delete(gdir.getPath, true)) removedG += 1
+        val rel = s"models/${gdir.getPath.getName}"
+        if (!liveModelDirs(rel) && !protectedDir(gdir, 'g', maxGen)) {
+          if (f.delete(gdir.getPath, true)) {
+            removedG += 1
+            // a reaped generation must also leave the per-JVM cache:
+            // a stale entry would let a warm JVM keep reading a
+            // vacuumed version a cold JVM correctly fails on
+            modelCache.remove(s"$root/$rel")
+            ()
+          }
         }
       }
     }

@@ -332,23 +332,30 @@ object Streaming {
     // the erasure requests, as min(3, n) slice files — one micro-batch
     // each under maxFilesPerTrigger = 1, split from the DataFrame by
     // sorted position (the set is tiny — n/97 — so the single-task
-    // window is fine; the point is the PATTERN: no driver-side ids)
+    // window is fine; the point is the PATTERN: no driver-side ids).
+    // ONE partitioned write: a per-slice filter+write recomputed the
+    // window and rescanned `doomed` once per slice (3 extra jobs over
+    // the same frame); partitionBy lands one file per __slice dir in
+    // a single job, and the stream reads the leaves recursively
     val reqDir = s"$work/requests"
-    val sliced = doomed.withColumn("__slice",
-      pmod(row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy("vec_id")) - 1, lit(slices.toInt)))
-    (0 until slices.toInt).foreach { i =>
-      sliced.filter(col("__slice") === i).select("vec_id")
-        .coalesce(1).write.mode("append").parquet(reqDir)
-    }
+    doomed.withColumn("__slice",
+        pmod(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")) - 1, lit(slices.toInt)))
+      .coalesce(1).write.partitionBy("__slice")
+      .mode("append").parquet(reqDir)
     def drain(): Unit = {
       val q = s.readStream
         .schema("vec_id LONG")
-        .option("maxFilesPerTrigger", 1).parquet(reqDir)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(reqDir)
         .writeStream
         .option("checkpointLocation", s"$work/ckpt")
         .foreachBatch { (b: DataFrame, _: Long) =>
-          if (!b.isEmpty) { IndexStore.forget(s, root, b); () }
+          // no isEmpty probe (one Spark job per micro-batch): the
+          // store's own footprint decision makes a touch-nothing
+          // batch commit-free
+          IndexStore.forget(s, root, b, noopOnEmpty = true); ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -410,9 +417,19 @@ object Streaming {
     * append of the same increment under the same frozen models —
     * byte-equal by the `ivfpq_append_gate` determinism contract),
     * `conserved` (live row count = corpus), `resume_safe`,
-    * `probe_full_k`. */
+    * `probe_full_k`.
+    *
+    * `benchSized = true` (the GATED invocation) builds the store at
+    * ~√N_base/2 cells — the [[streamedLifecycle]] arithmetic exactly,
+    * on the SAME 7/8-prefix base corpus as `index_manifest_gate`'s
+    * bench-sized arm, so the bench warm-up's one training serves all
+    * three gates from the per-JVM registry. Every hashed column is
+    * cell-count-independent (versions, conservation, content equality
+    * is BUILT at the same cells, full-k probe). The corpus-count-
+    * policy episode stays in ScaleStress. */
   def streamedAppendStore(s: SparkSession, dir: String, root: String,
-                          work: String, k: Int = 5): DataFrame = {
+                          work: String, k: Int = 5,
+                          benchSized: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.operators.Similarity
     import graft.sources.{IndexStore, Tables}
@@ -430,7 +447,12 @@ object Streaming {
     val thr = Similarity.prefixThreshold(emb, nBase)
     val base = emb.filter(col("vec_id") <= thr)
     val inc = emb.filter(col("vec_id") > thr)
-    val v1 = IndexStore.build(s, root, base)
+    val cells =
+      if (benchSized)
+        math.max(1, math.min(Similarity.scaledCells(nBase),
+          math.ceil(math.sqrt(math.max(nBase, 1L).toDouble) / 2.0).toInt))
+      else Similarity.scaledCells(nBase)
+    val v1 = IndexStore.build(s, root, base, Some(cells))
     if (v1.cents.isEmpty || nInc == 0L)
       return row(IndexStore.versions(s, root).length.toLong, 0,
         (1, 1, 1, 1))
@@ -451,11 +473,12 @@ object Streaming {
         .writeStream
         .option("checkpointLocation", s"$work/ckpt")
         .foreachBatch { (b: DataFrame, id: Long) =>
-          if (!b.isEmpty) {
-            IndexStore.append(s, root, b,
-              txn = Some(("graft_stream_append", id)))
-            ()
-          }
+          // no isEmpty probe: append's own count (already taken for
+          // the commit) makes an empty batch commit-free
+          IndexStore.append(s, root, b,
+            txn = Some(("graft_stream_append", id)),
+            noopOnEmpty = true)
+          ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -474,8 +497,9 @@ object Streaming {
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
     val fpLive = fp(codes)
-    val (cents0, cb0, idx0) =
-      Similarity.ivfPqIndex(base, Similarity.scaledCells(nBase))
+    // the batch form is built at the SAME cells as the store (the
+    // bench-sized arm included) — content equality is per-cell-exact
+    val (cents0, cb0, idx0) = Similarity.ivfPqIndex(base, cells)
     val fpBatch = fp(idx0.select("nn_id", "cell", "codes").unionAll(
       Similarity.ivfPqAppend(cents0, cb0, inc)))
     val contentMatch = if (fpLive == fpBatch) 1 else 0
@@ -656,20 +680,23 @@ object Streaming {
         .option("checkpointLocation", s"$work/ckpt")
         .foreachBatch { (b: DataFrame, id: Long) =>
           val tb = System.nanoTime()
-          if (!b.isEmpty) {
-            // one kind per request file by construction; dispatch
-            // handles a mixed batch anyway — arrivals before erasures
-            val kinds = b.select("kind").distinct()
-              .collect().map(_.getString(0)).sorted
-            kinds.foreach {
-              case "append" => IndexStore.append(s, root,
-                b.filter(col("kind") === "append")
-                  .select("vec_id", "embedding"),
-                txn = Some(("graft_stream_lifecycle", id)))
-              case _ => IndexStore.forget(s, root,
-                b.filter(col("kind") === "forget").select("vec_id"))
-            }
-            ()
+          // one kind per request file by construction; dispatch
+          // handles a mixed batch anyway — arrivals before erasures.
+          // An empty batch yields ZERO kinds right here, so the old
+          // separate isEmpty probe was a redundant Spark job per
+          // micro-batch; noopOnEmpty keeps even a spurious empty
+          // sub-frame commit-free
+          val kinds = b.select("kind").distinct()
+            .collect().map(_.getString(0)).sorted
+          kinds.foreach {
+            case "append" => IndexStore.append(s, root,
+              b.filter(col("kind") === "append")
+                .select("vec_id", "embedding"),
+              txn = Some(("graft_stream_lifecycle", id)),
+              noopOnEmpty = true)
+            case _ => IndexStore.forget(s, root,
+              b.filter(col("kind") === "forget").select("vec_id"),
+              noopOnEmpty = true)
           }
           if (dbg) System.err.println(
             f"[lifecycle]   batch $id ${(System.nanoTime() - tb) / 1e9}%6.2f s")

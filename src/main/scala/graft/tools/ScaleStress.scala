@@ -483,7 +483,10 @@ object ScaleStress {
       // forgetter interleave on ONE store (real threads, real
       // contention at the scaled corpus): every mutation must land
       // within MaxCommitRetries (an exhausted mutator throws and
-      // fails the row loudly) and the settled state must equal the
+      // fails the row loudly; 5 concurrent commits against the bound
+      // of 16 carry >3x headroom — the worst loser of a 5-commit race
+      // needs 5 attempts — so only genuine livelock fails here) and
+      // the settled state must equal the
       // serial schedule — the appenders' id ranges are disjoint and
       // the forget set lives in the v1 base, so EVERY serialization
       // of the commits settles to the same content, which the row
@@ -561,6 +564,102 @@ object ScaleStress {
               .toDF("n_emb", "n_doomed", "versions")
           }
         } else ("concurrent_mutators", 0.0, -1L)
+      },
+      // r18: WRITER-CONTENTION SWEEP — N ∈ {4, 8} committers race ONE
+      // store with single-slice appends and the attempts-to-land
+      // distribution is recorded against MaxCommitRetries. The bound
+      // is deterministic, not statistical: the worst loser of an
+      // N-way race loses at most N−1 commits (someone wins every
+      // round), so max attempts ≤ N — the row requires 2·max ≤
+      // MaxCommitRetries, pricing the ceiling at N = 8 with ≥2×
+      // margin BEFORE a deployment hits it (r17 ran 5 concurrent
+      // commits against a bound of 5 — zero headroom, the r17 ADVICE
+      // item this row closes)
+      {
+        if (only.isEmpty || only.contains("writer_contention")) {
+          import graft.sources.IndexStore
+          import spark.implicits._
+          timed("writer_contention") {
+            val out = Seq(4, 8).map { nw =>
+              val root = new java.io.File(s"$outDir/wcont_$nw")
+              def rm(f: java.io.File): Unit = {
+                if (f.isDirectory) f.listFiles().foreach(rm)
+                f.delete(); ()
+              }
+              if (root.exists()) rm(root)
+              val n = emb.count()
+              val nBase = n - n / 4
+              val thr = Similarity.prefixThreshold(emb, nBase)
+              val base = emb.filter(col("vec_id") <= thr)
+              val inc = emb.filter(col("vec_id") > thr)
+                .select("vec_id", "embedding")
+              IndexStore.build(spark, root.toString, base)
+              val tries =
+                new java.util.concurrent.ConcurrentLinkedQueue[Integer]
+              val errs =
+                new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+              val writers = (0 until nw).map { w =>
+                new Thread(() => try {
+                  IndexStore.append(spark, root.toString,
+                    inc.filter(pmod(col("vec_id"), lit(nw)) === w),
+                    txn = Some((s"wcont${nw}_$w", 0L)))
+                  tries.add(Int.box(IndexStore.lastMutationTries.get()))
+                  ()
+                } catch { case t: Throwable => errs.add(t); () },
+                  s"wcont$nw-$w")
+              }
+              writers.foreach(_.start())
+              writers.foreach(_.join())
+              if (!errs.isEmpty)
+                throw new IllegalStateException(
+                  s"writer_contention N=$nw failed: ${errs.peek()}",
+                  errs.peek())
+              // every writer landed exactly once: 1 build + nw appends
+              val vs = IndexStore.versions(spark, root.toString)
+              require(vs == (1L to (nw + 1).toLong),
+                s"N=$nw expected versions 1..${nw + 1}, got $vs")
+              val live = IndexStore.open(spark, root.toString)
+              val codes = IndexStore.codes(spark, root.toString, live)
+              def fp(df: DataFrame): (Long, String) = {
+                val r = df.agg(count(lit(1)),
+                  sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+                    .cast("decimal(38,0)"))).head()
+                (r.getLong(0),
+                  if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+              }
+              // the slices partition `inc` (disjoint by mod class), so
+              // the settled content must equal the serial batch append
+              val (cents0, cb0, idx0) =
+                Similarity.ivfPqIndex(base, Similarity.scaledCells(nBase))
+              val serial = idx0.select("nn_id", "cell", "codes").unionAll(
+                Similarity.ivfPqAppend(cents0, cb0, inc))
+              require(fp(codes) == fp(serial),
+                s"N=$nw settled state diverged from the serial schedule")
+              val dist = {
+                val it = tries.iterator()
+                val b = Seq.newBuilder[Int]
+                while (it.hasNext) b += it.next().intValue()
+                b.result().sorted
+              }
+              require(dist.size == nw && dist.max <= nw,
+                s"N=$nw attempts-to-land $dist exceeds the N-attempt " +
+                  "worst case — optimistic-retry loop is livelocking")
+              require(2 * dist.max <= IndexStore.MaxCommitRetries,
+                s"N=$nw max attempts ${dist.max} leaves <2x margin " +
+                  s"under MaxCommitRetries=${IndexStore.MaxCommitRetries}")
+              System.err.println(
+                s"[stress] writer_contention N=$nw attempts=" +
+                  s"${dist.mkString(",")} (bound " +
+                  s"${IndexStore.MaxCommitRetries})")
+              (nw, dist.max, dist.sum)
+            }
+            out.map { case (nw, mx, total) =>
+              (nw, mx.toLong, total.toLong,
+                IndexStore.MaxCommitRetries.toLong) }
+              .toDF("writers", "max_attempts", "total_attempts",
+                "retry_bound")
+          }
+        } else ("writer_contention", 0.0, -1L)
       },
       // r15: the composed rebuild decision (count arm + drift arm) on
       // the steady and encoder-shifted scenarios — one lens train on
@@ -640,7 +739,100 @@ object ScaleStress {
       } else Seq(("manifest_log_early10", 0.0, -1L),
         ("manifest_log_late10", 0.0, -1L),
         ("manifest_log_open", 0.0, -1L))
-    val allResults = results ++ mlogRows
+    // r18: DEEP-HISTORY manifest log — the r17 deciles stopped at depth
+    // 61; a year of daily+intraday commits is 10³–10⁴ versions, so this
+    // row drives ONE THOUSAND commits (500 append+forget pairs — the
+    // forget returns each slice, so live state stays ~bounded and the
+    // LOG DEPTH is the only variable) and times 10-commit windows at
+    // the head, middle and tail plus a cold open at depth 1001. Flat
+    // windows + a flat open are the measured form of the checkpointed
+    // O(1 + ≤9 tails) claim at production depth. OPT-IN ONLY
+    // (`manifest_log_deep`): ~1000 Spark-job commits are minutes of
+    // wall clock the default battery shouldn't pay.
+    val deepRows: Seq[(String, Double, Long)] =
+      if (only.contains("manifest_log_deep")) {
+        import graft.sources.IndexStore
+        val root = new java.io.File(s"$outDir/mlog_deep")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (root.exists()) rm(root)
+        val thrB = Similarity.prefixThreshold(emb, 200L)
+        val slice = emb.filter(col("vec_id") > thrB)
+          .limit(8).select("vec_id", "embedding")
+          .persist()
+        slice.count()
+        // untimed burn-in on a scratch store (the mlog row's rationale:
+        // the early window must measure log cost, not JIT/codec warm-up)
+        val burn = new java.io.File(s"$outDir/mlog_deep_burnin")
+        if (burn.exists()) rm(burn)
+        IndexStore.build(spark, burn.toString,
+          emb.filter(col("vec_id") <= thrB))
+        (0 until 2).foreach { i =>
+          val ids = slice.withColumn("vec_id",
+            col("vec_id") + lit((i + 1) * 100000000L))
+          IndexStore.append(spark, burn.toString, ids,
+            txn = Some(("mlog_deep_burnin", i.toLong)))
+          IndexStore.forget(spark, burn.toString, ids.select("vec_id"))
+        }
+        rm(burn)
+        IndexStore.build(spark, root.toString,
+          emb.filter(col("vec_id") <= thrB))
+        def pairs(from: Int, until: Int): Double = {
+          val t0 = System.nanoTime()
+          (from until until).foreach { i =>
+            val ids = slice.withColumn("vec_id",
+              col("vec_id") + lit((i + 1) * 100000000L))
+            IndexStore.append(spark, root.toString, ids,
+              txn = Some(("mlog_deep", i.toLong)))
+            IndexStore.forget(spark, root.toString, ids.select("vec_id"))
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val early = pairs(0, 5)      // commits    2..11
+        pairs(5, 247)
+        val mid = pairs(247, 252)    // commits  496..505
+        pairs(252, 495)
+        val late = pairs(495, 500)   // commits  992..1001
+        val t0 = System.nanoTime()
+        val live = IndexStore.open(spark, root.toString)
+        val openSec = (System.nanoTime() - t0) / 1e9
+        require(live.version == 1001L,
+          s"expected depth 1001, got ${live.version}")
+        val ckpts = IndexStore.checkpoints(spark, root.toString)
+        require(ckpts.size == 100 && ckpts.last == 1000L,
+          s"checkpoint cadence broke: ${ckpts.size} ckpts, " +
+            s"last ${ckpts.lastOption}")
+        def fp(df: DataFrame): (Long, String) = {
+          val r = df.agg(count(lit(1)),
+            sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+              .cast("decimal(38,0)"))).head()
+          (r.getLong(0),
+            if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+        }
+        val fpLive = fp(IndexStore.codes(spark, root.toString, live))
+        // horizon guard at depth: vacuum reaps data outside retention
+        // but never touches the log; the live snapshot is unperturbed
+        IndexStore.vacuum(spark, root.toString, retainLast = 2,
+          minAgeMs = 0L)
+        require(IndexStore.versions(spark, root.toString).size == 1001,
+          "vacuum deleted log history")
+        val live2 = IndexStore.open(spark, root.toString)
+        require(live2.version == 1001L &&
+            fp(IndexStore.codes(spark, root.toString, live2)) == fpLive,
+          "live snapshot perturbed by vacuum at depth 1001")
+        slice.unpersist()
+        System.err.println(
+          f"[stress] manifest_log_deep early10=$early%.2f s " +
+            f"mid10=$mid%.2f s late10=$late%.2f s " +
+            f"open@1001=$openSec%.3f s")
+        Seq(("mlog_deep_early10", early, 10L),
+          ("mlog_deep_mid10", mid, 10L),
+          ("mlog_deep_late10", late, 10L),
+          ("mlog_deep_open", openSec, live.version))
+      } else Seq.empty
+    val allResults = results ++ mlogRows ++ deepRows
     val qs = allResults.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
     val total = allResults.map(_._2).sum

@@ -94,10 +94,61 @@ class IndexStoreSpec extends AnyFunSuite {
     val v2 = IndexStore.forget(spark, root, doomed)
     val f2 = fp(IndexStore.codes(spark, root, v2))
     val v3 = IndexStore.forget(spark, root, doomed)
-    // no doomed cells the second time → the file list is INHERITED
+    // no doomed cells the second time → the file list is INHERITED,
+    // and the DEFAULT form still commits the content-identical version
+    // (the manifest gate's oracle counts on explicit mutations
+    // committing even when trivial)
+    assert(v3.version === v2.version + 1)
     assert(v3.files === v2.files)
     assert(fp(IndexStore.codes(spark, root, v3)) === f2)
     assert(v3.nRows === v2.nRows)
+    // the STREAMING-SINK form (noopOnEmpty) makes the same touch-
+    // nothing forget commit-free instead
+    val v4 = IndexStore.forget(spark, root, doomed, noopOnEmpty = true)
+    assert(v4.version === v3.version)
+    assert(IndexStore.versions(spark, root).last === v3.version)
+  }
+
+  test("noopOnEmpty: empty append and empty forget are commit-free; " +
+       "the defaults still commit") {
+    val root = freshRoot()
+    IndexStore.build(spark, root, emb.filter(col("vec_id") < 400))
+    val v1 = IndexStore.open(spark, root)
+    val none = emb.filter(col("vec_id") < 0)
+    // sink form: no version burned on a zero-row micro-batch — and no
+    // watermark regression either (a replay of the same empty batch is
+    // skipped the same way)
+    val a = IndexStore.append(spark, root,
+      none.select("vec_id", "embedding"),
+      txn = Some(("noop_spec", 0L)), noopOnEmpty = true)
+    assert(a.version === v1.version)
+    val f = IndexStore.forget(spark, root, none.select("vec_id"),
+      noopOnEmpty = true)
+    assert(f.version === v1.version)
+    assert(IndexStore.versions(spark, root) === Seq(1L))
+    // default form: the explicit batch mutation commits (DegenerateSpec
+    // pins the same at the gate level on empty corpora)
+    val a2 = IndexStore.append(spark, root,
+      none.select("vec_id", "embedding"))
+    assert(a2.version === v1.version + 1)
+  }
+
+  test("vacuum evicts reaped model generations from the warm-JVM cache") {
+    val root = freshRoot()
+    IndexStore.build(spark, root, emb.filter(col("vec_id") < 400))
+    IndexStore.rebuild(spark, root, emb) // generation 2, v2
+    // warm the per-JVM cache on generation 1
+    val pinned = IndexStore.openVersion(spark, root, 1L)
+    assert(pinned.modelGen === 1L)
+    IndexStore.vacuum(spark, root, retainLast = 1, minAgeMs = 0L)
+    // generation 1's model dir is reaped — a warm JVM must fail the
+    // same way a cold one does (before invalidation the stale cache
+    // entry kept serving the vacuumed generation)
+    intercept[Exception] { IndexStore.openVersion(spark, root, 1L) }
+    // the live generation is untouched
+    val live = IndexStore.open(spark, root)
+    assert(live.version === 2L && live.modelGen === 2L)
+    assert(IndexStore.codes(spark, root, live).count() === emb.count())
   }
 
   test("checkpointed log: open equals replay across the boundary; " +
