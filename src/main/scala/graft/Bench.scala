@@ -232,7 +232,34 @@ object Bench {
     // than NoisyAnchorBound of them is treated as degraded for the
     // OVERWRITE decision regardless of what the canary caught.
     val NoisyAnchorBound = 5
+    // MONOTONE anchor (r18): a healthy run only replaces a healthy
+    // committed anchor when its window is at least as quiet (canary
+    // mean ≤ incumbent's mean + a 5% tolerance band) — without this, a
+    // 1.49-canary run that squeaks under the 1.5 bar could clobber a
+    // 1.05-window anchor and every later cross-round comparison
+    // inherits the worse baseline. A degraded or missing incumbent
+    // never blocks (any healthy run beats no anchor).
+    val incumbentMean: Option[Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/bench_full.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (txt.contains("\"window_degraded\":false")) {
+        val m = java.util.regex.Pattern
+          .compile("\"ratios\":\\[([0-9.,]+)\\]").matcher(txt)
+        if (m.find()) {
+          val rs = m.group(1).split(",").map(_.toDouble)
+          if (rs.nonEmpty) Some(rs.sum / rs.length) else None
+        } else None
+      } else None
+    } catch { case _: Exception => None }
+    val newMean = canaryRatios.sum / math.max(canaryRatios.size, 1)
+    val worseWindow = incumbentMean.exists(inc => newMean > inc * 1.05)
     val anchorDegraded = windowDegraded || noisy.size > NoisyAnchorBound
+    if (!anchorDegraded && worseWindow)
+      System.err.println(
+        f"[bench] healthy but WORSE window than the committed anchor " +
+          f"(canary mean $newMean%.2f vs ${incumbentMean.get}%.2f) — " +
+          "keeping the better anchor, writing bench_full.degraded.json")
     try if (only.isEmpty) {
       val perQuery = names.map { n =>
         // fields joined as ONE list: a query with zero valid passes
@@ -256,7 +283,7 @@ object Bench {
            |}
            |""".stripMargin
       val target =
-        if (anchorDegraded) "/root/repo/bench_full.degraded.json"
+        if (anchorDegraded || worseWindow) "/root/repo/bench_full.degraded.json"
         else "/root/repo/bench_full.json"
       if (anchorDegraded)
         System.err.println(
