@@ -711,7 +711,8 @@ object SparkEntry {
       val work = java.nio.file.Files
         .createTempDirectory("graft_sforget_work_").toString
       reapAtExit(root); reapAtExit(work)
-      graft.streaming.Streaming.streamedForget(s, dir, root, work)
+      graft.streaming.Streaming.streamedForget(s, dir, root, work,
+        benchSized = true)
     }),
     // STREAMED INGEST through the manifest: each micro-batch is one
     // transactional IndexStore.append (txn-stamped — a replayed batch

@@ -309,9 +309,20 @@ object Streaming {
     * are written from it (deterministic `row_number` split) and
     * [[graft.sources.IndexStore.forget]] consumes each micro-batch
     * frame as-is, so nothing id-shaped ever collects to the driver:
-    * the gate is the same shape a production erasure flow copies. */
+    * the gate is the same shape a production erasure flow copies.
+    *
+    * `benchSized = true` (the GATED invocation) builds the store at
+    * ~√N/2 cells — the family arithmetic ([[streamedLifecycle]],
+    * [[streamedAppendStore]], `indexManifestGate`) on the FULL corpus
+    * this gate erases from. Every hashed column is cell-count-
+    * independent: the settled version count is tape-length math, the
+    * erasure/conservation audits are id-membership sums, and the
+    * probe flag re-derives its policies from the live snapshot's own
+    * cell count. The corpus-count-policy data plane stays priced in
+    * ScaleStress (`index_manifest` carries the full-cell forget). */
   def streamedForget(s: SparkSession, dir: String, root: String,
-                     work: String, k: Int = 5): DataFrame = {
+                     work: String, k: Int = 5,
+                     benchSized: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.operators.Similarity
     import graft.sources.{IndexStore, Tables}
@@ -325,7 +336,12 @@ object Streaming {
         .toDF("n_emb", "n_doomed", "versions_committed", "exercised",
           "doomed_gone", "conserved", "resume_safe", "probe_full_k")
     if (n == 0L) return row(0L, 0, (1, 1, 1, 1))
-    val v1 = IndexStore.build(s, root, emb)
+    val cells =
+      if (benchSized)
+        math.max(1, math.min(Similarity.scaledCells(n),
+          math.ceil(math.sqrt(math.max(n, 1L).toDouble) / 2.0).toInt))
+      else Similarity.scaledCells(n)
+    val v1 = IndexStore.build(s, root, emb, Some(cells))
     if (v1.cents.isEmpty || nDoomed == 0L)
       return row(IndexStore.versions(s, root).length.toLong, 0,
         (1, 1, 1, 1))
