@@ -27,10 +27,54 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Wall-clock budget (r18 verdict #1): the driver runs this main under
+    // an external timeout; r18's run landed in a ~27x-degraded host
+    // window, blew that clock mid-retry, and the round's official bench
+    // artifact was rc=124 with parsed:null even though ~every query had
+    // a number. Two defenses, both below: (a) a soft budget that skips
+    // the corroboration passes (pass 2 stragglers, p3/p4 retries) once
+    // elapsed time crosses it, so the final total line still gets
+    // printed before the driver's axe; (b) incremental running-total
+    // snapshots + a shutdown hook, so even a SIGTERM kill leaves a
+    // parseable `{"metric":"total",...}` in the stdout tail.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+    val wallStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wallStart) / 1e9
+    def overBudget: Boolean = elapsed > budgetSec
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The driver records only the TAIL of the combined output stream;
+    // r18's tail was 100% WindowExec single-partition warnings (the
+    // audited driver-bounded windows — dense-triangle vertex index and
+    // friends fire it hundreds of times), which evicted every parseable
+    // line from the window. Silence that one logger here — the warning
+    // is a per-plan property PlanSpec already audits structurally.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
+    // Best-so-far per query, updated after every measured sample, read
+    // by the shutdown hook and the running snapshots. Synchronized: the
+    // hook thread reads while the main thread writes.
+    val bestSoFar = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def snapshotLine(partial: Boolean): String = {
+      import scala.jdk.CollectionConverters._
+      val total = bestSoFar.values.asScala.filter(_ >= 0).sum
+      val p = if (partial) ""","partial":true""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","done":${bestSoFar.size}$p}"""
+    }
+    // SIGTERM (the `timeout` default) runs JVM shutdown hooks; printing
+    // the canonical total line here means an external kill mid-run still
+    // yields a parseable artifact instead of r18's parsed:null.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalPrinted.get()) {
+        println(snapshotLine(partial = true))
+        Console.out.flush()
+      }
+    }))
 
     def force(name: String, pass: Int): Double = {
       val t0 = System.nanoTime()
@@ -42,6 +86,15 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] p$pass $name%-28s $dt%8.2f s")
+      if (pass > 0) {
+        bestSoFar.merge(name, dt,
+          (a, b) => if (a >= 0 && a < b) a else b)
+        // Running snapshot on stdout after every measured query: the
+        // driver tails stdout, so whatever line was last before a hard
+        // kill (even SIGKILL, where no hook runs) is still a valid
+        // partial total.
+        println(snapshotLine(partial = true))
+      }
       dt
     }
 
@@ -127,9 +180,24 @@ object Bench {
       .filter(n => only.isEmpty || only(n))
     val pass2Order = new scala.util.Random(0x9e3779b9L).shuffle(names)
     canary()
+    // Pass 1 always runs to completion — one sample per query beats a
+    // corroborated subset (the shutdown hook covers the pathological
+    // window where even pass 1 blows the external clock).
     val pass1 = names.map(n => n -> force(n, 1)).toMap
     canary()
-    val pass2 = pass2Order.map(n => n -> force(n, 2)).toMap
+    // Pass 2 is corroboration: once the soft budget is crossed, skip the
+    // remaining stragglers (recorded as `truncated`) so the final total
+    // line is printed before the driver's axe. Skipped queries keep
+    // their single pass-1 sample and are barred from anchoring (below).
+    var truncated = List.empty[String]
+    val pass2 = pass2Order.map { n =>
+      if (overBudget) { truncated ::= n; n -> -1.0 }
+      else n -> force(n, 2)
+    }.toMap
+    if (truncated.nonEmpty)
+      System.err.println(
+        s"[bench] budget ${budgetSec}s exceeded at ${elapsed.toInt}s — " +
+          s"skipped ${truncated.size} pass-2 stragglers")
     canary()
 
     // A failed run (-1) must not win the min; if both passes failed the
@@ -161,15 +229,20 @@ object Bench {
     def corrob(ts: Seq[Double]): Double =
       if (ts.size < 2 || ts.min <= 0) 1.0
       else { val s = ts.sorted; s(1) / s(0) }
+    // Retry passes respect the budget too (r18's kill landed mid-retry
+    // on a 51 s dedup_jaccard_pairs sample): a skipped retry just leaves
+    // the query on the noisy list — an honest "distrust this number".
     val flagged = names.filter(n => ratio(merged(n)) > 2.0)
-    val retried3 = flagged.map(n => n -> force(n, 3)).toMap
+    val retried3 = flagged.filterNot(_ => overBudget)
+      .map(n => n -> force(n, 3)).toMap
     def upto3(n: String) = merged(n) ++ retried3.get(n).filter(valid)
     // Second targeted retry ONLY for still-uncorroborated queries: a
     // spike on the retry itself must not condemn the row when a fourth
     // clean sample would corroborate the min (still tiny — bounded by
     // the flagged set).
     val flagged4 = names.filter(n => corrob(upto3(n)) > 2.0)
-    val retried4 = flagged4.map(n => n -> force(n, 4)).toMap
+    val retried4 = flagged4.filterNot(_ => overBudget)
+      .map(n => n -> force(n, 4)).toMap
     def samples(n: String) = upto3(n) ++ retried4.get(n).filter(valid)
 
     val results = names.map { n =>
@@ -201,8 +274,10 @@ object Bench {
     // compact driver-contract line LAST: the per-query map is ~2 KB and
     // can fall off the head of a bounded tail window, so the final line
     // a tail-only parser sees must be the canonical total.
-    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"noisy":$noisyJson,$canaryJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"noisy":$noisyJson,$canaryJson,"truncated":${truncated.size},"sf":"$sfDir"}""")
+    finalPrinted.set(true)
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    Console.out.flush()
 
     // Full per-query persistence: the driver captures only the TAIL of
     // stdout, so at 141 queries the verbose line scrolls off and ~80
@@ -239,22 +314,35 @@ object Bench {
     // 1.05-window anchor and every later cross-round comparison
     // inherits the worse baseline. A degraded or missing incumbent
     // never blocks (any healthy run beats no anchor).
+    // The ratios + degraded flag are read from the incumbent's ONE
+    // canary object, not via independent whole-file substring scans
+    // (those silently mis-read the file if another "ratios" array ever
+    // precedes the canary). Any ambiguity — no match, two matches, a
+    // parse error — fails toward None, i.e. "no incumbent blocks".
     val incumbentMean: Option[Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/bench_full.json")),
         java.nio.charset.StandardCharsets.UTF_8)
-      if (txt.contains("\"window_degraded\":false")) {
-        val m = java.util.regex.Pattern
-          .compile("\"ratios\":\\[([0-9.,]+)\\]").matcher(txt)
-        if (m.find()) {
-          val rs = m.group(1).split(",").map(_.toDouble)
+      val m = java.util.regex.Pattern
+        .compile("\"canary\":\\{\"ref\":[0-9.]+,\"ratios\":\\[([0-9.,]+)\\],\"window_degraded\":(true|false)\\}")
+        .matcher(txt)
+      if (m.find()) {
+        val (ratios, degraded) = (m.group(1), m.group(2))
+        if (m.find()) None // a second canary object = ambiguous artifact
+        else if (degraded == "true") None
+        else {
+          val rs = ratios.split(",").map(_.toDouble)
           if (rs.nonEmpty) Some(rs.sum / rs.length) else None
-        } else None
+        }
       } else None
     } catch { case _: Exception => None }
     val newMean = canaryRatios.sum / math.max(canaryRatios.size, 1)
     val worseWindow = incumbentMean.exists(inc => newMean > inc * 1.05)
-    val anchorDegraded = windowDegraded || noisy.size > NoisyAnchorBound
+    // A budget-truncated run has uncorroborated single-sample rows that
+    // corrob() can't flag (one sample reads as ratio 1.0) — it must
+    // never replace the corroborated anchor.
+    val anchorDegraded =
+      windowDegraded || noisy.size > NoisyAnchorBound || truncated.nonEmpty
     if (!anchorDegraded && worseWindow)
       System.err.println(
         f"[bench] healthy but WORSE window than the committed anchor " +
@@ -271,10 +359,17 @@ object Bench {
             .map { case (p, t) => s""""p$p":$t""" }
         s"""  "$n":{${fields.mkString(",")}}"""
       }.mkString(",\n")
+      // anchor provenance (r18 verdict #7): the hunter's attempt number
+      // rides the artifact so BENCH_TREND's cross-round normalization
+      // is computed from data, not commit-message prose
+      val attempt = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPT")
+        .flatMap(_.toIntOption).map(_.toString).getOrElse("null")
       val full =
         s"""{
            |"metric":"bench_full","unit":"sec","sf":"$sfDir",
+           |"attempt":$attempt,
            |"total":$total,
+           |"truncated":${truncated.size},
            |"noisy":$noisyJson,
            |$canaryJson,
            |"queries":{

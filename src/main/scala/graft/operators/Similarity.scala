@@ -1371,6 +1371,15 @@ object Similarity {
       math.ceil(4.0 * math.sqrt(math.max(n, 1).toDouble)).toInt,
       (n / 32L).toInt)))
 
+  /** Bench-sized cell count for the store-lifecycle gates: ⌈√N/2⌉,
+    * floored at 1, never above the [[scaledCells]] policy. One shared
+    * definition (r18 advice): the bench warm-up relies on every
+    * bench-sized gate hitting the SAME (base, cells) registry entry, so
+    * the arithmetic must not drift between call sites. */
+  def benchSizedCells(n: Long): Int =
+    math.max(1, math.min(scaledCells(n),
+      math.ceil(math.sqrt(math.max(n, 1L).toDouble) / 2.0).toInt))
+
   /** [[knnIvfPq]] under the measured scaling policies: one corpus
     * count picks cells (~4√N), rerank (ln-scaled) and nprobe
     * (candidate-mass) — the configuration the gated query and the
@@ -2181,8 +2190,7 @@ object Similarity {
     // cell count (the oracle recomputes this arithmetic exactly)
     val cells =
       if (benchSized)
-        math.max(1, math.min(scaledCells(n),
-          math.ceil(math.sqrt(math.max(n, 1).toDouble) / 2.0).toInt))
+        benchSizedCells(n)
       else scaledCells(n)
     def row(f: (Int, Int, Int)) = Seq((n, nq, cells, f._1, f._2, f._3))
       .toDF("n_emb", "n_queries", "cells", "files_reduced",
@@ -3023,8 +3031,7 @@ object Similarity {
     val inc = emb.filter(col("vec_id") > thr)
     val cells =
       if (benchSized)
-        math.max(1, math.min(scaledCells(nBase),
-          math.ceil(math.sqrt(math.max(nBase, 1L).toDouble) / 2.0).toInt))
+        benchSizedCells(nBase)
       else scaledCells(nBase)
     mark("prelude")
     val v1 = IndexStore.build(s, root, base, Some(cells))
@@ -3254,8 +3261,7 @@ object Similarity {
     val inc = emb.filter(col("vec_id") > thr)
     val cells =
       if (benchSized)
-        math.max(1, math.min(scaledCells(nBase),
-          math.ceil(math.sqrt(math.max(nBase, 1L).toDouble) / 2.0).toInt))
+        benchSizedCells(nBase)
       else scaledCells(nBase)
     val v1 = IndexStore.build(s, root, base, Some(cells))
     if (v1.cents.isEmpty) return row((1, 1, 1, 1, 1))

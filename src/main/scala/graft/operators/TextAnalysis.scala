@@ -2070,8 +2070,12 @@ object TextAnalysis {
     val counts = Tables.documents(s, dir)
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rn",
-      row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+    // global rank via [[denseIdsByCount]]'s partition-local-rank +
+    // offset telescope — a bare row_number() OVER (ORDER BY …) here was
+    // the repo's one remaining single-partition sort of a whole
+    // vocabulary (Heaps-bounded, but the scale-safe form costs nothing)
+    val ranked = denseIdsByCount(counts, "w")
+      .select(col("w"), col("cnt"), (col("id") + 1L).as("rn"))
     val tot = counts.agg(sum("cnt").as("n_tokens"),
       count(lit(1)).as("n_vocab"))
     val ksDf = ks.toDF("k")

@@ -28,6 +28,7 @@ import java.nio.charset.StandardCharsets
   *   models/g%09d-<uuid>/{cents,codebook}.parquet   // model generations
   *   log/v%09d.commit                               // one DELTA each
   *   log/v%09d.checkpoint                           // full state, every K
+  *   log/_last_checkpoint                           // bounded-discovery ptr
   * }}}
   *
   *  - Commits are DELTAS (the Delta-log action pattern): each manifest
@@ -179,31 +180,52 @@ object IndexStore {
     * doubles on every snapshot open and micro-batch for a hazard no
     * caller has. */
   private val ModelCacheMax = 64
-  private val modelCache: java.util.Map[
-      String, (Array[Array[Double]], Array[Array[Array[Double]]])] =
+  private type Models = (Array[Array[Double]], Array[Array[Array[Double]]])
+  // Lookup/compute map and LRU bookkeeping are SEPARATE (r18 advice):
+  // a single synchronizedMap(access-order LinkedHashMap) ran each
+  // miss's Spark parquet collect() under the map-wide monitor, so
+  // concurrent model reads for DIFFERENT stores serialized on one lock
+  // (8-way writer contention + streaming micro-batches all funnel
+  // through here). Now misses compute OUTSIDE any lock and publish
+  // with putIfAbsent (model dirs are write-once, so a doubly-computed
+  // value is identical and one copy wins); the access-order map only
+  // does O(1) touches under its monitor and evicts the eldest key from
+  // the lookup map when the cap is crossed.
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Models]()
+  private val modelLru: java.util.Map[String, java.lang.Boolean] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[
-          String, (Array[Array[Double]], Array[Array[Array[Double]]])](
+      new java.util.LinkedHashMap[String, java.lang.Boolean](
           16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[
-              String, (Array[Array[Double]], Array[Array[Array[Double]]])])
-            : Boolean = size() > ModelCacheMax
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean = {
+          val evict = size() > ModelCacheMax
+          if (evict) modelCache.remove(e.getKey)
+          evict
+        }
       })
 
   private def readModels(s: SparkSession, root: String, rel: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
-    modelCache.computeIfAbsent(s"$root/$rel", dir => {
-      val cents = s.read.parquet(s"$dir/cents.parquet")
-        .orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
-      val cb = s.read.parquet(s"$dir/codebook.parquet")
-        .orderBy("sub", "code").collect()
-        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
-        .toArray
-      (cents, cb)
-    })
+      : Models = {
+    val dir = s"$root/$rel"
+    val cached = modelCache.get(dir)
+    val v =
+      if (cached != null) cached
+      else {
+        val cents = s.read.parquet(s"$dir/cents.parquet")
+          .orderBy("cell").collect()
+          .map(_.getSeq[Double](1).toArray)
+        val cb = s.read.parquet(s"$dir/codebook.parquet")
+          .orderBy("sub", "code").collect()
+          .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+          .toArray
+        val prev = modelCache.putIfAbsent(dir, (cents, cb))
+        if (prev != null) prev else (cents, cb)
+      }
+    modelLru.put(dir, java.lang.Boolean.TRUE)
+    v
+  }
 
   // ---- data-episode write + listing ----
 
@@ -357,7 +379,9 @@ object IndexStore {
   /** Best-effort checkpoint publish: the winner of version `v` is the
     * only writer that attempts `v%09d.checkpoint`, and a crash before
     * it lands only costs later readers a longer delta tail (never
-    * correctness) — so failures are swallowed. */
+    * correctness) — so failures are swallowed. A landed checkpoint
+    * also ADVANCES the `_last_checkpoint` pointer (below) so hot-path
+    * readers never pay the O(#log-files) directory listing. */
   private def writeCheckpoint(s: SparkSession, root: String,
                               st: State): Unit = {
     val body = new StringBuilder()
@@ -368,11 +392,86 @@ object IndexStore {
       body ++= s"txnw=$app\t$tv\n" }
     st.files.foreach { case (p, c) => body ++= s"file=$c\t$p\n" }
     try {
-      atomicPublish(s, root, body.toString,
-        new Path(s"$root/log/${vName(st.version)}.checkpoint"))
-      ()
+      if (atomicPublish(s, root, body.toString,
+            new Path(s"$root/log/${vName(st.version)}.checkpoint")))
+        advanceLastCheckpointPtr(s, root, st.version)
     } catch { case _: java.io.IOException => () }
   }
+
+  /** `log/_last_checkpoint` — the Delta-style BOUNDED-DISCOVERY
+    * pointer. Without it every `open`/`liveState` pays one directory
+    * listing of the whole log: O(#log-files) NAMES, which the
+    * `manifest_log_deep` stress measured at ~1 s by depth 10⁴ — the
+    * one super-constant term left in the open path. With it the hot
+    * path reads one tiny file and then PROBES (existence checks) only
+    * the dense commit tail past the checkpoint — O(commits since the
+    * last checkpoint) ≤ [[CheckpointInterval]] + in-flight, flat in
+    * history depth.
+    *
+    * The pointer is a HINT, never the truth: it is advanced
+    * best-effort and only monotonically (a losing checkpoint racer
+    * must not regress it; the read-compare-write below has a benign
+    * TOCTOU — a regressed pointer costs extra probes, never
+    * correctness, because the probe loop always walks forward to the
+    * real maximum and log files are never deleted). Readers fall back
+    * to the full listing when the pointer is absent, unparseable or
+    * dangling. */
+  private val LastCheckpointName = "_last_checkpoint"
+
+  private def readLastCheckpointPtr(s: SparkSession,
+                                    root: String): Option[Long] =
+    try {
+      val p = new Path(s"$root/log/$LastCheckpointName")
+      if (!fs(s, root).exists(p)) None
+      else readLogFile(s, root, p).get("version")
+        .flatMap(_.headOption).flatMap(_.toLongOption)
+    } catch { case _: java.io.IOException => None }
+
+  private def advanceLastCheckpointPtr(s: SparkSession, root: String,
+                                       v: Long): Unit =
+    try {
+      if (!readLastCheckpointPtr(s, root).exists(_ >= v)) {
+        val f = fs(s, root)
+        val dest = f.makeQualified(new Path(s"$root/log/$LastCheckpointName"))
+        val tmp = f.makeQualified(new Path(dest.getParent,
+          s".tmp-$LastCheckpointName-${java.util.UUID.randomUUID()}"))
+        val out = f.create(tmp, true)
+        try out.write(s"version=$v\n".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        // OVERWRITE rename: atomic pointer swing — a concurrent reader
+        // sees either the old or the new pointer, never a partial file
+        val fc = FileContext.getFileContext(dest.toUri,
+          s.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dest, Options.Rename.OVERWRITE)
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** Bounded live-version discovery via the pointer: verify the
+    * pointed checkpoint exists, walk the DENSE commit chain forward to
+    * the real maximum (committed versions are contiguous — every
+    * commit is parent+1 with one winner), and pick the newest landed
+    * checkpoint at or below it by probing the cadence multiples
+    * backward. Returns (max committed version, checkpoint to replay
+    * from); None → caller falls back to the full listing. */
+  private def liveBounded(s: SparkSession,
+                          root: String): Option[(Long, Seq[Long])] =
+    readLastCheckpointPtr(s, root).flatMap { ptr =>
+      val f = fs(s, root)
+      if (!f.exists(new Path(s"$root/log/${vName(ptr)}.checkpoint"))) None
+      else {
+        var v = ptr
+        while (f.exists(new Path(s"$root/log/${vName(v + 1)}.commit")))
+          v += 1
+        var best = ptr
+        var ck = (v / CheckpointInterval) * CheckpointInterval
+        while (ck > ptr && best == ptr) {
+          if (f.exists(new Path(s"$root/log/${vName(ck)}.checkpoint")))
+            best = ck
+          else ck -= CheckpointInterval
+        }
+        Some((v, Seq(best)))
+      }
+    }
 
   private def readLogFile(s: SparkSession, root: String,
                           p: Path): Map[String, Seq[String]] = {
@@ -461,12 +560,15 @@ object IndexStore {
     }
   }
 
-  private def liveState(s: SparkSession, root: String): State = {
-    val (vs, ckpts) = listLog(s, root)
-    val v = vs.lastOption.getOrElse(
-      throw new IllegalStateException(s"empty index store at $root"))
-    stateAt(s, root, v, ckpts)
-  }
+  private def liveState(s: SparkSession, root: String): State =
+    liveBounded(s, root) match {
+      case Some((v, ckpts)) => stateAt(s, root, v, ckpts)
+      case None =>
+        val (vs, ckpts) = listLog(s, root)
+        val v = vs.lastOption.getOrElse(
+          throw new IllegalStateException(s"empty index store at $root"))
+        stateAt(s, root, v, ckpts)
+    }
 
   private def snapOf(s: SparkSession, root: String, st: State): Snapshot = {
     val (cents, cb) = readModels(s, root, st.modelDir)
@@ -483,10 +585,14 @@ object IndexStore {
     * instead of the whole log (the r15 form scanned every manifest,
     * O(V²) over a stream's life). */
   def lastTxnVersion(s: SparkSession, root: String,
-                     appId: String): Option[Long] = {
-    val (vs, ckpts) = listLog(s, root)
-    vs.lastOption.flatMap(v => stateAt(s, root, v, ckpts).txnw.get(appId))
-  }
+                     appId: String): Option[Long] =
+    liveBounded(s, root) match {
+      case Some((v, ckpts)) => stateAt(s, root, v, ckpts).txnw.get(appId)
+      case None =>
+        val (vs, ckpts) = listLog(s, root)
+        vs.lastOption.flatMap(v =>
+          stateAt(s, root, v, ckpts).txnw.get(appId))
+    }
 
   /** All committed versions, ascending (never rewritten → a reader's
     * listing is always a consistent prefix of history). */
@@ -826,6 +932,7 @@ object IndexStore {
             // a stale entry would let a warm JVM keep reading a
             // vacuumed version a cold JVM correctly fails on
             modelCache.remove(s"$root/$rel")
+            modelLru.remove(s"$root/$rel")
             ()
           }
         }

@@ -338,8 +338,7 @@ object Streaming {
     if (n == 0L) return row(0L, 0, (1, 1, 1, 1))
     val cells =
       if (benchSized)
-        math.max(1, math.min(Similarity.scaledCells(n),
-          math.ceil(math.sqrt(math.max(n, 1L).toDouble) / 2.0).toInt))
+        Similarity.benchSizedCells(n)
       else Similarity.scaledCells(n)
     val v1 = IndexStore.build(s, root, emb, Some(cells))
     if (v1.cents.isEmpty || nDoomed == 0L)
@@ -465,8 +464,7 @@ object Streaming {
     val inc = emb.filter(col("vec_id") > thr)
     val cells =
       if (benchSized)
-        math.max(1, math.min(Similarity.scaledCells(nBase),
-          math.ceil(math.sqrt(math.max(nBase, 1L).toDouble) / 2.0).toInt))
+        Similarity.benchSizedCells(nBase)
       else Similarity.scaledCells(nBase)
     val v1 = IndexStore.build(s, root, base, Some(cells))
     if (v1.cents.isEmpty || nInc == 0L)
@@ -643,8 +641,7 @@ object Streaming {
     // corpus-count policy (the ivfPqCompactGate arithmetic)
     val cells =
       if (benchSized)
-        math.max(1, math.min(Similarity.scaledCells(nBase),
-          math.ceil(math.sqrt(math.max(nBase, 1L).toDouble) / 2.0).toInt))
+        Similarity.benchSizedCells(nBase)
       else Similarity.scaledCells(nBase)
     mark("prelude")
     val v1 = IndexStore.build(s, root, base, Some(cells))

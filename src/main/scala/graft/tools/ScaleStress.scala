@@ -832,7 +832,144 @@ object ScaleStress {
           ("mlog_deep_late10", late, 10L),
           ("mlog_deep_open", openSec, live.version))
       } else Seq.empty
-    val allResults = results ++ mlogRows ++ deepRows
+    // r19: DEPTH-10⁴ open cost, isolating the LISTING term. The
+    // depth-1001 row above measured a 63 ms cold open that was mostly
+    // the O(#log-files) directory NAME listing — projected ~1 s at 10⁴
+    // versions; the `_last_checkpoint` pointer (r18 verdict ask #4)
+    // replaces that listing with one pointer read + a bounded forward
+    // probe of the dense commit tail. Driving 5,000 real append/forget
+    // pairs would be ~an hour of Spark jobs to measure a METADATA
+    // term, so the history is synthesized: 20 real commits land a real
+    // v20 checkpoint, then v21..v10001 are empty-delta commits
+    // templated from that checkpoint's own text (an empty forget
+    // preserves state exactly — applyDelta with no adds/removes/
+    // truncate is the identity on the file list), with checkpoints at
+    // the same every-10th cadence and the pointer at v10000. The
+    // synthetic log is structurally identical to a real one (same
+    // parser, same bytes-per-line shape); only the mutation payloads
+    // are elided, which the open path never reads. Measured: cold open
+    // WITH the pointer vs the pointer-deleted listing fallback, both
+    // verified to reconstruct the same snapshot. OPT-IN ONLY
+    // (`manifest_log_deep10k`).
+    val deep10kRows: Seq[(String, Double, Long)] =
+      if (only.contains("manifest_log_deep10k")) {
+        import graft.sources.IndexStore
+        import java.nio.file.{Files, Paths}
+        val root = new java.io.File(s"$outDir/mlog_deep10k")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (root.exists()) rm(root)
+        val thrB = Similarity.prefixThreshold(emb, 200L)
+        val slice = emb.filter(col("vec_id") > thrB)
+          .limit(8).select("vec_id", "embedding")
+        IndexStore.build(spark, root.toString,
+          emb.filter(col("vec_id") <= thrB))
+        // 19 real commits → v20 lands the templating checkpoint; the
+        // final real mutation is a forget, so the live file list at
+        // v20 equals the base build's (each slice fully returned)
+        (0 until 9).foreach { i =>
+          val ids = slice.withColumn("vec_id",
+            col("vec_id") + lit((i + 1) * 100000000L))
+          IndexStore.append(spark, root.toString, ids,
+            txn = Some(("mlog_deep10k", i.toLong)))
+          IndexStore.forget(spark, root.toString, ids.select("vec_id"))
+        }
+        IndexStore.append(spark, root.toString, slice.withColumn(
+          "vec_id", col("vec_id") + lit(990000000L)))
+        val v20 = IndexStore.open(spark, root.toString)
+        require(v20.version == 20L, s"setup expected v20, got ${v20.version}")
+        require(IndexStore.checkpoints(spark, root.toString).last == 20L,
+          "v20 checkpoint missing")
+        val fp20 = {
+          val r = IndexStore.codes(spark, root.toString, v20)
+            .agg(count(lit(1)),
+              sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+                .cast("decimal(38,0)"))).head()
+          (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+        }
+        val logDir = s"${root.toString}/log"
+        val template = new String(Files.readAllBytes(
+          Paths.get(s"$logDir/v%09d.checkpoint".format(20L))), "UTF-8")
+        val t0s = System.nanoTime()
+        (21L to 10001L).foreach { v =>
+          val body = template.replaceFirst("version=20", s"version=$v")
+            .getBytes("UTF-8")
+          Files.write(Paths.get(s"$logDir/v%09d.commit".format(v)), body)
+          if (v % 10L == 0L)
+            Files.write(
+              Paths.get(s"$logDir/v%09d.checkpoint".format(v)), body)
+          ()
+        }
+        // the pointer must be (re)written through the Hadoop LOCAL
+        // (checksummed) filesystem: the real writer created it with a
+        // .crc sidecar, and a raw java.nio overwrite leaves that crc
+        // stale — readLastCheckpointPtr then hits ChecksumException
+        // and silently falls back to the full listing (measured: the
+        // "pointer" open cost exactly the listing open until this)
+        locally {
+          val pfs = new org.apache.hadoop.fs.Path(logDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = pfs.create(
+            new org.apache.hadoop.fs.Path(s"$logDir/_last_checkpoint"),
+            true)
+          try out.write("version=10000\n".getBytes("UTF-8"))
+          finally out.close()
+        }
+        val synthSec = (System.nanoTime() - t0s) / 1e9
+        // min of 3: the first open in a JVM pays FileContext classload
+        // and JIT, ~0.2 s of one-time cost that is NOT the per-open
+        // metadata term this row prices
+        def timeOpen(): (Double, graft.sources.IndexStore.Snapshot) = {
+          val samples = (0 until 3).map { _ =>
+            val t0 = System.nanoTime()
+            val snap = IndexStore.open(spark, root.toString)
+            ((System.nanoTime() - t0) / 1e9, snap)
+          }
+          (samples.map(_._1).min, samples.last._2)
+        }
+        val (openPtr, snapPtr) = timeOpen()
+        require(snapPtr.version == 10001L,
+          s"pointer open read depth ${snapPtr.version}, want 10001")
+        if (sys.env.contains("GRAFT_GATE_TIMING")) {
+          // decompose: versions() pays the full listing; openVersion
+          // re-reads the checkpoint + models via the listing path
+          def t(label: String)(body: => Any): Unit = {
+            val t0 = System.nanoTime()
+            body
+            System.err.println(f"[stress]   $label%-24s ${(System.nanoTime() - t0) / 1e9}%.4f s")
+          }
+          t("versions_listing")(IndexStore.versions(spark, root.toString))
+          t("versions_listing2")(IndexStore.versions(spark, root.toString))
+          t("open_again")(IndexStore.open(spark, root.toString))
+          t("lastTxn")(IndexStore.lastTxnVersion(spark, root.toString, "x"))
+          ()
+        }
+        // fallback contrast: delete the pointer — open pays the full
+        // 11,019-file NAME listing (the pre-r19 cost) and must agree
+        Files.delete(Paths.get(s"$logDir/_last_checkpoint"))
+        val (openList, snapList) = timeOpen()
+        require(snapList.version == 10001L &&
+            snapList.files == snapPtr.files &&
+            snapList.modelDir == snapPtr.modelDir,
+          "listing fallback disagrees with pointer open at depth 10001")
+        val fpDeep = {
+          val r = IndexStore.codes(spark, root.toString, snapPtr)
+            .agg(count(lit(1)),
+              sum(xxhash64(col("nn_id"), col("cell"), col("codes"))
+                .cast("decimal(38,0)"))).head()
+          (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+        }
+        require(fpDeep == fp20,
+          "empty-delta history perturbed the snapshot content")
+        System.err.println(
+          f"[stress] manifest_log_deep10k synth=$synthSec%.1f s " +
+            f"open_ptr@10001=$openPtr%.4f s open_listing=$openList%.4f s")
+        Seq(("mlog_deep10k_open_ptr", openPtr, snapPtr.version),
+          ("mlog_deep10k_open_listing", openList, snapList.version))
+      } else Seq.empty
+    val allResults = results ++ mlogRows ++ deepRows ++ deep10kRows
     val qs = allResults.map { case (n, t, c) =>
       s""""$n":{"sec":$t,"rows":$c}""" }.mkString("{", ",", "}")
     val total = allResults.map(_._2).sum

@@ -304,4 +304,46 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(fp(IndexStore.codes(spark, root,
       IndexStore.open(spark, root))) === f3)
   }
+
+  test("_last_checkpoint pointer: written at the cadence, drives open; " +
+       "absent/stale/corrupt pointers fall back to the listing") {
+    val root = freshRoot()
+    IndexStore.build(spark, root, emb.filter(col("vec_id") < 400))
+    (0 until 11).foreach { i =>
+      IndexStore.append(spark, root, emb.filter(col("vec_id") % 11 === i))
+    }
+    val ptr = new java.io.File(s"$root/log/_last_checkpoint")
+    assert(ptr.exists(), "pointer lands with the v10 checkpoint")
+    assert(new String(java.nio.file.Files.readAllBytes(ptr.toPath))
+      .trim === "version=10")
+    val live = IndexStore.open(spark, root)
+    assert(live.version === 12L)
+    val fLive = fp(IndexStore.codes(spark, root, live))
+    // pointer-driven open == listing-driven open (delete the pointer:
+    // the fallback path reconstructs the same snapshot)
+    val ptrBytes = java.nio.file.Files.readAllBytes(ptr.toPath)
+    assert(ptr.delete())
+    val viaListing = IndexStore.open(spark, root)
+    assert(viaListing.version === 12L)
+    assert(fp(IndexStore.codes(spark, root, viaListing)) === fLive)
+    assert(IndexStore.lastTxnVersion(spark, root, "nobody") === None)
+    // a STALE pointer (simulating a crashed writer that never advanced
+    // it) still opens the true maximum: the probe loop walks the dense
+    // commit chain forward past the pointed checkpoint
+    java.nio.file.Files.write(ptr.toPath, ptrBytes)
+    (11 until 14).foreach { i =>
+      IndexStore.append(spark, root, emb.filter(col("vec_id") % 17 === i))
+    }
+    // appends 13..15 landed; pointer may have advanced only via the
+    // writer — force it stale again to exercise the forward walk
+    java.nio.file.Files.write(ptr.toPath, "version=10\n".getBytes)
+    val stale = IndexStore.open(spark, root)
+    assert(stale.version === 15L)
+    // corrupt pointer: unparseable content falls back to the listing
+    java.nio.file.Files.write(ptr.toPath, "version=not_a_number\n".getBytes)
+    assert(IndexStore.open(spark, root).version === 15L)
+    // dangling pointer (checkpoint file missing): fallback too
+    java.nio.file.Files.write(ptr.toPath, "version=990\n".getBytes)
+    assert(IndexStore.open(spark, root).version === 15L)
+  }
 }

@@ -3,7 +3,14 @@
 archaeology (r10 verdict #7).
 
 Each line: {"round": N, "total": sec, "sf": ..., "n": query_count|null,
-"noisy": [...]|null, "canary": {...}|null, "queries": {...}|null}.
+"noisy": [...]|null, "canary": {...}|null, "canary_mean": x.xx|null,
+"attempt": N|null, "queries": {...}|null}.
+
+canary_mean (mean of the canary boundary ratios) and attempt (the
+bench hunter's attempt number, stamped into bench_full.json via
+SPARK_GRAFT_BENCH_ATTEMPT) are the anchor's provenance: cross-round
+window normalization (e.g. r18-vs-r15's 1.23x arithmetic) is computed
+from these fields instead of verdict prose (r18 verdict #7).
 
 Sources:
   - BENCH_r{NN}.json (driver artifacts): total only — their stdout tail
@@ -45,9 +52,25 @@ def backfill_rows():
             "n": None,
             "noisy": None,
             "canary": None,
+            "canary_mean": None,
+            "attempt": None,
             "queries": None,
         }
     return rows
+
+
+# Hunter attempt numbers for anchors landed before bench_full.json
+# carried an "attempt" field — from the anchor commits' recorded
+# history (r18: f70371e "standing anchor is attempt 7"). Rounds whose
+# anchor attempt was never recorded stay null.
+KNOWN_ATTEMPTS = {18: 7}
+
+
+def canary_mean(canary):
+    ratios = (canary or {}).get("ratios") or []
+    if not ratios:
+        return None
+    return round(sum(ratios) / len(ratios), 4)
 
 
 def attach_full(rows, rnd):
@@ -61,6 +84,10 @@ def attach_full(rows, rnd):
         "n": len(full.get("queries") or {}),
         "noisy": full.get("noisy"),
         "canary": full.get("canary"),
+        "canary_mean": canary_mean(full.get("canary")),
+        "attempt": (full.get("attempt")
+                    if full.get("attempt") is not None
+                    else KNOWN_ATTEMPTS.get(rnd)),
         "queries": {q: v.get("sec") for q, v in (full.get("queries") or {}).items()},
     }
 
@@ -83,6 +110,12 @@ def main():
                     continue
                 row = json.loads(line)
                 if row.get("queries") is not None:
+                    # backfill provenance on rows written before the
+                    # fields existed (r18 verdict #7)
+                    if row.get("canary_mean") is None:
+                        row["canary_mean"] = canary_mean(row.get("canary"))
+                    if row.get("attempt") is None:
+                        row["attempt"] = KNOWN_ATTEMPTS.get(row["round"])
                     rows[row["round"]] = row
     if args.round is not None:
         attach_full(rows, args.round)
