@@ -486,12 +486,15 @@ object SparkEntry {
     // drift-fired rebuild THROUGH the store: the decision's drift arm
     // fires on the re-encoded corpus (count arm provably silent), the
     // action is an atomic new-model-generation commit; old pinned
-    // readers keep their generation, the new one re-gates recall
+    // readers keep their generation, the new one re-gates recall.
+    // Bench-sized (~sqrt(N)/2 cells for BOTH generations) — the flags
+    // are cell-count-independent; the full corpus-count-policy episode
+    // is priced in ScaleStress's manifest_rebuild row
     "manifest_rebuild_gate" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivfrebuild_").toString
       reapAtExit(tmp)
-      Similarity.manifestRebuildGate(s, dir, tmp)
+      Similarity.manifestRebuildGate(s, dir, tmp, benchSized = true)
     }),
     // the GRAPH lifecycle capstone: base build -> real append descent
     // -> forget from the artifact the append just produced (tombstone

@@ -2129,16 +2129,18 @@ object Similarity {
     val storeMatch = if (cntMem == cntDisk && hMem == hDisk) 1 else 0
     val rr = scaledRerank(n)
     val np = scaledNprobe(n, cells, rr)
-    def probe(idx: DataFrame) = Checkpoints.scratch(
-      knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
-        residual = false))
-    val pMem = probe(index)
-    val pDisk = probe(stored)
-    val nMem = pMem.count()
-    val nDisk = pDisk.count()
-    val inter = pMem.join(pDisk, Seq("query_id", "nn_id", "rn"),
-      "left_semi").count()
-    val probeMatch = if (nMem == nDisk && inter == nMem) 1 else 0
+    // one-action row-set fingerprints (count + order-free hash over
+    // (query, nn, rank)) instead of scratch + counts + semi-join — the
+    // probe plan runs once per side, not five times
+    def fpProbe(idx: DataFrame): (Long, String) = {
+      val r = knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
+          residual = false)
+        .agg(count(lit(1)),
+          sum(xxhash64(col("query_id"), col("nn_id"), col("rn"))
+            .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val probeMatch = if (fpProbe(index) == fpProbe(stored)) 1 else 0
     row((storeComplete, storeMatch, probeMatch))
   }
 
@@ -2243,16 +2245,17 @@ object Similarity {
     val contentMatch = if (cntMem == cntC && hMem == hC) 1 else 0
     val rr = scaledRerank(n)
     val np = scaledNprobe(n, cells, rr)
-    def probe(idx: DataFrame) = Checkpoints.scratch(
-      knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
-        residual = false))
-    val pMem = probe(index)
-    val pC = probe(readStore(compacted))
-    val nMem = pMem.count()
-    val nC = pC.count()
-    val inter = pMem.join(pC, Seq("query_id", "nn_id", "rn"),
-      "left_semi").count()
-    val probeMatch = if (nMem == nC && inter == nMem) 1 else 0
+    // one-action row-set fingerprints — the ivfPqStoreGate rationale
+    def fpProbe(idx: DataFrame): (Long, String) = {
+      val r = knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
+          residual = false)
+        .agg(count(lit(1)),
+          sum(xxhash64(col("query_id"), col("nn_id"), col("rn"))
+            .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val probeMatch =
+      if (fpProbe(index) == fpProbe(readStore(compacted))) 1 else 0
     row((filesReduced, contentMatch, probeMatch))
   }
 
@@ -2734,7 +2737,8 @@ object Similarity {
     * the trigger's count-arm are SQL-exact; flags pinned. */
   def manifestRebuildGate(s: SparkSession, dir: String, root: String,
                           k: Int = 5,
-                          recallFloor: Double = 0.6): DataFrame = {
+                          recallFloor: Double = 0.6,
+                          benchSized: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.sources.{IndexStore, Tables}
     val emb = Tables.embeddings(s, dir)
@@ -2744,9 +2748,21 @@ object Similarity {
         .toDF("n_base", "n_now", "count_rebuild", "drift_rebuild",
           "gen_advanced", "old_reader_ok", "recall_ok")
     if (n == 0L) return row((0, 1, 1, 1, 1))
+    // benchSized (the GATED invocation): BOTH generations provision at
+    // ~√N/2 cells instead of the ~4√N policy — the ivfPqCompactGate
+    // precedent: every hashed column is cell-count-independent (counts;
+    // the trigger arms — drift is a property of the encoder shift, not
+    // the cell geometry; generation bookkeeping; byte-level old-reader
+    // isolation; and the recall re-gate runs against brute force at
+    // whatever geometry is deployed), while the episode pays two full
+    // train+encode+write passes that scale with cells. The corpus-
+    // count-policy episode is priced in ScaleStress's manifest_rebuild
+    // row.
+    val cellsOverride =
+      if (benchSized) Some(benchSizedCells(n)) else None
     val shifted = Checkpoints.scratch(emb.select(col("vec_id"),
       transform(col("embedding"), x => abs(x)).as("embedding")))
-    val v1 = IndexStore.build(s, root, emb)
+    val v1 = IndexStore.build(s, root, emb, cellsOverride)
     if (v1.cents.isEmpty) return row((0, 1, 1, 1, 1))
     def fp(df: DataFrame): (Long, String) = {
       val r = df.agg(count(lit(1)),
@@ -2758,7 +2774,7 @@ object Similarity {
     // the morning decision: tomorrow's corpus through yesterday's lens
     val (countR, driftR, rebuild, _) = ivfPqReindexDecision(emb, shifted)
     val v2 =
-      if (rebuild == 1) IndexStore.rebuild(s, root, shifted)
+      if (rebuild == 1) IndexStore.rebuild(s, root, shifted, cellsOverride)
       else IndexStore.open(s, root)
     val genAdvanced =
       if (rebuild == 1 && v2.version == 2L && v2.modelGen == 2L &&
@@ -3126,10 +3142,19 @@ object Similarity {
       idx0.unionAll(ivfPqAppend(cents0, cb0, inc))
         .join(doomed.select(col("vec_id").as("nn_id")), Seq("nn_id"),
           "left_anti")
-    def probe(idx: DataFrame, cents: Array[Array[Double]],
-              cb: Array[Array[Array[Double]]]) = Checkpoints.scratch(
-      knnIvfPqWith(emb, idx, cents, cb, queries, k, np, rr,
-        residual = false))
+    // probe row-set fingerprint in ONE action (count + order-free hash
+    // over the full (query, nn, rank) triple): the r18 form scratched
+    // each probe then ran two counts + a semi-join — 5 jobs re-running
+    // the same window plans — to decide the set equality this pair of
+    // aggregates decides
+    def fpProbe(idx: DataFrame): (Long, String) = {
+      val r = knnIvfPqWith(emb, idx, live.cents, live.cb, queries, k,
+          np, rr, residual = false)
+        .agg(count(lit(1)),
+          sum(xxhash64(col("query_id"), col("nn_id"), col("rn"))
+            .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
     val (probeEq, prunedOk) =
       if (live.cents.isEmpty) (1, 1)
       else {
@@ -3154,22 +3179,17 @@ object Similarity {
         // full-snapshot probe, and opened strictly fewer files
         // whenever the probe touches fewer cells than the snapshot
         // occupies. live == v4 here: probe the materialized snapshot
-        val pStore = probe(c4, live.cents, live.cb)
-        val nS = pStore.count()
+        val fS = fpProbe(c4)
         val wanted = probeCellSet(live.cents, queries, np)
         val picked = live.fileCells.count(wanted)
-        val pPruned = probe(
-          IndexStore.codesForCells(s, root, live, wanted),
-          live.cents, live.cb)
-        val nP = pPruned.count()
-        val interP = pPruned.join(pStore, Seq("query_id", "nn_id", "rn"),
-          "left_semi").count()
+        val fP = fpProbe(
+          IndexStore.codesForCells(s, root, live, wanted))
         val occupiedCells = live.fileCells.distinct.size
         val fewer =
           if (wanted.size < occupiedCells) picked < live.files.size
           else picked <= live.files.size
         ((if (modelsEq && memEq) 1 else 0),
-          (if (nP == nS && interP == nP && fewer) 1 else 0))
+          (if (fP == fS && fewer) 1 else 0))
       }
     mark("probes")
     // vacuum to the live snapshot: disk == v4's manifest, live intact
@@ -3293,16 +3313,19 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < 10)
     val rr = scaledRerank(n)
     val np = scaledNprobe(n, v4.cells, rr)
-    def probe(idx: DataFrame) = Checkpoints.scratch(
-      knnIvfPqWith(emb, idx, v4.cents, v4.cb, queries, k, np, rr,
-        residual = false))
-    val pPre = probe(c3)
-    val pPost = probe(c4)
-    val nPre = pPre.count()
-    val nPost = pPost.count()
-    val inter = pPre.join(pPost, Seq("query_id", "nn_id", "rn"),
-      "left_semi").count()
-    val probeOk = if (nPre == nPost && inter == nPre) 1 else 0
+    // probe equality by one-action row-set fingerprints (count +
+    // order-free hash over (query, nn, rank)) — the indexManifestGate
+    // rationale: the scratch + counts + semi-join form re-ran the same
+    // probe plans across 5 jobs to decide what two aggregates decide
+    def fpProbe(idx: DataFrame): (Long, String) = {
+      val r = knnIvfPqWith(emb, idx, v4.cents, v4.cb, queries, k, np,
+          rr, residual = false)
+        .agg(count(lit(1)),
+          sum(xxhash64(col("query_id"), col("nn_id"), col("rn"))
+            .cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val probeOk = if (fpProbe(c3) == fpProbe(c4)) 1 else 0
     row((noopOk, fired, shapeOk, contentOk, probeOk))
   }
 }

@@ -139,7 +139,13 @@ object IndexStore {
   // ---- model-generation persistence (driver-bounded metadata) ----
 
   /** Write one model generation into an attempt-unique dir; returns
-    * its store-relative path (the manifest records it). */
+    * its store-relative path (the manifest records it). WRITE-THROUGH
+    * cache: the arrays just serialized ARE what a same-JVM reader
+    * would parse back (the parquet double round trip is exact —
+    * IndexStoreSpec pins bit-equality against a direct parquet read
+    * that bypasses this cache), so seeding [[modelCache]] here saves
+    * every build/rebuild the two collect jobs its own immediate
+    * `snapOf` would otherwise pay. Cross-JVM readers still parse. */
   private def writeModels(s: SparkSession, root: String, gen: Long,
                           cents: Array[Array[Double]],
                           cb: Array[Array[Array[Double]]]): String = {
@@ -154,6 +160,8 @@ object IndexStore {
     }.toSeq.toDF("sub", "code", "vec")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/codebook.parquet")
+    modelCache.putIfAbsent(dir, (cents, cb))
+    modelLru.put(dir, java.lang.Boolean.TRUE)
     rel
   }
 
@@ -815,10 +823,13 @@ object IndexStore {
     * trigger's action): retrain at the current corpus count, re-encode,
     * publish — older snapshots keep serving their own generation. The
     * trained artifact is computed ONCE; only the generation stamp,
-    * model dir and episode re-derive on a lost race. */
-  def rebuild(s: SparkSession, root: String, emb: DataFrame): Snapshot = {
+    * model dir and episode re-derive on a lost race. `cellsOverride`
+    * mirrors [[build]]'s: bench-sized gates re-provision at a smaller
+    * cell count; production callers take the corpus-count policy. */
+  def rebuild(s: SparkSession, root: String, emb: DataFrame,
+              cellsOverride: Option[Int] = None): Snapshot = {
     val n = emb.count()
-    val cells = Similarity.scaledCells(n)
+    val cells = cellsOverride.getOrElse(Similarity.scaledCells(n))
     val (cents, cb, index) = Similarity.ivfPqIndex(emb, cells)
     mutate(s, root, "rebuild") { parent =>
       val v = parent.version + 1

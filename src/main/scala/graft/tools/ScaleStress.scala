@@ -668,7 +668,21 @@ object ScaleStress {
       // N·C ~ N^1.5 exact-assignment class embedding_drift already
       // measures, with the shifted pass on top
       timed("reindex_drift") {
-        Similarity.ivfPqReindexDriftGate(spark, outDir) }
+        Similarity.ivfPqReindexDriftGate(spark, outDir) },
+      // r19: the FULL corpus-count-policy drift-fired rebuild episode
+      // (two ~4√N-cell train+encode+write generations through the
+      // store) — the gated query runs bench-sized (~√N/2 cells) per
+      // the ivfPqCompactGate precedent, so the policy-scale cost
+      // lives here where slope is the point
+      timed("manifest_rebuild") {
+        val root = new java.io.File(s"$outDir/rebuild_stress")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (root.exists()) rm(root)
+        Similarity.manifestRebuildGate(spark, outDir, root.toString)
+      }
     )
     // r16: MANY-COMMIT log depth — the checkpointed manifest's
     // claim is that open/commit cost is flat in HISTORY LENGTH

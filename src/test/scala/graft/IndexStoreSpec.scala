@@ -37,6 +37,19 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(reopened.cents.map(_.toSeq).toSeq === v1.cents.map(_.toSeq).toSeq)
     assert(reopened.cb.map(_.map(_.toSeq).toSeq).toSeq ===
       v1.cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // ...and AGAINST THE DISK BYTES, bypassing the per-JVM model cache
+    // (writeModels write-through-seeds it, so the assertions above can
+    // be reference-equal; the write-through's soundness rests on THIS
+    // direct-parquet parse agreeing)
+    val centsDisk = spark.read.parquet(s"$root/${v1.modelDir}/cents.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    assert(centsDisk.map(_.toSeq).toSeq === v1.cents.map(_.toSeq).toSeq)
+    val cbDisk = spark.read.parquet(s"$root/${v1.modelDir}/codebook.parquet")
+      .orderBy("sub", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    assert(cbDisk.map(_.map(_.toSeq).toSeq) ===
+      v1.cb.map(_.map(_.toSeq).toSeq).toSeq)
     assert(fp(IndexStore.codes(spark, root, reopened))._1 === emb.count())
   }
 
