@@ -75,6 +75,30 @@ object Bench {
         Console.out.flush()
       }
     }))
+    // Watchdog: the per-query budget checks below can only act BETWEEN
+    // queries — a single query stuck in a catastrophically degraded
+    // window (r19 attempt 1: one p3 retry ran 25+ minutes in a ~70×
+    // window) holds the artifact hostage past any external clock. Past
+    // 1.25× the budget, cancel all running Spark jobs every 15 s: the
+    // in-flight force() fails fast (recorded -1, or the earlier pass's
+    // min stands), every later force dies immediately, and the run
+    // falls through to the final total lines.
+    locally {
+      val w = new Thread(() => {
+        while (!finalPrinted.get()) {
+          Thread.sleep(15000)
+          if (!finalPrinted.get() && elapsed > budgetSec * 1.25) {
+            System.err.println(
+              f"[bench] watchdog: elapsed $elapsed%.0f s > " +
+                f"${budgetSec * 1.25}%.0f s — cancelling running jobs")
+            try spark.sparkContext.cancelAllJobs()
+            catch { case _: Throwable => () }
+          }
+        }
+      })
+      w.setDaemon(true)
+      w.start()
+    }
 
     def force(name: String, pass: Int): Double = {
       val t0 = System.nanoTime()
@@ -168,8 +192,17 @@ object Bench {
     var canaries = Vector.empty[Double]
     def canary(): Unit = {
       val t0 = System.nanoTime()
-      SparkEntry.queries("token_stats")(spark, sfDir)
+      // watchdog-safe: a cancelled canary records a poisoned sample
+      // (10× ref → the run reads window_degraded, which is the truth
+      // of any run the watchdog had to axe) instead of killing main
+      // before the final total lines print
+      try SparkEntry.queries("token_stats")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed: ${e.getMessage}")
+        canaries :+= CanaryRef * 10
+        return
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       canaries :+= dt
       System.err.println(f"[bench] canary ${canaries.size} $dt%6.2f s (ref $CanaryRef)")
@@ -232,17 +265,22 @@ object Bench {
     // Retry passes respect the budget too (r18's kill landed mid-retry
     // on a 51 s dedup_jaccard_pairs sample): a skipped retry just leaves
     // the query on the noisy list — an honest "distrust this number".
+    // The check is PER QUERY, inside the sequential traversal (a
+    // filterNot up front evaluates the budget once for the whole set —
+    // attempt 1 of the r19 hunt entered p3 at elapsed 2290 s with a
+    // ~100-query flagged set and a re-degraded window, and nothing
+    // could stop it).
     val flagged = names.filter(n => ratio(merged(n)) > 2.0)
-    val retried3 = flagged.filterNot(_ => overBudget)
-      .map(n => n -> force(n, 3)).toMap
+    val retried3 = flagged.flatMap(n =>
+      if (overBudget) None else Some(n -> force(n, 3))).toMap
     def upto3(n: String) = merged(n) ++ retried3.get(n).filter(valid)
     // Second targeted retry ONLY for still-uncorroborated queries: a
     // spike on the retry itself must not condemn the row when a fourth
     // clean sample would corroborate the min (still tiny — bounded by
     // the flagged set).
     val flagged4 = names.filter(n => corrob(upto3(n)) > 2.0)
-    val retried4 = flagged4.filterNot(_ => overBudget)
-      .map(n => n -> force(n, 4)).toMap
+    val retried4 = flagged4.flatMap(n =>
+      if (overBudget) None else Some(n -> force(n, 4))).toMap
     def samples(n: String) = upto3(n) ++ retried4.get(n).filter(valid)
 
     val results = names.map { n =>

@@ -2452,6 +2452,16 @@ object Similarity {
                          sampleN: Int = 200): DataFrame = {
     import s.implicits._
     import graft.sources.Tables
+    // stage timing to stderr when GRAFT_GATE_TIMING is set — the
+    // indexManifestGate profiling aid, zero-cost otherwise
+    val dbg = sys.env.contains("GRAFT_GATE_TIMING")
+    var tPrev = System.nanoTime()
+    def mark(label: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[graphlc] $label%-16s ${(now - tPrev) / 1e9}%6.2f s")
+      tPrev = now
+    }
     val emb = Tables.embeddings(s, dir)
     val nNow = emb.count()
     val nInc = nNow / 8
@@ -2465,9 +2475,11 @@ object Similarity {
       emb.filter(col("vec_id") > thr), k)
     val del = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
     val nDel = del.count()
+    mark("prelude")
     val g = Checkpoints.scratch(
       knnGraphForgetOf(appended, emb, del, k)
         .select("query_id", "nn_id"))
+    mark("append_forget")
     val survivors = emb.join(del, Seq("vec_id"), "left_anti")
     val nSurv = nNow - nDel
     val audit = g.agg(count(lit(1)).as("n"),
@@ -2477,12 +2489,14 @@ object Similarity {
     val kEff = math.min(k.toLong, math.max(nSurv - 1, 0L))
     val clean = if (audit.getLong(1) == 0L) 1 else 0
     val fullK = if (audit.getLong(0) == nSurv * kEff) 1 else 0
+    mark("audit")
     val sample = survivors.orderBy(xxhash64(col("vec_id"), lit(99)),
       col("vec_id")).limit(sampleN)
     val bf = knnBruteForce(survivors, sample, k)
       .select("query_id", "nn_id")
     val nSample = math.min(sampleN.toLong, nSurv)
     val nHits = g.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    mark("recall")
     val recallOk =
       if (nSample * kEff == 0L) 1
       else if (nHits.toDouble / (nSample * kEff) >= recallFloor) 1 else 0
