@@ -1159,7 +1159,29 @@ object Dedup {
     var edges = Checkpoints.materialize(
       resumed.map(_._2).getOrElse(canon(init)))
     if (resumed.isEmpty) Checkpoints.saveRound(edges, "components_star", 0)
-    var edgeCount = edges.count()
+    // Fixpoint check = ONE scan-only aggregate per round over the
+    // checkpointed blocks: (cardinality, order-free content fingerprint
+    // Σ xxhash64(u,v) mod 2¹²⁸-ish in decimal(38,0) — overflow-safe
+    // under ANSI). Both frames are canon()'d distinct sets, so equal
+    // count + equal fingerprint decides set equality to the same 64-bit
+    // content-hash discipline the pair tiers themselves ride on
+    // (bigramPostings' xxhash64 features, the IndexStore content
+    // fingerprints): a false fixpoint needs a same-size same-hash-sum
+    // distinct edge set — ~2⁻⁶⁴, far below any oracle tolerance. The
+    // r18 form ran a separate count job per round PLUS an exceptAll
+    // set-difference (a full shuffle + its own action) on every
+    // count-tie round — the fixpoint round always ties, so every
+    // invocation paid it; r19 profiling put the star closures inside 10+
+    // bench queries at ~50 AQE-stage jobs each with ~0.1 s fixed cost
+    // per job, and this audit is 1 job/round instead of 2-4 (guide §1.2:
+    // remove passes before tuning inside them).
+    def audit(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var (edgeCount, edgeFp) = audit(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -1167,23 +1189,13 @@ object Dedup {
         canon(smallStar(canon(largeStar(edges)))))
       roundNo += 1
       Checkpoints.saveRound(next, "components_star", roundNo)
-      // Exact set comparison, staged by cost (r10 profiling: the check
-      // was TWO exceptAll set-differences per round — ~4|E| rows
-      // shuffled each iteration just to test the fixpoint, comparable
-      // to the round's real work). Both frames are canon()'d distinct
-      // sets, so:  |next| != |edges|  already proves non-convergence
-      // for the price of a scan-only count over checkpointed blocks —
-      // no shuffle — and when the counts DO tie, subset + equal
-      // cardinality ⟹ set equality, so ONE exceptAll settles it
-      // exactly. Converging runs pay the exceptAll only on count-tie
-      // rounds (typically just the final one); exactness is unchanged
-      // (a count tie alone never declares the fixpoint).
-      val nextCount = next.count()
-      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      val (nextCount, nextFp) = audit(next)
+      converged = nextCount == edgeCount && nextFp.compareTo(edgeFp) == 0
       // the comparison was this round's last read of the old edges
       Checkpoints.dropRound(edges)
       edges = next
       edgeCount = nextCount
+      edgeFp = nextFp
       iter += 1
     }
     require(converged,

@@ -194,15 +194,20 @@ object Graph {
     // pattern as the Similarity codebook collect
     val nV = nodes.count()
     val nWords = math.max(1L, (nV + 63) / 64).toInt
-    val ei = e
+    // ei feeds three plan branches (the probe's edge stream + both fwd
+    // broadcasts) and fwd two — scratch-materialize each once so the
+    // id-indexing joins and the bitmap build run once, not per branch
+    // (guide §2.4). ei is O(E) narrow ints, fwd O(V) bitmaps.
+    val ei = Checkpoints.scratch(e
       .join(broadcast(nodes.select(col("v").as("a"), col("idx").as("ia"))),
         "a")
       .join(broadcast(nodes.select(col("v").as("b"), col("idx").as("ib"))),
         "b")
-      .select("ia", "ib")
-    val fwd = ei.groupBy("ia").agg(collect_set(col("ib")).as("bits"))
-      .select(col("ia"),
-        BitmapExpressions.bitmap_from_bits(col("bits"), nWords).as("bm"))
+      .select("ia", "ib"))
+    val fwd = Checkpoints.scratch(
+      ei.groupBy("ia").agg(collect_set(col("ib")).as("bits"))
+        .select(col("ia"),
+          BitmapExpressions.bitmap_from_bits(col("bits"), nWords).as("bm")))
     // left join on the b side: a max node has no forward bitmap and
     // closes nothing
     val tri = ei
@@ -227,17 +232,26 @@ object Graph {
     * (uniform-degree estimate) — bitmaps win when E > V²/64, provided
     * the O(V)-row bitmap table fits the broadcast budget. */
   def triangleCountAuto(edges: DataFrame): DataFrame = {
-    val nE = edges.count()
+    // Scratch-materialize the edge list ONCE: the two plan-choice stats
+    // actions below plus the chosen tier's own actions and plan branches
+    // (dense: nodes.count(), bitmap build, probe, two crossJoin stat
+    // legs) each re-execute the upstream edge BUILDER otherwise — for
+    // supplier_triangles that is the lineitem groupBy + double explode
+    // + distinct re-run 4+ times per query (guide §2.4: remove repeated
+    // passes). The edge list itself is O(E) narrow rows — exactly the
+    // frame localCheckpoint is for; results are unchanged.
+    val e = Checkpoints.scratch(edges.select(col("a"), col("b")))
+    val nE = e.count()
     // stacked endpoints, not per-side sums: va+vb would double-count
     // every node that appears on both sides (~2x on a symmetric-ish
     // graph) and make the crossover 4x stricter than intended
-    val nV = edges.select(col("a").as("v"))
-      .unionAll(edges.select(col("b").as("v")))
+    val nV = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
       .agg(approx_count_distinct("v")).collect()(0).getLong(0)
     val nWords = math.max(1L, (nV + 63) / 64)
     val fits = nV * (nWords * 8 + 48) <= MaxBitmapBroadcastBytes
-    if (nE > nV * nV / 64 && fits) triangleCountDense(edges)
-    else triangleCount(edges)
+    if (nE > nV * nV / 64 && fits) triangleCountDense(e)
+    else triangleCount(e)
   }
 
   /** Gated query: cohesion of the supplier co-shipment graph (dense at

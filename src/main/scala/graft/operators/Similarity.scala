@@ -1056,10 +1056,47 @@ object Similarity {
     * everything) — so 0- and 1-row corpora degrade instead of
     * throwing on the empty RDD's `.max()`. */
   private[graft] def prefixThreshold(df: DataFrame, nRows: Long): Long = {
-    import df.sparkSession.implicits._
     if (nRows <= 0L) return Long.MinValue
-    df.select(col("vec_id")).as[Long].rdd.sortBy(identity)
-      .zipWithIndex().filter(_._2 < nRows).map(_._1).max()
+    // Exact nRows-th smallest vec_id (vec_ids are unique) by histogram
+    // refinement: one (min, max, count) aggregate, then per refinement
+    // ONE scan-only 4096-bucket count aggregate over the shrinking value
+    // range — the range narrows 4096× per pass, so a 2⁴⁰ id span settles
+    // in ≤4 passes and the bench corpora in one. The r18 form was an RDD
+    // sortBy + zipWithIndex + max: a full shuffle-sort of the column
+    // plus ~4 jobs per call, at 100 TB a corpus-wide sort where a few
+    // pushdown-filtered scan aggregates suffice, and this helper runs
+    // 15+ times across the gate suite (guide §2.4: remove shuffles
+    // outright). Results are identical: the loop is an exact selection.
+    val ids = df.select(col("vec_id"))
+    val r0 = ids.agg(min("vec_id"), max("vec_id"), count(lit(1))).head()
+    if (r0.getLong(2) == 0L) return Long.MinValue
+    var lo = r0.getLong(0)
+    var hi = r0.getLong(1)
+    if (nRows >= r0.getLong(2)) return hi
+    require(lo >= 0 || hi < Long.MaxValue + lo,
+      s"vec_id span [$lo, $hi] overflows the histogram arithmetic")
+    var rank = nRows
+    while (lo < hi) {
+      val width = math.max(1L, (hi - lo) / 4096L + 1L)
+      val hist = ids
+        .filter(col("vec_id") >= lo && col("vec_id") <= hi)
+        .groupBy(expr(s"(vec_id - $lo) DIV $width").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      var acc = 0L
+      var bucket = -1L
+      hist.foreach { case (b, c) =>
+        if (bucket < 0 && acc + c >= rank) bucket = b else if (bucket < 0) acc += c
+      }
+      require(bucket >= 0, "histogram refinement lost the rank invariant")
+      rank -= acc
+      lo = lo + bucket * width
+      hi = math.min(hi, lo + width - 1)
+      if (width == 1L) return lo // unique ids: the bucket IS the value
+    }
+    lo
   }
 
   def ivfPqReindexGate(s: SparkSession, dir: String): DataFrame = {
@@ -1533,11 +1570,26 @@ object Similarity {
       mineBitext(s, dir, srcLang, tgtLang).select("src_id", "tgt_id"))
     val ann = Checkpoints.scratch(
       mineBitextAnn(s, dir, srcLang, tgtLang).select("src_id", "tgt_id"))
-    val nSrc = bitextSide(s, dir, srcLang).count()
-    val nTgt = bitextSide(s, dir, tgtLang).count()
+    // 5 count actions folded to 3 (guide §1.2): one agg over the joined
+    // embeddings for both side sizes, one left-join agg for nAnn + nHit
+    val sides = graft.sources.Tables.embeddings(s, dir)
+      .join(graft.sources.Tables.documents(s, dir)
+          .filter(col("lang").isin(srcLang, tgtLang))
+          .select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+      .agg(
+        coalesce(sum((col("lang") === srcLang).cast("long")), lit(0L)),
+        coalesce(sum((col("lang") === tgtLang).cast("long")), lit(0L)))
+      .head()
+    val nSrc = sides.getLong(0)
+    val nTgt = sides.getLong(1)
     val nExact = exact.count()
-    val nAnn = ann.count()
-    val nHit = ann.join(exact, Seq("src_id", "tgt_id"), "left_semi").count()
+    val hitAgg = ann.join(
+        exact.withColumn("__hit", lit(1)),
+        Seq("src_id", "tgt_id"), "left")
+      .agg(count(lit(1)), coalesce(sum("__hit"), lit(0L))).head()
+    val nAnn = hitAgg.getLong(0)
+    val nHit = hitAgg.getLong(1)
     val recallOk =
       if (nExact == 0L) 1
       else if (nHit.toDouble / nExact >= recallFloor) 1 else 0
@@ -2383,9 +2435,13 @@ object Similarity {
     import s.implicits._
     import graft.sources.Tables
     val emb = Tables.embeddings(s, dir)
-    val nEmb = emb.count()
+    // one scan for both scalars (corpus + doomed counts) — guide §1.2
+    val a0 = emb.agg(count(lit(1)),
+      coalesce(sum((col("vec_id") % 97 === 0).cast("long")), lit(0L)))
+      .head()
+    val nEmb = a0.getLong(0)
     val del = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
-    val nDel = del.count()
+    val nDel = a0.getLong(1)
     val nSurv = nEmb - nDel
     if (nEmb == 0L)
       return Seq((0L, 0L, 1, 1, 1, 1, 1))
@@ -2463,7 +2519,12 @@ object Similarity {
       tPrev = now
     }
     val emb = Tables.embeddings(s, dir)
-    val nNow = emb.count()
+    // one scan for both prelude scalars (corpus count + doomed count)
+    // instead of two count jobs — guide §1.2, fewer passes
+    val a0 = emb.agg(count(lit(1)),
+      coalesce(sum((col("vec_id") % 97 === 0).cast("long")), lit(0L)))
+      .head()
+    val nNow = a0.getLong(0)
     val nInc = nNow / 8
     val nBase = nNow - nInc
     if (nNow == 0L)
@@ -2474,7 +2535,7 @@ object Similarity {
     val appended = knnGraphAppendWide(emb.filter(col("vec_id") <= thr),
       emb.filter(col("vec_id") > thr), k)
     val del = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
-    val nDel = del.count()
+    val nDel = a0.getLong(1)
     mark("prelude")
     val g = Checkpoints.scratch(
       knnGraphForgetOf(appended, emb, del, k)
@@ -3045,11 +3106,15 @@ object Similarity {
       tPrev = now
     }
     val emb = Tables.embeddings(s, dir)
-    val nNow = emb.count()
+    // one scan for both prelude scalars — guide §1.2, fewer passes
+    val a0 = emb.agg(count(lit(1)),
+      coalesce(sum((col("vec_id") % 97 === 0).cast("long")), lit(0L)))
+      .head()
+    val nNow = a0.getLong(0)
     val nBase = nNow - nNow / 8
     val nInc = nNow / 8
     val doomed = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
-    val nDoomed = doomed.count()
+    val nDoomed = a0.getLong(1)
     def row(liveV: Long, f: Seq[Int]) =
       Seq((nNow, nBase, nInc, nDoomed, liveV, f(0), f(1), f(2), f(3),
         f(4), f(5), f(6), f(7)))

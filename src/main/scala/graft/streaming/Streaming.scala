@@ -327,9 +327,14 @@ object Streaming {
     import graft.operators.Similarity
     import graft.sources.{IndexStore, Tables}
     val emb = Tables.embeddings(s, dir)
-    val n = emb.count()
+    // one scan for all three prelude scalars (corpus, doomed, probe
+    // queries) instead of three count jobs — guide §1.2
+    val a0 = emb.agg(count(lit(1)),
+      coalesce(sum((col("vec_id") % 97 === 0).cast("long")), lit(0L)),
+      coalesce(sum((col("vec_id") < 10).cast("long")), lit(0L))).head()
+    val n = a0.getLong(0)
     val doomed = emb.filter(col("vec_id") % 97 === 0).select("vec_id")
-    val nDoomed = doomed.count()
+    val nDoomed = a0.getLong(1)
     val slices = math.min(3L, nDoomed)
     def row(versions: Long, exercised: Int, f: (Int, Int, Int, Int)) =
       Seq((n, nDoomed, versions, exercised, f._1, f._2, f._3, f._4))
@@ -392,7 +397,7 @@ object Streaming {
     val conserved =
       if (a.getLong(0) == nLive && live.nRows == nLive) 1 else 0
     val queries = emb.filter(col("vec_id") < 10)
-    val nq = queries.count()
+    val nq = a0.getLong(2)
     val rr = Similarity.scaledRerank(nLive)
     val np = Similarity.scaledNprobe(nLive, live.cells, rr)
     val ann = Similarity.knnIvfPqServe(emb, codes, live.cents, live.cb,
@@ -449,7 +454,10 @@ object Streaming {
     import graft.operators.Similarity
     import graft.sources.{IndexStore, Tables}
     val emb = Tables.embeddings(s, dir)
-    val n = emb.count()
+    // one scan for corpus count + probe-query count — guide §1.2
+    val a0 = emb.agg(count(lit(1)),
+      coalesce(sum((col("vec_id") < 10).cast("long")), lit(0L))).head()
+    val n = a0.getLong(0)
     val nBase = n - n / 8
     val nInc = n / 8
     val slices = math.min(3L, nInc)
@@ -519,7 +527,7 @@ object Streaming {
     val contentMatch = if (fpLive == fpBatch) 1 else 0
     val conserved = if (fpLive._1 == n && live.nRows == n) 1 else 0
     val queries = emb.filter(col("vec_id") < 10)
-    val nq = queries.count()
+    val nq = a0.getLong(1)
     val rr = Similarity.scaledRerank(n)
     val np = Similarity.scaledNprobe(n, live.cells, rr)
     val ann = Similarity.knnIvfPqServe(emb, codes, live.cents, live.cb,
@@ -607,7 +615,10 @@ object Streaming {
       tPrev = now
     }
     val emb = Tables.embeddings(s, dir)
-    val n = emb.count()
+    // one scan for corpus count + probe-query count — guide §1.2
+    val a0 = emb.agg(count(lit(1)),
+      coalesce(sum((col("vec_id") < 10).cast("long")), lit(0L))).head()
+    val n = a0.getLong(0)
     val nBase = n - n / 8
     val nInc = n / 8
     def row(nDoomed: Long, versions: Long, exercised: Int,
@@ -748,7 +759,7 @@ object Streaming {
     val conserved =
       if (fpLive._1 == nLive && live.nRows == nLive) 1 else 0
     val queries = emb.filter(col("vec_id") < 10)
-    val nq = queries.count()
+    val nq = a0.getLong(1)
     val rr = Similarity.scaledRerank(nLive)
     val np = Similarity.scaledNprobe(nLive, live.cells, rr)
     val ann = Similarity.knnIvfPqServe(emb, codes, live.cents, live.cb,
