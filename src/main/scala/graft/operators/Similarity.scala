@@ -2045,12 +2045,17 @@ object Similarity {
         emb.filter(col("vec_id") > thr), k)
         .select("query_id", "nn_id"))
     val kEff = math.min(k.toLong, math.max(nNow - 1, 0L))
-    val fullK = if (g.count() == nNow * kEff) 1 else 0
     val sample = emb.orderBy(xxhash64(col("vec_id"), lit(99)),
       col("vec_id")).limit(sampleN)
     val bf = knnBruteForce(emb, sample, k).select("query_id", "nn_id")
     val nSample = math.min(sampleN.toLong, nNow)
-    val nHits = g.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    // one left-join aggregate decides edge count AND recall hits (bf
+    // pairs unique per (query, nn) — multiplicity safe) — guide §1.2
+    val gAudit = g.join(bf.withColumn("__hit", lit(1L)),
+        Seq("query_id", "nn_id"), "left")
+      .agg(count(lit(1)), coalesce(sum("__hit"), lit(0L))).head()
+    val fullK = if (gAudit.getLong(0) == nNow * kEff) 1 else 0
+    val nHits = gAudit.getLong(1)
     val recallOk =
       if (nSample * kEff == 0L) 1
       else if (nHits.toDouble / (nSample * kEff) >= recallFloor) 1 else 0
@@ -2074,13 +2079,17 @@ object Similarity {
       knnGraphNnDescent(emb, k).select("query_id", "nn_id"))
     val n = emb.count()
     val kEff = math.min(k.toLong, math.max(n - 1, 0L))
-    val nEdges = g.count()
-    val fullK = if (nEdges == n * kEff) 1 else 0
     val sample = emb.orderBy(xxhash64(col("vec_id"), lit(99)),
         col("vec_id")).limit(sampleN)
     val bf = knnBruteForce(emb, sample, k).select("query_id", "nn_id")
     val nSample = math.min(sampleN.toLong, n)
-    val nHits = g.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    // one left-join aggregate for edge count + recall hits — guide §1.2
+    val gAudit = g.join(bf.withColumn("__hit", lit(1L)),
+        Seq("query_id", "nn_id"), "left")
+      .agg(count(lit(1)), coalesce(sum("__hit"), lit(0L))).head()
+    val nEdges = gAudit.getLong(0)
+    val fullK = if (nEdges == n * kEff) 1 else 0
+    val nHits = gAudit.getLong(1)
     val recallOk =
       if (nSample * kEff == 0L) 1
       else if (nHits.toDouble / (nSample * kEff) >= recallFloor) 1 else 0
@@ -2460,13 +2469,6 @@ object Similarity {
     // GRAPH side: tombstone + bounded repair
     val g = Checkpoints.scratch(
       knnGraphForget(emb, del, k).select("query_id", "nn_id"))
-    val gAudit = g.agg(count(lit(1)).as("n"),
-      coalesce(sum(((col("query_id") % 97 === 0) ||
-        (col("nn_id") % 97 === 0)).cast("long")), lit(0L))
-        .as("n_del_left")).head()
-    val graphClean = if (gAudit.getLong(1) == 0L) 1 else 0
-    val kEff = math.min(k.toLong, math.max(nSurv - 1, 0L))
-    val graphFullK = if (gAudit.getLong(0) == nSurv * kEff) 1 else 0
     // survivor recall: the repaired graph vs exact top-k over the
     // survivor corpus, on the nndescentGate node sample
     val survivors = emb.join(del, Seq("vec_id"), "left_anti")
@@ -2475,7 +2477,19 @@ object Similarity {
     val bf = knnBruteForce(survivors, sample, k)
       .select("query_id", "nn_id")
     val nSample = math.min(sampleN.toLong, nSurv)
-    val nHits = g.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    // ONE pass over the scratched graph for edge count, doomed residue
+    // AND recall hits (bf pairs unique per (query, nn)) — guide §1.2
+    val gAudit = g.join(bf.withColumn("__hit", lit(1L)),
+        Seq("query_id", "nn_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(((col("query_id") % 97 === 0) ||
+          (col("nn_id") % 97 === 0)).cast("long")), lit(0L))
+          .as("n_del_left"),
+        coalesce(sum("__hit"), lit(0L)).as("hits")).head()
+    val graphClean = if (gAudit.getLong(1) == 0L) 1 else 0
+    val kEff = math.min(k.toLong, math.max(nSurv - 1, 0L))
+    val graphFullK = if (gAudit.getLong(0) == nSurv * kEff) 1 else 0
+    val nHits = gAudit.getLong(2)
     val recallOk =
       if (nSample * kEff == 0L) 1
       else if (nHits.toDouble / (nSample * kEff) >= recallFloor) 1 else 0
@@ -2543,20 +2557,28 @@ object Similarity {
     mark("append_forget")
     val survivors = emb.join(del, Seq("vec_id"), "left_anti")
     val nSurv = nNow - nDel
-    val audit = g.agg(count(lit(1)).as("n"),
-      coalesce(sum(((col("query_id") % 97 === 0) ||
-        (col("nn_id") % 97 === 0)).cast("long")), lit(0L))
-        .as("doomed_left")).head()
-    val kEff = math.min(k.toLong, math.max(nSurv - 1, 0L))
-    val clean = if (audit.getLong(1) == 0L) 1 else 0
-    val fullK = if (audit.getLong(0) == nSurv * kEff) 1 else 0
-    mark("audit")
     val sample = survivors.orderBy(xxhash64(col("vec_id"), lit(99)),
       col("vec_id")).limit(sampleN)
     val bf = knnBruteForce(survivors, sample, k)
       .select("query_id", "nn_id")
     val nSample = math.min(sampleN.toLong, nSurv)
-    val nHits = g.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    // ONE pass over the scratched graph decides all three audits —
+    // edge count, doomed residue, recall hits (bf pairs unique per
+    // (query, nn), so the left join preserves multiplicity) — where
+    // the r18 form ran a g-aggregate plus a separate semi-join count
+    // (guide §1.2)
+    val audit = g.join(bf.withColumn("__hit", lit(1L)),
+        Seq("query_id", "nn_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(((col("query_id") % 97 === 0) ||
+          (col("nn_id") % 97 === 0)).cast("long")), lit(0L))
+          .as("doomed_left"),
+        coalesce(sum("__hit"), lit(0L)).as("hits")).head()
+    val kEff = math.min(k.toLong, math.max(nSurv - 1, 0L))
+    val clean = if (audit.getLong(1) == 0L) 1 else 0
+    val fullK = if (audit.getLong(0) == nSurv * kEff) 1 else 0
+    mark("audit")
+    val nHits = audit.getLong(2)
     mark("recall")
     val recallOk =
       if (nSample * kEff == 0L) 1
@@ -2593,7 +2615,9 @@ object Similarity {
         "share_now_millionths", "delta_millionths")
     if (nNow == 0L) return empty
     val thr = prefixThreshold(emb, nBase)
-    embeddingDriftCellsOf(emb.filter(col("vec_id") <= thr), emb)
+    // counts are already in hand — don't re-count either snapshot
+    embeddingDriftCellsOf(emb.filter(col("vec_id") <= thr), emb,
+        knownBase = nBase, knownNow = nNow)
       .getOrElse(empty)
   }
 
@@ -2604,9 +2628,12 @@ object Similarity {
     * lens on `base` at the corpus-count cell policy; None when the
     * base is too degenerate to train. */
   private[operators] def embeddingDriftCellsOf(
-      base: DataFrame, now: DataFrame): Option[DataFrame] = {
-    val nBase = base.count()
-    val nNow = now.count()
+      base: DataFrame, now: DataFrame,
+      knownBase: Long = -1L, knownNow: Long = -1L): Option[DataFrame] = {
+    // callers that already hold the snapshot counts pass them in; the
+    // default recounts (guide §1.2 — two count jobs saved per call)
+    val nBase = if (knownBase >= 0L) knownBase else base.count()
+    val nNow = if (knownNow >= 0L) knownNow else now.count()
     def e(df: DataFrame) =
       df.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val eBase = e(base)
@@ -2817,7 +2844,10 @@ object Similarity {
     import s.implicits._
     import graft.sources.{IndexStore, Tables}
     val emb = Tables.embeddings(s, dir)
-    val n = emb.count()
+    // one scan for corpus count + probe-query count — guide §1.2
+    val a0 = emb.agg(count(lit(1)),
+      coalesce(sum((col("vec_id") < 10).cast("long")), lit(0L))).head()
+    val n = a0.getLong(0)
     def row(f: (Int, Int, Int, Int, Int)) =
       Seq((n, n, f._1, f._2, f._3, f._4, f._5))
         .toDF("n_base", "n_now", "count_rebuild", "drift_rebuild",
@@ -2863,7 +2893,7 @@ object Similarity {
             v1.cb.map(_.map(_.toSeq).toSeq).toSeq) 1 else 0
     // the new generation serves the re-encoded corpus
     val queries = shifted.filter(col("vec_id") < 10)
-    val nq = queries.count()
+    val nq = a0.getLong(1)
     val rr = scaledRerank(n)
     val np = scaledNprobe(n, v2.cells, rr)
     val ann = Checkpoints.scratch(
@@ -2872,8 +2902,13 @@ object Similarity {
         .select("query_id", "nn_id"))
     val bf = knnBruteForce(shifted, queries, k).select("query_id", "nn_id")
     val kEff = math.min(k.toLong, math.max(n - 1, 0L))
-    val fullK = ann.count() == nq * kEff
-    val nHits = ann.join(bf, Seq("query_id", "nn_id"), "left_semi").count()
+    // one left-join aggregate decides full-k AND recall (bf pairs are
+    // unique per (query, nn), so multiplicity is safe) — guide §1.2
+    val annAudit = ann.join(bf.withColumn("__hit", lit(1L)),
+        Seq("query_id", "nn_id"), "left")
+      .agg(count(lit(1)), coalesce(sum("__hit"), lit(0L))).head()
+    val fullK = annAudit.getLong(0) == nq * kEff
+    val nHits = annAudit.getLong(1)
     val recallOk =
       if (nq * kEff == 0L) 1
       else if (fullK && nHits.toDouble / (nq * kEff) >= recallFloor) 1
