@@ -29,7 +29,15 @@ object Similarity {
 
   /** Exact cosine top-k neighbors for each query vector (broadcast).
     * Norms precomputed per side; per-pair dot is the codegen'd native
-    * expression (graft.functions.VectorExpressions). */
+    * expression (graft.functions.VectorExpressions).
+    *
+    * CONTRACT the gate audits rest on: output rows are UNIQUE per
+    * (query_id, nn_id) — row_number() emits each (query, rank) once and
+    * a corpus id joins a query at most once — and the folded left-join
+    * audits (knn/forget/append/reindex/lifecycle gates, r19 ADVICE) are
+    * only count-exact under that uniqueness. Replacing row_number with
+    * rank()/dense_rank(), or feeding a corpus with duplicate vec_ids,
+    * would silently inflate every audit count downstream. */
   def knnBruteForce(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // norms floored at 1e-9 (the normalizeQuantize convention): a zero
     // vector would otherwise make the cosine division an ANSI
@@ -827,7 +835,13 @@ object Similarity {
     * broadcast) — the oracle-checkable baseline. At 100 TB margins
     * need only each vector's top-k cross-lingual neighborhood, so
     * the production path mines with 2 ANN probes per doc
-    * ([[knnIvfPq]] per side) and this tier gates it on samples. */
+    * ([[knnIvfPq]] per side) and this tier gates it on samples.
+    *
+    * CONTRACT the gate audits rest on: output rows are UNIQUE per
+    * (src_id, tgt_id) — the final `rn === 1` keeps one row per src —
+    * and bitextAnnGate's folded left-join audit (r19 ADVICE) is only
+    * count-exact under that uniqueness; a tie-producing change to the
+    * final window would silently inflate nAnn/nHit downstream. */
   def mineBitext(s: SparkSession, dir: String, srcLang: String = "en",
                  tgtLang: String = "de", k: Int = 4,
                  marginFloor: Double = 1.0): DataFrame = {
@@ -1093,7 +1107,12 @@ object Similarity {
       require(bucket >= 0, "histogram refinement lost the rank invariant")
       rank -= acc
       lo = lo + bucket * width
-      hi = math.min(hi, lo + width - 1)
+      // saturating clamp: lo + width - 1 can wrap past Long.MaxValue
+      // when the id span abuts the Long range (the require above only
+      // bounds hi - lo); a wrap would flip hi negative and exit the
+      // loop on the bucket's LOWER bound instead of the exact rank
+      hi = if (width - 1 > Long.MaxValue - lo) hi
+           else math.min(hi, lo + width - 1)
       if (width == 1L) return lo // unique ids: the bucket IS the value
     }
     lo
@@ -1857,15 +1876,21 @@ object Similarity {
     * pair set upstream, so the union never duplicates a key). */
   /** `prior` carries the per-entry TRIED flag (Dong §2.3's incremental-
     * search bit, stored in the list itself); fresh entries enter
-    * untried. */
+    * untried. Both directions come from ONE explode over the scored
+    * pairs, not a self-union — the r19 union form re-executed the whole
+    * scoring subtree (candidate joins + dot products) once per
+    * direction, a full candidate-scoring pass wasted per round at any
+    * scale. Row multiset identical, so the top-kb window is unchanged. */
   private def nnTopK(kb: Int, fresh: DataFrame,
                      prior: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("nn_id"))
-    fresh.select(col("a").as("query_id"), col("b").as("nn_id"),
-        col("sim"), lit(false).as("tried"))
-      .unionAll(fresh.select(col("b").as("query_id"),
-        col("a").as("nn_id"), col("sim"), lit(false).as("tried")))
+    fresh.select(explode(array(
+          struct(col("a").as("query_id"), col("b").as("nn_id")),
+          struct(col("b").as("query_id"), col("a").as("nn_id"))))
+        .as("e"), col("sim"))
+      .select(col("e.query_id"), col("e.nn_id"), col("sim"),
+        lit(false).as("tried"))
       .unionAll(prior.select("query_id", "nn_id", "sim", "tried"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= kb)
@@ -1889,23 +1914,7 @@ object Similarity {
     // hash keeps the kept sample rotating, so a hub's dropped reverse
     // edges get later rounds' chances — the ρ-sampling argument,
     // applied where it is mandatory rather than optional.
-    def incidence(edges: DataFrame, round: Int): DataFrame = {
-      val fwd = edges
-        .select(col("query_id").as("node"), col("nn_id").as("nb"))
-      val wR = Window.partitionBy("node")
-        .orderBy(
-          xxhash64(col("node"), col("nb"), lit(seed + 3000 + round)),
-          col("nb"))
-      val rev = edges
-        .select(col("nn_id").as("node"), col("query_id").as("nb"))
-        .withColumn("rr", row_number().over(wR))
-        .filter(col("rr") <= kb).drop("rr")
-      // ρ-sampling lives in the ACTIVATION draw (the tried flag), not
-      // here: a per-round incidence filter would permanently drop
-      // old-side meetings (the tried partner never re-activates),
-      // which is where the first ρ implementation lost recall
-      fwd.unionAll(rev).distinct()
-    }
+    //
     // Dong's NEW/OLD split (§2.3, the local-join optimization): only
     // meetings involving at least one UNTRIED list entry can produce a
     // useful pair — a node's kb-th-best sim is NON-DECREASING, so a
@@ -1919,19 +1928,52 @@ object Similarity {
     // first implementation lost recall (old-old meetings never
     // retried). Round volume is |activated|·|B| instead of Σ|B|², and
     // the activated set shrinks as the graph converges.
+    //
+    // BOTH incidence sets — B over the full graph and B over the
+    // activated subset — come out of ONE window pass over the edge
+    // list (r19 ran incidence() twice: two window sorts, two distincts,
+    // then a node-keyed self-join — 4 extra Exchanges per round; at
+    // 100 TB each was an edge-list-scale shuffle). Exactness: the
+    // window's (hash, nb) order is TOTAL per node ((node, nb) unique —
+    // g holds one row per (query_id, nn_id)), and a subset inherits
+    // the superset's order, so the activated subset's row_number
+    // equals the running count of activated rows in the full order.
+    // Per-node sets are collect_set arrays (≤ 2·kb entries — bounded
+    // by construction), so candidate pairs are generated by a local
+    // explode instead of the self-join. Candidate SET identical:
+    // NnDescentEquivalenceSpec pins it against the unfused reference.
     var g = g0
     for (i <- (from + 1) to to) {
       val passNow =
         if (rho >= 1.0) lit(true)
         else pmod(xxhash64(col("query_id"), col("nn_id"),
           lit(seed + 7000 + i)), lit(1000000L)) < (rho * 1e6).toLong
-      val act = g.filter(!col("tried") && passNow)
-      val incNew = incidence(act, i)
-      val incAll = incidence(g, i)
-      val cand = incNew.as("x").join(incAll.as("y"), Seq("node"))
-        .filter(col("x.nb") =!= col("y.nb"))
-        .select(least(col("x.nb"), col("y.nb")).as("a"),
-          greatest(col("x.nb"), col("y.nb")).as("b"))
+      val actCol = !col("tried") && passNow
+      val fwd = g.select(col("query_id").as("node"),
+        col("nn_id").as("nb"), actCol.as("is_new"),
+        lit(true).as("is_all"))
+      val wR = Window.partitionBy("node")
+        .orderBy(
+          xxhash64(col("node"), col("nb"), lit(seed + 3000 + i)),
+          col("nb"))
+      val rev = g.select(col("nn_id").as("node"),
+          col("query_id").as("nb"), actCol.as("act"))
+        .withColumn("rr", row_number().over(wR))
+        .withColumn("rra", sum(col("act").cast("long")).over(wR))
+        .select(col("node"), col("nb"),
+          (col("act") && col("rra") <= kb).as("is_new"),
+          (col("rr") <= kb).as("is_all"))
+        .filter(col("is_new") || col("is_all"))
+      val b = fwd.unionAll(rev)
+        .groupBy("node")
+        .agg(collect_set(when(col("is_new"), col("nb"))).as("bn"),
+          collect_set(when(col("is_all"), col("nb"))).as("ba"))
+      val cand = b
+        .select(explode(col("bn")).as("x"), col("ba"))
+        .select(col("x"), explode(col("ba")).as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
         .distinct()
       val cur = g.select(least(col("query_id"), col("nn_id")).as("a"),
         greatest(col("query_id"), col("nn_id")).as("b")).distinct()
