@@ -248,15 +248,38 @@ object IndexStore {
     * one task → one file per occupied cell per episode (at 100 TB the
     * key becomes a cell→task bin-packing; the shape is the same). */
   private def writeEpisode(s: SparkSession, root: String, v: Long,
-                           rows: DataFrame): Seq[(String, Int)] = {
+                           rows: DataFrame): Seq[(String, Int)] =
+    writeEpisodeCounted(s, root, v, rows)._1
+
+  /** [[writeEpisode]] that ALSO reports the episode's row count, read
+    * from the write job's own observed metrics (CollectMetrics) — the
+    * mutators' commit arithmetic (`Meta.nRows`) used to pay a separate
+    * count() job per build/append/rebuild for a number the write job
+    * already knows (guide §1.2: fewer actions). */
+  private def writeEpisodeCounted(s: SparkSession, root: String, v: Long,
+                                  rows: DataFrame)
+      : (Seq[(String, Int)], Long) = {
     val rel = s"data/${vName(v)}-${java.util.UUID.randomUUID().toString
       .take(8)}"
+    val obs = new org.apache.spark.sql.Observation()
     rows.select(col("nn_id"), col("cell"), col("codes"),
         col("cell").as("cell_pt"))
+      .observe(obs, count(lit(1)).as("n"))
       .repartition(col("cell_pt"))
       .write.mode("overwrite").partitionBy("cell_pt")
       .parquet(s"$root/$rel")
-    listEpisode(s, root, rel)
+    val files = listEpisode(s, root, rel)
+    // a statically-empty input plan loses its CollectMetrics node to
+    // PropagateEmptyRelation — the event then carries no metrics. A
+    // file-less episode is zero rows by construction; the files-present
+    // branch is unreachable today but counts rather than guesses.
+    val n = obs.get.get("n") match {
+      case Some(v) => v.asInstanceOf[Long]
+      case None if files.isEmpty => 0L
+      case None =>
+        s.read.parquet(files.map(f => s"$root/${f._1}"): _*).count()
+    }
+    (files, n)
   }
 
   /** Recursively list one episode dir's part files as store-relative
@@ -688,11 +711,20 @@ object IndexStore {
     * corpus-count policy. */
   def build(s: SparkSession, root: String, emb: DataFrame,
             cellsOverride: Option[Int] = None): Snapshot = {
-    val n = emb.count()
-    val cells = cellsOverride.getOrElse(Similarity.scaledCells(n))
+    // corpus count: only the cell POLICY needs it up front — with an
+    // override the count rides the episode write's observed metrics
+    // (one job instead of two). Degenerate corpora (too small to
+    // train: empty index, nonzero corpus) keep the corpus-count
+    // semantics of nRows via the explicit fallback count.
+    val n0 = if (cellsOverride.isDefined) -1L else emb.count()
+    val cells = cellsOverride.getOrElse(Similarity.scaledCells(n0))
     val (cents, cb, index) = Similarity.ivfPqIndex(emb, cells)
     val mDir = writeModels(s, root, 1L, cents, cb)
-    val files = writeEpisode(s, root, 1L, index)
+    val (files, nIdx) = writeEpisodeCounted(s, root, 1L, index)
+    val n =
+      if (cents.nonEmpty) nIdx
+      else if (n0 >= 0L) n0
+      else emb.count()
     val m = Meta(1L, "build", 1L, mDir, n, cells,
       truncate = true, Seq.empty, files, None)
     require(commitDelta(s, root, m, applyDelta(EmptyState, m)),
@@ -716,9 +748,7 @@ object IndexStore {
     * explicit batch mutations commit even on empty corpora. */
   def append(s: SparkSession, root: String, newEmb: DataFrame,
              txn: Option[(String, Long)] = None,
-             noopOnEmpty: Boolean = false): Snapshot = {
-    val nNew = newEmb.count()
-    if (noopOnEmpty && nNew == 0L) return open(s, root)
+             noopOnEmpty: Boolean = false): Snapshot =
     mutate(s, root, "append") { parent =>
       // idempotent-sink guard: a replayed micro-batch (same appId,
       // batch version <= the committed watermark) must NOT re-append —
@@ -731,14 +761,23 @@ object IndexStore {
         val v = parent.version + 1
         val (cents, cb) = readModels(s, root, parent.modelDir)
         val rows = Similarity.ivfPqAppend(cents, cb, newEmb)
-        val newFiles = writeEpisode(s, root, v, rows)
-        val m = Meta(v, "append", parent.modelGen, parent.modelDir,
-          parent.nRows + nNew, parent.cells,
-          truncate = false, Seq.empty, newFiles, txn)
-        Some((m, applyDelta(parent, m)))
+        // the increment's count rides the episode write's observed
+        // metrics — the sinks previously paid a count() job per
+        // micro-batch for the same number. An empty noopOnEmpty
+        // increment leaves one file-less episode dir behind (no
+        // part files, invisible to every manifest and to vacuumOk's
+        // disk audit) instead of the old pre-write escape — the
+        // commit-free contract itself is unchanged.
+        val (newFiles, nNew) = writeEpisodeCounted(s, root, v, rows)
+        if (noopOnEmpty && nNew == 0L) None
+        else {
+          val m = Meta(v, "append", parent.modelGen, parent.modelDir,
+            parent.nRows + nNew, parent.cells,
+            truncate = false, Seq.empty, newFiles, txn)
+          Some((m, applyDelta(parent, m)))
+        }
       }
     }
-  }
 
   /** Compact the live snapshot: shuffle by cell, rewrite one file per
     * occupied cell, swap the WHOLE file list (`truncate` + adds) —
@@ -828,14 +867,20 @@ object IndexStore {
     * cell count; production callers take the corpus-count policy. */
   def rebuild(s: SparkSession, root: String, emb: DataFrame,
               cellsOverride: Option[Int] = None): Snapshot = {
-    val n = emb.count()
-    val cells = cellsOverride.getOrElse(Similarity.scaledCells(n))
+    // same count discipline as [[build]]: the cell policy may need the
+    // corpus count up front; otherwise it rides the episode write
+    val n0 = if (cellsOverride.isDefined) -1L else emb.count()
+    val cells = cellsOverride.getOrElse(Similarity.scaledCells(n0))
     val (cents, cb, index) = Similarity.ivfPqIndex(emb, cells)
     mutate(s, root, "rebuild") { parent =>
       val v = parent.version + 1
       val gen = parent.modelGen + 1
       val mDir = writeModels(s, root, gen, cents, cb)
-      val files = writeEpisode(s, root, v, index)
+      val (files, nIdx) = writeEpisodeCounted(s, root, v, index)
+      val n =
+        if (cents.nonEmpty) nIdx
+        else if (n0 >= 0L) n0
+        else emb.count()
       val m = Meta(v, "rebuild", gen, mDir, n, cells,
         truncate = true, Seq.empty, files, None)
       Some((m, applyDelta(parent, m)))
