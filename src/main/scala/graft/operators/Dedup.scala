@@ -1342,27 +1342,44 @@ object Dedup {
                         recallFloor: Double = 0.75): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    // both pair tiers feed several gate actions below (counts, two
-    // anti-joins, closures) — checkpoint each ONCE or the exact tier,
-    // the most expensive subquery here, re-runs per action
-    val globalPairs = embeddingNearDupPairs(emb, tau)
-      .select("id_a", "id_b").localCheckpoint(true)
-    val semPairs = semanticPairs(emb, tau, cells, lloydIters, probes)
-      .localCheckpoint(true)
-    val nVec = emb.count()
-    val nExact = globalPairs.count()
-    val nExtra = semPairs.join(globalPairs, Seq("id_a", "id_b"),
-      "left_anti").count()
-    val nMissed = globalPairs.join(semPairs, Seq("id_a", "id_b"),
-      "left_anti").count()
+    // both pair tiers feed several gate actions below (counts, the
+    // tier-agreement fold, closures) — checkpoint each ONCE or the
+    // exact tier, the most expensive subquery here, re-runs per
+    // action. The two tiers are independent chains: overlap their
+    // materializations (guide §2.6)
+    val (globalPairs, semPairs) = Similarity.inParallel(
+      embeddingNearDupPairs(emb, tau)
+        .select("id_a", "id_b").localCheckpoint(true),
+      semanticPairs(emb, tau, cells, lloydIters, probes)
+        .localCheckpoint(true))
+    // ONE full-join aggregate decides nExact + nExtra + nMissed (both
+    // tiers unique per (id_a, id_b): the θ-join emits each ordered
+    // pair once, semanticPairs is distinct — so the full join holds
+    // matched + sem-only + exact-only rows exactly once each); the r19
+    // form was three separate count/anti-join actions. The two closure
+    // counts are independent loops — overlap them, and overlap the
+    // pair fold + corpus count against the closures
+    val pairAgg = semPairs.withColumn("__s", lit(1L)).join(
+        globalPairs.withColumn("__g", lit(1L)),
+        Seq("id_a", "id_b"), "full")
+      .agg(coalesce(sum("__g"), lit(0L)),
+        coalesce(sum(when(col("__g").isNull, 1L)), lit(0L)),
+        coalesce(sum(when(col("__s").isNull, 1L)), lit(0L)))
+    val ((nVec, pairRow), (semNonRoot, globalNonRoot)) =
+      Similarity.inParallel(
+        Similarity.inParallel(emb.count(), pairAgg.head()),
+        Similarity.inParallel(
+          connectedComponentsStar(semPairs)
+            .filter(col("comp") =!= col("doc_id")).count(),
+          connectedComponentsStar(globalPairs)
+            .filter(col("comp") =!= col("doc_id")).count()))
+    val nExact = pairRow.getLong(0)
+    val nExtra = pairRow.getLong(1)
+    val nMissed = pairRow.getLong(2)
     val recall =
       if (nExact == 0) 1.0 else (nExact - nMissed).toDouble / nExact
-    val semSurvivors =
-      nVec - connectedComponentsStar(semPairs)
-        .filter(col("comp") =!= col("doc_id")).count()
-    val globalSurvivors =
-      nVec - connectedComponentsStar(globalPairs)
-        .filter(col("comp") =!= col("doc_id")).count()
+    val semSurvivors = nVec - semNonRoot
+    val globalSurvivors = nVec - globalNonRoot
     Seq((nVec, nExact,
       if (nExtra == 0) 1 else 0,
       if (recall >= recallFloor) 1 else 0,
@@ -1436,24 +1453,35 @@ object Dedup {
                              recallFloor: Double = 0.75): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val globalPairs = embeddingNearDupPairs(emb, tau)
-      .select("id_a", "id_b").localCheckpoint(true)
-    val graphPairs = semanticPairsGraph(emb, tau, k)
-      .localCheckpoint(true)
-    val nVec = emb.count()
-    val nExact = globalPairs.count()
-    val nExtra = graphPairs.join(globalPairs, Seq("id_a", "id_b"),
-      "left_anti").count()
-    val nMissed = globalPairs.join(graphPairs, Seq("id_a", "id_b"),
-      "left_anti").count()
+    // same shape as semanticDedupGate: overlap the two independent
+    // pair tiers, fold the three agreement counts into ONE full-join
+    // aggregate (both tiers unique per (id_a, id_b)), and overlap the
+    // two closure counts (guide §1.2 + §2.6)
+    val (globalPairs, graphPairs) = Similarity.inParallel(
+      embeddingNearDupPairs(emb, tau)
+        .select("id_a", "id_b").localCheckpoint(true),
+      semanticPairsGraph(emb, tau, k).localCheckpoint(true))
+    val pairAgg = graphPairs.withColumn("__s", lit(1L)).join(
+        globalPairs.withColumn("__g", lit(1L)),
+        Seq("id_a", "id_b"), "full")
+      .agg(coalesce(sum("__g"), lit(0L)),
+        coalesce(sum(when(col("__g").isNull, 1L)), lit(0L)),
+        coalesce(sum(when(col("__s").isNull, 1L)), lit(0L)))
+    val ((nVec, pairRow), (graphNonRoot, globalNonRoot)) =
+      Similarity.inParallel(
+        Similarity.inParallel(emb.count(), pairAgg.head()),
+        Similarity.inParallel(
+          connectedComponentsStar(graphPairs)
+            .filter(col("comp") =!= col("doc_id")).count(),
+          connectedComponentsStar(globalPairs)
+            .filter(col("comp") =!= col("doc_id")).count()))
+    val nExact = pairRow.getLong(0)
+    val nExtra = pairRow.getLong(1)
+    val nMissed = pairRow.getLong(2)
     val recall =
       if (nExact == 0) 1.0 else (nExact - nMissed).toDouble / nExact
-    val graphSurvivors =
-      nVec - connectedComponentsStar(graphPairs)
-        .filter(col("comp") =!= col("doc_id")).count()
-    val globalSurvivors =
-      nVec - connectedComponentsStar(globalPairs)
-        .filter(col("comp") =!= col("doc_id")).count()
+    val graphSurvivors = nVec - graphNonRoot
+    val globalSurvivors = nVec - globalNonRoot
     Seq((nVec, nExact,
       if (nExtra == 0) 1 else 0,
       if (recall >= recallFloor) 1 else 0,

@@ -175,41 +175,10 @@ object TextAnalysis {
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(Tables.documents(s, dir))
 
-  /** occurrences × chars of the most frequent gram (count ties break
-    * to the lexicographically smallest gram), computed as the longest
-    * RUN over the pre-sorted gram array — one O(G log G) array sort,
-    * then one O(G) aggregate with struct state; never a per-gram
-    * re-count (the O(G²) HOF class [[graft.functions.TextFunctions
-    * .letCol]] exists to avoid). Empty array → 0. */
-  private def topGramCover(sortedGrams: Column): Column =
-    aggregate(sortedGrams,
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best"), lit("").as("bg")),
-      (st, g) => {
-        val r = when(g === st("prev"), st("run") + 1L).otherwise(lit(1L))
-        struct(g.as("prev"), r.as("run"),
-          when(r > st("best"), r).otherwise(st("best")).as("best"),
-          when(r > st("best"), g).otherwise(st("bg")).as("bg"))
-      },
-      st => st("best") * length(st("bg")).cast("long"))
-
-  /** Σ occurrences × chars over grams occurring ≥ 2 times — adjacent
-    * equality on the sorted array; the first repeat back-charges the
-    * run's first occurrence so a cnt-run contributes exactly
-    * cnt·len(gram). Same O(G) shape as [[topGramCover]]. */
-  private def dupGramCover(sortedGrams: Column): Column =
-    aggregate(sortedGrams,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
-      (st, g) => {
-        val rep = g === st("prev")
-        struct(g.as("prev"),
-          when(rep, st("run") + 1L).otherwise(lit(1L)).as("run"),
-          (st("acc") + when(rep,
-            length(g).cast("long") +
-              when(st("run") === 1L, length(g).cast("long"))
-                .otherwise(lit(0L))).otherwise(lit(0L))).as("acc"))
-      },
-      st => st("acc"))
+  // (the pre-r20 composed forms of the gram covers — array_sort +
+  // interpreted `aggregate` folds — live on as the reference
+  // implementation inside TextAnalysisSpec, which pins the native
+  // GramCoverExpression bit-identical to them)
 
   /** The top-n-gram rules' (n, reject-percent) pairs — Rae et al.
     * Table A1 — shared between the Spark side and the oracle SQL
@@ -261,6 +230,12 @@ object TextAnalysis {
       filter(split(col("text"), sep, -1), l => length(trim(l)) > 0)
     def segChars(c: Column) =
       aggregate(c, lit(0L), (a, x) => a + length(x))
+    // all 9 n-gram covers from ONE native call per document
+    // (GramCoverExpression): the composed array_sort + interpreted
+    // `aggregate` fold per n dominated this query's profile — 9 sorted
+    // gram arrays and 9 per-gram interpreted lambdas per doc
+    val coverSpecs = RepTopNgram.map(_._1 -> true) ++
+      RepDupNgram.map(_._1 -> false)
     val measured = docs
       .select(col("text"), toks.as("toks"),
         cleanSegs("\n").as("lines"), cleanSegs("\n\n").as("paras"))
@@ -274,14 +249,8 @@ object TextAnalysis {
         size(array_distinct(col("paras"))).cast("long").as("npd"),
         segChars(col("paras")).as("pc"),
         segChars(array_distinct(col("paras"))).as("pcd"),
-        struct(RepTopNgram.map { case (n, _) =>
-          topGramCover(array_sort(
-            graft.functions.TextFunctions.wordNgrams(col("toks"), n)))
-            .as(s"t$n") }: _*).as("top"),
-        struct(RepDupNgram.map { case (n, _) =>
-          dupGramCover(array_sort(
-            graft.functions.TextFunctions.wordNgrams(col("toks"), n)))
-            .as(s"d$n") }: _*).as("dup"))
+        graft.functions.GramCoverExpression
+          .gram_covers(col("toks"), coverSpecs).as("cov"))
     val flags = measured.select(
       Seq(
         (lit(100L) * (col("nl") - col("nld")) > lit(30L) * col("nl"))
@@ -292,11 +261,12 @@ object TextAnalysis {
           .cast("long").as("r_para_frac"),
         (lit(100L) * (col("pc") - col("pcd")) > lit(20L) * col("pc"))
           .cast("long").as("r_para_chars")) ++
-      RepTopNgram.map { case (n, pct) =>
-        (lit(100L) * col("top")(s"t$n") > lit(pct.toLong) * col("total"))
+      RepTopNgram.zipWithIndex.map { case ((n, pct), i) =>
+        (lit(100L) * col("cov").getItem(i) > lit(pct.toLong) * col("total"))
           .cast("long").as(f"r_top_$n%02d") } ++
-      RepDupNgram.map { case (n, pct) =>
-        (lit(100L) * col("dup")(s"d$n") > lit(pct.toLong) * col("total"))
+      RepDupNgram.zipWithIndex.map { case ((n, pct), i) =>
+        (lit(100L) * col("cov").getItem(RepTopNgram.size + i) >
+          lit(pct.toLong) * col("total"))
           .cast("long").as(f"r_dup_$n%02d") }: _*)
     val ruleCols = flags.columns.toSeq
     val agged = flags

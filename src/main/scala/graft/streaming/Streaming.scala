@@ -389,22 +389,25 @@ object Streaming {
       if (IndexStore.versions(s, root) == settledVersions) 1 else 0
     val live = IndexStore.open(s, root)
     val codes = IndexStore.codes(s, root, live)
-    val a = codes.agg(count(lit(1)),
-      coalesce(sum((col("nn_id") % 97 === 0).cast("long")), lit(0L)))
-      .head()
-    val doomedGone = if (a.getLong(1) == 0L) 1 else 0
     val nLive = n - nDoomed
-    val conserved =
-      if (a.getLong(0) == nLive && live.nRows == nLive) 1 else 0
     val queries = emb.filter(col("vec_id") < 10)
     val nq = a0.getLong(2)
     val rr = Similarity.scaledRerank(nLive)
     val np = Similarity.scaledNprobe(nLive, live.cells, rr)
     val ann = Similarity.knnIvfPqServe(emb, codes, live.cents, live.cb,
       queries, k, np, rr)
+    // the two audit reads (store fingerprint+residue, probe count) are
+    // independent — overlap them (guide §2.6)
+    val (a, nAnn) = Similarity.inParallel(
+      codes.agg(count(lit(1)),
+        coalesce(sum((col("nn_id") % 97 === 0).cast("long")), lit(0L)))
+        .head(),
+      ann.count())
+    val doomedGone = if (a.getLong(1) == 0L) 1 else 0
+    val conserved =
+      if (a.getLong(0) == nLive && live.nRows == nLive) 1 else 0
     // a surviving query can match nLive-1 others, an erased one nLive
     val kEff = math.min(k.toLong, math.max(nLive - 1, 0L))
-    val nAnn = ann.count()
     val fullK = if (nAnn >= nq * kEff && nAnn <= nq * k) 1 else 0
     row(settledVersions.length.toLong, 1,
       (doomedGone, conserved, resumeSafe, fullK))
@@ -766,21 +769,23 @@ object Streaming {
       idx0.select("nn_id", "cell", "codes")
         .unionAll(Similarity.ivfPqAppend(cents0, cb0, inc)),
       doomedDf)
-    val fpLive = fp(codes)
-    val contentMatch = if (fpLive == fp(batchForm)) 1 else 0
-    mark("batch_audit")
     val nLive = n - nDoomed
-    val conserved =
-      if (fpLive._1 == nLive && live.nRows == nLive) 1 else 0
     val queries = emb.filter(col("vec_id") < 10)
     val nq = a0.getLong(1)
     val rr = Similarity.scaledRerank(nLive)
     val np = Similarity.scaledNprobe(nLive, live.cells, rr)
     val ann = Similarity.knnIvfPqServe(emb, codes, live.cents, live.cb,
       queries, k, np, rr)
+    // the three audit reads (live fingerprint, batch-form fingerprint,
+    // probe count) are independent — overlap them (guide §2.6)
+    val ((fpLive, fpBatch), nAnn) = Similarity.inParallel(
+      Similarity.inParallel(fp(codes), fp(batchForm)), ann.count())
+    val contentMatch = if (fpLive == fpBatch) 1 else 0
+    mark("batch_audit")
+    val conserved =
+      if (fpLive._1 == nLive && live.nRows == nLive) 1 else 0
     // a surviving query can match nLive-1 others, an erased one nLive
     val kEff = math.min(k.toLong, math.max(nLive - 1, 0L))
-    val nAnn = ann.count()
     val fullK = if (nAnn >= nq * kEff && nAnn <= nq * k) 1 else 0
     mark("probe")
     row(nDoomed, settledVersions.length.toLong, 1,

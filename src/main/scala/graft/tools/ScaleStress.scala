@@ -191,6 +191,28 @@ object ScaleStress {
           timed("cs_loop_only") { Dedup.connectedComponentsStar(pairs) }
         } else ("cs_loop_only", 0.0, -1L)
       },
+      {
+        // guide §2.5 skew evidence for the closure (r19 verdict ask
+        // #7): the corpus rows above have bounded 10-wide clusters, so
+        // nothing exercises a HOT component label. This row drives the
+        // star loop over ONE giant component in both skew regimes at
+        // once — a hub-star over half the ids (the hub's label owns
+        // half the edge set from round 1) and a max-diameter path over
+        // the other half (labels concentrate onto the min id as the
+        // doubling converges) — and must stay ≈linear in mult: a
+        // skew-collapsed closure would blow up superlinearly here long
+        // before any recall gate notices.
+        if (only.isEmpty || only.contains("cs_loop_giant")) {
+          val nNodes = 20000L * math.max(1, mult)
+          val half = nNodes / 2
+          val giant = spark.range(1L, half)
+            .select(lit(0L).as("id_a"), col("id").as("id_b"))
+            .unionAll(spark.range(half, nNodes - 1)
+              .select(col("id").as("id_a"), (col("id") + 1L).as("id_b")))
+            .localCheckpoint(true)
+          timed("cs_loop_giant") { Dedup.connectedComponentsStar(giant) }
+        } else ("cs_loop_giant", 0.0, -1L)
+      },
       timed("semantic_dedup") { Dedup.semanticDedup(emb, 0.45) },
       timed("knn_bruteforce") {
         Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 10), 5) },

@@ -8,6 +8,75 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("gram_covers matches the composed array_sort+aggregate reference, ties and unicode included") {
+    import org.apache.spark.sql.Column
+    // the pre-r20 composed forms, verbatim — the reference the native
+    // GramCoverExpression must stay bit-identical to
+    def topGramCover(sortedGrams: Column): Column =
+      aggregate(sortedGrams,
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit("").as("bg")),
+        (st, g) => {
+          val r = when(g === st("prev"), st("run") + 1L).otherwise(lit(1L))
+          struct(g.as("prev"), r.as("run"),
+            when(r > st("best"), r).otherwise(st("best")).as("best"),
+            when(r > st("best"), g).otherwise(st("bg")).as("bg"))
+        },
+        st => st("best") * length(st("bg")).cast("long"))
+    def dupGramCover(sortedGrams: Column): Column =
+      aggregate(sortedGrams,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+        (st, g) => {
+          val rep = g === st("prev")
+          struct(g.as("prev"),
+            when(rep, st("run") + 1L).otherwise(lit(1L)).as("run"),
+            (st("acc") + when(rep,
+              length(g).cast("long") +
+                when(st("run") === 1L, length(g).cast("long"))
+                  .otherwise(lit(0L))).otherwise(lit(0L))).as("acc"))
+        },
+        st => st("acc"))
+    val docs = Seq(
+      // repeated bigram + count tie between "b c" and "a b"
+      "a b c a b c a b",
+      // heavy repetition: one gram dominates
+      "x y x y x y x y x y",
+      // exact count tie between lexicographically distinct grams
+      "z w z w q r q r",
+      // unicode: numChars != bytes (pins char-based lengths)
+      "héllo wörld héllo wörld héllo",
+      // shorter than the largest n
+      "one two",
+      // single token and empty-ish
+      "single",
+      " ",
+      // long mixed doc
+      (1 to 50).map(i => s"tok${i % 7}").mkString(" ")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val specs = (2 to 10).map(n => (n, n <= 4))
+    val df = docs.toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("toks"))
+    val refCols = specs.zipWithIndex.map { case ((n, isTop), i) =>
+      val sorted = array_sort(TextFunctions.wordNgrams(col("toks"), n))
+      (if (isTop) topGramCover(sorted) else dupGramCover(sorted))
+        .as(s"c$i")
+    }
+    val ref = df.select(col("id") +: refCols: _*)
+      .collect().map(r => r.getLong(0) ->
+        specs.indices.map(i => r.getLong(i + 1))).toMap
+    val got = df.select(col("id"),
+        graft.functions.GramCoverExpression
+          .gram_covers(col("toks"), specs).as("cov"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, vals) =>
+      assert(vals == ref(id), s"doc $id: native $vals vs ref ${ref(id)}")
+    }
+    // the tie case genuinely exercised: doc 2's top-2-gram cover must
+    // come from the lexicographically smallest of the tied grams
+    assert(ref(2L)(0) == 2L * "q r".length)
+  }
+
   private def ngrams(toks: Seq[String], n: Int): Seq[String] =
     Seq(Tuple1(toks)).toDF("toks")
       .select(TextFunctions.wordNgrams(col("toks"), n).as("g"))
