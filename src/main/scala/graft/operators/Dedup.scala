@@ -1131,8 +1131,16 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // both star steps emit two rows per input row through ONE explode
+    // instead of a self-union: a union's branches each re-execute the
+    // shared subtree (the symmetrized scan in largeStar, the whole
+    // min-join in smallStar) — at 100 TB that was a full extra pass
+    // over the edge set per round. Row multisets identical.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val sym = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
       val m = sym.groupBy("u")
         .agg(least(min("v"), first("u")).as("m"))
       sym.join(m, "u").filter(col("v") > col("u"))
@@ -1140,11 +1148,13 @@ object Dedup {
     }
     def smallStar(e: DataFrame): DataFrame = {
       val m = e.groupBy("u").agg(min("v").as("m"))
-      val withMin = e.join(m, "u")
       // u and every smaller neighbor attach to the min; (m,m) self loops
       // from v == m drop in canon()
-      withMin.select(col("v").as("u"), col("m").as("v"))
-        .union(withMin.select(col("u"), col("m").as("v")))
+      e.join(m, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
     }
     // Resume store (spark.graft.resumeDir): a restarted run seeds from
     // the highest complete round snapshot instead of recomputing the

@@ -3547,7 +3547,6 @@ object Similarity {
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
     val c3 = Checkpoints.scratch(IndexStore.codes(s, root, v3))
-    val fp3 = fp(c3)
     val (noop, fired1) = IndexStore.maybeCompact(s, root,
       filesPerCell = 1e9)
     val noopOk =
@@ -3559,7 +3558,6 @@ object Similarity {
     val c4 = Checkpoints.scratch(IndexStore.codes(s, root, v4))
     val occupied = v4.fileCells.distinct.size
     val shapeOk = if (v4.files.size <= occupied) 1 else 0
-    val contentOk = if (fp(c4) == fp3) 1 else 0
     val queries = emb.filter(col("vec_id") < 10)
     val rr = scaledRerank(n)
     val np = scaledNprobe(n, v4.cells, rr)
@@ -3575,7 +3573,14 @@ object Similarity {
             .cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
-    val probeOk = if (fpProbe(c3) == fpProbe(c4)) 1 else 0
+    // all four audit reads are independent over the two pinned
+    // (scratched) snapshots — overlap them (guide §2.6); fp(c3) reads
+    // rows materialized BEFORE the compact, so ordering is immaterial
+    val ((fp3, fp4), (fpP3, fpP4)) = inParallel(
+      inParallel(fp(c3), fp(c4)),
+      inParallel(fpProbe(c3), fpProbe(c4)))
+    val contentOk = if (fp4 == fp3) 1 else 0
+    val probeOk = if (fpP3 == fpP4) 1 else 0
     row((noopOk, fired, shapeOk, contentOk, probeOk))
   }
 }
